@@ -1,0 +1,236 @@
+"""Audio payload codecs + deterministic reference synthesis.
+
+The data-plane analogue of the reference's byte-wise payload validators
+(images `/root/reference/fs_schema_validator/schemas/image.py`, glTF
+`schemas/gltf.py`, zip `schemas/zip.py`): a clip's ``bytes`` column holds a
+RIFF/WAVE container whose fmt tag declares the actual codec — the header
+plays the role of the image magic bytes (declared-vs-actual format
+mismatch detection), decode failure the role of glTF deserialization
+errors, and SNR-vs-reference the role of the zip CRC sweep.
+
+Codecs are implemented with numpy only (no soundfile in the sandbox):
+
+* ``pcm_s16le`` — 16-bit little-endian PCM (WAVE format tag 1)
+* ``pcm_u8``   — 8-bit unsigned PCM (format tag 1, 8 bits)
+* ``ulaw``     — ITU-T G.711 μ-law companding (format tag 7)
+* ``alaw``     — ITU-T G.711 A-law companding (format tag 6)
+
+The reference PCM for the SNR ≥ 30 dB invariant is re-synthesizable from
+``clip_id`` alone (seeded sine + noise mixture), so workers never need a
+second copy of the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+
+class AudioDecodeError(ValueError):
+    """Payload cannot be parsed as a RIFF/WAVE container."""
+
+
+CODECS = ("pcm_s16le", "pcm_u8", "ulaw", "alaw")
+
+_FMT_PCM = 1
+_FMT_ALAW = 6
+_FMT_ULAW = 7
+
+_MU = 255.0
+_A = 87.6
+_LN_A = 1.0 + np.log(_A)
+
+
+# --- G.711-style companding (continuous-law variants, numpy-vectorized) ----
+
+
+def _ulaw_compress(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] → uint8 μ-law code."""
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.clip(np.round((y + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def _ulaw_expand(code: np.ndarray) -> np.ndarray:
+    y = code.astype(np.float64) / 127.5 - 1.0
+    return np.sign(y) * np.expm1(np.abs(y) * np.log1p(_MU)) / _MU
+
+
+def _alaw_compress(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    small = ax < (1.0 / _A)
+    y = np.where(small, _A * ax / _LN_A, (1.0 + np.log(np.maximum(_A * ax, 1.0))) / _LN_A)
+    y = np.sign(x) * y
+    return np.clip(np.round((y + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def _alaw_expand(code: np.ndarray) -> np.ndarray:
+    y = code.astype(np.float64) / 127.5 - 1.0
+    ay = np.abs(y)
+    small = ay < (1.0 / _LN_A)
+    x = np.where(small, ay * _LN_A / _A, np.exp(ay * _LN_A - 1.0) / _A)
+    return np.sign(y) * x
+
+
+# --- RIFF/WAVE container ---------------------------------------------------
+
+
+def encode(samples: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    """Encode float samples in [-1, 1] into a mono WAVE payload."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if codec == "pcm_s16le":
+        fmt, bits = _FMT_PCM, 16
+        data = np.round(x * 32767.0).astype("<i2").tobytes()
+    elif codec == "pcm_u8":
+        fmt, bits = _FMT_PCM, 8
+        data = (np.round((x + 1.0) * 127.5)).clip(0, 255).astype(np.uint8).tobytes()
+    elif codec == "ulaw":
+        fmt, bits = _FMT_ULAW, 8
+        data = _ulaw_compress(x).tobytes()
+    elif codec == "alaw":
+        fmt, bits = _FMT_ALAW, 8
+        data = _alaw_compress(x).tobytes()
+    else:
+        raise ValueError(f"unknown codec `{codec}`")
+
+    block_align = bits // 8
+    byte_rate = sr_hz * block_align
+    header = b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, fmt, 1, sr_hz, byte_rate, block_align, bits),
+            b"data",
+            struct.pack("<I", len(data)),
+        ]
+    )
+    return header + data
+
+
+def sniff_codec(payload: bytes) -> str:
+    """Identify the actual codec from the container header — the analogue of
+    PIL's format detection (reference ``image.py:54-69``)."""
+    _, fmt, bits, _, _ = _parse_header(payload)
+    return _codec_name(fmt, bits)
+
+
+def _codec_name(fmt: int, bits: int) -> str:
+    if fmt == _FMT_PCM and bits == 16:
+        return "pcm_s16le"
+    if fmt == _FMT_PCM and bits == 8:
+        return "pcm_u8"
+    if fmt == _FMT_ULAW:
+        return "ulaw"
+    if fmt == _FMT_ALAW:
+        return "alaw"
+    raise AudioDecodeError(f"unknown wave format tag {fmt} ({bits} bits)")
+
+
+def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Returns (sr_hz, fmt_tag, bits, channels, data)."""
+    if len(payload) < 44:
+        raise AudioDecodeError(f"payload too short for a wave header ({len(payload)} bytes)")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("payload is not a RIFF/WAVE container")
+    pos = 12
+    fmt_tag = bits = channels = sr_hz = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_start = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body_start + 16 > n:
+                raise AudioDecodeError("truncated fmt chunk")
+            fmt_tag, channels, sr_hz, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, body_start
+            )
+        elif cid == b"data":
+            if body_start + size > n:
+                raise AudioDecodeError("truncated data chunk")
+            data = payload[body_start : body_start + size]
+        pos = body_start + size + (size & 1)
+    if fmt_tag is None:
+        raise AudioDecodeError("missing fmt chunk")
+    if data is None:
+        raise AudioDecodeError("missing data chunk")
+    if channels != 1:
+        raise AudioDecodeError(f"only mono supported, got {channels} channels")
+    return sr_hz, fmt_tag, bits, channels, data
+
+
+def decode(payload: bytes) -> tuple[np.ndarray, int, str]:
+    """Decode a WAVE payload → (float64 samples in [-1,1], sr_hz, codec)."""
+    sr_hz, fmt, bits, _, data = _parse_header(payload)
+    codec = _codec_name(fmt, bits)
+    if codec == "pcm_s16le":
+        if len(data) % 2:
+            raise AudioDecodeError("pcm_s16le data length is odd")
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    elif codec == "pcm_u8":
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
+    elif codec == "ulaw":
+        x = _ulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        x = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    return x, sr_hz, codec
+
+
+# --- deterministic reference synthesis ------------------------------------
+
+
+def _seed_for(clip_id: str) -> int:
+    return int.from_bytes(hashlib.blake2s(clip_id.encode(), digest_size=8).digest(), "little")
+
+
+def reference_signal(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic sine+noise mixture parameterized by ``clip_id`` alone
+    (FIXTURES.md §1) — the per-row invariant baseline for SNR ≥ 30 dB."""
+    n = max(0, round(dur_ms * sr_hz / 1000))
+    if n == 0:
+        return np.zeros(0)
+    rng = np.random.Generator(np.random.PCG64(_seed_for(clip_id)))
+    f1 = rng.uniform(80.0, 800.0)
+    f2 = rng.uniform(800.0, min(3800.0, sr_hz / 2.2))
+    p1, p2 = rng.uniform(0, 2 * np.pi, size=2)
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    x = (
+        0.45 * np.sin(2 * np.pi * f1 * t + p1)
+        + 0.25 * np.sin(2 * np.pi * f2 * t + p2)
+        + 0.04 * rng.standard_normal(n)
+    )
+    return np.clip(x, -1.0, 1.0)
+
+
+_VOCAB = (
+    "the quick brown fox jumps over a lazy dog while seven wizards "
+    "brew strong coffee under pale moonlight near quiet rivers and old stone bridges"
+).split()
+
+
+def reference_transcript(clip_id: str) -> str:
+    """Deterministic transcript derived from ``clip_id`` alone."""
+    rng = np.random.Generator(np.random.PCG64(_seed_for(clip_id) + 1))
+    n_words = int(rng.integers(3, 11))
+    words = rng.choice(len(_VOCAB), size=n_words, replace=True)
+    return " ".join(_VOCAB[i] for i in words)
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``decoded`` against ``reference`` in dB."""
+    n = min(len(reference), len(decoded))
+    if n == 0:
+        return float("-inf")
+    ref = reference[:n]
+    err = ref - decoded[:n]
+    p_sig = float(np.dot(ref, ref))
+    p_err = float(np.dot(err, err))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)

@@ -1,0 +1,288 @@
+"""Numpy-backed mergeable sketches: HyperLogLog, Bloom, t-digest, histogram.
+
+All algorithms are standard published designs: HyperLogLog (Flajolet et
+al. 2007) with linear-counting small-range correction, Bloom filters
+(Bloom 1970) with double hashing (Kirsch & Mitzenmacher 2006), the merging
+t-digest (Dunning & Ertl, "Computing extremely accurate quantiles using
+t-digests") with the k1 scale function, fixed-bin histograms with the
+two-sample Kolmogorov–Smirnov statistic and Population Stability Index.
+
+Hashes come from ``pandas.util.hash_array`` — vectorized, 64-bit and
+stable across processes (unlike Python's seeded ``hash``), so sketches
+built on different Ray workers merge coherently.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+
+def hash64(values, key: str = "0123456789abcdef") -> np.ndarray:
+    """Stable vectorized 64-bit hash of an array-like of scalars."""
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr, hash_key=key, categorize=False)
+
+
+class HyperLogLog:
+    """Distinct-count sketch; ~0.8% relative error at p=14 (16 KiB)."""
+
+    def __init__(self, p: int = 14) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rho = position of the leftmost 1-bit in the (64-p)-bit suffix.
+        # 64-p <= 50 bits => exact in float64.
+        wf = w.astype(np.float64)
+        _, exp = np.frexp(wf)
+        rho = np.where(w == 0, 64 - self.p + 1, 64 - self.p - exp + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def add(self, values) -> None:
+        self.add_hashes(hash64(values))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(np.exp2(-self.registers.astype(np.float64))))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)
+        return est
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<B", self.p) + self.registers.tobytes()
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "HyperLogLog":
+        p = struct.unpack_from("<B", blob)[0]
+        out = HyperLogLog(p)
+        out.registers = np.frombuffer(blob[1:], dtype=np.uint8).copy()
+        return out
+
+
+class BloomFilter:
+    """Membership sketch for broadcast semi/anti joins (referential check).
+
+    ``contains`` can report a missing key as present with probability
+    ``fpp`` — for a referential *violation* check that means violations can
+    be *under*-reported by fpp, never over-reported."""
+
+    def __init__(self, n_items: int, fpp: float = 1e-4) -> None:
+        n_items = max(1, n_items)
+        m = int(np.ceil(-n_items * np.log(fpp) / (np.log(2) ** 2)))
+        self.n_bits = 1 << max(6, int(np.ceil(np.log2(m))))
+        self.k = max(1, int(round(self.n_bits / n_items * np.log(2))))
+        self.bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = hash64(values)
+        h2 = hash64(values, key="fedcba9876543210")
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        mask = np.uint64(self.n_bits - 1)
+        return ((h1[None, :] + ks * h2[None, :]) & mask).ravel()
+
+    def add(self, values) -> None:
+        pos = self._positions(values)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        got = (self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return got.reshape(self.k, -1).all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        out = BloomFilter.__new__(BloomFilter)
+        out.n_bits, out.k = self.n_bits, self.k
+        out.bits = self.bits | other.bits
+        return out
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<QI", self.n_bits, self.k) + self.bits.tobytes()
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "BloomFilter":
+        n_bits, k = struct.unpack_from("<QI", blob)
+        out = BloomFilter.__new__(BloomFilter)
+        out.n_bits, out.k = n_bits, k
+        out.bits = np.frombuffer(blob[12:], dtype=np.uint8).copy()
+        return out
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl) with the k1 scale function."""
+
+    def __init__(self, delta: float = 200.0) -> None:
+        self.delta = delta
+        self.means = np.zeros(0)
+        self.weights = np.zeros(0)
+        self._buf_means: list[np.ndarray] = []
+        self._buf_weights: list[np.ndarray] = []
+        self._buffered = 0
+
+    def add(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self._buf_means.append(v)
+        self._buf_weights.append(np.ones(len(v)))
+        self._buffered += len(v)
+        if self._buffered > 32 * self.delta:
+            self.compress()
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+    def compress(self) -> None:
+        if not self._buf_means and len(self.means) <= self.delta:
+            return
+        means = np.concatenate([self.means] + self._buf_means) if self._buf_means else self.means
+        weights = (
+            np.concatenate([self.weights] + self._buf_weights)
+            if self._buf_weights
+            else self.weights
+        )
+        self._buf_means, self._buf_weights, self._buffered = [], [], 0
+        if not len(means):
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        cur_mean, cur_w = float(means[0]), float(weights[0])
+        q0 = 0.0
+        k_limit = self._k(np.array([q0]))[0] + 1.0
+        for mean, w in zip(means[1:], weights[1:]):
+            q_new = q0 + (cur_w + w) / total
+            if self._k(np.array([q_new]))[0] <= k_limit:
+                cur_mean += (mean - cur_mean) * w / (cur_w + w)
+                cur_w += w
+            else:
+                out_means.append(cur_mean)
+                out_weights.append(cur_w)
+                q0 += cur_w / total
+                k_limit = self._k(np.array([q0]))[0] + 1.0
+                cur_mean, cur_w = float(mean), float(w)
+        out_means.append(cur_mean)
+        out_weights.append(cur_w)
+        self.means = np.asarray(out_means)
+        self.weights = np.asarray(out_weights)
+
+    def quantile(self, q: float) -> float:
+        self.compress()
+        if not len(self.means):
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def count(self) -> float:
+        self.compress()
+        return float(self.weights.sum())
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.compress()
+        other.compress()
+        out = TDigest(self.delta)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out.compress()
+        return out
+
+    def to_bytes(self) -> bytes:
+        self.compress()
+        n = len(self.means)
+        return (
+            struct.pack("<dI", self.delta, n)
+            + self.means.tobytes()
+            + self.weights.tobytes()
+        )
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "TDigest":
+        delta, n = struct.unpack_from("<dI", blob)
+        out = TDigest(delta)
+        off = 12
+        out.means = np.frombuffer(blob[off : off + 8 * n]).copy()
+        out.weights = np.frombuffer(blob[off + 8 * n : off + 16 * n]).copy()
+        return out
+
+
+class Histogram:
+    """Fixed-bin histogram over a declared [lo, hi) range, with overflow
+    bins — the drift-detection state (KS / PSI vs a baseline)."""
+
+    def __init__(self, lo: float, hi: float, bins: int = 64) -> None:
+        assert hi > lo and bins >= 2
+        self.lo, self.hi, self.bins = float(lo), float(hi), int(bins)
+        # bins + 2: underflow [0] and overflow [-1]
+        self.counts = np.zeros(self.bins + 2, dtype=np.int64)
+
+    def add(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        idx = np.floor((v - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
+        idx = np.clip(idx + 1, 0, self.bins + 1)
+        np.add.at(self.counts, idx, 1)
+
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def merge(self, other: "Histogram") -> "Histogram":
+        assert (self.lo, self.hi, self.bins) == (other.lo, other.hi, other.bins)
+        out = Histogram(self.lo, self.hi, self.bins)
+        out.counts = self.counts + other.counts
+        return out
+
+    def cdf(self) -> np.ndarray:
+        t = self.total()
+        if t == 0:
+            return np.zeros(len(self.counts))
+        return np.cumsum(self.counts) / t
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<ddI", self.lo, self.hi, self.bins) + self.counts.tobytes()
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "Histogram":
+        lo, hi, bins = struct.unpack_from("<ddI", blob)
+        out = Histogram(lo, hi, bins)
+        out.counts = np.frombuffer(blob[20:], dtype=np.int64).copy()
+        return out
+
+
+def ks_statistic(a: Histogram, b: Histogram) -> float:
+    """Two-sample KS statistic approximated on the shared binning."""
+    return float(np.max(np.abs(a.cdf() - b.cdf())))
+
+
+def psi(actual: Histogram, expected: Histogram, eps: float = 1e-6) -> float:
+    """Population Stability Index between two histograms."""
+    ta, te = max(actual.total(), 1), max(expected.total(), 1)
+    p = np.maximum(actual.counts / ta, eps)
+    q = np.maximum(expected.counts / te, eps)
+    return float(np.sum((p - q) * np.log(p / q)))

@@ -1,0 +1,123 @@
+"""Sketch correctness: accuracy bounds + merge/serialize round-trips.
+
+The merge laws here are the distributed generalization of the reference's
+``ValidationReport.merge`` monoid test surface (`report.py:44-48`).
+"""
+
+import numpy as np
+import pytest
+
+from fs_schema_validator_ray.state import (
+    BloomFilter,
+    Histogram,
+    HyperLogLog,
+    TDigest,
+    hash64,
+    ks_statistic,
+    psi,
+)
+
+
+def test_hash64_stable_and_vectorized():
+    a = hash64(np.array(["x", "y", "x"], dtype=object))
+    assert a.dtype == np.uint64
+    assert a[0] == a[2] != a[1]
+    assert hash64(["x"])[0] == a[0]
+
+
+def test_hll_accuracy():
+    hll = HyperLogLog()
+    ids = np.array([f"clip-{i:08d}" for i in range(100_000)], dtype=object)
+    hll.add(ids)
+    hll.add(ids[:50_000])  # re-adding must not change the estimate much
+    est = hll.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.02
+
+
+def test_hll_small_range():
+    hll = HyperLogLog()
+    hll.add(np.array(["a", "b", "c"], dtype=object))
+    assert abs(hll.estimate() - 3) < 0.5
+
+
+def test_hll_merge_and_serde():
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.add(np.array([f"a{i}" for i in range(20_000)], dtype=object))
+    h2.add(np.array([f"a{i}" for i in range(10_000, 30_000)], dtype=object))
+    merged = h1.merge(h2)
+    est = merged.estimate()
+    assert abs(est - 30_000) / 30_000 < 0.03
+    rt = HyperLogLog.from_bytes(merged.to_bytes())
+    assert rt.estimate() == merged.estimate()
+
+
+def test_bloom():
+    keys = np.array([f"clip-{i}" for i in range(50_000)], dtype=object)
+    bf = BloomFilter(len(keys), fpp=1e-4)
+    bf.add(keys)
+    assert bf.contains(keys).all()
+    probe = np.array([f"missing-{i}" for i in range(20_000)], dtype=object)
+    fp_rate = bf.contains(probe).mean()
+    assert fp_rate < 1e-3
+
+
+def test_bloom_merge_and_serde():
+    a, b = BloomFilter(1000), BloomFilter(1000)
+    a.add(np.array(["x"], dtype=object))
+    b.add(np.array(["y"], dtype=object))
+    m = a.merge(b)
+    assert m.contains(np.array(["x", "y"], dtype=object)).all()
+    rt = BloomFilter.from_bytes(m.to_bytes())
+    assert rt.contains(np.array(["x", "y"], dtype=object)).all()
+    assert not rt.contains(np.array(["z"], dtype=object)).all()
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(42)
+    data = rng.normal(100.0, 15.0, 200_000)
+    td = TDigest()
+    for chunk in np.array_split(data, 40):
+        td.add(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = np.quantile(data, q)
+        approx = td.quantile(q)
+        assert abs(approx - exact) < 1.0, (q, exact, approx)
+    assert td.count() == len(data)
+
+
+def test_tdigest_merge_matches_single():
+    rng = np.random.default_rng(7)
+    data = rng.exponential(10.0, 100_000)
+    parts = np.array_split(data, 8)
+    digests = []
+    for p in parts:
+        td = TDigest()
+        td.add(p)
+        digests.append(td)
+    merged = digests[0]
+    for d in digests[1:]:
+        merged = merged.merge(d)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(merged.quantile(q) - np.quantile(data, q)) < np.quantile(data, q) * 0.05
+    rt = TDigest.from_bytes(merged.to_bytes())
+    assert rt.quantile(0.5) == pytest.approx(merged.quantile(0.5))
+
+
+def test_histogram_ks_psi():
+    rng = np.random.default_rng(3)
+    base = Histogram(0, 1000, bins=64)
+    base.add(rng.normal(500, 100, 100_000))
+    same = Histogram(0, 1000, bins=64)
+    same.add(rng.normal(500, 100, 100_000))
+    shifted = Histogram(0, 1000, bins=64)
+    shifted.add(rng.normal(650, 100, 100_000))
+
+    assert ks_statistic(base, same) < 0.01
+    assert ks_statistic(base, shifted) > 0.4
+    assert psi(same, base) < 0.02
+    assert psi(shifted, base) > 1.0
+
+    merged = base.merge(same)
+    assert merged.total() == 200_000
+    rt = Histogram.from_bytes(shifted.to_bytes())
+    assert ks_statistic(rt, shifted) == 0.0
