@@ -1,0 +1,255 @@
+"""Column statistics + distribution drift over a Dataset.
+
+Partial/final sketch aggregation (the scale-safe pattern): every batch
+contributes one tiny partial row per column — exact moments (count, nulls,
+min, max, sum, sum-of-squares) plus serialized HLL and t-digest blobs —
+and partials are merged per column. The input dataset streams once; only
+kilobyte-sized partials ever move. This generalizes the reference's
+mergeable ``ValidationReport`` (``report.py:44-48``) to numeric state.
+
+Drift: per-partition fixed-bin histograms merged the same way, compared
+against a baseline histogram with KS / PSI (north_rule) — partitions
+whose statistic exceeds the rule threshold produce partition-level
+violation rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+from fs_schema_validator_ray.rules import DriftRule
+from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
+from fs_schema_validator_ray.state import Histogram, HyperLogLog, TDigest, ks_statistic, psi
+
+
+class _StatsPartial:
+    """map_batches callable emitting one partial row per column per batch."""
+
+    def __init__(self, columns: list[str]) -> None:
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in self.columns:
+            if name not in batch.column_names:
+                continue
+            col = batch.column(name).combine_chunks()
+            n = len(col)
+            nulls = col.null_count
+            dtype = col.type
+            is_num = pa.types.is_integer(dtype) or pa.types.is_floating(dtype)
+            is_str = pa.types.is_string(dtype) or pa.types.is_large_string(dtype)
+
+            hll = HyperLogLog(p=12)
+            vmin = vmax = None
+            s = ss = 0.0
+            td_blob = b""
+            if is_num:
+                vals = np.asarray(pc.drop_null(col), dtype=np.float64)
+                if len(vals):
+                    vmin, vmax = float(vals.min()), float(vals.max())
+                    s = float(vals.sum())
+                    ss = float(np.dot(vals, vals))
+                    td = TDigest()
+                    td.add(vals)
+                    td_blob = td.to_bytes()
+                    hll.add(vals)
+            elif is_str:
+                vals = pc.drop_null(col)
+                if len(vals):
+                    vmin = str(pc.min(vals).as_py())
+                    vmax = str(pc.max(vals).as_py())
+                    hll.add(np.asarray(vals, dtype=object))
+            elif pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+                sizes = pc.binary_length(pc.drop_null(col))
+                if len(sizes):
+                    vmin = float(pc.min(sizes).as_py())
+                    vmax = float(pc.max(sizes).as_py())
+                    s = float(pc.sum(sizes).as_py())
+
+            rows.append(
+                {
+                    "column": name,
+                    "n": n,
+                    "nulls": nulls,
+                    "min_num": vmin if not isinstance(vmin, str) else None,
+                    "max_num": vmax if not isinstance(vmax, str) else None,
+                    "min_str": vmin if isinstance(vmin, str) else None,
+                    "max_str": vmax if isinstance(vmax, str) else None,
+                    "sum": s,
+                    "sumsq": ss,
+                    "hll": hll.to_bytes(),
+                    "tdigest": td_blob,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("n", pa.int64()),
+        ("nulls", pa.int64()),
+        ("min_num", pa.float64()),
+        ("max_num", pa.float64()),
+        ("min_str", pa.string()),
+        ("max_str", pa.string()),
+        ("sum", pa.float64()),
+        ("sumsq", pa.float64()),
+        ("hll", pa.binary()),
+        ("tdigest", pa.binary()),
+    ]
+)
+
+
+def _merge_partials(df) -> dict:
+    hll = HyperLogLog(p=12)
+    td: Optional[TDigest] = None
+    for blob in df["hll"]:
+        if blob:
+            hll = hll.merge(HyperLogLog.from_bytes(blob))
+    for blob in df["tdigest"]:
+        if blob:
+            t = TDigest.from_bytes(blob)
+            td = t if td is None else td.merge(t)
+    n = int(df["n"].sum())
+    nulls = int(df["nulls"].sum())
+    valid = n - nulls
+    mean = float(df["sum"].sum()) / valid if valid else None
+    var = None
+    if valid and df["sumsq"].sum() > 0:
+        var = max(0.0, float(df["sumsq"].sum()) / valid - mean * mean)
+    out = {
+        "count": n,
+        "nulls": nulls,
+        "null_ratio": nulls / n if n else 0.0,
+        "distinct_estimate": float(hll.estimate()) if valid else 0.0,
+        "min": _first_non_null(df, "min_num", min) or _first_non_null(df, "min_str", min),
+        "max": _first_non_null(df, "max_num", max) or _first_non_null(df, "max_str", max),
+        "mean": mean,
+        "std": float(np.sqrt(var)) if var is not None else None,
+    }
+    if td is not None:
+        out.update(
+            {
+                "p50": td.quantile(0.5),
+                "p95": td.quantile(0.95),
+                "p99": td.quantile(0.99),
+            }
+        )
+    return out
+
+
+def _first_non_null(df, col, reducer):
+    vals = [v for v in df[col] if v is not None and not (isinstance(v, float) and np.isnan(v))]
+    return reducer(vals) if vals else None
+
+
+def column_stats(ds, columns: Optional[list[str]] = None) -> dict:
+    """Full-dataset column statistics. One streaming pass; result is a
+    small dict per column (driver-sized by construction)."""
+    columns = columns or [n for n in ds.schema().names if n != PARTITION_COLUMN]
+    parts = ds.map_batches(
+        _StatsPartial(columns), batch_format="pyarrow"
+    ).to_pandas()
+    return {
+        name: _merge_partials(parts[parts["column"] == name])
+        for name in columns
+        if (parts["column"] == name).any()
+    }
+
+
+# --- drift -----------------------------------------------------------------
+
+
+class _DriftPartial:
+    """Per-batch, per-partition histogram partials for one drift rule."""
+
+    def __init__(self, rule: DriftRule) -> None:
+        self.rule = rule
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = self.rule
+        if r.column not in batch.column_names:
+            return pa.table(
+                {"partition_id": pa.array([], pa.int32()),
+                 "counts": pa.array([], pa.list_(pa.int64()))}
+            )
+        vals = np.asarray(
+            pc.fill_null(pc.cast(batch.column(r.column), pa.float64()), np.nan)
+        )
+        if PARTITION_COLUMN in batch.column_names:
+            parts = np.asarray(batch.column(PARTITION_COLUMN).combine_chunks().cast(pa.int32()))
+        else:
+            parts = np.full(len(vals), -1, np.int32)
+        out_pid, out_counts = [], []
+        for pid in np.unique(parts):
+            hist = Histogram(r.lo, r.hi, r.bins)
+            hist.add(vals[parts == pid])
+            out_pid.append(int(pid))
+            out_counts.append(hist.counts.tolist())
+        return pa.table(
+            {"partition_id": pa.array(out_pid, pa.int32()),
+             "counts": pa.array(out_counts, pa.list_(pa.int64()))}
+        )
+
+
+def drift_check(ds, rule: DriftRule, baseline: Histogram):
+    """Per-partition KS/PSI vs baseline → (violations_table, metrics).
+
+    Partials are merged per partition on the driver — the materialized
+    data is ``num_partitions × (bins+2)`` int64s, driver-sized even at
+    thousands of partitions.
+    """
+    parts = ds.map_batches(_DriftPartial(rule), batch_format="pyarrow").to_pandas()
+    merged: dict[int, Histogram] = {}
+    for pid, counts in zip(parts["partition_id"], parts["counts"]):
+        h = Histogram(rule.lo, rule.hi, rule.bins)
+        h.counts = np.asarray(counts, dtype=np.int64)
+        if pid in merged:
+            merged[pid] = merged[pid].merge(h)
+        else:
+            merged[pid] = h
+
+    v_parts, v_reasons = [], []
+    metrics = {}
+    for pid, hist in sorted(merged.items()):
+        ks = ks_statistic(hist, baseline)
+        p = psi(hist, baseline)
+        metrics[int(pid)] = {"ks": ks, "psi": p, "rows": hist.total()}
+        if ks > rule.max_ks:
+            v_parts.append(pid)
+            v_reasons.append(
+                f"distribution drift: ks={ks:.4f} exceeds max_ks={rule.max_ks}"
+            )
+        elif p > rule.max_psi:
+            v_parts.append(pid)
+            v_reasons.append(f"distribution drift: psi={p:.4f} exceeds max_psi={rule.max_psi}")
+
+    violations = pa.Table.from_arrays(
+        [
+            pa.array(np.asarray(v_parts, dtype=np.int32)),
+            pa.array([None] * len(v_parts), pa.string()),
+            pa.array([rule.rule_id] * len(v_parts), pa.string()),
+            pa.array(v_reasons, pa.string()),
+        ],
+        schema=VIOLATION_SCHEMA,
+    )
+    return violations, metrics
+
+
+def compute_histogram(ds, column: str, lo: float, hi: float, bins: int = 64) -> Histogram:
+    """Build a baseline histogram from a reference dataset (one pass)."""
+    rule = DriftRule(rule_id="__baseline__", column=column, lo=lo, hi=hi, bins=bins)
+    parts = ds.map_batches(_DriftPartial(rule), batch_format="pyarrow").to_pandas()
+    out = Histogram(lo, hi, bins)
+    for counts in parts["counts"]:
+        h = Histogram(lo, hi, bins)
+        h.counts = np.asarray(counts, dtype=np.int64)
+        out = out.merge(h)
+    return out

@@ -1,0 +1,105 @@
+"""Key-uniqueness check (north_rule: HLL uniqueness / exact duplicates).
+
+Exact path: the one genuinely global, shuffle-requiring rule. Kept cheap
+by (a) projecting to the key column before anything moves, (b)
+pre-aggregating counts per batch inside ``map_batches`` (classic
+partial/combiner), so the ``groupby`` shuffles at most one row per
+distinct key per block instead of one per input row, and (c) shuffling
+only ``(key, n, partition_id)`` — never payload bytes.
+
+Approximate path: per-batch HyperLogLog partials merged on the driver —
+no shuffle at all; reports an estimated duplicate count (global metric),
+used at 10^12-key scale where even the key shuffle is a budget item.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+from fs_schema_validator_ray.rules import UniqueRule
+from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
+from fs_schema_validator_ray.state import HyperLogLog
+
+
+def _partial_counts(batch: pa.Table, column: str) -> pa.Table:
+    """Per-batch combiner: one output row per distinct key in the batch."""
+    tbl = batch.select([column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in batch.column_names else []))
+    df = tbl.to_pandas()
+    if PARTITION_COLUMN not in df.columns:
+        df[PARTITION_COLUMN] = -1
+    g = df.groupby(column, sort=False, dropna=False).agg(
+        n=(column, "size"), part=(PARTITION_COLUMN, "min")
+    )
+    g = g.reset_index()
+    return pa.table(
+        {
+            "key": pa.array(g[column].astype(str), pa.string()),
+            "n": pa.array(g["n"].astype(np.int64)),
+            "part": pa.array(g["part"].astype(np.int32)),
+        }
+    )
+
+
+def uniqueness_violations(ds, rule: UniqueRule, key_column: str | None = None):
+    """Exact duplicate detection → violations Dataset.
+
+    ``read → project(key) → map_batches(partial counts) → groupby(key)
+    → aggregate(Sum) → filter(count > 1) → violation rows``.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    column = key_column or rule.column
+    cols = [column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in ds.schema().names else [])
+    keys = ds.select_columns(cols)
+    partials = keys.map_batches(
+        lambda t: _partial_counts(t, column), batch_format="pyarrow"
+    )
+    agg = partials.groupby("key").aggregate(
+        Sum("n", alias_name="count"), Min("part", alias_name="part")
+    )
+
+    def to_violations(t: pa.Table) -> pa.Table:
+        counts = np.asarray(t.column("count"))
+        dup = np.flatnonzero(counts > 1)
+        keys_np = np.asarray(t.column("key"), dtype=object)
+        parts_np = np.asarray(t.column("part"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts_np[dup].astype(np.int32)),
+                pa.array([str(k) for k in keys_np[dup]], pa.string()),
+                pa.array([rule.rule_id] * len(dup), pa.string()),
+                pa.array(
+                    [f"duplicate key (appears {int(c)} times)" for c in counts[dup]],
+                    pa.string(),
+                ),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return agg.map_batches(to_violations, batch_format="pyarrow")
+
+
+def estimate_duplicates(ds, column: str) -> dict:
+    """Shuffle-free duplicate estimate: HLL distinct vs exact row count."""
+    def partial(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog()
+        hll.add(np.asarray(batch.column(column), dtype=object))
+        return pa.table(
+            {"blob": pa.array([hll.to_bytes()], pa.binary()),
+             "rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = HyperLogLog()
+    for blob in parts["blob"]:
+        merged = merged.merge(HyperLogLog.from_bytes(blob))
+    rows = int(parts["rows"].sum())
+    distinct = merged.estimate()
+    return {
+        "rows": rows,
+        "distinct_estimate": float(distinct),
+        "duplicate_estimate": max(0.0, rows - distinct),
+    }

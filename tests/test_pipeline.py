@@ -1,0 +1,196 @@
+"""End-to-end validation run: golden violation classes, checkpoint/resume.
+
+The Ray-scale analogue of the reference's whole-schema test
+(`/root/reference/tests/test_schema.py`): build corpus → run → compare
+the violation set (order-insensitive, exact reasons) → resume.
+"""
+
+import collections
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fs_schema_validator_ray.pipelines.validate import (
+    ValidationRunConfig,
+    plan_partitions,
+    run_validation,
+)
+from fs_schema_validator_ray.rules import RuleSet
+from fs_schema_validator_ray.sources.clips import (
+    ClipsConfig,
+    build_clips_table,
+    build_manifest_table,
+)
+
+CFG = ClipsConfig(n_rows=2000, rows_per_partition=500)
+
+RULES_YAML = """
+bindings:
+  codecs: [pcm_s16le, pcm_u8, ulaw, alaw]
+rules:
+  - rule: sr_hz_range
+    type: int
+    column: sr_hz
+    min: 8000
+    max: 48000
+  - rule: dur_ms_range
+    type: int
+    column: dur_ms
+    min: 20
+    max: 30000
+  - rule: clip_id_shape
+    type: str
+    column: clip_id
+    regex: "^clip-[0-9]{{4}}-[0-9]{{6}}$"
+  - rule: codec_enum
+    type: str
+    column: codec
+    allowed: [pcm_s16le, pcm_u8, ulaw, alaw]
+  - rule: payload_nonempty
+    type: binary
+    column: bytes
+    allow_empty: false
+  - rule: audio_decode
+    type: audio
+  - rule: unique_clip_id
+    type: unique
+    column: clip_id
+  - rule: ref_transcripts
+    type: referential
+    column: clip_id
+    manifest: transcripts
+  - rule: drift_dur
+    type: drift
+    column: dur_ms
+    lo: 0
+    hi: 30000
+    bins: 32
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    clips_dir = root / "clips"
+    clips_dir.mkdir()
+    for pid in range(CFG.num_partitions()):
+        lo = pid * CFG.rows_per_partition
+        hi = min(CFG.n_rows, lo + CFG.rows_per_partition)
+        t = build_clips_table(CFG, np.arange(lo, hi)).drop_columns(["partition_id"])
+        pq.write_table(t, clips_dir / f"part-{pid:04d}.parquet")
+    manifest_path = root / "transcripts.parquet"
+    pq.write_table(build_manifest_table(CFG), manifest_path)
+    return {"clips": str(clips_dir), "manifest": str(manifest_path)}
+
+
+def n_planted(cls):
+    return len(CFG.planted_indices(cls))
+
+
+def make_cfg(corpus, out_dir):
+    return ValidationRunConfig(
+        input_path=corpus["clips"],
+        rules=RuleSet.from_yaml(RULES_YAML),
+        output_dir=str(out_dir),
+        manifest_path=corpus["manifest"],
+        wave_size=2,
+    )
+
+
+def test_plan_partitions():
+    files = [f"f{i}" for i in range(6)]
+    plan = plan_partitions(files, 3)
+    assert len(plan) == 3
+    assert sorted(f for _, grp in plan for f in grp) == files
+    assert plan_partitions(files, None) == [(i, [f"f{i}"]) for i in range(6)]
+
+
+def test_full_run_and_resume(ray_session, corpus, tmp_path):
+    out = tmp_path / "run"
+    cfg = make_cfg(corpus, out)
+    res = run_validation(cfg)
+
+    assert res.total_rows == CFG.n_rows
+    assert res.waves_run == 2  # 4 partitions / wave_size 2
+    assert res.partitions_skipped == 0
+    assert not res.okay() and res.exit_code() == 1
+
+    v = res.violations_dataset().to_pandas()
+    by_rule = collections.Counter(v["rule_id"])
+
+    assert by_rule["sr_hz_range"] == n_planted("sr_out_of_range") + n_planted("sr_null")
+    assert by_rule["dur_ms_range"] == n_planted("dur_zero")
+    # bad ids fail the regex
+    assert by_rule["clip_id_shape"] == n_planted("bad_clip_id")
+    assert by_rule["codec_enum"] == n_planted("codec_invalid")
+    assert by_rule["payload_nonempty"] == n_planted("empty_bytes")
+    assert by_rule["unique_clip_id"] == n_planted("duplicate_clip_id")
+    # malformed keys are, correctly, also absent from the manifest
+    assert by_rule["ref_transcripts"] == n_planted("missing_in_manifest") + n_planted("bad_clip_id")
+    decode_classes = (
+        "truncated_bytes", "codec_mismatch", "empty_bytes", "dur_zero",
+        "dur_mismatch", "codec_invalid", "transcript_garbled",
+    )
+    assert by_rule["audio_decode"] == sum(n_planted(c) for c in decode_classes)
+    # self-baselined homogeneous partitions: no drift
+    assert "drift_dur" not in by_rule
+
+    # exact reason spot-checks (reference-style golden strings)
+    reasons = set(zip(v["rule_id"], v["reason"]))
+    assert ("payload_nonempty", "`bytes`: cannot be empty") in reasons
+    assert ("ref_transcripts", "does not exist in manifest `transcripts`") in reasons
+    some_dup = [r for rid, r in reasons if rid == "unique_clip_id"]
+    assert all(r == "duplicate key (appears 2 times)" for r in some_dup)
+
+    # per-partition manifest rows: lineage + metrics
+    manifests = glob.glob(os.path.join(out, "manifest", "part-*.json"))
+    assert len(manifests) == 4
+    for pm in res.partition_metrics.values():
+        assert pm["rows"] == CFG.rows_per_partition
+        assert pm["files"]
+        assert "drift_dur" in pm["drift"]
+        assert pm["drift"]["drift_dur"]["ks"] < 0.15
+
+    # --- resume: everything already done -> no waves, same totals --------
+    res2 = run_validation(cfg)
+    assert res2.waves_run == 0
+    assert res2.partitions_skipped == 4
+    assert res2.total_violations == res.total_violations
+    assert res2.total_rows == res.total_rows
+
+    # --- partial resume: forget one partition, rerun -> one wave ---------
+    os.remove(os.path.join(out, "manifest", "part-2.json"))
+    res3 = run_validation(cfg)
+    assert res3.waves_run == 1
+    assert res3.partitions_skipped == 3
+    assert res3.total_rows == CFG.n_rows
+
+
+def test_drifted_partition_detected(ray_session, corpus, tmp_path):
+    """A shifted dur_ms distribution in one partition must trip the KS rule
+    when validated against the clean corpus baseline."""
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.pipelines.stats import compute_histogram, drift_check
+    from fs_schema_validator_ray.rules import DriftRule
+    import ray.data
+
+    rule = DriftRule(rule_id="drift_dur", column="dur_ms", lo=0, hi=500, bins=32,
+                     max_ks=0.15, max_psi=0.25)
+    rng = np.random.default_rng(5)
+    clean = pa.table(
+        {"dur_ms": rng.integers(60, 240, 20_000), "partition_id": np.zeros(20_000, np.int32)}
+    )
+    drifted = pa.table(
+        {"dur_ms": rng.integers(260, 440, 20_000), "partition_id": np.ones(20_000, np.int32)}
+    )
+    baseline = compute_histogram(ray.data.from_arrow(clean), "dur_ms", 0, 500, 32)
+    ds = ray.data.from_arrow(pa.concat_tables([clean, drifted]))
+    viol, metrics = drift_check(ds, rule, baseline)
+    rows = viol.to_pylist()
+    assert [r["partition_id"] for r in rows] == [1]
+    assert "ks=" in rows[0]["reason"]
+    assert metrics[0]["ks"] < 0.02 and metrics[1]["ks"] > 0.5
