@@ -1,0 +1,132 @@
+"""CLI entrypoint — the ``ray job submit`` analogue of the reference CLI
+(``/root/reference/fs_schema_validator/__main__.py:25-96``).
+
+Same surface, columnar semantics:
+
+* positional ruleset YAML (or ``$VALIDATION_RULES_PATH``),
+* ``--input/-i`` parquet dir/glob (or ``$VALIDATION_INPUT_PATH``) — the
+  analogue of the reference's ``--root-dir``,
+* repeatable ``-b key=value`` binding overrides (reference
+  ``__main__.py:15-22,40``; values parsed through the same assignment
+  grammar, so ``-b "codecs={ulaw|alaw}"`` binds a choice),
+* ``--manifest`` parquet for referential rules,
+* ``--output/-o`` run directory (violations + per-partition manifests;
+  rerunning with the same directory resumes),
+* exit codes: 0 all pass / 1 violations / 127 invalid ruleset
+  (reference ``__main__.py:74,85,96``).
+
+The CLI owns the Ray session (library code never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _parse_binding(text: str):
+    from fs_schema_validator_ray import dsl
+
+    name, value = dsl.parse_assignment(text)
+    return name, value
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m fs_schema_validator_ray",
+        description="Ray-Data-native schema + constraint validation engine",
+    )
+    p.add_argument(
+        "rules",
+        nargs="?",
+        default=os.environ.get("VALIDATION_RULES_PATH"),
+        help="ruleset YAML path (env VALIDATION_RULES_PATH)",
+    )
+    p.add_argument(
+        "-i", "--input",
+        default=os.environ.get("VALIDATION_INPUT_PATH"),
+        help="input parquet file/dir/glob (env VALIDATION_INPUT_PATH)",
+    )
+    p.add_argument("-o", "--output", default=None, help="run/output directory")
+    p.add_argument("--manifest", default=None, help="manifest parquet for referential rules")
+    p.add_argument("--key-column", default="clip_id")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--wave-size", type=int, default=16)
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: all)")
+    p.add_argument("-b", "--binding", action="append", default=[],
+                   metavar="KEY=VALUE", help="binding override (repeatable)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="render per-key report (violations grouped by key)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.rules or not args.input:
+        print("error: ruleset YAML and --input are required", file=sys.stderr)
+        return 2
+
+    from fs_schema_validator_ray.rules import RuleSet, RuleSetError
+
+    extra = {}
+    try:
+        for b in args.binding:
+            name, value = _parse_binding(b)
+            extra[name] = value
+        with open(args.rules) as f:
+            rules = RuleSet.from_yaml(f.read(), extra_bindings=extra)
+    except (RuleSetError, OSError, ValueError) as ex:
+        # invalid ruleset → 127, reference __main__.py:70-74
+        print(f"invalid ruleset: {ex}", file=sys.stderr)
+        return 127
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+
+    from fs_schema_validator_ray.pipelines.validate import (
+        ValidationRunConfig,
+        run_validation,
+    )
+
+    out_dir = args.output or os.path.join("/tmp", "fsvr_cli_run")
+    cfg = ValidationRunConfig(
+        input_path=args.input,
+        rules=rules,
+        output_dir=out_dir,
+        key_column=args.key_column,
+        manifest_path=args.manifest,
+        partitions=args.partitions,
+        wave_size=args.wave_size,
+    )
+    try:
+        res = run_validation(cfg)
+        if args.verbose:
+            from fs_schema_validator_ray.report import ViolationReport
+
+            table = res.violations_dataset().take_all()
+            import pyarrow as pa
+
+            from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+
+            vt = pa.Table.from_pylist(table, schema=VIOLATION_SCHEMA)
+            print(ViolationReport.from_arrow(vt).render())
+        print(
+            f"rows={res.total_rows} violations={res.total_violations} "
+            f"waves={res.waves_run} skipped={res.partitions_skipped} "
+            f"output={res.output_dir}"
+        )
+        return res.exit_code()
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -197,13 +197,27 @@ def reference_signal(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     f1 = rng.uniform(80.0, 800.0)
     f2 = rng.uniform(800.0, min(3800.0, sr_hz / 2.2))
     p1, p2 = rng.uniform(0, 2 * np.pi, size=2)
-    t = np.arange(n, dtype=np.float64) / sr_hz
-    x = (
-        0.45 * np.sin(2 * np.pi * f1 * t + p1)
-        + 0.25 * np.sin(2 * np.pi * f2 * t + p2)
-        + 0.04 * rng.standard_normal(n)
-    )
-    return np.clip(x, -1.0, 1.0)
+    # in-place formulation of
+    #   0.45*sin(2πf1·t + p1) + 0.25*sin(2πf2·t + p2) + 0.04*noise
+    # (same operation order → identical values; 3 buffers instead of ~8,
+    # which matters for multi-core scaling: this function runs per row in
+    # the hot decode path and allocator/memory traffic is the contended
+    # resource at full-node parallelism)
+    t = np.arange(n, dtype=np.float64)
+    t /= sr_hz
+    x = t * (2 * np.pi * f1)
+    x += p1
+    np.sin(x, out=x)
+    x *= 0.45
+    t *= 2 * np.pi * f2
+    t += p2
+    np.sin(t, out=t)
+    t *= 0.25
+    x += t
+    noise = rng.standard_normal(n)
+    noise *= 0.04
+    x += noise
+    return np.clip(x, -1.0, 1.0, out=x)
 
 
 _VOCAB = (

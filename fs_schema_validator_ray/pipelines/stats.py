@@ -208,13 +208,10 @@ class _DriftPartial:
         )
 
 
-def drift_check(ds, rule: DriftRule, baseline: Histogram):
-    """Per-partition KS/PSI vs baseline → (violations_table, metrics).
-
-    Partials are merged per partition on the driver — the materialized
-    data is ``num_partitions × (bins+2)`` int64s, driver-sized even at
-    thousands of partitions.
-    """
+def _per_partition_histograms(ds, rule: DriftRule) -> dict[int, Histogram]:
+    """One pass → per-partition merged histograms. The materialized data
+    is ``num_partitions × (bins+2)`` int64s, driver-sized even at
+    thousands of partitions."""
     parts = ds.map_batches(_DriftPartial(rule), batch_format="pyarrow").to_pandas()
     merged: dict[int, Histogram] = {}
     for pid, counts in zip(parts["partition_id"], parts["counts"]):
@@ -224,7 +221,27 @@ def drift_check(ds, rule: DriftRule, baseline: Histogram):
             merged[pid] = merged[pid].merge(h)
         else:
             merged[pid] = h
+    return merged
 
+
+def drift_check(ds, rule: DriftRule, baseline: Histogram):
+    """Per-partition KS/PSI vs baseline → (violations_table, metrics)."""
+    return _drift_verdicts(_per_partition_histograms(ds, rule), rule, baseline)
+
+
+def drift_self_check(ds, rule: DriftRule, baseline: Optional[Histogram] = None):
+    """Single-pass drift: per-partition histograms computed once; the
+    baseline (when not given) is their merge — each partition is compared
+    against the global distribution without a second read."""
+    merged = _per_partition_histograms(ds, rule)
+    if baseline is None:
+        baseline = Histogram(rule.lo, rule.hi, rule.bins)
+        for h in merged.values():
+            baseline = baseline.merge(h)
+    return _drift_verdicts(merged, rule, baseline)
+
+
+def _drift_verdicts(merged: dict[int, Histogram], rule: DriftRule, baseline: Histogram):
     v_parts, v_reasons = [], []
     metrics = {}
     for pid, hist in sorted(merged.items()):

@@ -35,13 +35,14 @@ from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
-from fs_schema_validator_ray.pipelines.stats import compute_histogram, drift_check
+from fs_schema_validator_ray.pipelines.stats import drift_self_check
 from fs_schema_validator_ray.report import VIOLATION_SCHEMA
 from fs_schema_validator_ray.rules import RuleSet
-from fs_schema_validator_ray.stages.decode import AudioValidateStage
-from fs_schema_validator_ray.stages.referential import ReferentialStage, build_membership
-from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN, ScalarRuleStage
+from fs_schema_validator_ray.stages.combined import CombinedValidateStage
+from fs_schema_validator_ray.stages.referential import build_membership
+from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
 from fs_schema_validator_ray.stages.unique import uniqueness_violations
 from fs_schema_validator_ray.state import Histogram
 
@@ -59,6 +60,9 @@ class ValidationRunConfig:
     wave_size: int = 16
     decode_batch_size: int = 512
     decode_concurrency: Any = (2, 16)
+    #: True → run the fused per-row stage as an actor pool (stateful
+    #: decoders); False → stateless tasks (no actor spin-up latency)
+    decode_actor_pool: bool = False
     read_columns: Optional[list[str]] = None
 
 
@@ -145,19 +149,51 @@ def _attach_partition_id(pid: int):
     return fn
 
 
-def _read_partitions(groups: list[tuple[int, list[str]]], columns: Optional[list[str]]):
-    """Union of per-group reads, each tagged with its partition id. Column
-    pruning is pushed into the parquet read."""
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 1)))
+    except Exception:  # noqa: BLE001 - conservative fallback pre-init
+        return 8
+
+
+def _read_partitions(
+    groups: list[tuple[int, list[str]]],
+    columns: Optional[list[str]],
+    override_num_blocks: Optional[int] = None,
+):
+    """ONE parquet read over every file of every group (full read
+    parallelism, one plan op), with the partition id derived per batch
+    from the file path (``include_paths``) — no per-partition read fan-out
+    and no union of N dataset plans. Column pruning is pushed into the
+    read. ``override_num_blocks``: for narrow (key-only) passes feeding a
+    shuffle, cap blocks near the CPU count — shuffle fan-out is
+    blocks², and thousands of tiny blocks cost more in object-store
+    round-trips than they buy in parallelism."""
     import ray.data
 
-    datasets = []
-    for pid, files in groups:
-        ds = ray.data.read_parquet(files, columns=columns)
-        datasets.append(ds.map_batches(_attach_partition_id(pid), batch_format="pyarrow"))
-    out = datasets[0]
-    if len(datasets) > 1:
-        out = out.union(*datasets[1:])
-    return out
+    path_to_pid = {f: pid for pid, files in groups for f in files}
+    ds = ray.data.read_parquet(
+        sorted(path_to_pid),
+        columns=columns,
+        include_paths=True,
+        **({"override_num_blocks": override_num_blocks} if override_num_blocks else {}),
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").combine_chunks()
+        enc = paths.dictionary_encode()
+        lut = np.asarray(
+            [path_to_pid.get(p.as_py(), -1) for p in enc.dictionary], dtype=np.int32
+        )
+        pids = lut[np.asarray(enc.indices, dtype=np.int64)]
+        batch = batch.drop_columns(["path"])
+        if PARTITION_COLUMN in batch.column_names:
+            batch = batch.drop_columns([PARTITION_COLUMN])
+        return batch.append_column(PARTITION_COLUMN, pa.array(pids, pa.int32()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def _partial_count_by_pid(ds) -> dict[int, int]:
@@ -186,6 +222,14 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     files = _input_files(cfg.input_path)
     groups = plan_partitions(files, cfg.partitions)
     done = _load_done(cfg.output_dir)
+    phase_wall: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        phase_wall[name] = round(phase_wall.get(name, 0.0) + now - _t, 3)
+        _t = now
 
     read_columns = cfg.read_columns
     if read_columns is None:
@@ -203,14 +247,18 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         out_dir = os.path.join(cfg.output_dir, "violations", "global")
         all_v = []
         for rule in rules.unique_rules():
-            key_ds = _read_partitions(groups, [rule.column])
+            key_ds = _read_partitions(
+                groups, [rule.column], override_num_blocks=_cluster_cpus()
+            )
             v = uniqueness_violations(key_ds, rule)
             all_v.append(v)
         vds = all_v[0]
         if len(all_v) > 1:
             vds = vds.union(*all_v[1:])
         vds.write_parquet(out_dir)
-        g_violations = ray.data.read_parquet(out_dir).count()
+        written = glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        # zero violations → write_parquet may emit no files at all
+        g_violations = ray.data.read_parquet(written).count() if written else 0
         global_metrics = {"wall_s": time.perf_counter() - t0, "violations": g_violations}
         _write_manifest(
             cfg.output_dir,
@@ -218,6 +266,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
              "metrics": global_metrics},
         )
 
+    _mark("unique")
     pending = [(pid, grp) for pid, grp in groups if f"part-{pid}" not in done]
 
     # --- referential membership (built once, broadcast via ray.put) ------
@@ -225,7 +274,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     if pending and rules.referential_rules():
         if cfg.manifest_path is None:
             raise ValueError("ruleset has referential rules but no manifest_path configured")
-        import pyarrow.parquet as pq
+
 
         for rule in rules.referential_rules():
             mcol = cfg.manifest_key_column or rule.column
@@ -235,19 +284,52 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
             )
             membership_refs[rule.rule_id] = ray.put(membership)
 
-    # --- drift baselines --------------------------------------------------
-    baselines: dict[str, Histogram] = dict(cfg.baselines)
-    for rule in rules.drift_rules() if pending else []:
-        if rule.rule_id not in baselines:
-            # self-baseline: whole-input histogram (one keys-free pass over
-            # just the drift column); per-partition drift is then measured
-            # against the global distribution
-            base_ds = _read_partitions(groups, [rule.column])
-            baselines[rule.rule_id] = compute_histogram(
-                base_ds, rule.column, rule.lo, rule.hi, rule.bins
-            )
+    _mark("membership")
+    # --- drift: ONE pruned pass per rule over all partitions --------------
+    # Per-partition histograms and the (self-)baseline come out of the same
+    # read; nothing about drift touches the payload-bearing wave pass.
+    drift_by_rule: dict[str, dict[int, dict]] = {}
+    drift_viol_by_pid: dict[int, int] = {}
+    for rule in rules.drift_rules():
+        doc_id = f"drift-{rule.rule_id}"
+        if doc_id in done:
+            stored = done[doc_id]
+            drift_by_rule[rule.rule_id] = {
+                int(k): v for k, v in stored.get("metrics", {}).items()
+            }
+            for pid_s, nv in stored.get("violations_by_pid", {}).items():
+                drift_viol_by_pid[int(pid_s)] = drift_viol_by_pid.get(int(pid_s), 0) + nv
+            continue
+        t0 = time.perf_counter()
+        dds = _read_partitions(
+            groups, [rule.column], override_num_blocks=_cluster_cpus()
+        )
+        dviol, dmetrics = drift_self_check(dds, rule, cfg.baselines.get(rule.rule_id))
+        if dviol.num_rows:
+            import ray.data as rd
 
+            rd.from_arrow(dviol).write_parquet(
+                os.path.join(cfg.output_dir, "violations", doc_id)
+            )
+        vb: dict[int, int] = {}
+        for pid in dviol.column("partition_id").to_pylist():
+            vb[int(pid)] = vb.get(int(pid), 0) + 1
+        for pid, nv in vb.items():
+            drift_viol_by_pid[pid] = drift_viol_by_pid.get(pid, 0) + nv
+        drift_by_rule[rule.rule_id] = dmetrics
+        _write_manifest(
+            cfg.output_dir,
+            {"id": doc_id, "status": "done",
+             "metrics": {str(k): v for k, v in dmetrics.items()},
+             "violations_by_pid": {str(k): v for k, v in vb.items()},
+             "wall_s": time.perf_counter() - t0},
+        )
+
+    _mark("drift")
     # --- waves over pending partitions ------------------------------------
+    # ONE fused pass per wave: every per-row rule (scalar + audio decode +
+    # referential probe) runs inside a single map_batches over a single
+    # read — branching streams would each re-execute the payload read.
     skipped = len(groups) - len(pending)
     partition_metrics: dict[int, dict] = {
         int(doc["partition_id"]): doc
@@ -256,81 +338,83 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     }
 
     waves = [pending[i : i + cfg.wave_size] for i in range(0, len(pending), cfg.wave_size)]
-    scalar_stage = ScalarRuleStage(rules.column_rules(), key_column=cfg.key_column)
+    ref_pairs = (
+        [(rule, membership_refs[rule.rule_id]) for rule in rules.referential_rules()]
+        if pending
+        else []
+    )
+    has_row_rules = bool(rules.column_rules() or rules.audio_rules() or ref_pairs)
 
     for wave_no, wave in enumerate(waves):
         t0 = time.perf_counter()
         wave_ids = [pid for pid, _ in wave]
-        ds = _read_partitions(wave, read_columns)
+        wave_tag = "wave-" + "-".join(str(i) for i in (wave_ids[0], wave_ids[-1]))
+        out_dir = os.path.join(cfg.output_dir, "violations", wave_tag)
 
-        v_streams = []
-        if rules.column_rules():
-            v_streams.append(ds.map_batches(scalar_stage, batch_format="pyarrow"))
-        for rule in rules.audio_rules():
-            v_streams.append(
-                ds.map_batches(
-                    AudioValidateStage,
-                    fn_constructor_args=(rule, cfg.key_column),
+        # per-partition row counts from parquet footers — no data read
+        rows_by_pid = {
+            pid: sum(pq.ParquetFile(f).metadata.num_rows for f in grp)
+            for pid, grp in wave
+        }
+
+        viol_by_pid: dict[int, int] = {}
+        if has_row_rules:
+            ds = _read_partitions(wave, read_columns)
+            stage_args = (
+                rules.column_rules(), rules.audio_rules(), ref_pairs, cfg.key_column
+            )
+            if cfg.decode_actor_pool:
+                # stateful-decoder shape: callable class → actor pool,
+                # setup once per worker in __init__
+                vds = ds.map_batches(
+                    CombinedValidateStage,
+                    fn_constructor_args=stage_args,
                     batch_format="pyarrow",
                     batch_size=cfg.decode_batch_size,
                     concurrency=cfg.decode_concurrency,
                     num_cpus=1,
                 )
-            )
-        for rule in rules.referential_rules():
-            v_streams.append(
-                ds.map_batches(
-                    ReferentialStage,
-                    fn_constructor_args=(rule, membership_refs[rule.rule_id]),
+            else:
+                # stateless decode: instance → plain tasks, instant fan-out
+                vds = ds.map_batches(
+                    CombinedValidateStage(*stage_args),
                     batch_format="pyarrow",
-                    concurrency=(1, 8),
-                    num_cpus=1,
+                    batch_size=cfg.decode_batch_size,
                 )
-            )
-
-        wave_tag = "wave-" + "-".join(str(i) for i in (wave_ids[0], wave_ids[-1]))
-        out_dir = os.path.join(cfg.output_dir, "violations", wave_tag)
-        rows_by_pid = _partial_count_by_pid(ds)
-        if v_streams:
-            vds = v_streams[0]
-            if len(v_streams) > 1:
-                vds = vds.union(*v_streams[1:])
             vds.write_parquet(out_dir)
-            viol_by_pid = _partial_count_by_pid(ray.data.read_parquet(out_dir))
-        else:
-            viol_by_pid = {}
-
-        drift_metrics: dict[int, dict] = {}
-        for rule in rules.drift_rules():
-            dviol, dmetrics = drift_check(ds, rule, baselines[rule.rule_id])
-            if dviol.num_rows:
-                import ray.data as rd
-
-                rd.from_arrow(dviol).write_parquet(
-                    os.path.join(cfg.output_dir, "violations", f"{wave_tag}-drift")
-                )
-            drifted_pids = set(dviol.column("partition_id").to_pylist())
-            for pid, m in dmetrics.items():
-                drift_metrics.setdefault(pid, {})[rule.rule_id] = m
-                if pid in drifted_pids:
-                    viol_by_pid[pid] = viol_by_pid.get(pid, 0) + 1
+            written = glob.glob(
+                os.path.join(out_dir, "**", "*.parquet"), recursive=True
+            )
+            # a fully-clean wave writes no files at all
+            viol_by_pid = (
+                _partial_count_by_pid(ray.data.read_parquet(written))
+                if written
+                else {}
+            )
 
         wall = time.perf_counter() - t0
         for pid, grp in wave:
+            n_viol = viol_by_pid.get(pid, 0) + drift_viol_by_pid.get(pid, 0)
             doc = {
                 "id": f"part-{pid}",
                 "partition_id": pid,
                 "status": "done",
                 "files": grp,
                 "rows": rows_by_pid.get(pid, 0),
-                "violations": viol_by_pid.get(pid, 0),
+                "violations": n_viol,
                 "violations_path": out_dir,
-                "drift": drift_metrics.get(pid, {}),
+                "drift": {
+                    rid: metrics[pid]
+                    for rid, metrics in drift_by_rule.items()
+                    if pid in metrics
+                },
                 "wave_wall_s": wall,
             }
             _write_manifest(cfg.output_dir, doc)
             partition_metrics[pid] = doc
 
+    _mark("waves")
+    global_metrics["phase_wall"] = phase_wall
     total_viols = g_violations + sum(m.get("violations", 0) for m in partition_metrics.values())
     total_rows = sum(m.get("rows", 0) for m in partition_metrics.values())
     return RunResult(

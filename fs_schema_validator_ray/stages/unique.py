@@ -25,20 +25,28 @@ from fs_schema_validator_ray.state import HyperLogLog
 
 
 def _partial_counts(batch: pa.Table, column: str) -> pa.Table:
-    """Per-batch combiner: one output row per distinct key in the batch."""
-    tbl = batch.select([column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in batch.column_names else []))
-    df = tbl.to_pandas()
-    if PARTITION_COLUMN not in df.columns:
-        df[PARTITION_COLUMN] = -1
-    g = df.groupby(column, sort=False, dropna=False).agg(
-        n=(column, "size"), part=(PARTITION_COLUMN, "min")
+    """Per-batch combiner: one output row per distinct key in the batch
+    (pure Arrow ``group_by`` — no pandas round-trip in the hot path)."""
+    import pyarrow.compute as pc
+
+    has_part = PARTITION_COLUMN in batch.column_names
+    tbl = batch.select([column] + ([PARTITION_COLUMN] if has_part else []))
+    if not has_part:
+        tbl = tbl.append_column(
+            PARTITION_COLUMN, pa.array(np.full(len(tbl), -1, np.int32))
+        )
+    # count on the (never-null) partition column so null keys count too
+    g = pa.TableGroupBy(tbl, column).aggregate(
+        [(PARTITION_COLUMN, "count"), (PARTITION_COLUMN, "min")]
     )
-    g = g.reset_index()
+    keys = g.column(column)
+    if not pa.types.is_string(keys.type) and not pa.types.is_large_string(keys.type):
+        keys = pc.cast(keys, pa.string())
     return pa.table(
         {
-            "key": pa.array(g[column].astype(str), pa.string()),
-            "n": pa.array(g["n"].astype(np.int64)),
-            "part": pa.array(g["part"].astype(np.int32)),
+            "key": keys,
+            "n": pc.cast(g.column(f"{PARTITION_COLUMN}_count"), pa.int64()),
+            "part": pc.cast(g.column(f"{PARTITION_COLUMN}_min"), pa.int32()),
         }
     )
 
