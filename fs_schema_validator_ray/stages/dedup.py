@@ -341,9 +341,12 @@ def simhash64(col: pa.Array) -> np.ndarray:
 
 
 class SimHashStage:
-    """map_batches callable → ``(id, simhash, block0..block3)`` where the
-    four 16-bit blocks are the LSH keys (hamming ≤ 3 ⇒ at least one block
-    equal, pigeonhole)."""
+    """map_batches callable → **band-expanded** LSH rows
+    ``(id, simhash, band, band_key)`` — 4 rows per document, one per
+    16-bit block (hamming ≤ 3 ⇒ at least one block equal, pigeonhole).
+    Band expansion in the map stage means ONE read + ONE groupby shuffle
+    downstream instead of one groupby per block (each of which would
+    re-execute the whole upstream read)."""
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id") -> None:
         self.text_column = text_column
@@ -351,22 +354,29 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh = simhash64(batch.column(self.text_column).combine_chunks())
-        cols = {
-            self.id_column: batch.column(self.id_column),
-            "simhash": pa.array(sh, pa.uint64()),
-        }
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        n = len(ids)
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        keys = np.empty(4 * n, dtype=np.int32)
         for blk in range(4):
-            cols[f"block{blk}"] = pa.array(
-                ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int32)
-            )
-        return pa.table(cols)
+            keys[blk * n : (blk + 1) * n] = (
+                (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                self.id_column: pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
+                "band": pa.array(bands),
+                "band_key": pa.array(keys),
+            }
+        )
 
 
 def simhash_near_dup_pairs(
     ds, text_column="text", id_column="doc_id", max_hamming: int = 3
 ):
-    """SimHash near-dup: block-LSH candidates verified by exact hamming
-    distance (carried in-band — no second lookup needed)."""
+    """SimHash near-dup: one band-row shuffle, exact in-bucket hamming
+    verify (the signature rides along — no second lookup needed)."""
     rows = ds.select_columns([id_column, text_column]).map_batches(
         SimHashStage(text_column, id_column), batch_format="pyarrow"
     )
@@ -393,14 +403,9 @@ def simhash_near_dup_pairs(
             }
         )
 
-    out = []
-    for blk in range(4):
-        out.append(
-            rows.groupby(f"block{blk}").map_groups(block_pairs, batch_format="pyarrow")
-        )
-    from functools import reduce
-
-    allp = reduce(lambda x, y: x.union(y), out)
+    allp = rows.groupby(["band", "band_key"]).map_groups(
+        block_pairs, batch_format="pyarrow"
+    )
     from ray.data.aggregate import Max
 
     return allp.groupby(["a", "b"]).aggregate(Max("similarity", alias_name="similarity"))

@@ -1,0 +1,284 @@
+"""Multimodal binary-column stages: images / video as opaque bytes.
+
+The reference validates image/glTF/zip payloads byte-wise
+(``/root/reference/fs_schema_validator/schemas/image.py:38-74``,
+``gltf.py:29-46``, ``zip.py:19-32``). Audio is this engine's fully-real
+payload path (``stages/decode.py``); this module provides the same
+Ray-side plumbing for image/video columns:
+
+* **container sniffing + header parsing are real** (pure-Python magic
+  numbers + dimension extraction for PNG/JPEG/GIF/BMP/WEBP — no
+  imaging library needed), so declared-vs-actual format mismatch and
+  corrupt-header violations work end-to-end,
+* **pixel decode / resize / frame-sampling are stubbed**: the sandbox
+  has no PIL/ffmpeg, so ``PixelDecodeStage`` raises
+  ``NotImplementedError`` unless given a decoder callable, and
+  ``FakePixelDecoder`` provides a deterministic stand-in so the actor
+  signature, batch sizing, schema and output layout are real and
+  tested. Swap in a real decoder per worker via ``decoder_factory``
+  (loaded once per actor in ``__init__`` — the stateful-stage shape).
+
+Violation reason strings mirror the reference:
+``"payload is not in {fmt} format (got {actual})"`` (``image.py:64-69``)
+and ``"file does not contain a valid image"`` (``image.py:70-74``).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
+
+# --- container sniffing (real, stdlib-only) --------------------------------
+
+
+def sniff_image_format(payload: bytes) -> Optional[str]:
+    """Magic-number container detection (public file-format specs)."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def parse_image_dims(payload: bytes, fmt: str) -> Optional[tuple[int, int]]:
+    """(width, height) from the container header; None if unparseable."""
+    try:
+        if fmt == "png":
+            if len(payload) < 24 or payload[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack(">II", payload[16:24])
+            return int(w), int(h)
+        if fmt == "gif":
+            w, h = struct.unpack("<HH", payload[6:10])
+            return int(w), int(h)
+        if fmt == "bmp":
+            w, h = struct.unpack("<ii", payload[18:26])
+            return int(w), abs(int(h))
+        if fmt == "jpeg":
+            # walk JPEG segments to the SOF marker
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return int(w), int(h)
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            return None
+        if fmt == "webp":
+            if payload[12:16] == b"VP8X" and len(payload) >= 30:
+                w = int.from_bytes(payload[24:27], "little") + 1
+                h = int.from_bytes(payload[27:30], "little") + 1
+                return w, h
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+class ImageValidateStage:
+    """Actor-pool/map_batches callable: declared-format vs sniffed-format
+    + header parse + optional dimension bounds → violation rows
+    (reference ``_validate_raster``, ``image.py:54-74``)."""
+
+    def __init__(
+        self,
+        rule_id: str = "image_decode",
+        bytes_column: str = "bytes",
+        format_column: str = "format",
+        key_column: str = "key",
+        min_width: int = 1,
+        min_height: int = 1,
+        max_width: int = 1 << 20,
+        max_height: int = 1 << 20,
+    ) -> None:
+        self.rule_id = rule_id
+        self.bytes_column = bytes_column
+        self.format_column = format_column
+        self.key_column = key_column
+        self.bounds = (min_width, min_height, max_width, max_height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_column).to_pylist()
+        declared = (
+            batch.column(self.format_column).to_pylist()
+            if self.format_column in names
+            else [None] * n
+        )
+        keys = (
+            batch.column(self.key_column).to_pylist()
+            if self.key_column in names
+            else [None] * n
+        )
+        parts = (
+            batch.column(PARTITION_COLUMN).to_pylist()
+            if PARTITION_COLUMN in names
+            else [-1] * n
+        )
+        min_w, min_h, max_w, max_h = self.bounds
+
+        out_key, out_part, out_reason = [], [], []
+
+        def emit(i, reason):
+            out_key.append(None if keys[i] is None else str(keys[i]))
+            out_part.append(-1 if parts[i] is None else parts[i])
+            out_reason.append(reason)
+
+        for i in range(n):
+            p = payloads[i]
+            if p is None or len(p) == 0:
+                emit(i, "cannot be empty")
+                continue
+            actual = sniff_image_format(p)
+            if actual is None:
+                emit(i, "file does not contain a valid image")
+                continue
+            if declared[i] is not None and actual != declared[i]:
+                emit(i, f"payload is not in {declared[i]} format (got {actual})")
+                continue
+            dims = parse_image_dims(p, actual)
+            if dims is None:
+                emit(i, f"failed to parse {actual} header")
+                continue
+            w, h = dims
+            if not (min_w <= w <= max_w and min_h <= h <= max_h):
+                emit(i, f"image dimensions {w}x{h} outside bounds")
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(out_part, dtype=np.int32)),
+                pa.array(out_key, pa.string()),
+                pa.array([self.rule_id] * len(out_key), pa.string()),
+                pa.array(out_reason, pa.string()),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )
+
+
+# --- pixel decode / features (stubbed behind a per-actor factory) ----------
+
+
+class FakePixelDecoder:
+    """Deterministic stand-in decoder: pixels derived from a hash of the
+    payload — makes the full pipeline (schema, batch flow, feature
+    extraction) testable without an imaging library."""
+
+    def __call__(self, payload: bytes, fmt: str, dims: tuple[int, int]) -> np.ndarray:
+        w, h = dims
+        w, h = min(w, 64), min(h, 64)  # bounded fake raster
+        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class PixelDecodeStage:
+    """Actor-pool stage: decode → per-image features
+    ``(key, width, height, mean_luma, entropy8)``.
+
+    ``decoder_factory`` is called ONCE per actor in ``__init__`` (model/
+    codec load happens per worker, not per batch). Without a factory the
+    stage raises ``NotImplementedError`` — the sandbox has no imaging
+    library (CLEARLY-MARKED STUB; plug PIL/libvips here in production).
+    """
+
+    def __init__(
+        self,
+        decoder_factory: Optional[Callable[[], Callable]] = None,
+        bytes_column: str = "bytes",
+        key_column: str = "key",
+    ) -> None:
+        if decoder_factory is None:
+            raise NotImplementedError(
+                "no imaging library in this environment: pass "
+                "decoder_factory=FakePixelDecoder for the deterministic "
+                "stand-in, or a real PIL/libvips-backed factory in production"
+            )
+        self.decoder = decoder_factory()  # once per actor
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.bytes_column).to_pylist()
+        keys, widths, heights, lumas, ents = [], [], [], [], []
+        for i, p in enumerate(payloads):
+            fmt = sniff_image_format(p or b"")
+            dims = parse_image_dims(p, fmt) if fmt else None
+            if not fmt or not dims:
+                continue
+            px = self.decoder(p, fmt, dims)
+            keys.append(batch.column(self.key_column)[i].as_py())
+            widths.append(dims[0])
+            heights.append(dims[1])
+            luma = px.astype(np.float64).mean()
+            lumas.append(float(luma))
+            hist, _ = np.histogram(px, bins=8, range=(0, 256))
+            pmf = hist / max(1, hist.sum())
+            pmf = pmf[pmf > 0]
+            ents.append(float(-(pmf * np.log2(pmf)).sum()))
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "mean_luma": pa.array(lumas, pa.float64()),
+                "entropy8": pa.array(ents, pa.float64()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling plumbing (STUB decode): emits one row per
+    sampled frame offset with the frame bytes left as a slice of the
+    container payload — the real pipeline shape (small batches, actor
+    pool, one row in → k rows out) with a deterministic stand-in for the
+    absent ffmpeg."""
+
+    def __init__(
+        self,
+        every_n_bytes: int = 1 << 16,
+        max_frames: int = 8,
+        bytes_column: str = "bytes",
+        key_column: str = "key",
+    ) -> None:
+        self.every = every_n_bytes
+        self.max_frames = max_frames
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, idxs, offs, frames = [], [], [], []
+        payloads = batch.column(self.bytes_column).to_pylist()
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            k = batch.column(self.key_column)[i].as_py()
+            for j in range(min(self.max_frames, 1 + len(p) // self.every)):
+                off = j * self.every
+                keys.append(k)
+                idxs.append(j)
+                offs.append(off)
+                frames.append(p[off : off + 256])  # stub "frame"
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "byte_offset": pa.array(offs, pa.int64()),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )

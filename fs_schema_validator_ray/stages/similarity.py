@@ -221,21 +221,25 @@ def collect_matrix(ds, vec_column="embedding") -> np.ndarray:
 
 
 class HyperplaneSignStage:
-    """Random-hyperplane signature: ``n_bits`` sign bits packed into
-    ``n_bits//block_bits`` int32 block keys (cosine-LSH; two vectors with
-    cosine ≥ τ agree on some block w.p. ``1-(1-p^block_bits)^n_blocks``,
-    ``p = 1 - arccos(τ)/π`` — narrower blocks raise recall but grow
-    buckets; 8 is a good corpus-scale default)."""
+    """Random-hyperplane cosine-LSH → **band-expanded** rows
+    ``(id, embedding, band, band_key)``: ``n_bits`` sign bits split into
+    ``n_bits//block_bits`` blocks, one output row per (vector, block).
+    Two vectors with cosine ≥ τ agree on some block w.p.
+    ``1-(1-p^block_bits)^n_blocks``, ``p = 1 - arccos(τ)/π`` — narrower
+    blocks raise recall but grow buckets; 8 is a good corpus-scale
+    default. Band expansion in the map stage → ONE downstream shuffle
+    for all blocks (per-block groupbys would each re-run the read)."""
 
     def __init__(
         self, dim: int, n_bits: int = 64, block_bits: int = 8, seed: int = 13,
-        vec_column="embedding",
+        vec_column="embedding", id_column="vec_id",
     ):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((dim, n_bits))
         self.n_bits = n_bits
         self.block_bits = block_bits
         self.vec_column = vec_column
+        self.id_column = id_column
 
     @property
     def n_blocks(self) -> int:
@@ -244,13 +248,23 @@ class HyperplaneSignStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(list_column_to_matrix(batch.column(self.vec_column)))
         bits = (mat @ self.planes) > 0  # (n, n_bits)
-        out = batch
+        n = len(mat)
         weights = (1 << np.arange(self.block_bits, dtype=np.int32))
+        keys = np.empty(self.n_blocks * n, dtype=np.int32)
         for blk in range(self.n_blocks):
             sl = bits[:, blk * self.block_bits : (blk + 1) * self.block_bits]
-            block = sl.astype(np.int32) @ weights
-            out = out.append_column(f"block{blk}", pa.array(block, pa.int32()))
-        return out
+            keys[blk * n : (blk + 1) * n] = sl.astype(np.int32) @ weights
+        tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.n_blocks))
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column).take(tile_idx),
+                self.vec_column: batch.column(self.vec_column).take(tile_idx),
+                "band": pa.array(
+                    np.repeat(np.arange(self.n_blocks, dtype=np.int32), n)
+                ),
+                "band_key": pa.array(keys),
+            }
+        )
 
 
 def embedding_near_dup_lsh(
@@ -269,8 +283,9 @@ def embedding_near_dup_lsh(
     # probe dim from the first row
     first = ds.take(1)[0][vec_column]
     dim = len(first)
-    stage = HyperplaneSignStage(dim, n_bits, block_bits, vec_column=vec_column)
-    n_blocks = stage.n_blocks
+    stage = HyperplaneSignStage(
+        dim, n_bits, block_bits, vec_column=vec_column, id_column=id_column
+    )
     sig = ds.select_columns([id_column, vec_column]).map_batches(
         stage, batch_format="pyarrow"
     )
@@ -298,13 +313,9 @@ def embedding_near_dup_lsh(
             }
         )
 
-    from functools import reduce
-
-    parts = [
-        sig.groupby(f"block{blk}").map_groups(bucket_pairs, batch_format="pyarrow")
-        for blk in range(n_blocks)
-    ]
-    allp = reduce(lambda x, y: x.union(y), parts)
+    allp = sig.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
     from ray.data.aggregate import Max
 
     return allp.groupby(["a", "b"]).aggregate(Max("similarity", alias_name="similarity"))

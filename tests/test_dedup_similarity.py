@@ -1,0 +1,169 @@
+"""Dedup + similarity-search operators: golden expectations on planted
+corpora (the reference's golden-violation test pattern, SURVEY.md §5,
+applied to the training-data operators)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def docs_table():
+    """12 docs: 0/1 exact dups; 2/3 near-dups (one word changed);
+    4..9 unrelated; 10 empty; 11 dup of 4."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong coffee under pale moonlight near quiet rivers"
+    )
+    near = base.replace("coffee", "tea")
+    texts = [
+        base,
+        base,
+        base + " and old stone bridges",
+        near + " and old stone bridges",
+        "completely different content about distributed stream processing engines",
+        "arrow columnar memory format enables zero copy data interchange",
+        "ray data pipelines schedule tasks with backpressure and spilling",
+        "validation rules emit violation rows keyed by clip and rule",
+        "sketches merge associatively hyperloglog tdigest bloom histogram",
+        "audio clips decode to pcm and compare against reference signals",
+        "",
+        "completely different content about distributed stream processing engines",
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def embeddings_table(n=40, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    # plant: 35 ≈ 0 (tiny perturbation), 36 ≈ -0 (anti-correlated)
+    mat[35] = mat[0] + rng.standard_normal(dim) * 0.01
+    mat[36] = -mat[0]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import exact_dedup_keep_min
+
+    ds = ray.data.from_arrow(docs_table())
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_min(ds).take_all())
+    # dup groups {0,1} -> 0 and {4,11} -> 4; everything else unique
+    assert kept == [0, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+
+
+def test_minhash_near_dup(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = ray.data.from_arrow(docs_table())
+    # bands=32 (r=4): catch probability ≈ 1 at J ≥ 0.7 — deterministic test
+    pairs = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in minhash_near_dup_pairs(ds, threshold=0.5, bands=32).take_all()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (4, 11) in pairs and pairs[(4, 11)] == 1.0
+    assert (2, 3) in pairs and 0.5 <= pairs[(2, 3)] < 1.0  # near dup
+    # unrelated docs must not pair
+    assert all(a in (0, 1, 2, 3, 4, 11) and b in (0, 1, 2, 3, 4, 11) for a, b in pairs)
+
+
+def test_simhash_near_dup(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = ray.data.from_arrow(docs_table())
+    pairs = {(r["a"], r["b"]) for r in simhash_near_dup_pairs(ds, max_hamming=3).take_all()}
+    assert (0, 1) in pairs and (4, 11) in pairs  # exact dups: hamming 0
+    assert (5, 6) not in pairs
+
+
+def test_simhash_vectorized_matches_rowwise():
+    from fs_schema_validator_ray.stages.dedup import simhash64
+    from fs_schema_validator_ray.state.sketches import hash64
+
+    t = docs_table()
+    got = simhash64(t.column("text").combine_chunks())
+    for i, text in enumerate(t.column("text").to_pylist()):
+        # regex split of an empty doc yields one empty token (all empty
+        # docs share a signature and pair as exact dups — intended)
+        toks = text.split() or [""]
+        votes = np.zeros(64)
+        for h in hash64(np.asarray(toks, dtype=object)):
+            for b in range(64):
+                votes[b] += 1 if (int(h) >> b) & 1 else -1
+        expect = sum(1 << b for b in range(64) if votes[b] > 0)
+        assert int(got[i]) == expect
+
+
+def test_embedding_near_dup_bruteforce_and_lsh(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import embedding_near_dup_pairs
+    from fs_schema_validator_ray.stages.similarity import embedding_near_dup_lsh
+
+    ds = ray.data.from_arrow(embeddings_table())
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(ds, threshold=0.9).take_all()}
+    assert exact == {(0, 35)}  # the planted near-identical pair; not the negated one
+    lsh = {(r["a"], r["b"]) for r in embedding_near_dup_lsh(ds, threshold=0.9).take_all()}
+    assert lsh == {(0, 35)}  # strong near-dups survive block LSH
+
+
+def test_topk_cosine_matches_numpy(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import list_column_to_matrix
+    from fs_schema_validator_ray.stages.similarity import topk_cosine, topk_cosine_ivf
+
+    t = embeddings_table()
+    mat = list_column_to_matrix(t.column("embedding")).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q_ids = np.array([0, 7], dtype=np.int64)
+    q = mat[q_ids]
+    sims = q @ mat.T
+
+    ds = ray.data.from_arrow(t)
+    out = topk_cosine(ds, q_ids, mat[q_ids] * 3.0, k=5, exclude_self=True).take_all()
+    for qi, qid in enumerate(q_ids):
+        order = [
+            j for j in np.lexsort((np.arange(len(mat)), -sims[qi])) if j != qid
+        ][:5]
+        got = sorted(
+            (r["rank"], r["neighbor_id"]) for r in out if r["query_id"] == qid
+        )
+        assert [n for _, n in got] == order
+
+    # IVF with all lists probed == exact
+    ivf = topk_cosine_ivf(
+        ds, q_ids, q, k=5, n_clusters=4, n_probe=4, exclude_self=True
+    ).take_all()
+    assert {(r["query_id"], r["neighbor_id"]) for r in ivf} == {
+        (r["query_id"], r["neighbor_id"]) for r in out
+    }
+
+
+def test_jaccard_verify_threshold():
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.dedup import JaccardVerifyStage
+
+    lookup = {
+        1: np.array([1, 2, 3, 4], dtype=np.uint64),
+        2: np.array([3, 4, 5, 6], dtype=np.uint64),
+        3: np.array([1, 2, 3, 4], dtype=np.uint64),
+    }
+    stage = JaccardVerifyStage(lookup, threshold=0.5)
+    batch = pa.table({"a": pa.array([1, 1], pa.int64()), "b": pa.array([2, 3], pa.int64())})
+    out = stage(batch).to_pylist()
+    assert [(r["a"], r["b"], r["similarity"]) for r in out] == [(1, 3, 1.0)]
