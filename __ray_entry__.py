@@ -100,6 +100,15 @@ SELECT CAST(c_custkey AS VARCHAR), 'nation_range',
        '`c_nationkey`: Input should be greater than or equal to 0'
 FROM customer WHERE c_nationkey < 0
 """,
+        "json_events_props": """
+SELECT CAST(event_id AS VARCHAR) AS "key", 'props_spec' AS rule_id,
+       '`props`: k: Input should be less than or equal to 80' AS reason
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'props_spec',
+       '`props`: k: Input should be greater than or equal to 0'
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 0
+""",
         "unique_lineitem_orderkey": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'unique_l_orderkey' AS rule_id,
        'duplicate key (appears ' || CAST(cnt AS VARCHAR) || ' times)' AS reason

@@ -113,6 +113,28 @@ def scalar_customer(sf_dir: str):
     )
 
 
+def json_events_props(sf_dir: str):
+    """JSON payload validation (the reference's core JsonSchema operator,
+    ``/root/reference/fs_schema_validator/schemas/json.py:240-265``):
+    events.props is a JSON document checked against a nested object
+    spec with strict types and range constraints."""
+    from fs_schema_validator_ray.functions.json_payload import JsonPayloadStage
+    from fs_schema_validator_ray.rules import JsonRule
+
+    rule = JsonRule(
+        rule_id="props_spec",
+        column="props",
+        spec=parse_spec(
+            {"type": "object", "attrs": {"k": {"type": "int", "min": 0, "max": 80}}}
+        ),
+    )
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = ds.map_batches(
+        JsonPayloadStage(rule, key_column="event_id"), batch_format="pyarrow"
+    )
+    return out.select_columns(["key", "rule_id", "reason"])
+
+
 # --- uniqueness / referential (oracle-checked) -----------------------------
 
 
@@ -463,6 +485,7 @@ QUERIES = {
     "scalar_orders": scalar_orders,
     "scalar_part": scalar_part,
     "scalar_customer": scalar_customer,
+    "json_events_props": json_events_props,
     "unique_lineitem_orderkey": unique_lineitem_orderkey,
     "referential_lineitem_supplier": referential_lineitem_supplier,
     "stats_lineitem": stats_lineitem,

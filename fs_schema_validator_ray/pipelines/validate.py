@@ -343,7 +343,9 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         if pending
         else []
     )
-    has_row_rules = bool(rules.column_rules() or rules.audio_rules() or ref_pairs)
+    has_row_rules = bool(
+        rules.column_rules() or rules.audio_rules() or rules.json_rules() or ref_pairs
+    )
 
     for wave_no, wave in enumerate(waves):
         t0 = time.perf_counter()
@@ -361,7 +363,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         if has_row_rules:
             ds = _read_partitions(wave, read_columns)
             stage_args = (
-                rules.column_rules(), rules.audio_rules(), ref_pairs, cfg.key_column
+                rules.column_rules(), rules.audio_rules(), ref_pairs,
+                cfg.key_column, rules.json_rules(),
             )
             if cfg.decode_actor_pool:
                 # stateful-decoder shape: callable class → actor pool,

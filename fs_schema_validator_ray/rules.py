@@ -74,6 +74,16 @@ class AudioRule(Rule):
 
 
 @dataclass(frozen=True)
+class JsonRule(Rule):
+    """Validate a JSON-string payload column against a nested constraint
+    spec — the reference's core ``JsonSchema`` operator
+    (``schemas/json.py:232-265``) over a column instead of a file."""
+
+    column: str = "props"
+    spec: Spec = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
 class UniqueRule(Rule):
     """Key-uniqueness check (north_rule). ``exact`` uses a hash-partitioned
     groupby; the approximate path estimates the duplicate count via HLL
@@ -154,6 +164,9 @@ class RuleSet:
     def audio_rules(self) -> list[AudioRule]:
         return [r for r in self.rules if isinstance(r, AudioRule)]
 
+    def json_rules(self) -> list[JsonRule]:
+        return [r for r in self.rules if isinstance(r, JsonRule)]
+
     def unique_rules(self) -> list[UniqueRule]:
         return [r for r in self.rules if isinstance(r, UniqueRule)]
 
@@ -176,7 +189,7 @@ class RuleSet:
                 )
                 if r.check_transcript:
                     cols.add(r.transcript_column)
-            elif isinstance(r, (UniqueRule, ReferentialRule, DriftRule)):
+            elif isinstance(r, (JsonRule, UniqueRule, ReferentialRule, DriftRule)):
                 cols.add(r.column)
         return sorted(cols)
 
@@ -308,6 +321,22 @@ def _build_rule(d: dict, index: int) -> Rule:
         except SpecError as ex:
             raise RuleSetError(f"rule `{rid}`: {ex}") from ex
         return ColumnRule(rule_id=rid, column=column, spec=spec)
+
+    if t == "json":
+        column = d.pop("column", None)
+        if not column:
+            raise RuleSetError(f"rule #{index} of type `json` requires `column`")
+        rid = rule_id or f"json_{column}"
+        payload = d.pop("spec", None)
+        if payload is None:
+            raise RuleSetError(f"rule `{rid}`: json rule requires `spec`")
+        try:
+            spec = parse_spec(payload)
+        except SpecError as ex:
+            raise RuleSetError(f"rule `{rid}`: {ex}") from ex
+        if d:
+            raise RuleSetError(f"rule `{rid}`: unknown fields {sorted(d)}")
+        return JsonRule(rule_id=rid, column=column, spec=spec)
 
     if t == "audio":
         rid = rule_id or "audio"

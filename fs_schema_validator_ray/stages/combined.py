@@ -18,15 +18,21 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from fs_schema_validator_ray.functions.json_payload import JsonPayloadStage
 from fs_schema_validator_ray.report import VIOLATION_SCHEMA
-from fs_schema_validator_ray.rules import AudioRule, ColumnRule, ReferentialRule
+from fs_schema_validator_ray.rules import (
+    AudioRule,
+    ColumnRule,
+    JsonRule,
+    ReferentialRule,
+)
 from fs_schema_validator_ray.stages.decode import AudioValidateStage
 from fs_schema_validator_ray.stages.referential import ReferentialStage
 from fs_schema_validator_ray.stages.scalar import ScalarRuleStage
 
 
 class CombinedValidateStage:
-    """Fused scalar + audio + referential validation of one batch."""
+    """Fused scalar + audio + json-payload + referential validation."""
 
     def __init__(
         self,
@@ -34,11 +40,13 @@ class CombinedValidateStage:
         audio_rules: list[AudioRule],
         referential_rules: list[tuple[ReferentialRule, object]],
         key_column: str = "clip_id",
+        json_rules: list[JsonRule] = (),
     ) -> None:
         self.scalar = (
             ScalarRuleStage(column_rules, key_column) if column_rules else None
         )
         self.audio = [AudioValidateStage(r, key_column) for r in audio_rules]
+        self.json = [JsonPayloadStage(r, key_column) for r in json_rules]
         self.referential = [
             ReferentialStage(rule, ref) for rule, ref in referential_rules
         ]
@@ -48,6 +56,8 @@ class CombinedValidateStage:
         if self.scalar is not None:
             parts.append(self.scalar(batch))
         for stage in self.audio:
+            parts.append(stage(batch))
+        for stage in self.json:
             parts.append(stage(batch))
         for stage in self.referential:
             parts.append(stage(batch))
