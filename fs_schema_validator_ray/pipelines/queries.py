@@ -167,6 +167,44 @@ def referential_lineitem_supplier(sf_dir: str):
     )
 
 
+def unique_estimate_lineitem(sf_dir: str):
+    """Shuffle-free approximate uniqueness: per-batch HyperLogLog partials
+    merged on the driver (the 10^12-key path where even a key shuffle is
+    a budget item). Approximate → rows-only check."""
+    from fs_schema_validator_ray.stages.unique import estimate_duplicates
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    est = estimate_duplicates(ds, "l_orderkey")
+    return pa.table(
+        {
+            "rows": pa.array([int(est["rows"])], pa.int64()),
+            "distinct_estimate": pa.array([float(est["distinct_estimate"])]),
+            "duplicate_estimate": pa.array([float(est["duplicate_estimate"])]),
+        }
+    )
+
+
+def referential_bloom_lineitem(sf_dir: str):
+    """Bloom-filter membership variant of the referential check (north_star
+    sketch path). False-positive rate ~1e-4 makes it approximate →
+    rows-only check; the exact-hash variant is oracle-checked above."""
+    manifest = _read(sf_dir, "supplier", ["s_suppkey"]).filter(
+        lambda r: r["s_suppkey"] < 90
+    )
+    membership = membership_from_dataset(manifest, "s_suppkey", use_bloom=True)
+    import ray
+
+    rule = ReferentialRule(
+        rule_id="ref_bloom_l_suppkey", column="l_suppkey", manifest="supplier",
+        use_bloom=True,
+    )
+    stage = ReferentialStage(rule, ray.put(membership))
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    return ds.map_batches(stage, batch_format="pyarrow").select_columns(
+        ["key", "rule_id", "reason"]
+    )
+
+
 # --- column statistics (oracle-checked subset) -----------------------------
 
 _STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
@@ -487,7 +525,9 @@ QUERIES = {
     "scalar_customer": scalar_customer,
     "json_events_props": json_events_props,
     "unique_lineitem_orderkey": unique_lineitem_orderkey,
+    "unique_estimate_lineitem": unique_estimate_lineitem,
     "referential_lineitem_supplier": referential_lineitem_supplier,
+    "referential_bloom_lineitem": referential_bloom_lineitem,
     "stats_lineitem": stats_lineitem,
     "agg_events_by_type": agg_events_by_type,
     "topk_events_users": topk_events_users,

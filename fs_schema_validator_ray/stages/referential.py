@@ -41,18 +41,18 @@ def build_membership(keys, use_bloom: bool = False, fpp: float = 1e-4):
 def membership_from_dataset(ds, column: str, use_bloom: bool = False, fpp: float = 1e-4):
     """Distributed build: hash per batch on workers, merge tiny partials on
     the driver. Only the hashed key column ever reaches the driver."""
-    parts = ds.map_batches(
-        lambda t: pa.table({"h": hash64(np.asarray(t.column(column), dtype=object))}),
-        batch_format="pyarrow",
-    ).to_pandas()
-    hashes = parts["h"].to_numpy(dtype=np.uint64)
+    def partial(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t.column(column), dtype=object)
+        h1, h2 = BloomFilter.hash_pair(vals)
+        return pa.table({"h1": pa.array(h1, pa.uint64()), "h2": pa.array(h2, pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    h1 = parts["h1"].to_numpy(dtype=np.uint64)
     if use_bloom:
-        # rebuild the bloom from hashes is not supported by add(); keep the
-        # exact path distributed and bloom for pre-hashed input
-        bf = BloomFilter(len(hashes), fpp=fpp)
-        bf.add(hashes)
+        bf = BloomFilter(len(h1), fpp=fpp)
+        bf.add_hashes(h1, parts["h2"].to_numpy(dtype=np.uint64))
         return bf
-    return np.unique(hashes)
+    return np.unique(h1)
 
 
 def _probe(membership, values: np.ndarray) -> np.ndarray:

@@ -91,12 +91,29 @@ class BloomFilter:
         self.k = max(1, int(round(self.n_bits / n_items * np.log(2))))
         self.bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
 
-    def _positions(self, values) -> np.ndarray:
-        h1 = hash64(values)
-        h2 = hash64(values, key="fedcba9876543210")
+    @staticmethod
+    def hash_pair(values) -> tuple[np.ndarray, np.ndarray]:
+        """The two hash streams double hashing combines — exposed so a
+        distributed build can hash on workers and add on the driver."""
+        return hash64(values), hash64(values, key="fedcba9876543210")
+
+    def _positions_from(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        # force the step odd: an even step cycles through a strict
+        # subgroup of Z/2^n (degenerate probes that all land in the same
+        # bit lanes → massive false-positive inflation)
+        h2 = h2 | np.uint64(1)
         ks = np.arange(self.k, dtype=np.uint64)[:, None]
         mask = np.uint64(self.n_bits - 1)
-        return ((h1[None, :] + ks * h2[None, :]) & mask).ravel()
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + ks * h2[None, :]) & mask).ravel()
+
+    def _positions(self, values) -> np.ndarray:
+        return self._positions_from(*self.hash_pair(values))
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions_from(np.asarray(h1, np.uint64), np.asarray(h2, np.uint64))
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8))
 
     def add(self, values) -> None:
         pos = self._positions(values)
