@@ -36,10 +36,20 @@ from fs_schema_validator_ray.stages.unique import uniqueness_violations
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray
     import ray.data
 
+    # cap blocks near the CPU count: these single-file reads feed either a
+    # vectorized map (cpu-bound) or a shuffle (fan-out is blocks²) — in
+    # both cases hundreds of tiny blocks cost more than they parallelize
+    try:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # noqa: BLE001
+        cpus = 8
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns,
+        override_num_blocks=cpus,
     )
 
 
