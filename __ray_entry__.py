@@ -145,6 +145,21 @@ SELECT user_id,
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 20
 """,
+        "windowed_events_daily": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+        "asof_events_orders": """
+SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms
+FROM events e ASOF JOIN orders o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "broadcast_join_events_customer": """
+SELECT e.event_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,

@@ -249,28 +249,81 @@ def _with_value_cents(t: pa.Table) -> pa.Table:
 
 
 def agg_events_by_type(sf_dir: str):
-    """Grouped aggregation with exact integer arithmetic (value → cents
-    inside ``map_batches`` so the distributed sum is order-insensitive)."""
-    from ray.data.aggregate import Count, Sum
+    """Grouped aggregation over HOT keys (5 event types): per-batch Arrow
+    combiner, then a groupby over ≤ keys×blocks partial rows — no reducer
+    ever sees raw rows. Exact integer arithmetic (value → cents inside
+    ``map_batches``) keeps the distributed sum order-insensitive."""
+    from fs_schema_validator_ray.stages.agg import group_sum
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
-    return (
-        ds.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
-        .select_columns(["event_type", "n", "value_cents"])
+    return group_sum(ds, ["event_type"], ["value_cents"]).select_columns(
+        ["event_type", "n", "value_cents"]
     )
 
 
 def topk_events_users(sf_dir: str):
-    """Top-20 users by total event value — groupby → sort(desc, id
-    tie-break) → limit. The shuffle carries one row per user."""
-    from ray.data.aggregate import Sum
+    """Top-20 users by total event value — combiner pre-aggregation →
+    groupby → sort(desc, id tie-break) → limit. The shuffle carries at
+    most one row per (user, block)."""
+    from fs_schema_validator_ray.stages.agg import group_sum
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
     ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
-    agg = ds.groupby("user_id").aggregate(Sum("value_cents", alias_name="value_cents"))
+    agg = group_sum(ds, ["user_id"], ["value_cents"]).drop_columns(["n"])
     return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(20)
+
+
+def windowed_events_daily(sf_dir: str):
+    """Tumbling-window (daily) aggregate per event type: window key
+    derived vectorized from the timestamp, then combiner group-sum —
+    the streaming-window analogue expressed batch-first."""
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    ds = tumbling_window(ds, "ts", "day")
+    return group_sum(ds, ["window", "event_type"], ["value_cents"])
+
+
+def asof_events_orders(sf_dir: str):
+    """Distributed as-of join: each event matched to the customer's most
+    recent order at event time (co-partitioned groupby + per-group
+    sort/searchsorted; only join columns shuffle)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left, right,
+        key_column="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_value_columns=["event_id"], right_value_columns=["o_orderdate"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ms = pc.cast(pc.cast(t.column("r_o_orderdate"), pa.timestamp("ms")), pa.int64())
+        return pa.table({"event_id": t.column("l_event_id"), "order_ts_ms": ms})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def broadcast_join_events_customer(sf_dir: str):
+    """Broadcast hash join (no shuffle): events enriched with the
+    customer's market segment from a ray.put small side."""
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    small = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    out = broadcast_join(ds, small, "user_id", ["c_mktsegment"])
+    return out.select_columns(["event_id", "c_mktsegment"])
 
 
 # --- dedup (exact oracle-checked; sketch variants rows-only) ---------------
@@ -541,6 +594,9 @@ QUERIES = {
     "stats_lineitem": stats_lineitem,
     "agg_events_by_type": agg_events_by_type,
     "topk_events_users": topk_events_users,
+    "windowed_events_daily": windowed_events_daily,
+    "asof_events_orders": asof_events_orders,
+    "broadcast_join_events_customer": broadcast_join_events_customer,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,

@@ -1,0 +1,60 @@
+"""Pre-aggregated (combiner) grouped aggregation + windowing.
+
+``groupby`` is an all-to-all exchange; with few hot keys (e.g. 5 event
+types over 10^12 rows) a naive groupby funnels everything into 5 reducer
+partitions. The combiner pattern — Arrow ``group_by`` inside each
+``map_batches`` task, THEN a groupby over the tiny partials — shuffles at
+most ``distinct_keys × num_blocks`` rows and no reducer ever sees raw
+rows. (This generalizes the reference's mergeable-report monoid,
+``/root/reference/fs_schema_validator/report.py:44-48``.)
+
+``tumbling_window`` derives a window key from a timestamp column, turning
+the same machinery into a windowed aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial(keys: list[str], sum_cols: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = [c for c in (*keys, *sum_cols) if c in batch.column_names]
+        tbl = batch.select(cols)
+        aggs = [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+        g = pa.TableGroupBy(tbl, keys).aggregate(aggs)
+        out = {k: g.column(k) for k in keys}
+        for c in sum_cols:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        out["n"] = pc.cast(g.column(f"{keys[0]}_count"), pa.int64())
+        return pa.table(out)
+
+    return fn
+
+
+def group_sum(ds, keys: list[str], sum_cols: list[str]):
+    """Grouped count + integer sums with per-batch combining.
+
+    Returns a Dataset with columns ``keys + sum_cols + ['n']``.
+    """
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(_partial(keys, sum_cols), batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum("n", alias_name="n")]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
+    """Attach a tumbling-window key derived from a timestamp column
+    (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00", "month": "%Y-%m"}[every]
+    unit = {"day": "day", "hour": "hour", "month": "month"}[every]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_column)
+        win = pc.strftime(pc.floor_temporal(ts, unit=unit), format=fmt)
+        return batch.append_column(out_column, win)
+
+    return ds.map_batches(attach, batch_format="pyarrow")

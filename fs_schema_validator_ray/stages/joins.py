@@ -1,0 +1,177 @@
+"""Join operators: broadcast hash join and distributed as-of join.
+
+The reference has no joins (SURVEY.md §2: its existence check is a moral
+left-anti join); a data-processing engine needs them. Two shapes:
+
+* **Broadcast join** (small side): build ``{key: row}`` once on the
+  driver, ``ray.put`` it, probe inside ``map_batches`` — no shuffle at
+  all. The right pattern whenever one side fits in worker memory
+  (dimension tables, manifests).
+* **As-of join** (both sides big): tag + union the two key-pruned
+  streams, hash-partition by key via ONE ``groupby(key)``, and inside
+  each group sort the right side and ``searchsorted`` the left — the
+  classic co-partitioned merge. Only the join columns shuffle.
+  Partitioning assumption: rows for one key fit in one group (true for
+  per-entity event/order streams; salt the key upstream if an entity is
+  pathologically hot).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class BroadcastJoinStage:
+    """map_batches callable: append ``value_columns`` from the broadcast
+    lookup to every probe row (inner join: unmatched rows drop)."""
+
+    def __init__(self, lookup_ref, key_column: str, value_columns: list[str]) -> None:
+        self.lookup_ref = lookup_ref
+        self.key_column = key_column
+        self.value_columns = value_columns
+        self._lookup = None
+
+    def _resolve(self):
+        if self._lookup is None:
+            import ray
+
+            obj = self.lookup_ref
+            self._lookup = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._lookup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys_sorted, values = self._resolve()  # (sorted key array, {col: np.array})
+        probe = np.asarray(batch.column(self.key_column))
+        idx = np.searchsorted(keys_sorted, probe)
+        idx = np.clip(idx, 0, len(keys_sorted) - 1)
+        hit = keys_sorted[idx] == probe if len(keys_sorted) else np.zeros(len(probe), bool)
+        out = batch.filter(pa.array(hit))
+        take = idx[hit]
+        for col in self.value_columns:
+            out = out.append_column(col, pa.array(values[col][take]))
+        return out
+
+
+def build_broadcast_side(ds, key_column: str, value_columns: list[str]):
+    """Collect + sort the small side into (keys, {col: values}) for
+    ``BroadcastJoinStage`` (duplicate keys: last wins)."""
+    tbl = pa.concat_tables(
+        list(
+            ds.select_columns([key_column, *value_columns]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    keys = np.asarray(tbl.column(key_column))
+    order = np.argsort(keys, kind="stable")
+    return keys[order], {
+        col: np.asarray(tbl.column(col), dtype=object)[order] for col in value_columns
+    }
+
+
+def broadcast_join(ds, small_ds, key_column: str, value_columns: list[str]):
+    """Inner hash join against a broadcast small side (no shuffle)."""
+    import ray
+
+    side = build_broadcast_side(small_ds, key_column, value_columns)
+    ref = ray.put(side)
+    return ds.map_batches(
+        BroadcastJoinStage(ref, key_column, value_columns), batch_format="pyarrow"
+    )
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def asof_join(
+    left,
+    right,
+    key_column: str,
+    left_ts: str,
+    right_ts: str,
+    left_value_columns: list[str],
+    right_value_columns: list[str],
+):
+    """Distributed as-of (backward) join: for every left row, the right
+    row with the same key and the greatest ``right_ts <= left_ts``.
+    Inner semantics — left rows with no prior right row drop.
+
+    ``tag → union → groupby(key) → per-group sort + searchsorted``: one
+    shuffle of only the pruned join columns.
+    """
+    l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
+    r_cols = list(dict.fromkeys([key_column, right_ts, *right_value_columns]))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "__key": t.column(key_column),
+                "__ts": pc.cast(t.column(left_ts), pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(f"l_{c}", t.column(c))
+        for c in right_value_columns:
+            out = out.append_column(
+                f"r_{c}", pa.nulls(t.num_rows, _target_type(right, c))
+            )
+        return out
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "__key": t.column(key_column),
+                "__ts": pc.cast(t.column(right_ts), pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(f"l_{c}", pa.nulls(t.num_rows, _target_type(left, c)))
+        for c in right_value_columns:
+            out = out.append_column(f"r_{c}", t.column(c))
+        return out
+
+    tagged = left.select_columns(l_cols).map_batches(
+        tag_left, batch_format="pyarrow"
+    ).union(right.select_columns(r_cols).map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        ts = np.asarray(group.column("__ts"))
+        is_l = side == 0
+        l_idx = np.flatnonzero(is_l)
+        r_idx = np.flatnonzero(~is_l)
+        if not len(l_idx) or not len(r_idx):
+            return _empty_out(group, left_value_columns, right_value_columns)
+        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
+        # greatest right ts <= left ts
+        pos = np.searchsorted(ts[r_order], ts[l_idx], side="right") - 1
+        ok = pos >= 0
+        l_keep = l_idx[ok]
+        r_match = r_order[pos[ok]]
+        out_cols = {"__key": group.column("__key").take(pa.array(l_keep))}
+        out_cols["__ts"] = group.column("__ts").take(pa.array(l_keep))
+        for c in left_value_columns:
+            out_cols[f"l_{c}"] = group.column(f"l_{c}").take(pa.array(l_keep))
+        for c in right_value_columns:
+            out_cols[f"r_{c}"] = group.column(f"r_{c}").take(pa.array(r_match))
+        return pa.table(out_cols)
+
+    return tagged.groupby("__key").map_groups(merge_group, batch_format="pyarrow")
+
+
+def _target_type(ds, column: str) -> pa.DataType:
+    schema = ds.schema()
+    return schema.base_schema.field(column).type if hasattr(schema, "base_schema") else schema.field(column).type
+
+
+def _empty_out(group: pa.Table, l_vals, r_vals) -> pa.Table:
+    cols = {"__key": group.column("__key").slice(0, 0), "__ts": group.column("__ts").slice(0, 0)}
+    for c in l_vals:
+        cols[f"l_{c}"] = group.column(f"l_{c}").slice(0, 0)
+    for c in r_vals:
+        cols[f"r_{c}"] = group.column(f"r_{c}").slice(0, 0)
+    return pa.table(cols)

@@ -1,0 +1,91 @@
+"""Broadcast join, as-of join, combiner aggregation, tumbling windows."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_broadcast_join_inner(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 9], pa.int64()), "x": pa.array(list("abcd"))})
+    )
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["u", "v", "w"])})
+    )
+    out = sorted(
+        (r["k"], r["x"], r["v"])
+        for r in broadcast_join(big, small, "k", ["v"]).take_all()
+    )
+    # inner: unmatched key 9 drops
+    assert out == [(1, "a", "u"), (2, "b", "v"), (3, "c", "w")]
+
+
+def test_asof_join_backward(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "ts": pa.array([5, 15, 2, 10, 10], pa.int64()),
+                "lid": pa.array([100, 101, 102, 103, 104], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "rts": pa.array([3, 10, 20], pa.int64()),
+                "rid": pa.array([7, 8, 9], pa.int64()),
+            }
+        )
+    )
+    out = asof_join(
+        left, right, key_column="k", left_ts="ts", right_ts="rts",
+        left_value_columns=["lid"], right_value_columns=["rid"],
+    ).take_all()
+    got = sorted((r["l_lid"], r["r_rid"]) for r in out)
+    # lid=100 (ts 5) -> rts 3; lid=101 (ts 15) -> rts 10; lid=102 (ts 2) -> none;
+    # lid=103 (k=2, ts 10) -> none (rts 20 is after); lid=104 (k=3) -> no right side
+    assert got == [(100, 7), (101, 8)]
+
+
+def test_group_sum_combiner(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5 + ["b"] * 3),
+            "v": pa.array([1, 2, 3, 4, 5, 10, 20, 30], pa.int64()),
+        }
+    )
+    out = {
+        r["k"]: (r["v"], r["n"])
+        for r in group_sum(ray.data.from_arrow(t), ["k"], ["v"]).take_all()
+    }
+    assert out == {"a": (15, 5), "b": (60, 3)}
+
+
+def test_tumbling_window():
+    from fs_schema_validator_ray.stages.agg import tumbling_window
+    import ray.data
+
+    ts = pa.array(
+        np.array(
+            ["2024-01-01T05:00:00", "2024-01-01T23:59:00", "2024-02-03T00:00:00"],
+            dtype="datetime64[us]",
+        )
+    )
+    t = pa.table({"ts": ts, "v": pa.array([1, 2, 3], pa.int64())})
+    out = tumbling_window(ray.data.from_arrow(t), "ts", "day").take_all()
+    assert [r["window"] for r in out] == ["2024-01-01", "2024-01-01", "2024-02-03"]
+    out_m = tumbling_window(ray.data.from_arrow(t), "ts", "month").take_all()
+    assert [r["window"] for r in out_m] == ["2024-01", "2024-01", "2024-02"]
