@@ -169,6 +169,29 @@ def test_full_run_and_resume(ray_session, corpus, tmp_path):
     assert res3.total_rows == CFG.n_rows
 
 
+def test_actor_pool_decode_path(ray_session, corpus, tmp_path):
+    """decode_actor_pool=True (stateful-decoder shape: callable class →
+    Ray actor pool) must produce the identical violation set as the
+    stateless-task path."""
+    cfg = make_cfg(corpus, tmp_path / "run_actor")
+    cfg.decode_actor_pool = True
+    cfg.decode_concurrency = (1, 2)
+    res = run_validation(cfg)
+
+    ref_cfg = make_cfg(corpus, tmp_path / "run_fn")
+    ref = run_validation(ref_cfg)
+
+    mine = sorted(
+        (r["key"], r["rule_id"], r["reason"])
+        for r in res.violations_dataset().take_all()
+    )
+    theirs = sorted(
+        (r["key"], r["rule_id"], r["reason"])
+        for r in ref.violations_dataset().take_all()
+    )
+    assert mine == theirs and res.total_violations == ref.total_violations
+
+
 def test_drifted_partition_detected(ray_session, corpus, tmp_path):
     """A shifted dur_ms distribution in one partition must trip the KS rule
     when validated against the clean corpus baseline."""
