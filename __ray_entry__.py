@@ -145,6 +145,16 @@ SELECT user_id,
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 20
 """,
+        "topk_per_event_type": """
+SELECT event_type, event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM (SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                         event_id) AS rn
+      FROM events) t
+WHERE rn <= 3
+""",
         "windowed_events_daily": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

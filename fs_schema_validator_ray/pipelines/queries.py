@@ -274,6 +274,20 @@ def topk_events_users(sf_dir: str):
     return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(20)
 
 
+def topk_per_event_type(sf_dir: str):
+    """Top-3 events by value per event type via SALTED two-phase
+    map_groups (5 hot keys over the whole table — the skew shape salting
+    exists for). Deterministic tie-break on event_id."""
+    from fs_schema_validator_ray.stages.agg import salted_topk_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    out = salted_topk_per_key(
+        ds, "event_type", "value_cents", k=3, tiebreak_column="event_id"
+    )
+    return out.select_columns(["event_type", "event_id", "value_cents"])
+
+
 def windowed_events_daily(sf_dir: str):
     """Tumbling-window (daily) aggregate per event type: window key
     derived vectorized from the timestamp, then combiner group-sum —
@@ -594,6 +608,7 @@ QUERIES = {
     "stats_lineitem": stats_lineitem,
     "agg_events_by_type": agg_events_by_type,
     "topk_events_users": topk_events_users,
+    "topk_per_event_type": topk_per_event_type,
     "windowed_events_daily": windowed_events_daily,
     "asof_events_orders": asof_events_orders,
     "broadcast_join_events_customer": broadcast_join_events_customer,

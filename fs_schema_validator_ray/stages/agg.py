@@ -46,6 +46,45 @@ def group_sum(ds, keys: list[str], sum_cols: list[str]):
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def salted_topk_per_key(
+    ds,
+    key_column: str,
+    value_column: str,
+    k: int,
+    tiebreak_column: str,
+    salt: int = 16,
+):
+    """Per-key top-k with **salted keys** for hot-key skew (north_star):
+    phase 1 groups by ``(key, salt)`` — a key with 10^9 rows lands in
+    ``salt`` groups of manageable size, each reduced to its local top-k —
+    phase 2 groups the ≤ ``salt × k`` survivors by ``key`` for the final
+    top-k. Order: ``value desc, tiebreak asc`` (deterministic).
+    """
+    def add_salt(batch: pa.Table) -> pa.Table:
+        tb = np.asarray(batch.column(tiebreak_column))
+        return batch.append_column(
+            "__salt", pa.array((tb % salt).astype(np.int32))
+        )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group.column(value_column))
+        tb = np.asarray(group.column(tiebreak_column))
+        order = np.lexsort((tb, -vals))[:k]
+        return group.take(pa.array(order))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        out = local_topk(group)
+        if "__salt" in out.column_names:
+            out = out.drop_columns(["__salt"])
+        return out
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby([key_column, "__salt"]).map_groups(
+        local_topk, batch_format="pyarrow"
+    )
+    return phase1.groupby(key_column).map_groups(final_topk, batch_format="pyarrow")
+
+
 def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
     """Attach a tumbling-window key derived from a timestamp column
     (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""

@@ -74,6 +74,34 @@ def test_group_sum_combiner(ray_session):
     assert out == {"a": (15, 5), "b": (60, 3)}
 
 
+def test_salted_topk_per_key(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import salted_topk_per_key
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(np.where(rng.random(n) < 0.9, "hot", "cold")),  # skewed
+            "v": pa.array(rng.integers(0, 1_000_000, n)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    out = salted_topk_per_key(
+        ray.data.from_arrow(t), "k", "v", k=3, tiebreak_column="id", salt=8
+    ).take_all()
+    v = np.asarray(t.column("v"))
+    ids = np.asarray(t.column("id"))
+    keys = np.asarray(t.column("k"))
+    for key in ("hot", "cold"):
+        m = keys == key
+        order = np.lexsort((ids[m], -v[m]))[:3]
+        expect = sorted(zip(v[m][order], ids[m][order]))
+        got = sorted((r["v"], r["id"]) for r in out if r["k"] == key)
+        assert got == expect
+
+
 def test_tumbling_window():
     from fs_schema_validator_ray.stages.agg import tumbling_window
     import ray.data
