@@ -35,10 +35,13 @@ DEFAULT_ROWS = int(os.environ.get("GRAFT_CLIPS_ROWS", "120000"))
 
 HEADLINE_QUERIES = [
     "scalar_lineitem",
+    "json_events_props",
     "unique_lineitem_orderkey",
     "referential_lineitem_supplier",
     "stats_lineitem",
     "agg_events_by_type",
+    "windowed_events_daily",
+    "asof_events_orders",
     "dedup_exact_documents",
     "dedup_minhash_documents",
     "ann_topk_embeddings",
