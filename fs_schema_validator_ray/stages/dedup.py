@@ -265,10 +265,24 @@ class JaccardVerifyStage:
         )
 
 
-def build_shingle_lookup(ds, text_column="text", id_column="doc_id", shingle_n=3):
-    """Distributed build of ``{id: unique shingle hashes}`` (driver-merged;
-    at larger scale, restrict to candidate ids before building)."""
+def build_shingle_lookup(
+    ds, text_column="text", id_column="doc_id", shingle_n=3, only_ids=None
+):
+    """Distributed build of ``{id: unique shingle hashes}`` (driver-merged).
+
+    ``only_ids`` restricts the build to candidate ids — docs outside the
+    candidate set are filtered per batch before any shingling, so the
+    driver dict is bounded by the candidate count, not the corpus. (At
+    10^12 docs the verify becomes a co-partitioned join on doc id; band
+    buckets already co-locate the candidates.)
+    """
+    id_filter = None
+    if only_ids is not None:
+        id_filter = pa.array(np.fromiter(only_ids, dtype=np.int64))
+
     def partial(batch: pa.Table) -> pa.Table:
+        if id_filter is not None:
+            batch = batch.filter(pc.is_in(batch.column(id_column), value_set=id_filter))
         hashes, offsets = _word_shingle_hashes(
             batch.column(text_column).combine_chunks(), shingle_n
         )
@@ -306,9 +320,34 @@ def minhash_near_dup_pairs(
         MinHashBandStage(text_column, id_column, shingle_n, num_perm, bands),
         batch_format="pyarrow",
     )
-    cands = candidate_pairs(band_rows, id_column)
-    lookup_ref = ray.put(build_shingle_lookup(ds, text_column, id_column, shingle_n))
-    return cands.map_batches(
+    # materialize the (small) candidate set so the verify lookup is built
+    # for candidate ids only — never the whole corpus
+    cand_batches = list(
+        candidate_pairs(band_rows, id_column).iter_batches(batch_format="pyarrow")
+    )
+    if not cand_batches:
+        cand_batches = [
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("n_bands", pa.int64())]
+            ).empty_table()
+        ]
+    cands_tbl = pa.concat_tables(cand_batches)
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                np.asarray(cands_tbl.column("a"), dtype=np.int64),
+                np.asarray(cands_tbl.column("b"), dtype=np.int64),
+            ]
+        )
+        if cands_tbl.num_rows
+        else [np.empty(0, np.int64)]
+    )
+    lookup_ref = ray.put(
+        build_shingle_lookup(ds, text_column, id_column, shingle_n, only_ids=cand_ids)
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(cands_tbl).map_batches(
         JaccardVerifyStage(lookup_ref, threshold, shingle_n), batch_format="pyarrow"
     )
 
