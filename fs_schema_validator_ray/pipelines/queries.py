@@ -525,9 +525,11 @@ def clips_validation(sf_dir: str, n_rows: int = 1500):
         build_manifest_table,
     )
 
+    from fs_schema_validator_ray.sources.clips import CORPUS_VERSION
+
     cfg = ClipsConfig(n_rows=n_rows, rows_per_partition=max(1, n_rows // 4))
     cache = os.path.join(
-        tempfile.gettempdir(), f"fsvr_clips_{n_rows}_{cfg.seed}"
+        tempfile.gettempdir(), f"fsvr_clips_v{CORPUS_VERSION}_{n_rows}_{cfg.seed}"
     )
     clips_dir = os.path.join(cache, "clips")
     manifest_path = os.path.join(cache, "transcripts.parquet")

@@ -30,6 +30,10 @@ import pyarrow as pa
 
 from fs_schema_validator_ray import audio
 
+#: bump when reference_signal / reference_transcript / planted classes
+#: change — invalidates on-disk corpus caches keyed by this version
+CORPUS_VERSION = 2
+
 CLIPS_SCHEMA = pa.schema(
     [
         pa.field("clip_id", pa.string()),
