@@ -229,16 +229,26 @@ def drift_check(ds, rule: DriftRule, baseline: Histogram):
     return _drift_verdicts(_per_partition_histograms(ds, rule), rule, baseline)
 
 
-def drift_self_check(ds, rule: DriftRule, baseline: Optional[Histogram] = None):
+def drift_self_check(
+    ds, rule: DriftRule, baseline: Optional[Histogram] = None,
+    return_sketches: bool = False,
+):
     """Single-pass drift: per-partition histograms computed once; the
     baseline (when not given) is their merge — each partition is compared
-    against the global distribution without a second read."""
+    against the global distribution without a second read.
+
+    ``return_sketches=True`` additionally returns the per-partition
+    histogram blobs (``{pid: bytes}``) — the mergeable sketch state the
+    run manifest checkpoints (north_star lineage requirement)."""
     merged = _per_partition_histograms(ds, rule)
     if baseline is None:
         baseline = Histogram(rule.lo, rule.hi, rule.bins)
         for h in merged.values():
             baseline = baseline.merge(h)
-    return _drift_verdicts(merged, rule, baseline)
+    violations, metrics = _drift_verdicts(merged, rule, baseline)
+    if return_sketches:
+        return violations, metrics, {pid: h.to_bytes() for pid, h in merged.items()}
+    return violations, metrics
 
 
 def _drift_verdicts(merged: dict[int, Histogram], rule: DriftRule, baseline: Histogram):

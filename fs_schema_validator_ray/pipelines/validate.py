@@ -304,7 +304,9 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         dds = _read_partitions(
             groups, [rule.column], override_num_blocks=_cluster_cpus()
         )
-        dviol, dmetrics = drift_self_check(dds, rule, cfg.baselines.get(rule.rule_id))
+        dviol, dmetrics, dsketches = drift_self_check(
+            dds, rule, cfg.baselines.get(rule.rule_id), return_sketches=True
+        )
         if dviol.num_rows:
             import ray.data as rd
 
@@ -322,6 +324,10 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
             {"id": doc_id, "status": "done",
              "metrics": {str(k): v for k, v in dmetrics.items()},
              "violations_by_pid": {str(k): v for k, v in vb.items()},
+             # mergeable sketch state per partition (hex histogram blobs):
+             # a resumed/extended run can re-derive the global baseline by
+             # merging these without re-reading finished partitions
+             "sketches_hex": {str(k): v.hex() for k, v in dsketches.items()},
              "wall_s": time.perf_counter() - t0},
         )
 

@@ -148,6 +148,17 @@ def test_full_run_and_resume(ray_session, corpus, tmp_path):
     # per-partition manifest rows: lineage + metrics
     manifests = glob.glob(os.path.join(out, "manifest", "part-*.json"))
     assert len(manifests) == 4
+
+    # drift manifest checkpoints the mergeable sketch state per partition
+    import json as _json
+
+    from fs_schema_validator_ray.state import Histogram
+
+    with open(os.path.join(out, "manifest", "drift-drift_dur.json")) as f:
+        drift_doc = _json.load(f)
+    assert set(drift_doc["sketches_hex"]) == {"0", "1", "2", "3"}
+    h = Histogram.from_bytes(bytes.fromhex(drift_doc["sketches_hex"]["0"]))
+    assert h.total() == CFG.rows_per_partition
     for pm in res.partition_metrics.values():
         assert pm["rows"] == CFG.rows_per_partition
         assert pm["files"]
