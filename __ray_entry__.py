@@ -170,6 +170,12 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 SELECT e.event_id, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """,
+        "distinct_part_brands": """
+SELECT DISTINCT p_brand FROM part
+""",
+        "sample_orders_mod": """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 16 = 0
+""",
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,

@@ -340,6 +340,39 @@ def broadcast_join_events_customer(sf_dir: str):
     return out.select_columns(["event_id", "c_mktsegment"])
 
 
+def distinct_part_brands(sf_dir: str):
+    """Distinct values of a column: per-batch Arrow dedup partial, then a
+    tiny groupby over the (already-unique-per-block) survivors."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", ["p_brand"])
+    partials = ds.map_batches(
+        lambda t: pa.table({"p_brand": pc.unique(t.column("p_brand"))}),
+        batch_format="pyarrow",
+    )
+    return (
+        partials.groupby("p_brand")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def sample_orders_mod(sf_dir: str):
+    """Deterministic 1-in-20 sample by key residue — reproducible on both
+    engines (a hash-based sample with our hash64 is also available but is
+    rows-only; residue sampling is the oracle-checkable form)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("o_orderkey"), 15), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --- dedup (exact oracle-checked; sketch variants rows-only) ---------------
 
 
@@ -614,6 +647,8 @@ QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "asof_events_orders": asof_events_orders,
     "broadcast_join_events_customer": broadcast_join_events_customer,
+    "distinct_part_brands": distinct_part_brands,
+    "sample_orders_mod": sample_orders_mod,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,

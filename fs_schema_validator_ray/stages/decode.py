@@ -120,9 +120,17 @@ class AudioValidateStage:
         out_key: list[str] = []
         out_reason: list[str] = []
         for i in range(n):
-            reasons = self._check_row(
-                keys[i], payloads[i], codecs[i], srs[i], durs[i], transcripts[i]
-            )
+            try:
+                reasons = self._check_row(
+                    keys[i], payloads[i], codecs[i], srs[i], durs[i], transcripts[i]
+                )
+            except Exception as ex:  # noqa: BLE001 - one poisoned row must
+                # not kill a 100 TB run; surface it as a violation instead
+                # (anticipated decode errors are already typed; this is the
+                # backstop for genuinely malformed payloads)
+                reasons = [
+                    f"unexpected validation error: ({type(ex).__name__}) {ex}"
+                ]
             for reason in reasons:
                 out_part.append(parts[i] if parts[i] is not None else -1)
                 out_key.append(keys[i])
