@@ -139,16 +139,6 @@ def _write_manifest(output_dir: str, doc: dict) -> None:
     os.replace(tmp, path)  # atomic: a manifest row exists only when complete
 
 
-def _attach_partition_id(pid: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        col = pa.array(np.full(batch.num_rows, pid, dtype=np.int32))
-        if PARTITION_COLUMN in batch.column_names:
-            batch = batch.drop_columns([PARTITION_COLUMN])
-        return batch.append_column(PARTITION_COLUMN, col)
-
-    return fn
-
-
 def _cluster_cpus() -> int:
     import ray
 
