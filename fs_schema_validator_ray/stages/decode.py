@@ -32,6 +32,28 @@ from fs_schema_validator_ray.rules import AudioRule
 from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
 
 
+def binary_views(col: pa.Array) -> list:
+    """Per-row zero-copy ``memoryview`` slices of a binary column (None
+    for nulls) — avoids materializing every payload as a Python ``bytes``
+    object (one memcpy + allocation per row otherwise; the decode path
+    only needs buffer-protocol reads)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    bufs = col.buffers()
+    if len(bufs) < 3 or bufs[2] is None:
+        return [None if col[i].as_py() is None else memoryview(b"") for i in range(n)]
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+    data = memoryview(bufs[2])
+    nulls = (
+        np.asarray(col.is_null()) if col.null_count else np.zeros(n, dtype=bool)
+    )
+    return [
+        None if nulls[i] else data[offs[i] : offs[i + 1]] for i in range(n)
+    ]
+
+
 class AudioValidateStage:
     def __init__(self, rule: AudioRule, key_column: str = "clip_id") -> None:
         self.rule = rule
@@ -105,7 +127,11 @@ class AudioValidateStage:
             return [default] * n
 
         keys = col(self.key_column)
-        payloads = col(r.bytes_column)
+        payloads = (
+            binary_views(batch.column(r.bytes_column))
+            if r.bytes_column in names
+            else [None] * n
+        )
         codecs = col(r.codec_column)
         srs = col(r.sr_column)
         durs = col(r.dur_column)
