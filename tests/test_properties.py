@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis): algebraic laws the engine relies on.
+
+The reference has no property tests; these pin the invariants the
+distributed design depends on — mergeable-sketch monoid laws (partial
+aggregation correctness), DSL expansion cardinality, and parser
+total-ness (a malformed payload must map to a typed decode error, never
+an arbitrary exception)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fs_schema_validator_ray import audio, dsl
+from fs_schema_validator_ray.state.sketches import (
+    BloomFilter,
+    Histogram,
+    HyperLogLog,
+    TDigest,
+)
+
+ints = st.lists(st.integers(0, 10**9), min_size=0, max_size=300)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints, ints)
+def test_hll_merge_is_union(a, b):
+    """merge(A, B) estimates |A ∪ B|: same registers as adding both."""
+    h1, h2, both = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    if a:
+        h1.add(np.asarray(a, dtype=object))
+        both.add(np.asarray(a, dtype=object))
+    if b:
+        h2.add(np.asarray(b, dtype=object))
+        both.add(np.asarray(b, dtype=object))
+    merged = h1.merge(h2)
+    assert np.array_equal(merged.registers, both.registers)
+    # serialization round-trip preserves state
+    assert np.array_equal(
+        HyperLogLog.from_bytes(merged.to_bytes()).registers, merged.registers
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints, ints)
+def test_bloom_merge_no_false_negatives(a, b):
+    bf1 = BloomFilter(max(1, len(a) + len(b)))
+    bf2 = BloomFilter(max(1, len(a) + len(b)))
+    if a:
+        bf1.add(np.asarray(a, dtype=object))
+    if b:
+        bf2.add(np.asarray(b, dtype=object))
+    m = bf1.merge(bf2)
+    items = np.asarray(a + b, dtype=object)
+    if len(items):
+        assert m.contains(items).all()  # no false negatives, ever
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=400),
+    st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=400),
+)
+def test_histogram_merge_is_concat(a, b):
+    h1, h2, both = Histogram(0, 1000, 16), Histogram(0, 1000, 16), Histogram(0, 1000, 16)
+    h1.add(np.asarray(a))
+    h2.add(np.asarray(b))
+    both.add(np.asarray(a + b))
+    assert np.array_equal(h1.merge(h2).counts, both.counts)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=10, max_size=500))
+def test_tdigest_quantiles_bounded(vals):
+    td = TDigest()
+    td.add(np.asarray(vals))
+    lo, hi = min(vals), max(vals)
+    for q in (0.1, 0.5, 0.9):
+        x = td.quantile(q)
+        assert lo - 1e-9 <= x <= hi + 1e-9
+    # merge of halves covers the same range
+    t1, t2 = TDigest(), TDigest()
+    t1.add(np.asarray(vals[: len(vals) // 2]) if vals[: len(vals) // 2] else np.asarray([vals[0]]))
+    t2.add(np.asarray(vals[len(vals) // 2 :]))
+    m = t1.merge(t2)
+    assert lo - 1e-9 <= m.quantile(0.5) <= hi + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_wav_parser_total(payload):
+    """Arbitrary bytes either decode or raise the typed decode error —
+    never an arbitrary exception (robustness contract of the backstop)."""
+    try:
+        audio.decode(payload)
+    except audio.AudioDecodeError:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_wav_parser_total_with_riff_prefix(payload):
+    try:
+        audio.decode(b"RIFF" + payload[:4] + b"WAVE" + payload)
+    except audio.AudioDecodeError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 5),
+    st.integers(1, 5),
+    st.sets(st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=4),
+)
+def test_dsl_expansion_cardinality(lo, width, variants):
+    """|expand| = span × choice product (cartesian, reference semantics)."""
+    bindings = {
+        "sp": dsl.Span(lo, lo + width - 1),
+        "ch": dsl.Choice(variants),
+    }
+    out = list(dsl.expand("x-{$sp}-{$ch}", bindings))
+    assert len(out) == width * len(variants)
+    assert len(set(out)) == len(out)  # all distinct
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdefgh-_.", min_size=0, max_size=30))
+def test_dsl_plain_string_identity(s):
+    """Templates without holes expand to themselves."""
+    assert list(dsl.expand(s, {})) == [s]
