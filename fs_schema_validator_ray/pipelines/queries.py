@@ -238,6 +238,28 @@ def stats_lineitem(sf_dir: str):
     )
 
 
+def stats_full_lineitem(sf_dir: str):
+    """Full sketch-backed column statistics: mean/std (exact partials),
+    HLL distinct estimate, t-digest p50/p95/p99 — approximate parts are
+    rows-only by design (the exact subset is oracle-checked above)."""
+    from fs_schema_validator_ray.pipelines.stats import column_stats
+
+    ds = _read(sf_dir, "lineitem", _STATS_COLS)
+    stats = column_stats(ds, _STATS_COLS)
+    cols = {
+        "col": pa.array(_STATS_COLS),
+        "mean": pa.array([round(stats[c]["mean"], 6) for c in _STATS_COLS]),
+        "std": pa.array([round(stats[c]["std"], 6) for c in _STATS_COLS]),
+        "distinct_estimate": pa.array(
+            [float(stats[c]["distinct_estimate"]) for c in _STATS_COLS]
+        ),
+        "p50": pa.array([float(stats[c]["p50"]) for c in _STATS_COLS]),
+        "p95": pa.array([float(stats[c]["p95"]) for c in _STATS_COLS]),
+        "p99": pa.array([float(stats[c]["p99"]) for c in _STATS_COLS]),
+    }
+    return pa.table(cols)
+
+
 # --- aggregation / top-k (oracle-checked) ----------------------------------
 
 
@@ -641,6 +663,7 @@ QUERIES = {
     "referential_lineitem_supplier": referential_lineitem_supplier,
     "referential_bloom_lineitem": referential_bloom_lineitem,
     "stats_lineitem": stats_lineitem,
+    "stats_full_lineitem": stats_full_lineitem,
     "agg_events_by_type": agg_events_by_type,
     "topk_events_users": topk_events_users,
     "topk_per_event_type": topk_per_event_type,
