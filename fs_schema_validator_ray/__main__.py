@@ -96,7 +96,14 @@ def main(argv: list[str] | None = None) -> int:
         run_validation,
     )
 
-    out_dir = args.output or os.path.join("/tmp", "fsvr_cli_run")
+    # a fresh directory per invocation unless the user opted into one —
+    # resume-from-checkpoint only ever happens with an explicit -o
+    if args.output:
+        out_dir = args.output
+    else:
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="fsvr_cli_run_")
     cfg = ValidationRunConfig(
         input_path=args.input,
         rules=rules,

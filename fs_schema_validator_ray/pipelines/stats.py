@@ -122,7 +122,8 @@ def _merge_partials(df) -> dict:
     valid = n - nulls
     mean = float(df["sum"].sum()) / valid if valid else None
     var = None
-    if valid and df["sumsq"].sum() > 0:
+    numeric = df["min_num"].notna().any()
+    if valid and numeric:  # all-zeros columns still get std=0.0
         var = max(0.0, float(df["sumsq"].sum()) / valid - mean * mean)
     out = {
         "count": n,

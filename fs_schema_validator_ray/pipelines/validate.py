@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import json
+import shutil
 import os
 import time
 from dataclasses import dataclass, field
@@ -85,12 +86,41 @@ class RunResult:
     def violations_dataset(self):
         import ray.data
 
-        paths = sorted(
-            glob.glob(os.path.join(self.output_dir, "violations", "**", "*.parquet"), recursive=True)
+        def normalize(t: pa.Table) -> pa.Table:
+            cols = []
+            for f in VIOLATION_SCHEMA:
+                c = t.column(f.name) if f.name in t.column_names else pa.nulls(
+                    t.num_rows, f.type
+                )
+                cols.append(c.cast(f.type))
+            return pa.Table.from_arrays(cols, schema=VIOLATION_SCHEMA)
+
+        sources = []
+        # per-partition (hive-partitioned) row-rule violations: read the
+        # directory so partition_id is restored from the path
+        parts_root = os.path.join(self.output_dir, "violations", "parts")
+        if glob.glob(os.path.join(parts_root, "**", "*.parquet"), recursive=True):
+            sources.append(ray.data.read_parquet(parts_root))
+        # global/drift violations carry partition_id as a normal column
+        flat = sorted(
+            p
+            for p in glob.glob(
+                os.path.join(self.output_dir, "violations", "**", "*.parquet"),
+                recursive=True,
+            )
+            if not p.startswith(parts_root + os.sep)
         )
-        if not paths:
+        if flat:
+            sources.append(ray.data.read_parquet(flat))
+        if not sources:
             return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
-        return ray.data.read_parquet(paths)
+        out = sources[0]
+        if len(sources) > 1:
+            out = out.map_batches(normalize, batch_format="pyarrow").union(
+                *(s.map_batches(normalize, batch_format="pyarrow") for s in sources[1:])
+            )
+            return out
+        return out.map_batches(normalize, batch_format="pyarrow")
 
 
 def _input_files(input_path: Any) -> list[str]:
@@ -212,6 +242,44 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     files = _input_files(cfg.input_path)
     groups = plan_partitions(files, cfg.partitions)
     done = _load_done(cfg.output_dir)
+
+    # --- plan-time schema check: a rule targeting an absent column emits
+    # ONE violation (reference's compile-level "does not exist") and is
+    # dropped from the data plane — otherwise every batch of every block
+    # would re-emit it and counts would depend on partitioning.
+    input_columns = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    missing_col_rules = [
+        r for r in rules.column_rules() if r.column not in input_columns
+    ]
+    active_column_rules = [
+        r for r in rules.column_rules() if r.column in input_columns
+    ]
+    plan_violations = len(missing_col_rules)
+    if missing_col_rules and "plan" not in done:
+        plan_dir = os.path.join(cfg.output_dir, "violations", "plan")
+        shutil.rmtree(plan_dir, ignore_errors=True)
+        os.makedirs(plan_dir, exist_ok=True)
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([-1] * plan_violations, pa.int32()),
+                pa.array([None] * plan_violations, pa.string()),
+                pa.array([r.rule_id for r in missing_col_rules], pa.string()),
+                pa.array(
+                    [f"column `{r.column}` does not exist" for r in missing_col_rules],
+                    pa.string(),
+                ),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(plan_dir, "plan-violations.parquet"))
+        _write_manifest(
+            cfg.output_dir,
+            {"id": "plan", "status": "done", "violations": plan_violations,
+             "rules": [r.rule_id for r in missing_col_rules]},
+        )
+    elif "plan" in done:
+        plan_violations = done["plan"].get("violations", 0)
+
     phase_wall: dict[str, float] = {}
     _t = time.perf_counter()
 
@@ -224,7 +292,9 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     read_columns = cfg.read_columns
     if read_columns is None:
         needed = set(rules.required_columns(cfg.key_column))
-        read_columns = sorted(needed)
+        # absent columns were already reported as plan violations; asking
+        # the parquet reader for them would fail the whole read
+        read_columns = sorted(needed & input_columns)
 
     # --- global pass: uniqueness (keys-only; the one shuffling rule) -----
     global_metrics: dict[str, Any] = {}
@@ -235,6 +305,10 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     elif rules.unique_rules():
         t0 = time.perf_counter()
         out_dir = os.path.join(cfg.output_dir, "violations", "global")
+        # a crash between write and manifest leaves stale files: clear them
+        # so the re-run cannot double-count (manifest rows are written only
+        # AFTER output is complete, so this is always safe)
+        shutil.rmtree(out_dir, ignore_errors=True)
         all_v = []
         for rule in rules.unique_rules():
             key_ds = _read_partitions(
@@ -297,12 +371,12 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         dviol, dmetrics, dsketches = drift_self_check(
             dds, rule, cfg.baselines.get(rule.rule_id), return_sketches=True
         )
+        drift_out = os.path.join(cfg.output_dir, "violations", doc_id)
+        shutil.rmtree(drift_out, ignore_errors=True)
         if dviol.num_rows:
             import ray.data as rd
 
-            rd.from_arrow(dviol).write_parquet(
-                os.path.join(cfg.output_dir, "violations", doc_id)
-            )
+            rd.from_arrow(dviol).write_parquet(drift_out)
         vb: dict[int, int] = {}
         for pid in dviol.column("partition_id").to_pylist():
             vb[int(pid)] = vb.get(int(pid), 0) + 1
@@ -340,14 +414,22 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         else []
     )
     has_row_rules = bool(
-        rules.column_rules() or rules.audio_rules() or rules.json_rules() or ref_pairs
+        active_column_rules or rules.audio_rules() or rules.json_rules() or ref_pairs
     )
+
+    # violations are laid out ONE DIRECTORY PER PARTITION (the checkpoint
+    # unit), not per wave: a resumed run deletes and rewrites exactly the
+    # partitions it reprocesses, so `violations_dataset()` can never see a
+    # stale or duplicated copy (crash-between-write-and-manifest safe).
+    parts_root = os.path.join(cfg.output_dir, "violations", "parts")
 
     for wave_no, wave in enumerate(waves):
         t0 = time.perf_counter()
         wave_ids = [pid for pid, _ in wave]
-        wave_tag = "wave-" + "-".join(str(i) for i in (wave_ids[0], wave_ids[-1]))
-        out_dir = os.path.join(cfg.output_dir, "violations", wave_tag)
+        for pid in wave_ids:
+            shutil.rmtree(
+                os.path.join(parts_root, f"partition_id={pid}"), ignore_errors=True
+            )
 
         # per-partition row counts from parquet footers — no data read
         rows_by_pid = {
@@ -359,7 +441,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         if has_row_rules:
             ds = _read_partitions(wave, read_columns)
             stage_args = (
-                rules.column_rules(), rules.audio_rules(), ref_pairs,
+                active_column_rules, rules.audio_rules(), ref_pairs,
                 cfg.key_column, rules.json_rules(),
             )
             if cfg.decode_actor_pool:
@@ -380,16 +462,16 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
                     batch_format="pyarrow",
                     batch_size=cfg.decode_batch_size,
                 )
-            vds.write_parquet(out_dir)
-            written = glob.glob(
-                os.path.join(out_dir, "**", "*.parquet"), recursive=True
-            )
-            # a fully-clean wave writes no files at all
-            viol_by_pid = (
-                _partial_count_by_pid(ray.data.read_parquet(written))
-                if written
-                else {}
-            )
+            vds.write_parquet(parts_root, partition_cols=["partition_id"])
+            # violation counts per pid straight from the parquet footers
+            for pid in wave_ids:
+                files = glob.glob(
+                    os.path.join(parts_root, f"partition_id={pid}", "*.parquet")
+                )
+                if files:
+                    viol_by_pid[pid] = sum(
+                        pq.ParquetFile(f).metadata.num_rows for f in files
+                    )
 
         wall = time.perf_counter() - t0
         for pid, grp in wave:
@@ -401,7 +483,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
                 "files": grp,
                 "rows": rows_by_pid.get(pid, 0),
                 "violations": n_viol,
-                "violations_path": out_dir,
+                "violations_path": os.path.join(parts_root, f"partition_id={pid}"),
                 "drift": {
                     rid: metrics[pid]
                     for rid, metrics in drift_by_rule.items()
@@ -414,7 +496,11 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
 
     _mark("waves")
     global_metrics["phase_wall"] = phase_wall
-    total_viols = g_violations + sum(m.get("violations", 0) for m in partition_metrics.values())
+    total_viols = (
+        plan_violations
+        + g_violations
+        + sum(m.get("violations", 0) for m in partition_metrics.values())
+    )
     total_rows = sum(m.get("rows", 0) for m in partition_metrics.values())
     return RunResult(
         output_dir=cfg.output_dir,

@@ -285,9 +285,17 @@ def _expand_rule(rule: dict, bindings: dsl.Bindings) -> Iterator[dict]:
     holes (``{a|b}``, ``{0..3}``) still expand per-field with a cartesian
     product, exactly like the reference.
     """
-    used = sorted(
-        set().union(set(), *(_collect_vars(v) for v in rule.values())) & set(bindings)
-    )
+    all_vars = set().union(set(), *(_collect_vars(v) for v in rule.values()))
+    missing = all_vars - set(bindings)
+    if missing:
+        # no rule type has inner bindings (unlike the reference's image/
+        # gltf validators), so an unbound var can never resolve later —
+        # fail at compile time (reference UnboundSymbolError / exit 127)
+        raise RuleSetError(
+            f"unbound binding(s) {sorted('$' + m for m in missing)} in rule "
+            f"{rule.get('rule', rule.get('type', '?'))!r}"
+        )
+    used = sorted(all_vars)
     var_combos = product(*(_atomic_variants(bindings[name]) for name in used))
     for combo in var_combos:
         pinned = dict(bindings)

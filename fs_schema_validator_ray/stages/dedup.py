@@ -427,7 +427,10 @@ def simhash_near_dup_pairs(
         ids, hashes = ids[order], hashes[order]
         keep = np.concatenate([[True], ids[1:] != ids[:-1]])
         ids, hashes = ids[keep], hashes[keep]
-        if len(ids) < 2 or len(ids) > 256:
+        # cap, don't drop: a giant bucket is a dup cluster — truncating
+        # keeps it chained through the capped pairs (cf. _bucket_pairs)
+        ids, hashes = ids[:256], hashes[:256]
+        if len(ids) < 2:
             return _PAIR_SCHEMA.empty_table()
         ai, bi = np.triu_indices(len(ids), k=1)
         ham = np.array(

@@ -44,8 +44,10 @@ class BroadcastJoinStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys_sorted, values = self._resolve()  # (sorted key array, {col: np.array})
         probe = np.asarray(batch.column(self.key_column))
-        idx = np.searchsorted(keys_sorted, probe)
-        idx = np.clip(idx, 0, len(keys_sorted) - 1)
+        # side="right" - 1 → LAST occurrence among duplicate keys (stable
+        # sort preserves dataset order, so last row wins as documented)
+        idx = np.searchsorted(keys_sorted, probe, side="right") - 1
+        idx = np.clip(idx, 0, max(0, len(keys_sorted) - 1))
         hit = keys_sorted[idx] == probe if len(keys_sorted) else np.zeros(len(probe), bool)
         out = batch.filter(pa.array(hit))
         take = idx[hit]
@@ -103,6 +105,10 @@ def asof_join(
     """
     l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
     r_cols = list(dict.fromkeys([key_column, right_ts, *right_value_columns]))
+    # resolve null-fill dtypes ONCE on the driver — referencing the
+    # Datasets inside the closures would serialize them into every task
+    l_types = {c: _target_type(left, c) for c in left_value_columns}
+    r_types = {c: _target_type(right, c) for c in right_value_columns}
 
     def tag_left(t: pa.Table) -> pa.Table:
         out = pa.table(
@@ -115,9 +121,7 @@ def asof_join(
         for c in left_value_columns:
             out = out.append_column(f"l_{c}", t.column(c))
         for c in right_value_columns:
-            out = out.append_column(
-                f"r_{c}", pa.nulls(t.num_rows, _target_type(right, c))
-            )
+            out = out.append_column(f"r_{c}", pa.nulls(t.num_rows, r_types[c]))
         return out
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -129,7 +133,7 @@ def asof_join(
             }
         )
         for c in left_value_columns:
-            out = out.append_column(f"l_{c}", pa.nulls(t.num_rows, _target_type(left, c)))
+            out = out.append_column(f"l_{c}", pa.nulls(t.num_rows, l_types[c]))
         for c in right_value_columns:
             out = out.append_column(f"r_{c}", t.column(c))
         return out

@@ -80,9 +80,26 @@ def parse_image_dims(payload: bytes, fmt: str) -> Optional[tuple[int, int]]:
                 i += 2 + seg_len
             return None
         if fmt == "webp":
-            if payload[12:16] == b"VP8X" and len(payload) >= 30:
+            tag = payload[12:16]
+            if tag == b"VP8X" and len(payload) >= 30:
                 w = int.from_bytes(payload[24:27], "little") + 1
                 h = int.from_bytes(payload[27:30], "little") + 1
+                return w, h
+            if tag == b"VP8 " and len(payload) >= 30:
+                # lossy simple format: frame header after the 3-byte frame
+                # tag + start code 9D 01 2A, then 14-bit width/height
+                if payload[23:26] != b"\x9d\x01\x2a":
+                    return None
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return w, h
+            if tag == b"VP8L" and len(payload) >= 25:
+                # lossless: signature byte 0x2F then 14+14 bits packed LE
+                if payload[20] != 0x2F:
+                    return None
+                bits = int.from_bytes(payload[21:25], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
                 return w, h
             return None
     except (struct.error, IndexError):

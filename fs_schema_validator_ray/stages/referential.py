@@ -59,6 +59,8 @@ def _probe(membership, values: np.ndarray) -> np.ndarray:
     """True where the value IS present."""
     if isinstance(membership, BloomFilter):
         return membership.contains(values)
+    if len(membership) == 0:  # empty manifest → everything is missing
+        return np.zeros(len(values), dtype=bool)
     h = hash64(values)
     idx = np.searchsorted(membership, h)
     idx = np.clip(idx, 0, len(membership) - 1)

@@ -1,0 +1,185 @@
+"""Regression tests for the round-1 adversarial review findings."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fs_schema_validator_ray.pipelines.validate import (
+    ValidationRunConfig,
+    run_validation,
+)
+from fs_schema_validator_ray.rules import RuleSet, RuleSetError
+
+
+RULES = """
+rules:
+  - rule: v_range
+    type: int
+    column: v
+    min: 0
+    max: 100
+  - rule: unique_k
+    type: unique
+    column: k
+"""
+
+
+def make_corpus(tmp_path, n_files=3, rows=50):
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(n_files):
+        t = pa.table(
+            {
+                "k": pa.array([f"{i}-{j}" for j in range(rows)]),
+                "v": pa.array(
+                    [200 if j == 0 else j for j in range(rows)], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(t, d / f"f{i}.parquet")
+    return str(d)
+
+
+def test_crash_resume_does_not_duplicate_violations(ray_session, tmp_path):
+    """Crash between violations write and manifest write (simulated by
+    deleting the manifests) must NOT double-count on rerun."""
+    src = make_corpus(tmp_path)
+    out = tmp_path / "run"
+    cfg = ValidationRunConfig(
+        input_path=src, rules=RuleSet.from_yaml(RULES),
+        output_dir=str(out), key_column="k",
+    )
+    res1 = run_validation(cfg)
+    n1 = res1.total_violations
+    assert n1 == 3  # one v=200 per file
+    assert res1.violations_dataset().count() == 3
+
+    # simulate crash-after-write: output files exist, manifests don't
+    for m in glob.glob(os.path.join(out, "manifest", "part-*.json")):
+        os.remove(m)
+    res2 = run_validation(cfg)
+    assert res2.total_violations == n1
+    assert res2.violations_dataset().count() == 3
+
+    # partial resume: one partition redone → still no duplicates
+    os.remove(os.path.join(out, "manifest", "part-1.json"))
+    res3 = run_validation(cfg)
+    assert res3.total_violations == n1
+    assert res3.violations_dataset().count() == 3
+
+
+def test_empty_manifest_reports_all_missing(ray_session):
+    import ray
+
+    from fs_schema_validator_ray.rules import ReferentialRule
+    from fs_schema_validator_ray.stages.referential import (
+        ReferentialStage,
+        build_membership,
+    )
+
+    membership = build_membership(np.empty(0, dtype=object))
+    stage = ReferentialStage(
+        ReferentialRule(rule_id="r", column="k", manifest="m"), ray.put(membership)
+    )
+    out = stage(pa.table({"k": pa.array(["a", "b"])}))
+    assert out.num_rows == 2  # everything missing, no crash
+
+
+def test_missing_column_rule_is_one_plan_violation(ray_session, tmp_path):
+    src = make_corpus(tmp_path)
+    rules = RuleSet.from_yaml(
+        RULES + "  - rule: ghost\n    type: int\n    column: nope\n    min: 0\n"
+    )
+    out = tmp_path / "run"
+    cfg = ValidationRunConfig(
+        input_path=src, rules=rules, output_dir=str(out), key_column="k",
+        partitions=3, wave_size=1,  # several waves: count must not scale
+    )
+    res = run_validation(cfg)
+    v = res.violations_dataset().to_pandas()
+    ghost = v[v["rule_id"] == "ghost"]
+    assert len(ghost) == 1
+    assert ghost.iloc[0]["reason"] == "column `nope` does not exist"
+    # resume: still exactly one
+    res2 = run_validation(cfg)
+    v2 = res2.violations_dataset().to_pandas()
+    assert len(v2[v2["rule_id"] == "ghost"]) == 1
+
+
+def test_unbound_binding_is_compile_error():
+    with pytest.raises(RuleSetError, match=r"unbound binding.*\$colums"):
+        RuleSet.from_yaml(
+            """
+bindings:
+  columns: [a, b]
+rules:
+  - rule: "x_{$colums}"
+    type: int
+    column: "{$colums}"
+"""
+        )
+
+
+def test_broadcast_join_last_wins(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array(["old", "new"])})
+    )
+    out = broadcast_join(big, small, "k", ["v"]).take_all()
+    assert [r["v"] for r in out] == ["new"]
+
+
+def test_simhash_large_cluster_not_dropped(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import simhash_near_dup_pairs
+
+    texts = ["identical content repeated many times over"] * 300
+    t = pa.table(
+        {"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)}
+    )
+    pairs = simhash_near_dup_pairs(ray.data.from_arrow(t)).take_all()
+    # capped, but NOT empty: the cluster stays connected
+    assert len(pairs) > 0
+    assert all(r["similarity"] == 1.0 for r in pairs)
+
+
+def test_webp_simple_format_dims():
+    from fs_schema_validator_ray.stages.multimodal import (
+        parse_image_dims,
+        sniff_image_format,
+    )
+
+    # minimal lossy VP8 container: RIFF/WEBP + 'VP8 ' chunk with the
+    # 9D 01 2A start code then 14-bit dims
+    w, h = 33, 17
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    payload = b"RIFF" + (4 + 8 + len(body)).to_bytes(4, "little") + b"WEBP" \
+        + b"VP8 " + len(body).to_bytes(4, "little") + body
+    assert sniff_image_format(payload) == "webp"
+    assert parse_image_dims(payload, "webp") == (w, h)
+    # lossless VP8L: sig 0x2F then 14+14 bits packed (w-1, h-1)
+    bits = (w - 1) | ((h - 1) << 14)
+    body_l = b"\x2f" + bits.to_bytes(4, "little")
+    payload_l = b"RIFF" + (4 + 8 + len(body_l)).to_bytes(4, "little") + b"WEBP" \
+        + b"VP8L" + len(body_l).to_bytes(4, "little") + body_l
+    assert parse_image_dims(payload_l, "webp") == (w, h)
+
+
+def test_std_zero_for_constant_column(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.pipelines.stats import column_stats
+
+    t = pa.table({"z": pa.array([0.0] * 100)})
+    stats = column_stats(ray.data.from_arrow(t), ["z"])
+    assert stats["z"]["std"] == 0.0
+    assert stats["z"]["mean"] == 0.0
