@@ -20,8 +20,10 @@ Ray-Data-first rebuild of the reference's one-shot serial run
   keys-only pass — the only all-to-all exchange in the system, shuffling
   pre-aggregated ``(key, count)`` rows, never payloads.
 
-Violation output is one directory per wave (plus one for the global
-pass): rerun-friendly, never one giant file.
+Violation output is one hive directory per PARTITION (plus one each
+for the global/drift/plan passes): a resumed run deletes and rewrites
+exactly the partitions it reprocesses — rerun-safe, never one giant
+file.
 """
 
 from __future__ import annotations
