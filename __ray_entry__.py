@@ -155,6 +155,16 @@ FROM (SELECT event_type, event_id, value,
       FROM events) t
 WHERE rn <= 3
 """,
+        "revenue_by_segment": """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_micros,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
         "windowed_events_daily": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

@@ -296,6 +296,49 @@ def topk_events_users(sf_dir: str):
     return agg.sort(["value_cents", "user_id"], descending=[True, False]).limit(20)
 
 
+def revenue_by_segment(sf_dir: str):
+    """Composed pipeline (TPC-H-Q3 flavored): lineitem ⋈ orders ⋈
+    customer via two broadcast joins, then combiner group-sum of revenue
+    per market segment. Exact integer micros keep the distributed sum
+    order-insensitive."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        micros = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                    ),
+                    10000.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "revenue_micros": micros}
+        )
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(li, orders, "l_orderkey", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(joined, cust, "o_custkey", ["c_mktsegment"])
+    return group_sum(joined, ["c_mktsegment"], ["revenue_micros"])
+
+
 def topk_per_event_type(sf_dir: str):
     """Top-3 events by value per event type via SALTED two-phase
     map_groups (5 hot keys over the whole table — the skew shape salting
@@ -667,6 +710,7 @@ QUERIES = {
     "agg_events_by_type": agg_events_by_type,
     "topk_events_users": topk_events_users,
     "topk_per_event_type": topk_per_event_type,
+    "revenue_by_segment": revenue_by_segment,
     "windowed_events_daily": windowed_events_daily,
     "asof_events_orders": asof_events_orders,
     "broadcast_join_events_customer": broadcast_join_events_customer,
