@@ -171,6 +171,24 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
+        "sessionize_events": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+     flagged AS (
+       SELECT user_id, ts_us,
+              CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                        > 30 * 60 * 1000000 OR
+                   LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                   THEN 1 ELSE 0 END AS new_session
+       FROM e),
+     sess AS (
+       SELECT user_id, ts_us,
+              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+       FROM flagged)
+SELECT user_id, MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
         "asof_events_orders": """
 SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms
 FROM events e ASOF JOIN orders o

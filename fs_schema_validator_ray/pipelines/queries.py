@@ -353,6 +353,25 @@ def topk_per_event_type(sf_dir: str):
     return out.select_columns(["event_type", "event_id", "value_cents"])
 
 
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization per user (30-minute gap): the stateful
+    streaming-window operator, one key-pruned shuffle + per-group
+    vectorized gap diff."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return sessionize(ds, "user_id", "ts", gap=30 * 60 * 1_000_000)  # 30 min in µs
+
+
 def windowed_events_daily(sf_dir: str):
     """Tumbling-window (daily) aggregate per event type: window key
     derived vectorized from the timestamp, then combiner group-sum —
@@ -712,6 +731,7 @@ QUERIES = {
     "topk_per_event_type": topk_per_event_type,
     "revenue_by_segment": revenue_by_segment,
     "windowed_events_daily": windowed_events_daily,
+    "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
     "broadcast_join_events_customer": broadcast_join_events_customer,
     "distinct_part_brands": distinct_part_brands,

@@ -85,6 +85,56 @@ def salted_topk_per_key(
     return phase1.groupby(key_column).map_groups(final_topk, batch_format="pyarrow")
 
 
+def sessionize(
+    ds,
+    key_column: str,
+    ts_column: str,
+    gap,
+    value_columns: list[str] = (),
+):
+    """Gap-based sessionization: events of one key whose timestamps are
+    within ``gap`` of the previous event share a session. The stateful
+    streaming-window op expressed batch-first: ONE ``groupby(key)``
+    shuffle of the pruned columns, then per-group sort + vectorized gap
+    diff. Emits one row per session:
+    ``(key, session_start, session_end, n_events)``.
+
+    ``gap`` and the emitted bounds are in the timestamp's native int64
+    unit (cast upstream). Partitioning assumption: one key's events fit
+    one group — salt pathologically hot keys upstream.
+    """
+    cols = list(dict.fromkeys([key_column, ts_column, *value_columns]))
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = np.asarray(
+            pc.cast(group.column(ts_column), pa.int64()), dtype=np.int64
+        )
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        # a new session starts where the gap from the previous event
+        # exceeds `gap`
+        starts = np.concatenate([[True], np.diff(ts) > int(gap)])
+        sid = np.cumsum(starts) - 1
+        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
+        first = np.flatnonzero(starts)
+        last = np.concatenate([first[1:] - 1, [len(ts) - 1]]) if n_sessions else first
+        key_val = group.column(key_column)[0]
+        return pa.table(
+            {
+                key_column: pa.array([key_val.as_py()] * n_sessions),
+                "session_start": pa.array(ts[first], pa.int64()),
+                "session_end": pa.array(ts[last], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.concatenate([first, [len(ts)]])), pa.int64()
+                ),
+            }
+        )
+
+    return ds.select_columns(cols).groupby(key_column).map_groups(
+        per_key, batch_format="pyarrow"
+    )
+
+
 def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
     """Attach a tumbling-window key derived from a timestamp column
     (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""

@@ -102,6 +102,25 @@ def test_salted_topk_per_key(ray_session):
         assert got == expect
 
 
+def test_sessionize(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import sessionize
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            # k=1: events at 0, 10, 50 (gap>20 → new session), 55; k=2: one
+            "ts": pa.array([0, 10, 50, 55, 7], pa.int64()),
+        }
+    )
+    out = sorted(
+        (r["k"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(ray.data.from_arrow(t), "k", "ts", gap=20).take_all()
+    )
+    assert out == [(1, 0, 10, 2), (1, 50, 55, 2), (2, 7, 7, 1)]
+
+
 def test_tumbling_window():
     from fs_schema_validator_ray.stages.agg import tumbling_window
     import ray.data
