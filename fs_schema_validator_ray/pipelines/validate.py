@@ -206,9 +206,15 @@ def _read_partitions(
     def attach(batch: pa.Table) -> pa.Table:
         paths = batch.column("path").combine_chunks()
         enc = paths.dictionary_encode()
-        lut = np.asarray(
-            [path_to_pid.get(p.as_py(), -1) for p in enc.dictionary], dtype=np.int32
-        )
+        uniq = [p.as_py() for p in enc.dictionary]
+        unknown = [p for p in uniq if p not in path_to_pid]
+        if unknown:
+            # fail LOUDLY: silently mapping to -1 would drop these rows
+            # from every per-partition count and cleanup path
+            raise ValueError(
+                f"read returned path(s) not in the partition plan: {unknown[:3]}"
+            )
+        lut = np.asarray([path_to_pid[p] for p in uniq], dtype=np.int32)
         pids = lut[np.asarray(enc.indices, dtype=np.int64)]
         batch = batch.drop_columns(["path"])
         if PARTITION_COLUMN in batch.column_names:
@@ -218,19 +224,12 @@ def _read_partitions(
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
-def _partial_count_by_pid(ds) -> dict[int, int]:
-    """Per-partition row counts without a shuffle: per-batch partial counts
-    merged on the driver (tiny)."""
-    def partial(batch: pa.Table) -> pa.Table:
-        if PARTITION_COLUMN in batch.column_names:
-            parts = np.asarray(batch.column(PARTITION_COLUMN).combine_chunks().cast(pa.int32()))
-        else:
-            parts = np.full(batch.num_rows, -1, np.int32)
-        pids, counts = np.unique(parts, return_counts=True)
-        return pa.table({"pid": pa.array(pids, pa.int32()), "n": pa.array(counts, pa.int64())})
-
-    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return {int(k): int(v) for k, v in df.groupby("pid")["n"].sum().items()}
+def _footer_row_count(directory: str) -> int:
+    """Row count from parquet footers — no data read, no Ray job."""
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(directory, "**", "*.parquet"), recursive=True)
+    )
 
 
 def run_validation(cfg: ValidationRunConfig) -> RunResult:
@@ -248,14 +247,50 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     # --- plan-time schema check: a rule targeting an absent column emits
     # ONE violation (reference's compile-level "does not exist") and is
     # dropped from the data plane — otherwise every batch of every block
-    # would re-emit it and counts would depend on partitioning.
-    input_columns = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    # would re-emit it (or crash the read) and counts would depend on
+    # partitioning. Schema = union over file footers (bounded scan) so
+    # schema-evolved corpora don't mis-plan on the first file alone.
+    input_columns: set[str] = set()
+    for f in files[:256]:
+        input_columns |= set(pq.ParquetFile(f).schema_arrow.names)
+
+    def _rule_columns(r) -> list[str]:
+        from fs_schema_validator_ray.rules import (
+            AudioRule,
+            ColumnRule,
+            DriftRule,
+            JsonRule,
+            ReferentialRule,
+            UniqueRule,
+        )
+
+        if isinstance(r, ColumnRule):
+            return [r.column]
+        if isinstance(r, AudioRule):
+            cols = [r.bytes_column, r.codec_column, r.sr_column, r.dur_column]
+            if r.check_transcript:
+                cols.append(r.transcript_column)
+            return cols
+        if isinstance(r, (JsonRule, UniqueRule, ReferentialRule, DriftRule)):
+            return [r.column]
+        return []
+
     missing_col_rules = [
-        r for r in rules.column_rules() if r.column not in input_columns
+        r
+        for r in rules.rules
+        if any(c not in input_columns for c in _rule_columns(r))
     ]
+    missing_ids = {r.rule_id for r in missing_col_rules}
     active_column_rules = [
-        r for r in rules.column_rules() if r.column in input_columns
+        r for r in rules.column_rules() if r.rule_id not in missing_ids
     ]
+    if missing_ids:
+        # drop EVERY rule family member that targets an absent column —
+        # they were reported once at plan time
+        rules = RuleSet(
+            rules=[r for r in rules.rules if r.rule_id not in missing_ids],
+            bindings=rules.bindings,
+        )
     plan_violations = len(missing_col_rules)
     if missing_col_rules and "plan" not in done:
         plan_dir = os.path.join(cfg.output_dir, "violations", "plan")
@@ -267,7 +302,14 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
                 pa.array([None] * plan_violations, pa.string()),
                 pa.array([r.rule_id for r in missing_col_rules], pa.string()),
                 pa.array(
-                    [f"column `{r.column}` does not exist" for r in missing_col_rules],
+                    [
+                        "column `"
+                        + next(
+                            c for c in _rule_columns(r) if c not in input_columns
+                        )
+                        + "` does not exist"
+                        for r in missing_col_rules
+                    ],
                     pa.string(),
                 ),
             ],
@@ -322,9 +364,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         if len(all_v) > 1:
             vds = vds.union(*all_v[1:])
         vds.write_parquet(out_dir)
-        written = glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
-        # zero violations → write_parquet may emit no files at all
-        g_violations = ray.data.read_parquet(written).count() if written else 0
+        # footer sum (zero violations → write_parquet emits no files → 0)
+        g_violations = _footer_row_count(out_dir)
         global_metrics = {"wall_s": time.perf_counter() - t0, "violations": g_violations}
         _write_manifest(
             cfg.output_dir,
@@ -356,6 +397,9 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     # read; nothing about drift touches the payload-bearing wave pass.
     drift_by_rule: dict[str, dict[int, dict]] = {}
     drift_viol_by_pid: dict[int, int] = {}
+    # drift counts computed THIS run (vs loaded from a done manifest):
+    # partitions skipped by the wave loop still need these in the total
+    fresh_drift_by_pid: dict[int, int] = {}
     for rule in rules.drift_rules():
         doc_id = f"drift-{rule.rule_id}"
         if doc_id in done:
@@ -384,6 +428,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
             vb[int(pid)] = vb.get(int(pid), 0) + 1
         for pid, nv in vb.items():
             drift_viol_by_pid[pid] = drift_viol_by_pid.get(pid, 0) + nv
+            fresh_drift_by_pid[pid] = fresh_drift_by_pid.get(pid, 0) + nv
         drift_by_rule[rule.rule_id] = dmetrics
         _write_manifest(
             cfg.output_dir,
@@ -498,9 +543,17 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
 
     _mark("waves")
     global_metrics["phase_wall"] = phase_wall
+    # freshly-computed drift violations on partitions the wave loop
+    # skipped (their manifests predate the drift rule) are counted here;
+    # reprocessed partitions already folded them into their new docs
+    pending_pids = {pid for pid, _ in pending}
+    drift_on_skipped = sum(
+        n for pid, n in fresh_drift_by_pid.items() if pid not in pending_pids
+    )
     total_viols = (
         plan_violations
         + g_violations
+        + drift_on_skipped
         + sum(m.get("violations", 0) for m in partition_metrics.values())
     )
     total_rows = sum(m.get("rows", 0) for m in partition_metrics.values())

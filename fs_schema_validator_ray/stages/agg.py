@@ -21,14 +21,16 @@ import pyarrow.compute as pc
 
 def _partial(keys: list[str], sum_cols: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
-        cols = [c for c in (*keys, *sum_cols) if c in batch.column_names]
-        tbl = batch.select(cols)
-        aggs = [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+        # fail fast on a genuinely missing column (clear error at select)
+        tbl = batch.select([*keys, *sum_cols])
+        # count_all (not a column count): groups whose KEY is null must
+        # still report their row count (cf. stages/unique.py)
+        aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
         g = pa.TableGroupBy(tbl, keys).aggregate(aggs)
         out = {k: g.column(k) for k in keys}
         for c in sum_cols:
             out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
-        out["n"] = pc.cast(g.column(f"{keys[0]}_count"), pa.int64())
+        out["n"] = pc.cast(g.column("count_all"), pa.int64())
         return pa.table(out)
 
     return fn
@@ -90,7 +92,6 @@ def sessionize(
     key_column: str,
     ts_column: str,
     gap,
-    value_columns: list[str] = (),
 ):
     """Gap-based sessionization: events of one key whose timestamps are
     within ``gap`` of the previous event share a session. The stateful
@@ -103,7 +104,7 @@ def sessionize(
     unit (cast upstream). Partitioning assumption: one key's events fit
     one group — salt pathologically hot keys upstream.
     """
-    cols = list(dict.fromkeys([key_column, ts_column, *value_columns]))
+    cols = [key_column, ts_column]
 
     def per_key(group: pa.Table) -> pa.Table:
         ts = np.asarray(
@@ -119,9 +120,12 @@ def sessionize(
         first = np.flatnonzero(starts)
         last = np.concatenate([first[1:] - 1, [len(ts) - 1]]) if n_sessions else first
         key_val = group.column(key_column)[0]
+        key_type = group.column(key_column).type
         return pa.table(
             {
-                key_column: pa.array([key_val.as_py()] * n_sessions),
+                # explicit type: as_py() re-inference would widen ints and
+                # produce a null-typed column for null keys
+                key_column: pa.array([key_val.as_py()] * n_sessions, type=key_type),
                 "session_start": pa.array(ts[first], pa.int64()),
                 "session_end": pa.array(ts[last], pa.int64()),
                 "n_events": pa.array(
