@@ -110,6 +110,46 @@ def test_missing_column_rule_is_one_plan_violation(ray_session, tmp_path):
     assert len(v2[v2["rule_id"] == "ghost"]) == 1
 
 
+def test_drift_rule_added_on_resume_counts(ray_session, tmp_path):
+    """A drift rule added AFTER a completed run must contribute to
+    total_violations even though every partition is skipped as done."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    # partition 0 clean, partition 1 drifted
+    pq.write_table(
+        pa.table({"k": [f"a{i}" for i in range(500)],
+                  "v": rng.integers(10, 40, 500)}), src / "f0.parquet"
+    )
+    pq.write_table(
+        pa.table({"k": [f"b{i}" for i in range(500)],
+                  "v": rng.integers(60, 90, 500)}), src / "f1.parquet"
+    )
+    out = tmp_path / "run"
+    base = "rules:\n  - rule: v_range\n    type: int\n    column: v\n    min: 0\n    max: 100\n"
+    cfg = ValidationRunConfig(
+        input_path=str(src), rules=RuleSet.from_yaml(base),
+        output_dir=str(out), key_column="k",
+    )
+    res1 = run_validation(cfg)
+    assert res1.total_violations == 0
+
+    drifted = base + (
+        "  - rule: v_drift\n    type: drift\n    column: v\n"
+        "    lo: 0\n    hi: 100\n    bins: 20\n    max_ks: 0.3\n"
+    )
+    cfg2 = ValidationRunConfig(
+        input_path=str(src), rules=RuleSet.from_yaml(drifted),
+        output_dir=str(out), key_column="k",
+    )
+    res2 = run_validation(cfg2)
+    assert res2.partitions_skipped == 2 and res2.waves_run == 0
+    # both partitions drift hard against the pooled baseline
+    assert res2.total_violations == 2
+    v = res2.violations_dataset().to_pandas()
+    assert (v["rule_id"] == "v_drift").sum() == 2
+
+
 def test_unbound_binding_is_compile_error():
     with pytest.raises(RuleSetError, match=r"unbound binding.*\$colums"):
         RuleSet.from_yaml(
