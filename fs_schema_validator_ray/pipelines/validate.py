@@ -184,6 +184,7 @@ def _read_partitions(
     groups: list[tuple[int, list[str]]],
     columns: Optional[list[str]],
     override_num_blocks: Optional[int] = None,
+    file_schema: Optional[pa.Schema] = None,
 ):
     """ONE parquet read over every file of every group (full read
     parallelism, one plan op), with the partition id derived per batch
@@ -192,14 +193,26 @@ def _read_partitions(
     read. ``override_num_blocks``: for narrow (key-only) passes feeding a
     shuffle, cap blocks near the CPU count — shuffle fan-out is
     blocks², and thousands of tiny blocks cost more in object-store
-    round-trips than they buy in parallelism."""
+    round-trips than they buy in parallelism.
+
+    ``file_schema`` (the footer-unified schema): when given, pruning is
+    expressed as ``schema=<pruned subset>`` instead of ``columns=`` —
+    pyarrow then null-fills columns absent from individual files, so a
+    schema-evolved corpus (rule column only in newer files) reads cleanly
+    instead of failing on the first old file."""
     import ray.data
 
     path_to_pid = {f: pid for pid, files in groups for f in files}
+    if columns is not None and file_schema is not None:
+        read_kwargs = {
+            "schema": pa.schema([file_schema.field(c) for c in columns])
+        }
+    else:
+        read_kwargs = {"columns": columns}
     ds = ray.data.read_parquet(
         sorted(path_to_pid),
-        columns=columns,
         include_paths=True,
+        **read_kwargs,
         **({"override_num_blocks": override_num_blocks} if override_num_blocks else {}),
     )
 
@@ -248,11 +261,24 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     # ONE violation (reference's compile-level "does not exist") and is
     # dropped from the data plane — otherwise every batch of every block
     # would re-emit it (or crash the read) and counts would depend on
-    # partitioning. Schema = union over file footers (bounded scan) so
-    # schema-evolved corpora don't mis-plan on the first file alone.
+    # partitioning. Schema = union over ALL file footers (footer-only
+    # reads are cheap; the wave loop re-reads them for row counts anyway)
+    # so a schema-evolved corpus whose rule column appears only in later
+    # files is never falsely reported as missing.
     input_columns: set[str] = set()
-    for f in files[:256]:
-        input_columns |= set(pq.ParquetFile(f).schema_arrow.names)
+    file_schemas = []
+    seen_schema_ids: set[tuple] = set()
+    for f in files:
+        s = pq.ParquetFile(f).schema_arrow
+        key = tuple((n, str(s.field(n).type)) for n in s.names)
+        if key not in seen_schema_ids:
+            seen_schema_ids.add(key)
+            file_schemas.append(s)
+        input_columns |= set(s.names)
+    try:
+        unified_schema = pa.unify_schemas(file_schemas)
+    except pa.ArrowError:  # conflicting types across files: let reads use
+        unified_schema = None  # plain columns= and surface the error there
 
     def _rule_columns(r) -> list[str]:
         from fs_schema_validator_ray.rules import (
@@ -356,7 +382,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         all_v = []
         for rule in rules.unique_rules():
             key_ds = _read_partitions(
-                groups, [rule.column], override_num_blocks=_cluster_cpus()
+                groups, [rule.column], override_num_blocks=_cluster_cpus(),
+                file_schema=unified_schema,
             )
             v = uniqueness_violations(key_ds, rule)
             all_v.append(v)
@@ -408,11 +435,23 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
                 int(k): v for k, v in stored.get("metrics", {}).items()
             }
             for pid_s, nv in stored.get("violations_by_pid", {}).items():
-                drift_viol_by_pid[int(pid_s)] = drift_viol_by_pid.get(int(pid_s), 0) + nv
+                pid = int(pid_s)
+                drift_viol_by_pid[pid] = drift_viol_by_pid.get(pid, 0) + nv
+                # a partition manifest written BEFORE this drift rule ran
+                # never folded these counts into its own `violations` —
+                # treat loaded counts like fresh ones for such docs, or a
+                # no-op rerun silently flips exit code 1 → 0 while the
+                # drift violations still exist on disk
+                part_doc = done.get(f"part-{pid}")
+                if part_doc is not None and rule.rule_id not in part_doc.get(
+                    "drift", {}
+                ):
+                    fresh_drift_by_pid[pid] = fresh_drift_by_pid.get(pid, 0) + nv
             continue
         t0 = time.perf_counter()
         dds = _read_partitions(
-            groups, [rule.column], override_num_blocks=_cluster_cpus()
+            groups, [rule.column], override_num_blocks=_cluster_cpus(),
+            file_schema=unified_schema,
         )
         dviol, dmetrics, dsketches = drift_self_check(
             dds, rule, cfg.baselines.get(rule.rule_id), return_sketches=True
@@ -486,7 +525,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
 
         viol_by_pid: dict[int, int] = {}
         if has_row_rules:
-            ds = _read_partitions(wave, read_columns)
+            ds = _read_partitions(wave, read_columns, file_schema=unified_schema)
             stage_args = (
                 active_column_rules, rules.audio_rules(), ref_pairs,
                 cfg.key_column, rules.json_rules(),

@@ -29,6 +29,15 @@ import pyarrow.compute as pc
 from fs_schema_validator_ray.state.sketches import hash64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (bit-unpack on the uint8 view — no
+    per-element Python)."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8), axis=1)
+    return bits.sum(axis=1).astype(np.int64)
 _PAIR_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("similarity", pa.float64())]
 )
@@ -54,7 +63,15 @@ def exact_dedup_keep_min(ds, text_column: str = "text", id_column: str = "doc_id
     content per batch, never the payload. Returns a Dataset with one
     ``{id_column}`` per distinct content value.
     """
+    empty_partial = pa.schema(
+        [("fp1", pa.int64()), ("fp2", pa.int64()), (id_column, pa.int64())]
+    ).empty_table()
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # Ray Data can deliver empty blocks (filters, over-partitioned
+            # reads); the combiner below would crash on a 0-row lexsort
+            return empty_partial
         h1, h2 = _fingerprint128(batch.column(text_column).combine_chunks())
         ids = np.asarray(batch.column(id_column), dtype=np.int64)
         # per-batch combiner: one row per distinct fingerprint in the batch
@@ -67,10 +84,13 @@ def exact_dedup_keep_min(ds, text_column: str = "text", id_column: str = "doc_id
         n_seg = int(seg[-1]) + 1 if len(seg) else 0
         mins = np.full(n_seg, np.iinfo(np.int64).max)
         np.minimum.at(mins, seg, ids_s)
+        # signed REINTERPRETATION (bijective) of the hash bits: uint64
+        # values above 2^63 can't ride Ray's shuffle natively (they fall
+        # back to pickled-object extension arrays), int64 can
         return pa.table(
             {
-                "fp1": pa.array(h1s[first], pa.uint64()),
-                "fp2": pa.array(h2s[first], pa.uint64()),
+                "fp1": pa.array(h1s[first].view(np.int64), pa.int64()),
+                "fp2": pa.array(h2s[first].view(np.int64), pa.int64()),
                 id_column: pa.array(mins),
             }
         )
@@ -187,27 +207,37 @@ class MinHashBandStage:
                 for j in range(r):  # vectorized over rows; loop over r only
                     h = (h ^ sl[:, j]) * base
                 band_hashes[bnd * len(ids) : (bnd + 1) * len(ids)] = h
+        # int64 view (bijective) so the groupby shuffle key stays a native
+        # Arrow type — uint64 > 2^63 degrades to pickled-object extension
         return pa.table(
             {
                 self.id_column: pa.array(doc_ids),
                 "band": pa.array(band_ids),
-                "band_hash": pa.array(band_hashes, pa.uint64()),
+                "band_hash": pa.array(band_hashes.view(np.int64), pa.int64()),
             }
         )
 
 
 def _bucket_pairs(group: pa.Table, id_column: str) -> pa.Table:
-    """All (a<b) pairs within one LSH bucket. Buckets are tiny by
-    construction; genuinely hot buckets (boilerplate-heavy corpora) should
-    be salted/capped upstream — we cap pairs per bucket to bound blowup."""
+    """(a<b) candidate pairs within one LSH bucket. Buckets are tiny by
+    construction; hot buckets (boilerplate-heavy corpora) are bounded by
+    capping the all-pairs fan-out at ``cap`` ids and STAR-LINKING every
+    overflow id to the bucket's min id — O(n) extra pairs keep the
+    cluster connected (truncation would drop overflow members from every
+    band, since identical content hits the same bucket in every band);
+    the Jaccard verify stage still filters false positives."""
     ids = np.unique(np.asarray(group.column(id_column), dtype=np.int64))
-    cap = 64  # cap bucket fan-out: dup clusters larger than this are
-    # fully connected through the chain of capped pairs anyway
-    ids = ids[:cap]
     if len(ids) < 2:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+    cap = 64
+    head = ids[:cap]
+    ai, bi = np.triu_indices(len(head), k=1)
+    a, b = head[ai], head[bi]
+    if len(ids) > cap:
+        tail = ids[cap:]
+        a = np.concatenate([a, np.full(len(tail), ids[0], np.int64)])
+        b = np.concatenate([b, tail])
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def candidate_pairs(band_rows, id_column: str = "doc_id"):
@@ -401,10 +431,11 @@ class SimHashStage:
             keys[blk * n : (blk + 1) * n] = (
                 (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
             ).astype(np.int32)
+        # int64 view (bijective): native Arrow type across the shuffle
         return pa.table(
             {
                 self.id_column: pa.array(np.tile(ids, 4)),
-                "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
+                "simhash": pa.array(np.tile(sh, 4).view(np.int64), pa.int64()),
                 "band": pa.array(bands),
                 "band_key": pa.array(keys),
             }
@@ -422,25 +453,33 @@ def simhash_near_dup_pairs(
 
     def block_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_column), dtype=np.int64)
-        hashes = np.asarray(group.column("simhash"), dtype=np.uint64)
+        hashes = np.asarray(group.column("simhash"), dtype=np.int64).view(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, hashes = ids[order], hashes[order]
         keep = np.concatenate([[True], ids[1:] != ids[:-1]])
         ids, hashes = ids[keep], hashes[keep]
-        # cap, don't drop: a giant bucket is a dup cluster — truncating
-        # keeps it chained through the capped pairs (cf. _bucket_pairs)
-        ids, hashes = ids[:256], hashes[:256]
         if len(ids) < 2:
             return _PAIR_SCHEMA.empty_table()
-        ai, bi = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(hashes[x] ^ hashes[y])).count("1") for x, y in zip(ai, bi)]
-        )
+        # cap all-pairs fan-out; STAR-LINK overflow ids to the min id so a
+        # giant dup cluster stays connected (identical content lands in the
+        # same bucket in every band, so truncation alone would drop
+        # overflow members from every candidate pair — cf. _bucket_pairs)
+        cap = 256
+        h_ids, h_hash = ids[:cap], hashes[:cap]
+        ai, bi = np.triu_indices(len(h_ids), k=1)
+        a, b = h_ids[ai], h_ids[bi]
+        xor = h_hash[ai] ^ h_hash[bi]
+        if len(ids) > cap:
+            t_ids, t_hash = ids[cap:], hashes[cap:]
+            a = np.concatenate([a, np.full(len(t_ids), ids[0], np.int64)])
+            b = np.concatenate([b, t_ids])
+            xor = np.concatenate([xor, hashes[0] ^ t_hash])
+        ham = popcount64(xor)
         ok = ham <= max_hamming
         return pa.table(
             {
-                "a": pa.array(ids[ai[ok]]),
-                "b": pa.array(ids[bi[ok]]),
+                "a": pa.array(a[ok]),
+                "b": pa.array(b[ok]),
                 "similarity": pa.array(1.0 - ham[ok] / 64.0),
             }
         )

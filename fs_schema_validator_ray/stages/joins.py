@@ -42,7 +42,8 @@ class BroadcastJoinStage:
         return self._lookup
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys_sorted, values = self._resolve()  # (sorted key array, {col: np.array})
+        # (sorted key array, {col: np.array}, {col: pa.DataType})
+        keys_sorted, values, types = self._resolve()
         probe = np.asarray(batch.column(self.key_column))
         # side="right" - 1 → LAST occurrence among duplicate keys (stable
         # sort preserves dataset order, so last row wins as documented)
@@ -52,25 +53,36 @@ class BroadcastJoinStage:
         out = batch.filter(pa.array(hit))
         take = idx[hit]
         for col in self.value_columns:
-            out = out.append_column(col, pa.array(values[col][take]))
+            # explicit type: an all-miss batch must NOT emit a null-typed
+            # column (pa.array of empty object array infers type null,
+            # producing mixed-schema blocks downstream)
+            out = out.append_column(col, pa.array(values[col][take], type=types[col]))
         return out
 
 
 def build_broadcast_side(ds, key_column: str, value_columns: list[str]):
     """Collect + sort the small side into (keys, {col: values}) for
     ``BroadcastJoinStage`` (duplicate keys: last wins)."""
-    tbl = pa.concat_tables(
-        list(
-            ds.select_columns([key_column, *value_columns]).iter_batches(
-                batch_format="pyarrow"
-            )
-        )
-    )
+    proj = ds.select_columns([key_column, *value_columns])
+    batches = list(proj.iter_batches(batch_format="pyarrow"))
+    if batches:
+        tbl = pa.concat_tables(batches)
+    else:
+        schema = proj.schema()
+        schema = schema.base_schema if hasattr(schema, "base_schema") else schema
+        tbl = pa.schema(
+            [(n, schema.field(n).type) for n in [key_column, *value_columns]]
+        ).empty_table()
     keys = np.asarray(tbl.column(key_column))
     order = np.argsort(keys, kind="stable")
-    return keys[order], {
-        col: np.asarray(tbl.column(col), dtype=object)[order] for col in value_columns
-    }
+    return (
+        keys[order],
+        {
+            col: np.asarray(tbl.column(col), dtype=object)[order]
+            for col in value_columns
+        },
+        {col: tbl.schema.field(col).type for col in value_columns},
+    )
 
 
 def broadcast_join(ds, small_ds, key_column: str, value_columns: list[str]):

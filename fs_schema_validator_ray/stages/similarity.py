@@ -296,20 +296,32 @@ def embedding_near_dup_lsh(
         ids = ids[order]
         keep = np.concatenate([[True], ids[1:] != ids[:-1]])
         mat = _normalize(list_column_to_matrix(group.column(vec_column)))[order][keep]
-        ids = ids[keep][:max_bucket]
-        mat = mat[:max_bucket]
+        ids = ids[keep]
         if len(ids) < 2:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "similarity": pa.array([], pa.float64())}
             )
-        sims = mat @ mat.T
+        # cap all-pairs fan-out at max_bucket; STAR-LINK overflow ids to
+        # the min id (O(n) dot products) so giant near-dup clusters —
+        # which hit the same bucket in every block — stay connected
+        # instead of silently losing members beyond the cap
+        h_ids, h_mat = ids[:max_bucket], mat[:max_bucket]
+        sims = h_mat @ h_mat.T
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b, s = h_ids[ai], h_ids[bi], sims[ai, bi]
+        if len(ids) > max_bucket:
+            t_ids, t_mat = ids[max_bucket:], mat[max_bucket:]
+            t_sims = t_mat @ mat[0]
+            ok = t_sims >= threshold
+            a = np.concatenate([a, np.full(int(ok.sum()), ids[0], np.int64)])
+            b = np.concatenate([b, t_ids[ok]])
+            s = np.concatenate([s, t_sims[ok]])
         return pa.table(
             {
-                "a": pa.array(ids[ai]),
-                "b": pa.array(ids[bi]),
-                "similarity": pa.array(sims[ai, bi]),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "similarity": pa.array(s),
             }
         )
 

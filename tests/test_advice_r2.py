@@ -1,0 +1,179 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md r1)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fs_schema_validator_ray.pipelines.validate import (
+    ValidationRunConfig,
+    run_validation,
+)
+from fs_schema_validator_ray.rules import RuleSet
+
+
+def test_drift_violations_survive_noop_rerun(ray_session, tmp_path):
+    """ADVICE r1: a no-op rerun after a drift rule was added on resume must
+    keep reporting the drift violations (exit 1), not silently flip to 0."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    pq.write_table(
+        pa.table({"k": [f"a{i}" for i in range(500)],
+                  "v": rng.integers(10, 40, 500)}), src / "f0.parquet"
+    )
+    pq.write_table(
+        pa.table({"k": [f"b{i}" for i in range(500)],
+                  "v": rng.integers(60, 90, 500)}), src / "f1.parquet"
+    )
+    out = tmp_path / "run"
+    base = "rules:\n  - rule: v_range\n    type: int\n    column: v\n    min: 0\n    max: 100\n"
+    cfg = ValidationRunConfig(
+        input_path=str(src), rules=RuleSet.from_yaml(base),
+        output_dir=str(out), key_column="k",
+    )
+    assert run_validation(cfg).total_violations == 0
+
+    drifted = base + (
+        "  - rule: v_drift\n    type: drift\n    column: v\n"
+        "    lo: 0\n    hi: 100\n    bins: 20\n    max_ks: 0.3\n"
+    )
+    cfg2 = ValidationRunConfig(
+        input_path=str(src), rules=RuleSet.from_yaml(drifted),
+        output_dir=str(out), key_column="k",
+    )
+    res2 = run_validation(cfg2)
+    assert res2.total_violations == 2 and res2.exit_code() == 1
+
+    # run 3: everything (incl. the drift manifest) is done — the loaded
+    # drift counts must still be included for partitions whose docs
+    # predate the drift rule
+    res3 = run_validation(cfg2)
+    assert res3.waves_run == 0
+    assert res3.total_violations == 2 and res3.exit_code() == 1
+    v = res3.violations_dataset().to_pandas()
+    assert (v["rule_id"] == "v_drift").sum() == 2
+
+
+def test_broadcast_join_all_miss_batch_keeps_type(ray_session):
+    """ADVICE r1: a probe batch with ZERO matches must still emit the
+    appended columns with their true Arrow type, not null type."""
+    from fs_schema_validator_ray.stages.joins import (
+        BroadcastJoinStage,
+        build_broadcast_side,
+    )
+    import ray
+    import ray.data
+
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "seg": pa.array(["x"])})
+    )
+    side = build_broadcast_side(small, "k", ["seg"])
+    stage = BroadcastJoinStage(ray.put(side), "k", ["seg"])
+    all_miss = pa.table({"k": pa.array([5, 6], pa.int64())})
+    out = stage(all_miss)
+    assert out.num_rows == 0
+    assert out.schema.field("seg").type == pa.string()
+    # and a hit batch agrees on the schema
+    hit = stage(pa.table({"k": pa.array([1], pa.int64())}))
+    assert hit.schema == out.schema
+
+
+def test_broadcast_join_empty_small_side(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    )
+    out = broadcast_join(big, small, "k", ["v"]).take_all()
+    assert out == []
+
+
+def test_minhash_bucket_overflow_star_linked(ray_session):
+    """ADVICE r1: identical-content clusters larger than the 64-id bucket
+    cap must keep every member in some candidate pair (star-link), not
+    silently drop ids beyond the cap."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import minhash_near_dup_pairs
+
+    n = 70
+    texts = ["the same boilerplate text repeated across many documents"] * n
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    pairs = minhash_near_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.9
+    ).take_all()
+    seen = set()
+    for r in pairs:
+        seen.add(r["a"])
+        seen.add(r["b"])
+    assert seen == set(range(n))
+
+
+def test_simhash_overflow_ids_survive(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import simhash_near_dup_pairs
+
+    n = 300  # > 256 cap
+    texts = ["identical content repeated many times over"] * n
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    pairs = simhash_near_dup_pairs(ray.data.from_arrow(t)).take_all()
+    seen = set()
+    for r in pairs:
+        seen.add(r["a"])
+        seen.add(r["b"])
+    assert seen == set(range(n))
+
+
+def test_popcount64_matches_python():
+    from fs_schema_validator_ray.stages.dedup import popcount64
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**63, size=257, dtype=np.uint64)
+    x[0] = 0
+    x[1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    expect = np.array([bin(int(v)).count("1") for v in x])
+    assert (popcount64(x) == expect).all()
+
+
+def test_exact_dedup_tolerates_empty_blocks(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import exact_dedup_keep_min
+
+    full = pa.table(
+        {"doc_id": pa.array([3, 1, 2], pa.int64()),
+         "text": pa.array(["x", "x", "y"])}
+    )
+    empty = full.schema.empty_table()
+    ds = ray.data.from_arrow([empty, full, empty])
+    out = sorted(r["doc_id"] for r in exact_dedup_keep_min(ds).take_all())
+    assert out == [1, 2]
+
+
+def test_plan_schema_check_scans_all_footers(ray_session, tmp_path):
+    """ADVICE r1: a rule column that appears only after the 256th file must
+    not be falsely dropped as 'does not exist'."""
+    src = tmp_path / "in"
+    src.mkdir()
+    n_files = 260
+    for i in range(n_files):
+        cols = {"k": pa.array([f"{i}-{j}" for j in range(5)])}
+        if i == n_files - 1:  # column v exists ONLY in the last file
+            cols["v"] = pa.array([1, 2, 3, 4, 5], pa.int64())
+        pq.write_table(pa.table(cols), src / f"f{i:04d}.parquet")
+    rules = RuleSet.from_yaml(
+        "rules:\n  - rule: v_rule\n    type: int\n    column: v\n"
+        "    min: 0\n    max: 100\n    nullable: true\n"
+    )
+    cfg = ValidationRunConfig(
+        input_path=str(src), rules=rules, output_dir=str(tmp_path / "run"),
+        key_column="k", partitions=4,
+    )
+    res = run_validation(cfg)
+    assert res.total_violations == 0
+    v = res.violations_dataset().to_pandas()
+    assert len(v) == 0
