@@ -55,16 +55,38 @@ def _fingerprint128(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def exact_dedup_keep_min(ds, text_column: str = "text", id_column: str = "doc_id"):
+def exact_dedup_keep_min(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n_buckets: int | None = None,
+):
     """Exact content dedup: canonical id = min(id) per distinct content.
 
-    ``map_batches(fingerprint + per-batch combiner) → groupby(fp).min(id)``
-    — the shuffle moves one 16-byte fingerprint + one id per *distinct*
-    content per batch, never the payload. Returns a Dataset with one
+    ``map_batches(fingerprint + per-batch combiner) → groupby(bucket) →
+    map_groups(vectorized Arrow group-min)`` — the shuffle moves one
+    16-byte fingerprint + one id per *distinct* content per batch keyed
+    by a small int bucket (``fp1 % n_buckets``), never the payload, and
+    the final merge is one Arrow ``group_by`` per bucket (Ray's builtin
+    ``aggregate()`` combines groups in per-row Python — minutes of CPU
+    per million distinct values). Returns a Dataset with one
     ``{id_column}`` per distinct content value.
     """
+    if n_buckets is None:
+        import ray
+
+        try:
+            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:  # noqa: BLE001
+            n_buckets = 16
+
     empty_partial = pa.schema(
-        [("fp1", pa.int64()), ("fp2", pa.int64()), (id_column, pa.int64())]
+        [
+            ("bucket", pa.int32()),
+            ("fp1", pa.int64()),
+            ("fp2", pa.int64()),
+            (id_column, pa.int64()),
+        ]
     ).empty_table()
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -84,26 +106,33 @@ def exact_dedup_keep_min(ds, text_column: str = "text", id_column: str = "doc_id
         n_seg = int(seg[-1]) + 1 if len(seg) else 0
         mins = np.full(n_seg, np.iinfo(np.int64).max)
         np.minimum.at(mins, seg, ids_s)
+        fp1 = h1s[first]
         # signed REINTERPRETATION (bijective) of the hash bits: uint64
         # values above 2^63 can't ride Ray's shuffle natively (they fall
         # back to pickled-object extension arrays), int64 can
         return pa.table(
             {
-                "fp1": pa.array(h1s[first].view(np.int64), pa.int64()),
+                "bucket": pa.array((fp1 % np.uint64(n_buckets)).astype(np.int32)),
+                "fp1": pa.array(fp1.view(np.int64), pa.int64()),
                 "fp2": pa.array(h2s[first].view(np.int64), pa.int64()),
                 id_column: pa.array(mins),
             }
         )
 
-    from ray.data.aggregate import Min
-
-    agg = (
-        ds.select_columns([id_column, text_column])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["fp1", "fp2"])
-        .aggregate(Min(id_column, alias_name=id_column))
+    partials = ds.select_columns([id_column, text_column]).map_batches(
+        partial, batch_format="pyarrow"
     )
-    return agg.select_columns([id_column])
+    # decouple scan parallelism from shuffle fan-out (blocks_in × blocks_out
+    # objects): the partials are narrow — coalesce before the exchange
+    partials = partials.repartition(max(4, n_buckets // 8))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(group.select(["fp1", "fp2", id_column]), ["fp1", "fp2"]).aggregate(
+            [(id_column, "min")]
+        )
+        return pa.table({id_column: g.column(f"{id_column}_min")})
+
+    return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 # --- shingles + minhash ----------------------------------------------------

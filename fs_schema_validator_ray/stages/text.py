@@ -241,20 +241,89 @@ class FingerprintStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = pc.fill_null(batch.column(self.text_column).combine_chunks(), "")
-        fps = np.zeros(len(col), dtype=np.uint64)
-        sizes = np.zeros(len(col), dtype=np.int64)
-        for i, v in enumerate(col):
-            data = v.as_py().encode("utf-8")
-            sel = winnow(rolling_kgram_hashes(data, self.k), self.window)
-            sizes[i] = len(sel)
-            fp = np.uint64(0)
-            if len(sel):
-                fp = np.bitwise_xor.reduce(sel)
-            fps[i] = fp
+        n = len(col)
+        if n == 0:
+            return pa.table(
+                {
+                    self.id_column: batch.column(self.id_column),
+                    "fingerprint": pa.array([], pa.uint64()),
+                    "n_grams": pa.array([], pa.int64()),
+                }
+            )
+        k, w = self.k, self.window
+
+        # --- flatten: ONE byte buffer for the whole batch (the per-row
+        # loop this replaces cost a Python call + numpy allocs per doc).
+        # Docs shorter than k bytes are zero-padded to k (same semantics
+        # as rolling_kgram_hashes' per-doc padding).
+        arr = pc.cast(col, pa.large_binary())
+        off_buf = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        offsets = off_buf[arr.offset : arr.offset + n + 1]
+        data_buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        new_lens = np.maximum(lens, k)
+        dst_off = np.zeros(n + 1, np.int64)
+        np.cumsum(new_lens, out=dst_off[1:])
+        flat = np.zeros(int(dst_off[-1]), np.uint8)
+        total_old = int(lens.sum())
+        if total_old:
+            rep = np.repeat(np.arange(n), lens)
+            start_cum = np.concatenate([[0], np.cumsum(lens)])
+            within = np.arange(total_old) - start_cum[rep]
+            flat[dst_off[:-1][rep] + within] = data_buf[offsets[:-1][rep] + within]
+
+        # --- ONE rolling-hash pass over the flat buffer (loop over k,
+        # not over positions or docs); per-doc hash ranges never cross
+        # doc boundaries because we slice them out below
+        m_total = len(flat) - k + 1
+        h = np.zeros(m_total, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                h = (h * _HASH_BASE + flat[i : m_total + i]) & _MASK
+
+        # --- gather per-doc hash segments into one packed array
+        m = new_lens - k + 1  # hashes per doc (all >= 1 post-padding)
+        hstart = np.zeros(n + 1, np.int64)
+        np.cumsum(m, out=hstart[1:])
+        tot_h = int(hstart[-1])
+        rep2 = np.repeat(np.arange(n), m)
+        within2 = np.arange(tot_h) - hstart[:-1][rep2]
+        packed = h[dst_off[:-1][rep2] + within2]
+
+        # --- winnowing: global sliding min over packed, per-doc slices
+        # (windows crossing doc boundaries are simply never selected)
+        long_mask = m > w
+        cand_counts = np.where(long_mask, m - w + 1, 1)
+        coff = np.zeros(n + 1, np.int64)
+        np.cumsum(cand_counts, out=coff[1:])
+        cands = np.empty(int(coff[-1]), np.uint64)
+        seg_mins = np.minimum.reduceat(packed, hstart[:-1])
+        short_ids = np.flatnonzero(~long_mask)
+        cands[coff[:-1][short_ids]] = seg_mins[short_ids]
+        long_ids = np.flatnonzero(long_mask)
+        if len(long_ids):
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            gmins = sliding_window_view(packed, w).min(axis=1)
+            cc_long = cand_counts[long_ids]
+            rep3 = np.repeat(long_ids, cc_long)
+            run_start = np.concatenate([[0], np.cumsum(cc_long)])[:-1]
+            within3 = np.arange(int(cc_long.sum())) - np.repeat(run_start, cc_long)
+            cands[coff[:-1][rep3] + within3] = gmins[hstart[:-1][rep3] + within3]
+
+        # --- per-doc unique + XOR-fold + count, all segment-wise
+        seg = np.repeat(np.arange(n), cand_counts)
+        order = np.lexsort((cands, seg))
+        s2, v2 = seg[order], cands[order]
+        firstu = np.concatenate([[True], (s2[1:] != s2[:-1]) | (v2[1:] != v2[:-1])])
+        su, vu = s2[firstu], v2[firstu]
+        starts = np.flatnonzero(np.concatenate([[True], su[1:] != su[:-1]]))
+        fps = np.bitwise_xor.reduceat(vu, starts)
+        sizes = np.diff(np.concatenate([starts, [len(vu)]]))
         return pa.table(
             {
                 self.id_column: batch.column(self.id_column),
                 "fingerprint": pa.array(fps, pa.uint64()),
-                "n_grams": pa.array(sizes),
+                "n_grams": pa.array(sizes.astype(np.int64)),
             }
         )

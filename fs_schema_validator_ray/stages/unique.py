@@ -22,11 +22,19 @@ from fs_schema_validator_ray.report import VIOLATION_SCHEMA
 from fs_schema_validator_ray.rules import UniqueRule
 from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
 from fs_schema_validator_ray.state import HyperLogLog
+from fs_schema_validator_ray.state.sketches import hash64
 
 
-def _partial_counts(batch: pa.Table, column: str) -> pa.Table:
+def _partial_counts(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     """Per-batch combiner: one output row per distinct key in the batch
-    (pure Arrow ``group_by`` — no pandas round-trip in the hot path)."""
+    (pure Arrow ``group_by`` — no pandas round-trip in the hot path).
+
+    Emits a ``bucket = hash64(key) % n_buckets`` column: the global merge
+    shuffles on this small int key and merges each bucket VECTORIZED
+    (``groupby(bucket).map_groups`` with an Arrow group_by inside) —
+    Ray's built-in ``aggregate()`` combines grouped rows in per-row
+    Python, which at ~1 row/key (nearly-unique key columns, the
+    worst-case combiner shape) costs minutes of CPU per million rows."""
     import pyarrow.compute as pc
 
     has_part = PARTITION_COLUMN in batch.column_names
@@ -39,11 +47,15 @@ def _partial_counts(batch: pa.Table, column: str) -> pa.Table:
     g = pa.TableGroupBy(tbl, column).aggregate(
         [(PARTITION_COLUMN, "count"), (PARTITION_COLUMN, "min")]
     )
+    # keys keep their NATIVE type through the shuffle — casting ints to
+    # strings here would make the shuffle payload (and its sort
+    # comparisons) the widest possible; violations stringify at emission
     keys = g.column(column)
-    if not pa.types.is_string(keys.type) and not pa.types.is_large_string(keys.type):
-        keys = pc.cast(keys, pa.string())
+    kv = keys.to_numpy(zero_copy_only=False)
+    bucket = (hash64(kv) % np.uint64(n_buckets)).astype(np.int32)
     return pa.table(
         {
+            "bucket": pa.array(bucket),
             "key": keys,
             "n": pc.cast(g.column(f"{PARTITION_COLUMN}_count"), pa.int64()),
             "part": pc.cast(g.column(f"{PARTITION_COLUMN}_min"), pa.int32()),
@@ -51,29 +63,45 @@ def _partial_counts(batch: pa.Table, column: str) -> pa.Table:
     )
 
 
-def uniqueness_violations(ds, rule: UniqueRule, key_column: str | None = None):
+def uniqueness_violations(
+    ds, rule: UniqueRule, key_column: str | None = None, n_buckets: int | None = None
+):
     """Exact duplicate detection → violations Dataset.
 
-    ``read → project(key) → map_batches(partial counts) → groupby(key)
-    → aggregate(Sum) → filter(count > 1) → violation rows``.
+    ``read → project(key) → map_batches(partial counts + bucket) →
+    groupby(bucket) → map_groups(vectorized Arrow merge) → violation
+    rows``. The shuffle key is a small int (``hash64(key) % n_buckets``);
+    the per-bucket merge is one Arrow ``group_by`` call — no per-row
+    Python anywhere.
     """
-    from ray.data.aggregate import Min, Sum
-
     column = key_column or rule.column
+    if n_buckets is None:
+        import ray
+
+        try:
+            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:  # noqa: BLE001
+            n_buckets = 16
     cols = [column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in ds.schema().names else [])
     keys = ds.select_columns(cols)
     partials = keys.map_batches(
-        lambda t: _partial_counts(t, column), batch_format="pyarrow"
+        lambda t: _partial_counts(t, column, n_buckets), batch_format="pyarrow"
     )
-    agg = partials.groupby("key").aggregate(
-        Sum("n", alias_name="count"), Min("part", alias_name="part")
-    )
+    # decouple SCAN parallelism from SHUFFLE fan-out: the sort-shuffle
+    # moves blocks_in × blocks_out objects, and the partials are a small
+    # fraction of the input (one narrow row per distinct key per block) —
+    # coalesce them (metadata-level, no shuffle) so the groupby exchanges
+    # a few consolidated blocks instead of scan-width² tiny ones
+    partials = partials.repartition(max(4, n_buckets // 8))
 
-    def to_violations(t: pa.Table) -> pa.Table:
-        counts = np.asarray(t.column("count"))
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(group.select(["key", "n", "part"]), "key").aggregate(
+            [("n", "sum"), ("part", "min")]
+        )
+        counts = np.asarray(g.column("n_sum"))
         dup = np.flatnonzero(counts > 1)
-        keys_np = np.asarray(t.column("key"), dtype=object)
-        parts_np = np.asarray(t.column("part"), dtype=np.int64)
+        keys_np = np.asarray(g.column("key"), dtype=object)
+        parts_np = np.asarray(g.column("part_min"), dtype=np.int64)
         return pa.Table.from_arrays(
             [
                 pa.array(parts_np[dup].astype(np.int32)),
@@ -87,7 +115,7 @@ def uniqueness_violations(ds, rule: UniqueRule, key_column: str | None = None):
             schema=VIOLATION_SCHEMA,
         )
 
-    return agg.map_batches(to_violations, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def estimate_duplicates(ds, column: str) -> dict:

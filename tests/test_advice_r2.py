@@ -177,3 +177,34 @@ def test_plan_schema_check_scans_all_footers(ray_session, tmp_path):
     assert res.total_violations == 0
     v = res.violations_dataset().to_pandas()
     assert len(v) == 0
+
+
+def test_fingerprint_vectorized_matches_per_row_reference():
+    """The flattened FingerprintStage must be byte-identical to the
+    per-document rolling-hash + winnow reference path."""
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.stages.text import (
+        FingerprintStage,
+        rolling_kgram_hashes,
+        winnow,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = []
+    for _ in range(200):
+        n = int(rng.integers(0, 120))
+        texts.append("".join(chr(int(c)) for c in rng.integers(32, 1000, n)))
+    texts += ["", "a", "1234567", "12345678", "x" * 23, "hello world " * 50]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    stage = FingerprintStage()
+    out = stage(t)
+    got = list(zip(out.column("fingerprint").to_pylist(),
+                   out.column("n_grams").to_pylist()))
+    for i, v in enumerate(texts):
+        sel = winnow(rolling_kgram_hashes(v.encode("utf-8"), stage.k), stage.window)
+        fp = int(np.bitwise_xor.reduce(sel)) if len(sel) else 0
+        assert got[i] == (fp, len(sel)), f"mismatch for doc {i}: {v[:40]!r}"
