@@ -331,9 +331,9 @@ def build_shingle_lookup(
 
     ``only_ids`` restricts the build to candidate ids — docs outside the
     candidate set are filtered per batch before any shingling, so the
-    driver dict is bounded by the candidate count, not the corpus. (At
-    10^12 docs the verify becomes a co-partitioned join on doc id; band
-    buckets already co-locate the candidates.)
+    driver dict is bounded by the candidate count, not the corpus. When
+    even the candidate set is too big (``max_broadcast_pairs``), the
+    verify runs as the distributed ``minhash_verify_join`` instead.
     """
     id_filter = None
     if only_ids is not None:
@@ -362,6 +362,169 @@ def build_shingle_lookup(
     return out
 
 
+def minhash_verify_join(
+    ds,
+    cand_pairs,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_buckets: int | None = None,
+):
+    """Co-partitioned Jaccard verify for candidate sets too large to
+    broadcast (the 10^12-doc path): no driver dict, no corpus broadcast.
+
+    Two bucketed exchanges, both with VECTORIZED group bodies:
+
+    1. ``groupby(hash(doc) % P)``: candidate-pair role rows
+       ``(doc, a, b, side)`` meet the corpus' per-doc shingle-blob rows;
+       inside each bucket a sorted ``searchsorted`` join attaches each
+       doc's blob to its role rows (Arrow ``take`` — no per-doc Python).
+       Docs outside the candidate set emit nothing.
+    2. ``groupby(hash(a,b) % P)``: the two sides of each pair meet; the
+       true-Jaccard check loops only over candidate PAIRS (set
+       intersection is inherently per-pair, same as the broadcast path).
+    """
+    if n_buckets is None:
+        import ray
+
+        try:
+            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:  # noqa: BLE001
+            n_buckets = 16
+    P = np.uint64(n_buckets)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def roles(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        doc = np.concatenate([a, b])
+        with np.errstate(over="ignore"):
+            bucket = ((doc.view(np.uint64) * mix) % P).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc": pa.array(doc),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    )
+                ),
+                "blob": pa.nulls(2 * len(a), pa.large_binary()),
+            }
+        )
+
+    def blobs(t: pa.Table) -> pa.Table:
+        hashes, offsets = _word_shingle_hashes(
+            t.column(text_column).combine_chunks(), shingle_n
+        )
+        ids = np.asarray(t.column(id_column), dtype=np.int64)
+        bl = [
+            np.unique(hashes[offsets[i] : offsets[i + 1]]).tobytes()
+            for i in range(len(ids))
+        ]
+        with np.errstate(over="ignore"):
+            bucket = ((ids.view(np.uint64) * mix) % P).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc": pa.array(ids),
+                "a": pa.nulls(len(ids), pa.int64()),
+                "b": pa.nulls(len(ids), pa.int64()),
+                "side": pa.nulls(len(ids), pa.int8()),
+                "blob": pa.array(bl, pa.large_binary()),
+            }
+        )
+
+    role_rows = cand_pairs.map_batches(roles, batch_format="pyarrow")
+    blob_rows = ds.select_columns([id_column, text_column]).map_batches(
+        blobs, batch_format="pyarrow"
+    )
+    tagged = role_rows.union(blob_rows)
+
+    attached_schema = pa.schema(
+        [
+            ("pair_bucket", pa.int32()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("side", pa.int8()),
+            ("blob", pa.large_binary()),
+        ]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_blob = pc.is_null(group.column("side"))
+        bl = group.filter(is_blob)
+        ro = group.filter(pc.invert(is_blob))
+        if bl.num_rows == 0 or ro.num_rows == 0:
+            return attached_schema.empty_table()
+        bdocs = np.asarray(bl.column("doc"), dtype=np.int64)
+        border = np.argsort(bdocs, kind="stable")
+        bdocs_s = bdocs[border]
+        rdocs = np.asarray(ro.column("doc"), dtype=np.int64)
+        pos = np.searchsorted(bdocs_s, rdocs)
+        pos = np.clip(pos, 0, len(bdocs_s) - 1)
+        hit = bdocs_s[pos] == rdocs
+        ro = ro.filter(pa.array(hit))
+        take = pa.array(border[pos[hit]], pa.int64())
+        a = np.asarray(ro.column("a"), dtype=np.int64)
+        b = np.asarray(ro.column("b"), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            pb = (
+                ((a.view(np.uint64) * mix) ^ b.view(np.uint64)) * mix % P
+            ).astype(np.int32)
+        return pa.table(
+            {
+                "pair_bucket": pa.array(pb),
+                "a": ro.column("a"),
+                "b": ro.column("b"),
+                "side": ro.column("side"),
+                "blob": bl.column("blob").take(take),
+            }
+        )
+
+    per_pair = tagged.groupby("bucket").map_groups(attach, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        a = np.asarray(group.column("a"), dtype=np.int64)
+        b = np.asarray(group.column("b"), dtype=np.int64)
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        blob_col = group.column("blob").take(pa.array(order, pa.int64()))
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:], [len(a)]])
+        out_a, out_b, sims = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s != 2 or side[s] == side[e - 1]:
+                continue  # a side's doc was absent from the corpus
+            sa = np.frombuffer(blob_col[s].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(blob_col[s + 1].as_py(), dtype=np.uint64)
+            if not len(sa) and not len(sb):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out_a.append(int(a[s]))
+                out_b.append(int(b[s]))
+                sims.append(j)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "similarity": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return per_pair.groupby("pair_bucket").map_groups(
+        verify, batch_format="pyarrow"
+    )
+
+
 def minhash_near_dup_pairs(
     ds,
     text_column: str = "text",
@@ -370,20 +533,32 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     num_perm: int = 128,
     bands: int = 16,
+    max_broadcast_pairs: int = 100_000,
 ):
     """Full MinHash+LSH near-dup pipeline → Dataset of
-    ``(a, b, similarity)`` pairs with true Jaccard ≥ threshold."""
+    ``(a, b, similarity)`` pairs with true Jaccard ≥ threshold.
+
+    Verify-path switchover: a small candidate set broadcasts a
+    ``{id: shingle set}`` lookup built for candidate ids only; beyond
+    ``max_broadcast_pairs`` candidate pairs (boilerplate-heavy corpora,
+    where that driver dict would OOM) the verify runs as a fully
+    distributed co-partitioned join (``minhash_verify_join``)."""
     import ray
 
     band_rows = ds.select_columns([id_column, text_column]).map_batches(
         MinHashBandStage(text_column, id_column, shingle_n, num_perm, bands),
         batch_format="pyarrow",
     )
-    # materialize the (small) candidate set so the verify lookup is built
-    # for candidate ids only — never the whole corpus
-    cand_batches = list(
-        candidate_pairs(band_rows, id_column).iter_batches(batch_format="pyarrow")
-    )
+    # materialize the candidate set ONCE (object store, not driver) —
+    # counting and re-consuming a lazy Dataset would re-execute the whole
+    # band+groupby pipeline per consumer
+    cands = candidate_pairs(band_rows, id_column).materialize()
+    if cands.count() > max_broadcast_pairs:
+        return minhash_verify_join(
+            ds, cands, text_column, id_column, threshold, shingle_n
+        )
+
+    cand_batches = list(cands.iter_batches(batch_format="pyarrow"))
     if not cand_batches:
         cand_batches = [
             pa.schema(
