@@ -38,7 +38,12 @@ from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
 
 
 def sniff_image_format(payload: bytes) -> Optional[str]:
-    """Magic-number container detection (public file-format specs)."""
+    """Magic-number container detection (public file-format specs).
+
+    Covers the reference's full 6-format set (png/webp/jpeg/svg/tiff/avif,
+    ``/root/reference/fs_schema_validator/schemas/image.py:15-22``) plus
+    gif/bmp.
+    """
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return "png"
     if payload.startswith(b"\xff\xd8\xff"):
@@ -49,7 +54,59 @@ def sniff_image_format(payload: bytes) -> Optional[str]:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF: major brand, then compatible brands fill the ftyp box
+        box_len = int.from_bytes(payload[0:4], "big")
+        brands = {bytes(payload[8:12])}
+        for off in range(16, min(box_len, len(payload), 256) - 3, 4):
+            brands.add(bytes(payload[off : off + 4]))
+        if brands & {b"avif", b"avis"}:
+            return "avif"
+        return None
+    if _sniff_svg(payload):
+        return "svg"
     return None
+
+
+def _sniff_svg(payload: bytes) -> bool:
+    """Text/XML sniff: an ``<svg`` root element after optional BOM, XML
+    declaration, comments, whitespace and DOCTYPE (the stdlib analogue of
+    the reference's svglib load, ``image.py:47-52``)."""
+    head = payload[:4096]
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    try:
+        text = head.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return False
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and text[i].isspace():
+            i += 1
+        if not text.startswith("<", i):
+            return False
+        if text.startswith("<?", i):  # <?xml ... ?>
+            end = text.find("?>", i)
+            if end < 0:
+                return False
+            i = end + 2
+        elif text.startswith("<!--", i):
+            end = text.find("-->", i)
+            if end < 0:
+                return False
+            i = end + 3
+        elif text.startswith("<!", i):  # <!DOCTYPE svg ...>
+            end = text.find(">", i)
+            if end < 0:
+                return False
+            i = end + 1
+        else:
+            return text.startswith("<svg", i) and (
+                i + 4 >= n or text[i + 4].isspace() or text[i + 4] in ">/"
+            )
+    return False
 
 
 def parse_image_dims(payload: bytes, fmt: str) -> Optional[tuple[int, int]]:
@@ -102,8 +159,109 @@ def parse_image_dims(payload: bytes, fmt: str) -> Optional[tuple[int, int]]:
                 h = ((bits >> 14) & 0x3FFF) + 1
                 return w, h
             return None
+        if fmt == "tiff":
+            return _tiff_dims(payload)
+        if fmt == "avif":
+            return _avif_dims(payload)
+        if fmt == "svg":
+            return _svg_dims(payload)
     except (struct.error, IndexError):
         return None
+    return None
+
+
+def _tiff_dims(payload: bytes) -> Optional[tuple[int, int]]:
+    """Walk the first IFD for tags 256/257 (ImageWidth/ImageLength)."""
+    endian = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        return None
+    (count,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    w = h = None
+    for k in range(count):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(payload):
+            return None
+        tag, typ = struct.unpack(endian + "HH", payload[e : e + 4])
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT, value left-justified in the 4-byte field
+            (val,) = struct.unpack(endian + "H", payload[e + 8 : e + 10])
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(endian + "I", payload[e + 8 : e + 12])
+        else:
+            return None
+        if tag == 256:
+            w = int(val)
+        else:
+            h = int(val)
+    return (w, h) if w is not None and h is not None else None
+
+
+def _avif_dims(payload: bytes) -> Optional[tuple[int, int]]:
+    """ISO-BMFF box walk meta → iprp → ipco → ispe (width/height u32 BE).
+    ``meta`` is a FullBox (4-byte version/flags after the header)."""
+
+    def walk(lo: int, hi: int, path: tuple[bytes, ...]) -> Optional[tuple[int, int]]:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            box = payload[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            elif size == 0:
+                size = hi - i
+                body = i + 8
+            else:
+                body = i + 8
+            if size < 8 or i + size > hi:
+                return None
+            if box == b"ispe":
+                w = int.from_bytes(payload[body + 4 : body + 8], "big")
+                h = int.from_bytes(payload[body + 8 : body + 12], "big")
+                return (w, h)
+            if path and box == path[0]:
+                if box == b"meta":
+                    body += 4  # FullBox version/flags
+                found = walk(body, i + size, path[1:])
+                if found is not None:
+                    return found
+            i += size
+        return None
+
+    return walk(0, len(payload), (b"meta", b"iprp", b"ipco"))
+
+
+_SVG_DIM_RE = None
+
+
+def _svg_dims(payload: bytes) -> Optional[tuple[int, int]]:
+    """width/height attributes of the root ``<svg>`` tag (px only); falls
+    back to the viewBox. Unitless/px numbers round to int."""
+    global _SVG_DIM_RE
+    import re
+
+    if _SVG_DIM_RE is None:
+        _SVG_DIM_RE = re.compile(rb"<svg[^>]*>", re.DOTALL)
+    m = _SVG_DIM_RE.search(payload[:8192])
+    if m is None:
+        return None
+    tag = m.group(0)
+
+    def attr(name: bytes) -> Optional[float]:
+        am = re.search(name + rb"""\s*=\s*["']\s*([0-9.]+)\s*(px)?\s*["']""", tag)
+        return float(am.group(1)) if am else None
+
+    w, h = attr(rb"\bwidth"), attr(rb"\bheight")
+    if w is not None and h is not None:
+        return int(round(w)), int(round(h))
+    vb = re.search(
+        rb"""viewBox\s*=\s*["']\s*[0-9.eE+-]+[\s,]+[0-9.eE+-]+[\s,]+([0-9.eE+]+)[\s,]+([0-9.eE+]+)\s*["']""",
+        tag,
+    )
+    if vb:
+        return int(round(float(vb.group(1)))), int(round(float(vb.group(2))))
     return None
 
 
@@ -164,13 +322,19 @@ class ImageValidateStage:
                 continue
             actual = sniff_image_format(p)
             if actual is None:
-                emit(i, "file does not contain a valid image")
+                # reference: svg gets its own reason string (image.py:47-52)
+                if declared[i] == "svg":
+                    emit(i, "file does not contain a valid svg")
+                else:
+                    emit(i, "file does not contain a valid image")
                 continue
             if declared[i] is not None and actual != declared[i]:
                 emit(i, f"payload is not in {declared[i]} format (got {actual})")
                 continue
             dims = parse_image_dims(p, actual)
             if dims is None:
+                if actual == "svg":
+                    continue  # vector format: intrinsic dims are optional
                 emit(i, f"failed to parse {actual} header")
                 continue
             w, h = dims

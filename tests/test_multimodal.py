@@ -124,3 +124,99 @@ def test_frame_sample_stage():
         ("v1", 2, 200_000),
     ]
     assert all(len(r["frame_bytes"]) == 256 for r in out)
+
+
+# --- SVG / TIFF / AVIF (reference's remaining formats, image.py:15-22) ------
+
+
+def make_tiff(w=10, h=20, endian="<"):
+    if endian == "<":
+        head = b"II*\x00" + struct.pack("<I", 8)
+    else:
+        head = b"MM\x00*" + struct.pack(">I", 8)
+    # IFD with 2 entries: 256 (width, LONG), 257 (length, SHORT)
+    e1 = struct.pack(endian + "HHI I".replace(" ", ""), 256, 4, 1, w)
+    e2 = struct.pack(endian + "HHIHH", 257, 3, 1, h, 0)
+    return head + struct.pack(endian + "H", 2) + e1 + e2 + struct.pack(endian + "I", 0)
+
+
+def make_avif(w=30, h=40, brand=b"avif"):
+    ftyp = struct.pack(">I", 16) + b"ftyp" + brand + b"mif1"
+    ispe = struct.pack(">I", 20) + b"ispe" + b"\x00\x00\x00\x00" + struct.pack(">II", w, h)
+    ipco = struct.pack(">I", 8 + len(ispe)) + b"ipco" + ispe
+    iprp = struct.pack(">I", 8 + len(ipco)) + b"iprp" + ipco
+    meta = struct.pack(">I", 12 + len(iprp)) + b"meta" + b"\x00\x00\x00\x00" + iprp
+    return ftyp + meta
+
+
+def make_svg(w=50, h=60):
+    return (
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b"<!-- a comment -->\n"
+        b'<!DOCTYPE svg PUBLIC "-//W3C//DTD SVG 1.1//EN" "x.dtd">\n'
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="%dpx" height="%d">'
+        b"<rect/></svg>" % (w, h)
+    )
+
+
+def test_sniff_svg_tiff_avif():
+    from fs_schema_validator_ray.stages.multimodal import (
+        parse_image_dims,
+        sniff_image_format,
+    )
+
+    assert sniff_image_format(make_tiff()) == "tiff"
+    assert sniff_image_format(make_tiff(endian=">")) == "tiff"
+    assert sniff_image_format(make_avif()) == "avif"
+    assert sniff_image_format(make_avif(brand=b"avis")) == "avif"
+    # mp4 ftyp is NOT avif
+    assert sniff_image_format(struct.pack(">I", 16) + b"ftypisom" + b"mp41") is None
+    assert sniff_image_format(make_svg()) == "svg"
+    assert sniff_image_format(b"  <svg/>") == "svg"
+    assert sniff_image_format(b"<html><svg/></html>") is None
+    assert sniff_image_format(b"\xff\xfebinary") is None
+
+    assert parse_image_dims(make_tiff(10, 20), "tiff") == (10, 20)
+    assert parse_image_dims(make_tiff(11, 21, endian=">"), "tiff") == (11, 21)
+    assert parse_image_dims(make_avif(30, 40), "avif") == (30, 40)
+    assert parse_image_dims(make_svg(50, 60), "svg") == (50, 60)
+    vb = b'<svg viewBox="0 0 120 80"><rect/></svg>'
+    assert parse_image_dims(vb, "svg") == (120, 80)
+
+
+def test_image_validate_stage_svg_tiff_avif_tristate():
+    """Tri-state per new format: ok / declared-mismatch / corrupt — with
+    the reference's exact reason strings (image.py:47-52, 64-69)."""
+    from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
+
+    batch = pa.table(
+        {
+            "key": pa.array(
+                [
+                    "tiff_ok", "tiff_mismatch", "tiff_corrupt",
+                    "avif_ok", "avif_mismatch",
+                    "svg_ok", "svg_no_dims", "svg_mismatch", "svg_invalid",
+                ]
+            ),
+            "bytes": pa.array(
+                [
+                    make_tiff(), make_png(), b"II*\x00\xff\xff\xff\xff",
+                    make_avif(), make_tiff(),
+                    make_svg(), b"<svg><rect/></svg>", make_png(), b"not xml at all",
+                ],
+                pa.binary(),
+            ),
+            "format": pa.array(
+                ["tiff", "tiff", "tiff", "avif", "avif", "svg", "svg", "svg", "svg"]
+            ),
+        }
+    )
+    out = ImageValidateStage()(batch).to_pylist()
+    got = {(r["key"], r["reason"]) for r in out}
+    assert got == {
+        ("tiff_mismatch", "payload is not in tiff format (got png)"),
+        ("tiff_corrupt", "failed to parse tiff header"),
+        ("avif_mismatch", "payload is not in avif format (got tiff)"),
+        ("svg_mismatch", "payload is not in svg format (got png)"),
+        ("svg_invalid", "file does not contain a valid svg"),
+    }
