@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="KEY=VALUE", help="binding override (repeatable)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="render per-key report (violations grouped by key)")
+    p.add_argument("--max-render", type=int, default=10_000, metavar="N",
+                   help="cap on violation rows rendered by --verbose; the "
+                        "rest stay in the output parquet (default 10000)")
     return p
 
 
@@ -116,15 +119,30 @@ def main(argv: list[str] | None = None) -> int:
     try:
         res = run_validation(cfg)
         if args.verbose:
-            from fs_schema_validator_ray.report import ViolationReport
-
-            table = res.violations_dataset().take_all()
             import pyarrow as pa
 
-            from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+            from fs_schema_validator_ray.report import (
+                VIOLATION_SCHEMA,
+                ViolationReport,
+            )
 
-            vt = pa.Table.from_pylist(table, schema=VIOLATION_SCHEMA)
+            # bounded render: sort (deterministic grouping) then take only
+            # the first --max-render rows to the driver — a run with 10^9
+            # violations renders its head, never materializes
+            cap = max(args.max_render, 0)
+            rows = (
+                res.violations_dataset()
+                .sort(["key", "rule_id", "reason"])
+                .limit(cap)
+                .take_all()
+            )
+            vt = pa.Table.from_pylist(rows, schema=VIOLATION_SCHEMA)
             print(ViolationReport.from_arrow(vt).render())
+            if res.total_violations > cap:
+                print(
+                    f"... {res.total_violations - cap} more violation(s) not "
+                    f"rendered (--max-render {cap}); full set in {res.output_dir}"
+                )
         print(
             f"rows={res.total_rows} violations={res.total_violations} "
             f"waves={res.waves_run} skipped={res.partitions_skipped} "
