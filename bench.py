@@ -292,6 +292,10 @@ def main() -> None:
         }
         if not args.clips_only:
             doc["queries"] = run_queries(args.sf_dir)
+            from fs_schema_validator_ray.pipelines.queries import ann_ivf_recall
+
+            # quantitative gate for the approximate ANN path (≥0.9 target)
+            doc["ann_ivf_recall"] = round(ann_ivf_recall(args.sf_dir), 4)
         print(json.dumps(doc))
     finally:
         ray.shutdown()

@@ -558,6 +558,22 @@ def ann_topk_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def ann_ivf_recall(sf_dir: str) -> float:
+    """Recall of the IVF-pruned ANN vs the exact brute-force top-k on the
+    same queries: |IVF ∩ exact| / |exact| over (query, neighbor) pairs.
+    The quantitative gate for the approximate path (pytest asserts ≥ 0.9;
+    bench logs it per round). Both sides are engine-computed — the result
+    tables are tiny (q × k rows), so the driver-side set compare is fine."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_embeddings(sf_dir).take_all()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_ivf(sf_dir).take_all()
+    }
+    return len(ivf & exact) / len(exact) if exact else 1.0
+
+
 # --- text analysis ---------------------------------------------------------
 
 

@@ -2,6 +2,8 @@
 corpora (the reference's golden-violation test pattern, SURVEY.md §5,
 applied to the training-data operators)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -167,3 +169,16 @@ def test_jaccard_verify_threshold():
     batch = pa.table({"a": pa.array([1, 1], pa.int64()), "b": pa.array([2, 3], pa.int64())})
     out = stage(batch).to_pylist()
     assert [(r["a"], r["b"], r["similarity"]) for r in out] == [(1, 3, 1.0)]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="driver testdata absent"
+)
+def test_ivf_recall_gate(ray_session):
+    """VERDICT r1 item 8: quantitative gate for the approximate ANN path —
+    IVF top-k (n_probe < n_clusters) must reach recall ≥ 0.9 against the
+    exact brute-force top-k on the same deterministic testdata."""
+    from fs_schema_validator_ray.pipelines.queries import ann_ivf_recall
+
+    recall = ann_ivf_recall("/root/testdata/sf0.001")
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
