@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import io
 from collections.abc import Iterator
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from itertools import product
 from typing import Any, Optional
 
@@ -140,6 +140,13 @@ class RuleSet:
         bindings = _type_bindings(doc.get("bindings") or {})
         bindings.update(extra_bindings or {})
 
+        expansion = doc.get("binding_expansion", "consistent")
+        if expansion not in ("consistent", "independent"):
+            raise RuleSetError(
+                "binding_expansion must be `consistent` (default) or "
+                f"`independent` (reference-compat), got {expansion!r}"
+            )
+
         expanded: list[dict] = []
         for raw in raw_rules:
             if not isinstance(raw, dict):
@@ -148,13 +155,24 @@ class RuleSet:
             guard = raw.pop("if", None)
             if guard is not None and dsl.evaluate(guard, bindings) is not True:
                 continue
-            expanded.extend(_expand_rule(raw, bindings))
+            expanded.extend(_expand_rule(raw, bindings, expansion))
 
         rules = [_build_rule(d, i) for i, d in enumerate(expanded)]
         seen: set[str] = set()
-        for r in rules:
+        for i, r in enumerate(rules):
             if r.rule_id in seen:
-                raise RuleSetError(f"duplicate rule_id `{r.rule_id}` after expansion")
+                if expansion == "independent":
+                    # reference-compat mode keys violations by field combo,
+                    # not rule id — disambiguate colliding ids determin-
+                    # istically instead of rejecting the document
+                    k = 2
+                    while f"{r.rule_id}#{k}" in seen:
+                        k += 1
+                    rules[i] = r = replace(r, rule_id=f"{r.rule_id}#{k}")
+                else:
+                    raise RuleSetError(
+                        f"duplicate rule_id `{r.rule_id}` after expansion"
+                    )
             seen.add(r.rule_id)
         return RuleSet(rules=rules, bindings=bindings)
 
@@ -274,16 +292,26 @@ def _collect_vars(value: Any) -> set[str]:
     return set()
 
 
-def _expand_rule(rule: dict, bindings: dsl.Bindings) -> Iterator[dict]:
+def _expand_rule(
+    rule: dict, bindings: dsl.Bindings, mode: str = "consistent"
+) -> Iterator[dict]:
     """Expand one rule dict into its concrete variants.
 
-    Deviation from the reference (documented): ``$binding`` variables take
-    **consistent** values across all fields of one rule — one output rule
-    per combination of binding variants — where the reference products
-    every field independently (``__init__.py:120-130``), which cannot
-    express a rule id correlated with its target column. Inline enum/range
-    holes (``{a|b}``, ``{0..3}``) still expand per-field with a cartesian
-    product, exactly like the reference.
+    Default (``consistent`` — documented deviation from the reference):
+    ``$binding`` variables take **consistent** values across all fields of
+    one rule — one output rule per combination of binding variants —
+    where the reference products every field independently
+    (``__init__.py:120-130``), which cannot express a rule id correlated
+    with its target column. Inline enum/range holes (``{a|b}``,
+    ``{0..3}``) still expand per-field with a cartesian product, exactly
+    like the reference.
+
+    ``independent`` (document-level ``binding_expansion: independent``)
+    restores the reference's exact semantics: every field expands all of
+    its binding variants on its own and the rule is the cartesian product
+    across fields, so ``{$x}`` in two fields of one rule can take
+    different values (``_expand_untyped_validator``,
+    ``__init__.py:120-130``).
     """
     all_vars = set().union(set(), *(_collect_vars(v) for v in rule.values()))
     missing = all_vars - set(bindings)
@@ -295,6 +323,11 @@ def _expand_rule(rule: dict, bindings: dsl.Bindings) -> Iterator[dict]:
             f"unbound binding(s) {sorted('$' + m for m in missing)} in rule "
             f"{rule.get('rule', rule.get('type', '?'))!r}"
         )
+    if mode == "independent":
+        expanded = {k: list(_expand_value(v, bindings)) for k, v in rule.items()}
+        for field_combo in product(*([(k, v) for v in vs] for k, vs in expanded.items())):
+            yield dict(field_combo)
+        return
     used = sorted(all_vars)
     var_combos = product(*(_atomic_variants(bindings[name]) for name in used))
     for combo in var_combos:

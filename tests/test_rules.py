@@ -236,3 +236,39 @@ def test_scalar_stage_clean_batch_is_empty():
     out = stage(clean)
     assert out.num_rows == 0
     assert out.schema.names == ["partition_id", "key", "rule_id", "reason"]
+
+
+def test_binding_expansion_modes():
+    """`binding_expansion: independent` restores the reference's per-field
+    cartesian product (`__init__.py:120-130`); the default keeps binding
+    values consistent across fields of one rule (documented deviation)."""
+    from fs_schema_validator_ray.rules import RuleSet, RuleSetError
+
+    doc = """
+bindings:
+  sf: [a, b]
+rules:
+  - rule: "r_{$sf}"
+    type: int
+    column: "col_{$sf}"
+"""
+    consistent = RuleSet.from_yaml(doc)
+    assert sorted((r.rule_id, r.column) for r in consistent.column_rules()) == [
+        ("r_a", "col_a"),
+        ("r_b", "col_b"),
+    ]
+
+    independent = RuleSet.from_yaml("binding_expansion: independent\n" + doc)
+    # colliding ids get a deterministic #k suffix (the reference keys by
+    # field combo, not rule id, so collisions are legal in this mode)
+    assert sorted((r.rule_id, r.column) for r in independent.column_rules()) == [
+        ("r_a", "col_a"),
+        ("r_a#2", "col_b"),
+        ("r_b", "col_a"),
+        ("r_b#2", "col_b"),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuleSetError):
+        RuleSet.from_yaml("binding_expansion: nonsense\n" + doc)
