@@ -207,6 +207,33 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 16 = 0
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,
+        "dedup_ngram_jaccard_documents": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT ov.a, ov.b,
+       CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) AS similarity
+FROM ov
+JOIN sz sa ON sa.doc_id = ov.a
+JOIN sz sb ON sb.doc_id = ov.b
+WHERE CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) >= 0.5
+""",
         "dedup_embedding_cosine": """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -480,6 +480,18 @@ def dedup_minhash_documents(sf_dir: str):
     return minhash_near_dup_pairs(ds, threshold=0.5)
 
 
+def dedup_ngram_jaccard_documents(sf_dir: str):
+    """EXACT word-trigram Jaccard similarity join via prefix filtering —
+    unlike MinHash this has a DuckDB oracle (identical tokenization:
+    lowercase, split on [^a-z0-9]+, distinct 3-gram shingles). Trigram
+    sets, not token sets: 1-gram Jaccard is degenerate on template
+    corpora (most doc pairs share the template vocabulary)."""
+    from fs_schema_validator_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+
+
 def dedup_simhash_documents(sf_dir: str):
     from fs_schema_validator_ray.stages.dedup import simhash_near_dup_pairs
 
@@ -771,6 +783,7 @@ QUERIES = {
     "sample_orders_mod": sample_orders_mod,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
+    "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,

@@ -325,7 +325,8 @@ class JaccardVerifyStage:
 
 
 def build_shingle_lookup(
-    ds, text_column="text", id_column="doc_id", shingle_n=3, only_ids=None
+    ds, text_column="text", id_column="doc_id", shingle_n=3, only_ids=None,
+    hash_fn=None,
 ):
     """Distributed build of ``{id: unique shingle hashes}`` (driver-merged).
 
@@ -338,13 +339,13 @@ def build_shingle_lookup(
     id_filter = None
     if only_ids is not None:
         id_filter = pa.array(np.fromiter(only_ids, dtype=np.int64))
+    if hash_fn is None:
+        hash_fn = lambda col: _word_shingle_hashes(col, shingle_n)  # noqa: E731
 
     def partial(batch: pa.Table) -> pa.Table:
         if id_filter is not None:
             batch = batch.filter(pc.is_in(batch.column(id_column), value_set=id_filter))
-        hashes, offsets = _word_shingle_hashes(
-            batch.column(text_column).combine_chunks(), shingle_n
-        )
+        hashes, offsets = hash_fn(batch.column(text_column).combine_chunks())
         ids = np.asarray(batch.column(id_column), dtype=np.int64)
         blobs = [
             np.unique(hashes[offsets[i] : offsets[i + 1]]).tobytes()
@@ -370,6 +371,7 @@ def minhash_verify_join(
     threshold: float = 0.5,
     shingle_n: int = 3,
     n_buckets: int | None = None,
+    hash_fn=None,
 ):
     """Co-partitioned Jaccard verify for candidate sets too large to
     broadcast (the 10^12-doc path): no driver dict, no corpus broadcast.
@@ -416,10 +418,11 @@ def minhash_verify_join(
             }
         )
 
+    if hash_fn is None:
+        hash_fn = lambda col: _word_shingle_hashes(col, shingle_n)  # noqa: E731
+
     def blobs(t: pa.Table) -> pa.Table:
-        hashes, offsets = _word_shingle_hashes(
-            t.column(text_column).combine_chunks(), shingle_n
-        )
+        hashes, offsets = hash_fn(t.column(text_column).combine_chunks())
         ids = np.asarray(t.column(id_column), dtype=np.int64)
         bl = [
             np.unique(hashes[offsets[i] : offsets[i + 1]]).tobytes()
@@ -587,6 +590,171 @@ def minhash_near_dup_pairs(
 
 
 # --- simhash ---------------------------------------------------------------
+
+
+# --- exact n-gram Jaccard similarity join (prefix filtering) ---------------
+
+
+def _distinct_shingle_hashes(col: pa.Array, n: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT word n-gram shingle hashes, sorted within each row
+    → (flat uint64, row offsets). Tokenization is deliberately
+    oracle-replicable: lowercase, split on ``[^a-z0-9]+``, drop empties —
+    exactly ``string_split_regex(lower(text), '[^a-z0-9]+')`` in SQL;
+    rows with fewer than ``n`` tokens produce NO shingles (the SQL
+    self-join semantics, unlike ``_word_shingle_hashes``'s clamping)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), pattern=r"[^a-z0-9]+"
+    )
+    flat = toks.values
+    counts0 = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    n_rows = len(counts0)
+    rows_all = np.repeat(np.arange(n_rows, dtype=np.int64), counts0)
+    nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    rows_all = rows_all[nonempty]
+    th_tok = (
+        hash64(np.asarray(flat, dtype=object)[nonempty])
+        if nonempty.any()
+        else np.empty(0, np.uint64)
+    )
+    # token counts per row after dropping empties (original order kept)
+    counts = np.bincount(rows_all, minlength=n_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    if n == 1:
+        sh, rows = th_tok, rows_all
+    else:
+        out_counts = np.maximum(counts - (n - 1), 0)
+        out_offsets = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+        total = int(out_offsets[-1])
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), out_counts)
+        starts = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_offsets[:-1], out_counts)
+            + offsets[:-1][rows]
+        )
+        sh = np.zeros(total, dtype=np.uint64)
+        base = np.uint64(1_000_003)
+        with np.errstate(over="ignore"):
+            for k in range(n):
+                sh = sh * base + th_tok[starts + k]
+    order = np.lexsort((sh, rows))
+    rows, sh = rows[order], sh[order]
+    if len(sh):
+        first = np.concatenate([[True], (rows[1:] != rows[:-1]) | (sh[1:] != sh[:-1])])
+        rows, sh = rows[first], sh[first]
+    out = np.bincount(rows, minlength=n_rows)
+    return sh, np.concatenate([[0], np.cumsum(out)]).astype(np.int64)
+
+
+def _prefix_token_rows(
+    batch: pa.Table, text_column: str, id_column: str, threshold: float,
+    shingle_n: int = 1,
+) -> pa.Table:
+    """Emit ``(tok, id, size)`` for each doc's PREFIX tokens only.
+
+    Prefix filtering (Bayardo et al. "Scaling Up All Pairs Similarity
+    Search", Xiao et al. PPJoin): under any global token order, two sets
+    with Jaccard ≥ t must share a token within each one's first
+    ``|S| - ceil(t*|S|) + 1`` tokens. The global order here is the token
+    hash (production note: re-ranking tokens by ascending global
+    frequency shrinks hot-token buckets further; any order is correct)."""
+    th, offs = _distinct_shingle_hashes(
+        batch.column(text_column).combine_chunks(), shingle_n
+    )
+    sizes = np.diff(offs)
+    prefix = np.where(
+        sizes > 0, sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, 0
+    )
+    pos = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], sizes)
+    keep = pos < np.repeat(prefix, sizes)
+    ids = np.asarray(batch.column(id_column), dtype=np.int64)
+    return pa.table(
+        {
+            "tok": pa.array(th[keep]),
+            "id": pa.array(np.repeat(ids, sizes)[keep]),
+            "size": pa.array(np.repeat(sizes, sizes)[keep]),
+        }
+    )
+
+
+def _token_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """All (a<b) pairs sharing this prefix token, size-filtered
+    (J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|)). UNCAPPED — the output
+    feeds an exact join, so dropping candidates would drop true pairs;
+    hot common tokens are kept out of prefixes by the global token order
+    (frequency re-ranking at production scale)."""
+    ids = np.asarray(group.column("id"), dtype=np.int64)
+    sizes = np.asarray(group.column("size"), dtype=np.int64)
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    order = np.argsort(ids, kind="stable")
+    ids, sizes = ids[order], sizes[order]
+    ai, bi = np.triu_indices(len(ids), k=1)
+    lo = np.minimum(sizes[ai], sizes[bi])
+    hi = np.maximum(sizes[ai], sizes[bi])
+    keep = lo >= threshold * hi
+    return pa.table({"a": pa.array(ids[ai[keep]]), "b": pa.array(ids[bi[keep]])})
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    max_broadcast_pairs: int = 100_000,
+):
+    """EXACT token/shingle-set Jaccard similarity join → Dataset of
+    ``(a, b, similarity)`` with true Jaccard ≥ threshold.
+
+    Unlike MinHash (probabilistic recall), this is exact: prefix
+    filtering guarantees every qualifying pair appears as a candidate,
+    and the verify computes true Jaccard over the full distinct-token
+    sets. Pipeline: ``map_batches(prefix tokens) → groupby(token) →
+    size-filtered pairs → groupby(a,b) dedup → verify`` (broadcast
+    candidate lookup, or the distributed co-partitioned join beyond
+    ``max_broadcast_pairs`` — same switchover as MinHash)."""
+    import ray
+
+    hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
+    prefix_rows = ds.select_columns([id_column, text_column]).map_batches(
+        lambda t: _prefix_token_rows(t, text_column, id_column, threshold, shingle_n),
+        batch_format="pyarrow",
+    )
+    pairs = prefix_rows.groupby("tok").map_groups(
+        lambda g: _token_bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    cands = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_toks")).materialize()
+    if cands.count() > max_broadcast_pairs:
+        return minhash_verify_join(
+            ds, cands, text_column, id_column, threshold, hash_fn=hash_fn
+        )
+
+    cand_batches = list(cands.iter_batches(batch_format="pyarrow"))
+    if not cand_batches:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "similarity": pa.array([], pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+    cand_ids = set()
+    for cb in cand_batches:
+        cand_ids.update(np.asarray(cb.column("a"), dtype=np.int64).tolist())
+        cand_ids.update(np.asarray(cb.column("b"), dtype=np.int64).tolist())
+    lookup = build_shingle_lookup(
+        ds, text_column, id_column, only_ids=cand_ids, hash_fn=hash_fn
+    )
+    lookup_ref = ray.put(lookup)
+    cand_ds = ray.data.from_arrow(
+        pa.concat_tables([cb.select(["a", "b"]) for cb in cand_batches])
+    )
+    return cand_ds.map_batches(
+        JaccardVerifyStage(lookup_ref, threshold), batch_format="pyarrow"
+    )
 
 
 def simhash64(col: pa.Array) -> np.ndarray:

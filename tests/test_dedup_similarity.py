@@ -182,3 +182,76 @@ def test_ivf_recall_gate(ray_session):
 
     recall = ann_ivf_recall("/root/testdata/sf0.001")
     assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """Prefix-filter set-similarity join is EXACT: both verify paths must
+    equal the all-pairs brute force (token-set Jaccard, threshold 0.5)."""
+    import itertools
+    import re
+
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(80)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=rng.integers(5, 25)))
+        texts.append(base)
+        if i % 4 == 0:  # plant a near-dup
+            toks = base.split()
+            toks[0] = "zzz"
+            texts.append(" ".join(toks))
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+
+    def tokset(s):
+        return {x for x in re.split(r"[^a-z0-9]+", s.lower()) if x}
+
+    thr = 0.5
+    expect = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        A, B = tokset(texts[a]), tokset(texts[b])
+        if not A and not B:
+            continue
+        i = len(A & B)
+        u = len(A | B)
+        j = i / u if u else 1.0
+        if j >= thr:
+            expect.append((a, b, round(j, 9)))
+    expect.sort()
+    assert expect, "fixture must plant qualifying pairs"
+
+    def norm(out):
+        return sorted(
+            (r["a"], r["b"], round(r["similarity"], 9)) for r in out.take_all()
+        )
+
+    ds = ray.data.from_arrow(t)
+    assert norm(ngram_jaccard_pairs(ds, threshold=thr)) == expect
+    assert (
+        norm(ngram_jaccard_pairs(ds, threshold=thr, max_broadcast_pairs=0))
+        == expect
+    )
+
+    # trigram shingles: docs with <3 tokens emit no shingles (SQL parity)
+    def trigram_set(s_):
+        toks = [x for x in re.split(r"[^a-z0-9]+", s_.lower()) if x]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    expect3 = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        A, B = trigram_set(texts[a]), trigram_set(texts[b])
+        if not A or not B:
+            continue
+        i = len(A & B)
+        j = i / (len(A) + len(B) - i)
+        if j >= thr:
+            expect3.append((a, b, round(j, 9)))
+    expect3.sort()
+    assert expect3, "fixture must plant qualifying trigram pairs"
+    assert norm(ngram_jaccard_pairs(ds, threshold=thr, shingle_n=3)) == expect3
