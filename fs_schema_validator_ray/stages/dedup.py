@@ -237,10 +237,18 @@ class MinHashBandStage:
                     h = (h ^ sl[:, j]) * base
                 band_hashes[bnd * len(ids) : (bnd + 1) * len(ids)] = h
         # int64 view (bijective) so the groupby shuffle key stays a native
-        # Arrow type — uint64 > 2^63 degrades to pickled-object extension
+        # Arrow type — uint64 > 2^63 degrades to pickled-object extension.
+        # "bucket" coarsens the shuffle key: grouping by raw (band,
+        # band_hash) would mean one Python map_groups call per LSH bucket
+        # (~rows × bands groups, mostly singletons)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (band_hashes * np.uint64(0xD1B54A32D192ED03)) % np.uint64(256)
+            ).astype(np.int32)
         return pa.table(
             {
                 self.id_column: pa.array(doc_ids),
+                "bucket": pa.array(bucket),
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(band_hashes.view(np.int64), pa.int64()),
             }
@@ -248,36 +256,82 @@ class MinHashBandStage:
 
 
 def _bucket_pairs(group: pa.Table, id_column: str) -> pa.Table:
-    """(a<b) candidate pairs within one LSH bucket. Buckets are tiny by
-    construction; hot buckets (boilerplate-heavy corpora) are bounded by
-    capping the all-pairs fan-out at ``cap`` ids and STAR-LINKING every
-    overflow id to the bucket's min id — O(n) extra pairs keep the
-    cluster connected (truncation would drop overflow members from every
-    band, since identical content hits the same bucket in every band);
-    the Jaccard verify stage still filters false positives."""
-    ids = np.unique(np.asarray(group.column(id_column), dtype=np.int64))
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    """(a<b) candidate pairs over one COARSE bucket of LSH buckets: sort
+    by (band, band_hash), loop only over segments with ≥2 ids. Per-LSH-
+    bucket fan-out is bounded by capping all-pairs at ``cap`` ids and
+    STAR-LINKING every overflow id to the bucket's min id — O(n) extra
+    pairs keep the cluster connected (truncation would drop overflow
+    members from every band, since identical content hits the same bucket
+    in every band); the Jaccard verify stage still filters false
+    positives."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    band = np.asarray(group.column("band"), dtype=np.int64)
+    bh = np.asarray(group.column("band_hash"), dtype=np.int64)
+    ids = np.asarray(group.column(id_column), dtype=np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    seg_first = np.concatenate([[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    starts = np.flatnonzero(seg_first)
+    ends = np.concatenate([starts[1:], [len(ids)]])
+    multi = ends - starts >= 2
     cap = 64
-    head = ids[:cap]
-    ai, bi = np.triu_indices(len(head), k=1)
-    a, b = head[ai], head[bi]
-    if len(ids) > cap:
-        tail = ids[cap:]
-        a = np.concatenate([a, np.full(len(tail), ids[0], np.int64)])
-        b = np.concatenate([b, tail])
-    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+    out_a, out_b = [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        seg = ids[s:e]  # sorted; one row per doc per LSH bucket → unique
+        head = seg[:cap]
+        ai, bi = np.triu_indices(len(head), k=1)
+        a, b = head[ai], head[bi]
+        if len(seg) > cap:
+            tail = seg[cap:]
+            a = np.concatenate([a, np.full(len(tail), seg[0], np.int64)])
+            b = np.concatenate([b, tail])
+        out_a.append(a)
+        out_b.append(b)
+    if not out_a:
+        return empty
+    return pa.table(
+        {"a": pa.array(np.concatenate(out_a)), "b": pa.array(np.concatenate(out_b))}
+    )
 
 
 def candidate_pairs(band_rows, id_column: str = "doc_id"):
-    """LSH bucket groupby → unique candidate (a,b) pairs."""
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+    """Coarse-bucket groupby → unique candidate (a,b) pairs."""
+    pairs = band_rows.groupby("bucket").map_groups(
         lambda g: _bucket_pairs(g, id_column), batch_format="pyarrow"
     )
-    # dedup pairs produced by multiple bands: groupby(a,b) → one row
-    from ray.data.aggregate import Count
+    # dedup pairs produced by multiple bands (bucketed vectorized distinct
+    # — the builtin aggregate() merges groups in per-row Python)
+    return dedup_pairs_distinct(pairs)
 
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+def _pairwise_jaccard(
+    sets_a: list, sets_b: list, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-pair Jaccard over lists of DISTINCT-element uint64
+    sets: one concat + lexsort, duplicate counting per pair — no per-pair
+    ``intersect1d`` (whose Python/alloc overhead dominates once candidate
+    pairs reach the 10^5 range). Returns (keep_mask, similarity)."""
+    n = len(sets_a)
+    if n == 0:
+        return np.zeros(0, bool), np.zeros(0, np.float64)
+    la = np.fromiter((len(x) for x in sets_a), np.int64, n)
+    lb = np.fromiter((len(x) for x in sets_b), np.int64, n)
+    flat = [None] * (2 * n)
+    flat[::2] = sets_a
+    flat[1::2] = sets_b
+    hh = np.concatenate(flat) if la.sum() + lb.sum() else np.empty(0, np.uint64)
+    pair_of = np.repeat(np.arange(n, dtype=np.int64), la + lb)
+    order = np.lexsort((hh, pair_of))
+    po, hs = pair_of[order], hh[order]
+    dup = (po[1:] == po[:-1]) & (hs[1:] == hs[:-1])
+    inter = np.bincount(po[1:][dup], minlength=n)
+    union = la + lb - inter
+    sim = inter / np.maximum(union, 1)
+    # union == 0 (both sets empty) is skipped, matching the historical
+    # per-pair behavior and the SQL oracle (no shingle rows → no pair)
+    return (sim >= threshold) & (union > 0), sim
 
 
 class JaccardVerifyStage:
@@ -303,23 +357,21 @@ class JaccardVerifyStage:
         lookup = self._resolve()
         a = np.asarray(batch.column("a"), dtype=np.int64)
         b = np.asarray(batch.column("b"), dtype=np.int64)
-        keep_a, keep_b, sims = [], [], []
-        for x, y in zip(a, b):
-            sa, sb = lookup.get(int(x)), lookup.get(int(y))
-            if sa is None or sb is None or (not len(sa) and not len(sb)):
+        sets_a, sets_b, idx = [], [], []
+        for i in range(len(a)):
+            sa, sb = lookup.get(int(a[i])), lookup.get(int(b[i]))
+            if sa is None or sb is None:
                 continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= self.threshold:
-                keep_a.append(int(x))
-                keep_b.append(int(y))
-                sims.append(j)
+            sets_a.append(sa)
+            sets_b.append(sb)
+            idx.append(i)
+        keep, sim = _pairwise_jaccard(sets_a, sets_b, self.threshold)
+        idx = np.asarray(idx, dtype=np.int64)[keep]
         return pa.table(
             {
-                "a": pa.array(keep_a, pa.int64()),
-                "b": pa.array(keep_b, pa.int64()),
-                "similarity": pa.array(sims, pa.float64()),
+                "a": pa.array(a[idx], pa.int64()),
+                "b": pa.array(b[idx], pa.int64()),
+                "similarity": pa.array(sim[keep], pa.float64()),
             }
         )
 
@@ -500,26 +552,23 @@ def minhash_verify_join(
         first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         starts = np.flatnonzero(first)
         ends = np.concatenate([starts[1:], [len(a)]])
-        out_a, out_b, sims = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s != 2 or side[s] == side[e - 1]:
-                continue  # a side's doc was absent from the corpus
-            sa = np.frombuffer(blob_col[s].as_py(), dtype=np.uint64)
-            sb = np.frombuffer(blob_col[s + 1].as_py(), dtype=np.uint64)
-            if not len(sa) and not len(sb):
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= threshold:
-                out_a.append(int(a[s]))
-                out_b.append(int(b[s]))
-                sims.append(j)
+        # complete pairs: both sides' docs present in the corpus
+        ok = (ends - starts == 2) & (side[starts] != side[ends - 1])
+        starts = starts[ok]
+        sets_a = [
+            np.frombuffer(blob_col[s].as_py(), dtype=np.uint64) for s in starts
+        ]
+        sets_b = [
+            np.frombuffer(blob_col[s + 1].as_py(), dtype=np.uint64)
+            for s in starts
+        ]
+        keep, sim = _pairwise_jaccard(sets_a, sets_b, threshold)
+        sel = starts[keep]
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "similarity": pa.array(sims, pa.float64()),
+                "a": pa.array(a[sel], pa.int64()),
+                "b": pa.array(b[sel], pa.int64()),
+                "similarity": pa.array(sim[keep], pa.float64()),
             }
         )
 
@@ -536,18 +585,16 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     num_perm: int = 128,
     bands: int = 16,
-    max_broadcast_pairs: int = 100_000,
+    max_broadcast_docs: int = 500_000,
 ):
     """Full MinHash+LSH near-dup pipeline → Dataset of
     ``(a, b, similarity)`` pairs with true Jaccard ≥ threshold.
 
-    Verify-path switchover: a small candidate set broadcasts a
-    ``{id: shingle set}`` lookup built for candidate ids only; beyond
-    ``max_broadcast_pairs`` candidate pairs (boilerplate-heavy corpora,
-    where that driver dict would OOM) the verify runs as a fully
-    distributed co-partitioned join (``minhash_verify_join``)."""
-    import ray
-
+    Verify-path switchover (see ``verify_candidate_pairs``): a bounded
+    candidate-DOC set broadcasts a ``{id: shingle set}`` lookup built for
+    candidate ids only; beyond ``max_broadcast_docs`` distinct candidate
+    docs (where that dict would OOM a worker) the verify runs as the
+    fully distributed co-partitioned join (``minhash_verify_join``)."""
     band_rows = ds.select_columns([id_column, text_column]).map_batches(
         MinHashBandStage(text_column, id_column, shingle_n, num_perm, bands),
         batch_format="pyarrow",
@@ -556,36 +603,14 @@ def minhash_near_dup_pairs(
     # counting and re-consuming a lazy Dataset would re-execute the whole
     # band+groupby pipeline per consumer
     cands = candidate_pairs(band_rows, id_column).materialize()
-    if cands.count() > max_broadcast_pairs:
-        return minhash_verify_join(
-            ds, cands, text_column, id_column, threshold, shingle_n
-        )
-
-    cand_batches = list(cands.iter_batches(batch_format="pyarrow"))
-    if not cand_batches:
-        cand_batches = [
-            pa.schema(
-                [("a", pa.int64()), ("b", pa.int64()), ("n_bands", pa.int64())]
-            ).empty_table()
-        ]
-    cands_tbl = pa.concat_tables(cand_batches)
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                np.asarray(cands_tbl.column("a"), dtype=np.int64),
-                np.asarray(cands_tbl.column("b"), dtype=np.int64),
-            ]
-        )
-        if cands_tbl.num_rows
-        else [np.empty(0, np.int64)]
-    )
-    lookup_ref = ray.put(
-        build_shingle_lookup(ds, text_column, id_column, shingle_n, only_ids=cand_ids)
-    )
-    import ray.data as rd
-
-    return rd.from_arrow(cands_tbl).map_batches(
-        JaccardVerifyStage(lookup_ref, threshold, shingle_n), batch_format="pyarrow"
+    return verify_candidate_pairs(
+        ds,
+        cands,
+        text_column,
+        id_column,
+        threshold,
+        lambda col: _word_shingle_hashes(col, shingle_n),
+        max_broadcast_docs,
     )
 
 
@@ -645,54 +670,221 @@ def _distinct_shingle_hashes(col: pa.Array, n: int = 1) -> tuple[np.ndarray, np.
     return sh, np.concatenate([[0], np.cumsum(out)]).astype(np.int64)
 
 
-def _prefix_token_rows(
-    batch: pa.Table, text_column: str, id_column: str, threshold: float,
+def shingle_document_frequencies(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
     shingle_n: int = 1,
-) -> pa.Table:
-    """Emit ``(tok, id, size)`` for each doc's PREFIX tokens only.
+    min_df: int = 2,
+    max_entries: int = 1_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded global document-frequency table for the prefix-filter token
+    order: ``(sorted shingle hashes, df)`` for shingles in ≥ ``min_df``
+    docs, capped at the ``max_entries`` hottest (driver state stays
+    bounded at any corpus size; shingles outside the table rank as df=1,
+    which keeps the order total and the filter exact — only candidate
+    PRECISION varies with the cap)."""
+    P = np.uint64(64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        th, _ = _distinct_shingle_hashes(
+            batch.column(text_column).combine_chunks(), shingle_n
+        )
+        u, c = np.unique(th, return_counts=True)  # distinct per doc already
+        with np.errstate(over="ignore"):
+            bucket = ((u * mix) % P).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "s": pa.array(u.view(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(group.select(["s", "c"]), "s").aggregate([("c", "sum")])
+        keep = pc.greater_equal(g.column("c_sum"), min_df)
+        g = g.filter(keep)
+        return pa.table({"s": g.column("s"), "df": g.column("c_sum")})
+
+    parts = ds.select_columns([id_column, text_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    merged = parts.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    keys, dfs = [], []
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        keys.append(np.asarray(b.column("s"), dtype=np.int64).view(np.uint64))
+        dfs.append(np.asarray(b.column("df"), dtype=np.int64))
+    if not keys:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    keys = np.concatenate(keys)
+    dfs = np.concatenate(dfs)
+    if len(keys) > max_entries:
+        top = np.argpartition(-dfs, max_entries)[:max_entries]
+        keys, dfs = keys[top], dfs[top]
+    order = np.argsort(keys)
+    return keys[order], dfs[order]
+
+
+class PrefixRowsStage:
+    """map_batches callable emitting ``(bucket, tok, id, size)`` for each
+    doc's PREFIX shingles only.
 
     Prefix filtering (Bayardo et al. "Scaling Up All Pairs Similarity
     Search", Xiao et al. PPJoin): under any global token order, two sets
     with Jaccard ≥ t must share a token within each one's first
-    ``|S| - ceil(t*|S|) + 1`` tokens. The global order here is the token
-    hash (production note: re-ranking tokens by ascending global
-    frequency shrinks hot-token buckets further; any order is correct)."""
-    th, offs = _distinct_shingle_hashes(
-        batch.column(text_column).combine_chunks(), shingle_n
-    )
-    sizes = np.diff(offs)
-    prefix = np.where(
-        sizes > 0, sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, 0
-    )
-    pos = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], sizes)
-    keep = pos < np.repeat(prefix, sizes)
-    ids = np.asarray(batch.column(id_column), dtype=np.int64)
+    ``|S| - ceil(t*|S|) + 1`` tokens. The order used is ascending global
+    document frequency (broadcast bounded df table, resolved once per
+    worker) with shingle hash as tiebreak — prefixes hold each doc's
+    RAREST shingles, so template-shared shingles stop flooding the
+    candidate buckets; any total order is correct, frequency order is the
+    precision optimization."""
+
+    def __init__(
+        self,
+        text_column: str,
+        id_column: str,
+        threshold: float,
+        shingle_n: int,
+        df_ref=None,
+    ) -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.df_ref = df_ref
+        self._df = None
+
+    def _resolve(self):
+        if self._df is None:
+            if self.df_ref is None:
+                self._df = (np.empty(0, np.uint64), np.empty(0, np.int64))
+            else:
+                import ray
+
+                obj = self.df_ref
+                self._df = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._df
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df_keys, df_vals = self._resolve()
+        th, offs = _distinct_shingle_hashes(
+            batch.column(self.text_column).combine_chunks(), self.shingle_n
+        )
+        sizes = np.diff(offs)
+        rows = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        if len(df_keys):
+            p = np.clip(np.searchsorted(df_keys, th), 0, max(len(df_keys) - 1, 0))
+            hit = df_keys[p] == th if len(df_keys) else np.zeros(len(th), bool)
+            df = np.where(hit, df_vals[p], 1)
+        else:
+            df = np.ones(len(th), np.int64)
+        order = np.lexsort((th, df, rows))  # per-row ascending (df, hash)
+        th = th[order]
+        prefix = np.where(
+            sizes > 0,
+            sizes - np.ceil(self.threshold * sizes).astype(np.int64) + 1,
+            0,
+        )
+        pos = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], sizes)
+        keep = pos < np.repeat(prefix, sizes)
+        tk = th[keep]
+        with np.errstate(over="ignore"):
+            bucket = ((tk * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(256)).astype(
+                np.int32
+            )
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        return pa.table(
+            {
+                # small-int shuffle key — grouping by raw token would make
+                # one Python map_groups call per shingle
+                "bucket": pa.array(bucket),
+                # signed reinterpretation (bijective): uint64 above 2^63
+                # falls back to pickled extension arrays in Ray's shuffle
+                "tok": pa.array(tk.view(np.int64), pa.int64()),
+                "id": pa.array(np.repeat(ids, sizes)[keep]),
+                "size": pa.array(np.repeat(sizes, sizes)[keep]),
+            }
+        )
+
+
+def _token_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """(a<b) pairs sharing a prefix token, size-filtered
+    (J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|)), over one BUCKET of
+    tokens: sort by token, loop only over tokens with ≥2 docs (shared
+    shingles — the rare case), numpy triu inside. UNCAPPED — the output
+    feeds an exact join, so dropping candidates would drop true pairs;
+    hot common tokens are kept out of prefixes by the global token order
+    (frequency re-ranking at production scale)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    tok = np.asarray(group.column("tok"), dtype=np.int64)
+    ids = np.asarray(group.column("id"), dtype=np.int64)
+    sizes = np.asarray(group.column("size"), dtype=np.int64)
+    order = np.lexsort((ids, tok))
+    tok, ids, sizes = tok[order], ids[order], sizes[order]
+    first = np.concatenate([[True], tok[1:] != tok[:-1]])
+    starts = np.flatnonzero(first)
+    ends = np.concatenate([starts[1:], [len(tok)]])
+    multi = ends - starts >= 2
+    out_a, out_b = [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        g_ids, g_sz = ids[s:e], sizes[s:e]
+        ai, bi = np.triu_indices(e - s, k=1)
+        lo = np.minimum(g_sz[ai], g_sz[bi])
+        hi = np.maximum(g_sz[ai], g_sz[bi])
+        keep = lo >= threshold * hi
+        out_a.append(g_ids[ai[keep]])
+        out_b.append(g_ids[bi[keep]])
+    if not out_a:
+        return empty
     return pa.table(
         {
-            "tok": pa.array(th[keep]),
-            "id": pa.array(np.repeat(ids, sizes)[keep]),
-            "size": pa.array(np.repeat(sizes, sizes)[keep]),
+            "a": pa.array(np.concatenate(out_a)),
+            "b": pa.array(np.concatenate(out_b)),
         }
     )
 
 
-def _token_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    """All (a<b) pairs sharing this prefix token, size-filtered
-    (J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|)). UNCAPPED — the output
-    feeds an exact join, so dropping candidates would drop true pairs;
-    hot common tokens are kept out of prefixes by the global token order
-    (frequency re-ranking at production scale)."""
-    ids = np.asarray(group.column("id"), dtype=np.int64)
-    sizes = np.asarray(group.column("size"), dtype=np.int64)
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    order = np.argsort(ids, kind="stable")
-    ids, sizes = ids[order], sizes[order]
-    ai, bi = np.triu_indices(len(ids), k=1)
-    lo = np.minimum(sizes[ai], sizes[bi])
-    hi = np.maximum(sizes[ai], sizes[bi])
-    keep = lo >= threshold * hi
-    return pa.table({"a": pa.array(ids[ai[keep]]), "b": pa.array(ids[bi[keep]])})
+def dedup_pairs_distinct(pairs, n_buckets: int = 64, agg=None):
+    """Distinct ``(a, b)`` rows via a bucketed shuffle + one Arrow
+    ``group_by`` per bucket — Ray's builtin ``groupby(...).aggregate()``
+    combines grouped rows in per-row Python, which dominates wall time
+    once candidate pairs reach the millions. ``agg``: optional Arrow
+    aggregate spec for value columns carried through, e.g.
+    ``[("similarity", "max")]`` (output keeps the plain column name)."""
+    P = np.uint64(n_buckets)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    val_cols = [c for c, _ in (agg or [])]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            pb = (((a.view(np.uint64) * mix) ^ b.view(np.uint64)) * mix % P).astype(
+                np.int32
+            )
+        cols = {"pb": pa.array(pb), "a": pa.array(a), "b": pa.array(b)}
+        for c in val_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def uniq(group: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            group.select(["a", "b"] + val_cols), ["a", "b"]
+        ).aggregate(agg or [])
+        cols = {"a": g.column("a"), "b": g.column("b")}
+        for c, fn in agg or []:
+            cols[c] = g.column(f"{c}_{fn}")
+        return pa.table(cols)
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -701,7 +893,7 @@ def ngram_jaccard_pairs(
     id_column: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 1,
-    max_broadcast_pairs: int = 100_000,
+    max_broadcast_docs: int = 500_000,
 ):
     """EXACT token/shingle-set Jaccard similarity join → Dataset of
     ``(a, b, similarity)`` with true Jaccard ≥ threshold.
@@ -709,50 +901,86 @@ def ngram_jaccard_pairs(
     Unlike MinHash (probabilistic recall), this is exact: prefix
     filtering guarantees every qualifying pair appears as a candidate,
     and the verify computes true Jaccard over the full distinct-token
-    sets. Pipeline: ``map_batches(prefix tokens) → groupby(token) →
-    size-filtered pairs → groupby(a,b) dedup → verify`` (broadcast
-    candidate lookup, or the distributed co-partitioned join beyond
-    ``max_broadcast_pairs`` — same switchover as MinHash)."""
+    sets. Pipeline: ``df pass (bounded broadcast frequency order) →
+    map_batches(prefix tokens) → groupby(bucket) → size-filtered pairs →
+    bucketed distinct → verify``.
+
+    Verify switchover keys on DISTINCT CANDIDATE DOCS, not pairs: the
+    broadcast lookup costs O(candidate docs × set size) memory, while
+    pairs can be quadratic in docs — a dense candidate graph over few
+    docs (template corpora) wants the tiny broadcast dict, and the
+    co-partitioned join (which re-ships each doc's shingle blob once per
+    pair role) is reserved for genuinely huge candidate-doc sets."""
     import ray
 
     hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
+    df_ref = ray.put(
+        shingle_document_frequencies(ds, text_column, id_column, shingle_n)
+    )
     prefix_rows = ds.select_columns([id_column, text_column]).map_batches(
-        lambda t: _prefix_token_rows(t, text_column, id_column, threshold, shingle_n),
+        PrefixRowsStage(text_column, id_column, threshold, shingle_n, df_ref),
         batch_format="pyarrow",
     )
-    pairs = prefix_rows.groupby("tok").map_groups(
+    pairs = prefix_rows.groupby("bucket").map_groups(
         lambda g: _token_bucket_pairs(g, threshold), batch_format="pyarrow"
     )
-    from ray.data.aggregate import Count
+    cands = dedup_pairs_distinct(pairs).materialize()
+    return verify_candidate_pairs(
+        ds, cands, text_column, id_column, threshold, hash_fn, max_broadcast_docs
+    )
 
-    cands = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_toks")).materialize()
-    if cands.count() > max_broadcast_pairs:
+
+def verify_candidate_pairs(
+    ds,
+    cands,
+    text_column: str,
+    id_column: str,
+    threshold: float,
+    hash_fn,
+    max_broadcast_docs: int = 500_000,
+):
+    """Dispatch the true-Jaccard verify for a (materialized) candidate-pair
+    Dataset. The switchover keys on DISTINCT CANDIDATE DOCS — the
+    broadcast lookup costs O(candidate docs × set size), while pairs can
+    be quadratic in docs, so a dense candidate graph over few docs
+    (template corpora) wants the tiny broadcast dict and the
+    co-partitioned join (which ships each doc's shingle blob once per
+    pair role) is reserved for genuinely huge candidate-doc sets.
+    Candidate PAIRS never land on the driver — only the distinct-id
+    partials do."""
+    import ray
+    import ray.data as rd
+
+    if cands.count() == 0:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+
+    def distinct_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(t.column("a"), dtype=np.int64),
+                    np.asarray(t.column("b"), dtype=np.int64),
+                ]
+            )
+        )
+        return pa.table({"id": pa.array(u)})
+
+    id_parts = [
+        np.asarray(b.column("id"), dtype=np.int64)
+        for b in cands.map_batches(distinct_ids, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cand_ids = np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
+    if len(cand_ids) > max_broadcast_docs:
         return minhash_verify_join(
             ds, cands, text_column, id_column, threshold, hash_fn=hash_fn
         )
-
-    cand_batches = list(cands.iter_batches(batch_format="pyarrow"))
-    if not cand_batches:
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "similarity": pa.array([], pa.float64()),
-            }
-        )
-        return ray.data.from_arrow(empty)
-    cand_ids = set()
-    for cb in cand_batches:
-        cand_ids.update(np.asarray(cb.column("a"), dtype=np.int64).tolist())
-        cand_ids.update(np.asarray(cb.column("b"), dtype=np.int64).tolist())
     lookup = build_shingle_lookup(
         ds, text_column, id_column, only_ids=cand_ids, hash_fn=hash_fn
     )
     lookup_ref = ray.put(lookup)
-    cand_ds = ray.data.from_arrow(
-        pa.concat_tables([cb.select(["a", "b"]) for cb in cand_batches])
-    )
-    return cand_ds.map_batches(
+    return cands.map_batches(
         JaccardVerifyStage(lookup_ref, threshold), batch_format="pyarrow"
     )
 
@@ -803,11 +1031,23 @@ class SimHashStage:
             keys[blk * n : (blk + 1) * n] = (
                 (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
             ).astype(np.int32)
-        # int64 view (bijective): native Arrow type across the shuffle
+        # int64 view (bijective): native Arrow type across the shuffle;
+        # coarse "bucket" keeps the downstream map_groups call count at
+        # ~256 instead of one Python call per (band, band_key)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (
+                    (bands.astype(np.uint64) << np.uint64(16))
+                    ^ keys.view(np.uint32).astype(np.uint64)
+                )
+                * np.uint64(0xD1B54A32D192ED03)
+                % np.uint64(256)
+            ).astype(np.int32)
         return pa.table(
             {
                 self.id_column: pa.array(np.tile(ids, 4)),
                 "simhash": pa.array(np.tile(sh, 4).view(np.int64), pa.int64()),
+                "bucket": pa.array(bucket),
                 "band": pa.array(bands),
                 "band_key": pa.array(keys),
             }
@@ -824,29 +1064,45 @@ def simhash_near_dup_pairs(
     )
 
     def block_pairs(group: pa.Table) -> pa.Table:
+        # one COARSE bucket of (band, band_key) blocks: sorted segment
+        # scan, Python loop only over blocks with ≥2 distinct ids
+        band = np.asarray(group.column("band"), dtype=np.int64)
+        bkey = np.asarray(group.column("band_key"), dtype=np.int64)
         ids = np.asarray(group.column(id_column), dtype=np.int64)
         hashes = np.asarray(group.column("simhash"), dtype=np.int64).view(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, hashes = ids[order], hashes[order]
-        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
-        ids, hashes = ids[keep], hashes[keep]
-        if len(ids) < 2:
-            return _PAIR_SCHEMA.empty_table()
-        # cap all-pairs fan-out; STAR-LINK overflow ids to the min id so a
-        # giant dup cluster stays connected (identical content lands in the
-        # same bucket in every band, so truncation alone would drop
-        # overflow members from every candidate pair — cf. _bucket_pairs)
+        order = np.lexsort((ids, bkey, band))
+        band, bkey, ids, hashes = band[order], bkey[order], ids[order], hashes[order]
+        seg_first = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])]
+        )
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        multi = ends - starts >= 2
+        out_a, out_b, out_x = [], [], []
         cap = 256
-        h_ids, h_hash = ids[:cap], hashes[:cap]
-        ai, bi = np.triu_indices(len(h_ids), k=1)
-        a, b = h_ids[ai], h_ids[bi]
-        xor = h_hash[ai] ^ h_hash[bi]
-        if len(ids) > cap:
-            t_ids, t_hash = ids[cap:], hashes[cap:]
-            a = np.concatenate([a, np.full(len(t_ids), ids[0], np.int64)])
-            b = np.concatenate([b, t_ids])
-            xor = np.concatenate([xor, hashes[0] ^ t_hash])
-        ham = popcount64(xor)
+        for s, e in zip(starts[multi], ends[multi]):
+            s_ids, s_hash = ids[s:e], hashes[s:e]  # one row per doc → unique
+            # cap all-pairs fan-out; STAR-LINK overflow ids to the min id
+            # so a giant dup cluster stays connected (identical content
+            # lands in the same bucket in every band, so truncation alone
+            # would drop overflow members from every candidate pair)
+            h_ids, h_hash = s_ids[:cap], s_hash[:cap]
+            ai, bi = np.triu_indices(len(h_ids), k=1)
+            a, b = h_ids[ai], h_ids[bi]
+            xor = h_hash[ai] ^ h_hash[bi]
+            if len(s_ids) > cap:
+                t_ids, t_hash = s_ids[cap:], s_hash[cap:]
+                a = np.concatenate([a, np.full(len(t_ids), s_ids[0], np.int64)])
+                b = np.concatenate([b, t_ids])
+                xor = np.concatenate([xor, s_hash[0] ^ t_hash])
+            out_a.append(a)
+            out_b.append(b)
+            out_x.append(xor)
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        ham = popcount64(np.concatenate(out_x))
         ok = ham <= max_hamming
         return pa.table(
             {
@@ -856,12 +1112,10 @@ def simhash_near_dup_pairs(
             }
         )
 
-    allp = rows.groupby(["band", "band_key"]).map_groups(
-        block_pairs, batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Max
-
-    return allp.groupby(["a", "b"]).aggregate(Max("similarity", alias_name="similarity"))
+    allp = rows.groupby("bucket").map_groups(block_pairs, batch_format="pyarrow")
+    # a pair's similarity is hash-derived, identical in every band — the
+    # max aggregate is just a distinct
+    return dedup_pairs_distinct(allp, agg=[("similarity", "max")])
 
 
 # --- embedding near-dup ----------------------------------------------------

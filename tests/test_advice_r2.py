@@ -212,7 +212,7 @@ def test_fingerprint_vectorized_matches_per_row_reference():
 
 def test_minhash_join_verify_matches_broadcast_path(ray_session):
     """VERDICT r1 item 2: the co-partitioned join verify (forced via
-    max_broadcast_pairs=0) must produce exactly the same verified pairs
+    max_broadcast_docs=0) must produce exactly the same verified pairs
     as the broadcast-lookup path."""
     import ray.data
 
@@ -241,7 +241,7 @@ def test_minhash_join_verify_matches_broadcast_path(ray_session):
 
     broadcast = norm(minhash_near_dup_pairs(ds, threshold=0.5))
     joined = norm(
-        minhash_near_dup_pairs(ds, threshold=0.5, max_broadcast_pairs=0)
+        minhash_near_dup_pairs(ds, threshold=0.5, max_broadcast_docs=0)
     )
     assert len(broadcast) > 0
     assert joined == broadcast

@@ -234,7 +234,7 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
     ds = ray.data.from_arrow(t)
     assert norm(ngram_jaccard_pairs(ds, threshold=thr)) == expect
     assert (
-        norm(ngram_jaccard_pairs(ds, threshold=thr, max_broadcast_pairs=0))
+        norm(ngram_jaccard_pairs(ds, threshold=thr, max_broadcast_docs=0))
         == expect
     )
 
