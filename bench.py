@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "asof_events_orders",
     "dedup_exact_documents",
     "dedup_minhash_documents",
+    "dedup_ngram_jaccard_documents",
     "ann_topk_embeddings",
     "text_profile_documents",
 ]
