@@ -277,8 +277,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         input_columns |= set(s.names)
     try:
         unified_schema = pa.unify_schemas(file_schemas)
-    except pa.ArrowError:  # conflicting types across files: let reads use
-        unified_schema = None  # plain columns= and surface the error there
+    except pa.ArrowException:  # conflicting types across files: let reads
+        unified_schema = None  # use plain columns= and surface the error there
 
     def _rule_columns(r) -> list[str]:
         from fs_schema_validator_ray.rules import (

@@ -31,6 +31,17 @@ from fs_schema_validator_ray.state.sketches import hash64
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def default_n_buckets() -> int:
+    """Shuffle-bucket default: 2× cluster CPUs, floor 16 (shared by the
+    exact-dedup / uniqueness / verify-join bucketed exchanges)."""
+    import ray
+
+    try:
+        return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # noqa: BLE001
+        return 16
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (bit-unpack on the uint8 view — no
     per-element Python)."""
@@ -73,12 +84,7 @@ def exact_dedup_keep_min(
     ``{id_column}`` per distinct content value.
     """
     if n_buckets is None:
-        import ray
-
-        try:
-            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:  # noqa: BLE001
-            n_buckets = 16
+        n_buckets = default_n_buckets()
 
     empty_partial = pa.schema(
         [
@@ -440,12 +446,7 @@ def minhash_verify_join(
        intersection is inherently per-pair, same as the broadcast path).
     """
     if n_buckets is None:
-        import ray
-
-        try:
-            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:  # noqa: BLE001
-            n_buckets = 16
+        n_buckets = default_n_buckets()
     P = np.uint64(n_buckets)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
@@ -702,11 +703,24 @@ def shingle_document_frequencies(
             }
         )
 
+    # the driver cap must hold BEFORE collection: hash buckets see a
+    # uniform shingle sample, so a per-bucket top-k (2× headroom) of the
+    # global budget approximates the global hottest set and bounds what
+    # ever reaches the driver at ≤ 2 × max_entries rows, any corpus size.
+    # The cap trades candidate PRECISION only — dropped entries rank as
+    # df=1, which is still a consistent total order (filter stays exact).
+    per_bucket = max(1, (2 * max_entries) // int(P))
+
     def merge(group: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(group.select(["s", "c"]), "s").aggregate([("c", "sum")])
         keep = pc.greater_equal(g.column("c_sum"), min_df)
         g = g.filter(keep)
-        return pa.table({"s": g.column("s"), "df": g.column("c_sum")})
+        s = np.asarray(g.column("s"), dtype=np.int64)
+        df = np.asarray(g.column("c_sum"), dtype=np.int64)
+        if len(s) > per_bucket:
+            top = np.argpartition(-df, per_bucket)[:per_bucket]
+            s, df = s[top], df[top]
+        return pa.table({"s": pa.array(s), "df": pa.array(df)})
 
     parts = ds.select_columns([id_column, text_column]).map_batches(
         partial, batch_format="pyarrow"
@@ -782,9 +796,14 @@ class PrefixRowsStage:
             df = np.ones(len(th), np.int64)
         order = np.lexsort((th, df, rows))  # per-row ascending (df, hash)
         th = th[order]
+        # ceil with a conservative epsilon: float64 can round t*s UP
+        # (0.07*100 = 7.000000000000001 → ceil 8), which would SHORTEN the
+        # prefix and silently drop boundary pairs from an exact join; the
+        # epsilon can only lengthen prefixes (extra candidates, which the
+        # exact verify filters)
         prefix = np.where(
             sizes > 0,
-            sizes - np.ceil(self.threshold * sizes).astype(np.int64) + 1,
+            sizes - np.ceil(self.threshold * sizes - 1e-9).astype(np.int64) + 1,
             0,
         )
         pos = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], sizes)
@@ -835,7 +854,10 @@ def _token_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
         ai, bi = np.triu_indices(e - s, k=1)
         lo = np.minimum(g_sz[ai], g_sz[bi])
         hi = np.maximum(g_sz[ai], g_sz[bi])
-        keep = lo >= threshold * hi
+        # epsilon keeps the size filter conservative under float rounding
+        # (t*hi can land one ulp above the exact rational) — the verify
+        # stage applies the exact predicate
+        keep = lo >= threshold * hi - 1e-9
         out_a.append(g_ids[ai[keep]])
         out_b.append(g_ids[bi[keep]])
     if not out_a:

@@ -250,10 +250,15 @@ def _svg_dims(payload: bytes) -> Optional[tuple[int, int]]:
     tag = m.group(0)
 
     def attr(name: bytes) -> Optional[float]:
-        am = re.search(name + rb"""\s*=\s*["']\s*([0-9.]+)\s*(px)?\s*["']""", tag)
+        # (?<![-\w]): \b alone would match the `width` inside
+        # `stroke-width` (hyphen is a word boundary)
+        am = re.search(
+            rb"(?<![-\w])" + name + rb"""\s*=\s*["']\s*([0-9.]+)\s*(px)?\s*["']""",
+            tag,
+        )
         return float(am.group(1)) if am else None
 
-    w, h = attr(rb"\bwidth"), attr(rb"\bheight")
+    w, h = attr(rb"width"), attr(rb"height")
     if w is not None and h is not None:
         return int(round(w)), int(round(h))
     vb = re.search(

@@ -49,9 +49,18 @@ def _partial_counts(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     )
     # keys keep their NATIVE type through the shuffle — casting ints to
     # strings here would make the shuffle payload (and its sort
-    # comparisons) the widest possible; violations stringify at emission
+    # comparisons) the widest possible; violations stringify at emission.
+    # The BUCKET hash must be dtype-stable across batches: to_numpy on an
+    # int column silently becomes float64 when the batch contains a null
+    # (5 → 5.0, different bit pattern → different bucket → the key's
+    # partial counts split across buckets and `n > 1` never fires — a
+    # silent false negative). Hash the object representation instead:
+    # Python ints/strs hash identically whether or not nulls ride along.
+    # (np.asarray(col, dtype=object) still routes through the same float64
+    # conversion — to_pylist is the only dtype-faithful path)
     keys = g.column(column)
-    kv = keys.to_numpy(zero_copy_only=False)
+    kv = np.empty(len(keys), dtype=object)
+    kv[:] = keys.to_pylist()
     bucket = (hash64(kv) % np.uint64(n_buckets)).astype(np.int32)
     return pa.table(
         {
@@ -76,12 +85,9 @@ def uniqueness_violations(
     """
     column = key_column or rule.column
     if n_buckets is None:
-        import ray
+        from fs_schema_validator_ray.stages.dedup import default_n_buckets
 
-        try:
-            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:  # noqa: BLE001
-            n_buckets = 16
+        n_buckets = default_n_buckets()
     cols = [column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in ds.schema().names else [])
     keys = ds.select_columns(cols)
     partials = keys.map_batches(
@@ -100,7 +106,10 @@ def uniqueness_violations(
         )
         counts = np.asarray(g.column("n_sum"))
         dup = np.flatnonzero(counts > 1)
-        keys_np = np.asarray(g.column("key"), dtype=object)
+        # to_pylist, not np.asarray: a null elsewhere in the bucket would
+        # promote the whole int column to float64 and render "5.0"
+        keys_np = np.empty(g.num_rows, dtype=object)
+        keys_np[:] = g.column("key").to_pylist()
         parts_np = np.asarray(g.column("part_min"), dtype=np.int64)
         return pa.Table.from_arrays(
             [
