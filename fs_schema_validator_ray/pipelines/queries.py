@@ -669,25 +669,19 @@ def drift_nchars_by_source(sf_dir: str):
 # --- flagship clips validation (rows-only: payload decode + sketches) ------
 
 
-def clips_validation(sf_dir: str, n_rows: int = 1500):
-    """The north-star pipeline on a deterministic synthetic clips corpus:
-    scalar rules → audio decode actor pool (PCM SNR≥30dB, codec sniff,
-    duration, transcript) → uniqueness → referential → drift, resumable
-    per-partition. Returns the violations dataset (deterministic)."""
+def _clips_corpus(n_rows: int) -> tuple[str, str]:
+    """Deterministic cached synthetic clips corpus → (clips_dir,
+    manifest_path). Shared by the clips-validation and audio-features
+    queries (cache keyed by CORPUS_VERSION — bump it when fixtures
+    change)."""
     import pyarrow.parquet as pq
 
-    from fs_schema_validator_ray.pipelines.validate import (
-        ValidationRunConfig,
-        run_validation,
-    )
-    from fs_schema_validator_ray.rules import RuleSet
     from fs_schema_validator_ray.sources.clips import (
+        CORPUS_VERSION,
         ClipsConfig,
         build_clips_table,
         build_manifest_table,
     )
-
-    from fs_schema_validator_ray.sources.clips import CORPUS_VERSION
 
     cfg = ClipsConfig(n_rows=n_rows, rows_per_partition=max(1, n_rows // 4))
     cache = os.path.join(
@@ -703,7 +697,21 @@ def clips_validation(sf_dir: str, n_rows: int = 1500):
             t = build_clips_table(cfg, np.arange(lo, hi)).drop_columns(["partition_id"])
             pq.write_table(t, os.path.join(clips_dir, f"part-{pid:04d}.parquet"))
         pq.write_table(build_manifest_table(cfg), manifest_path)
+    return clips_dir, manifest_path
 
+
+def clips_validation(sf_dir: str, n_rows: int = 1500):
+    """The north-star pipeline on a deterministic synthetic clips corpus:
+    scalar rules → audio decode actor pool (PCM SNR≥30dB, codec sniff,
+    duration, transcript) → uniqueness → referential → drift, resumable
+    per-partition. Returns the violations dataset (deterministic)."""
+    from fs_schema_validator_ray.pipelines.validate import (
+        ValidationRunConfig,
+        run_validation,
+    )
+    from fs_schema_validator_ray.rules import RuleSet
+
+    clips_dir, manifest_path = _clips_corpus(n_rows)
     rules = RuleSet.from_yaml(CLIPS_RULES_YAML)
     out_dir = tempfile.mkdtemp(prefix="fsvr_run_")
     run_cfg = ValidationRunConfig(
@@ -715,6 +723,22 @@ def clips_validation(sf_dir: str, n_rows: int = 1500):
     )
     res = run_validation(run_cfg)
     return res.violations_dataset().select_columns(["key", "rule_id", "reason"])
+
+
+def audio_features_clips(sf_dir: str, n_rows: int = 1500):
+    """Per-clip audio features (decode → duration/RMS/peak/ZCR/spectral
+    centroid/clipping/silence) over the deterministic clips corpus —
+    the training-data feature-extraction stage of the audio pipeline
+    (rows-only: payload decode is not SQL-expressible)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import (
+        audio_feature_dataset,
+    )
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return audio_feature_dataset(ds)
 
 
 CLIPS_RULES_YAML = """
@@ -795,4 +819,5 @@ QUERIES = {
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
     "clips_validation": clips_validation,
+    "audio_features_clips": audio_features_clips,
 }

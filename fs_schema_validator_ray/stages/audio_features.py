@@ -1,0 +1,133 @@
+"""Audio feature extraction over binary clip payloads.
+
+The training-data companion to payload *validation*
+(``stages/decode.py``): decode each clip (zero-copy memoryview slices of
+the Arrow binary column) and emit a per-clip feature row — the kind of
+signal a 100 TB audio-corpus pipeline filters and stratifies on
+(silence/clipping screens, loudness normalization buckets, spectral
+sanity checks). Pure numpy (rfft) — no external DSP library.
+
+Stage shape: callable class for ``map_batches`` (instance → stateless
+tasks; pass the class + constructor args for an actor pool when a real
+codec library with per-worker init replaces ``audio.decode``). Decode is
+inherently per-row (variable-length payloads), the per-clip math is
+numpy-vectorized; undecodable payloads emit ``decode_ok=false`` rows
+with null features rather than dropping silently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fs_schema_validator_ray import audio
+from fs_schema_validator_ray.stages.decode import binary_views
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("codec", pa.string()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("duration_ms", pa.float64()),
+        ("rms_db", pa.float64()),
+        ("peak", pa.float64()),
+        ("zero_crossing_rate", pa.float64()),
+        ("spectral_centroid_hz", pa.float64()),
+        ("clipping_ratio", pa.float64()),
+        ("silence_ratio", pa.float64()),
+    ]
+)
+
+_SILENCE_ABS = 1e-3
+_CLIP_ABS = 0.999
+_MAX_FFT = 1 << 16  # centroid on the first 64k samples — O(n log n) cap
+
+
+def clip_features(x: np.ndarray, sr_hz: int) -> dict:
+    """Feature dict for one decoded clip (float samples in [-1, 1])."""
+    n = len(x)
+    if n == 0:
+        return {
+            "n_samples": 0,
+            "duration_ms": 0.0,
+            "rms_db": float("-inf"),
+            "peak": 0.0,
+            "zero_crossing_rate": 0.0,
+            "spectral_centroid_hz": 0.0,
+            "clipping_ratio": 0.0,
+            "silence_ratio": 1.0,
+        }
+    ax = np.abs(x)
+    rms = float(np.sqrt(np.mean(np.square(x))))
+    head = x[:_MAX_FFT]
+    spec = np.abs(np.fft.rfft(head))
+    freqs = np.fft.rfftfreq(len(head), d=1.0 / sr_hz)
+    power = spec.sum()
+    centroid = float((freqs * spec).sum() / power) if power > 0 else 0.0
+    return {
+        "n_samples": n,
+        "duration_ms": n * 1000.0 / sr_hz,
+        "rms_db": 20.0 * np.log10(rms) if rms > 0 else float("-inf"),
+        "peak": float(ax.max()),
+        "zero_crossing_rate": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if n > 1
+        else 0.0,
+        "spectral_centroid_hz": centroid,
+        "clipping_ratio": float(np.mean(ax >= _CLIP_ABS)),
+        "silence_ratio": float(np.mean(ax < _SILENCE_ABS)),
+    }
+
+
+class AudioFeatureStage:
+    """``map_batches`` callable: (clip_id, bytes) → one feature row per
+    clip (``FEATURE_SCHEMA``)."""
+
+    def __init__(
+        self, bytes_column: str = "bytes", key_column: str = "clip_id"
+    ) -> None:
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            base = {
+                "clip_id": None if key is None else str(key),
+                "decode_ok": False,
+                "codec": None,
+                "sr_hz": None,
+                "n_samples": None,
+                "duration_ms": None,
+                "rms_db": None,
+                "peak": None,
+                "zero_crossing_rate": None,
+                "spectral_centroid_hz": None,
+                "clipping_ratio": None,
+                "silence_ratio": None,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, codec = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    feats = clip_features(x, sr_hz)
+                    base.update(
+                        {"decode_ok": True, "codec": codec, "sr_hz": sr_hz, **feats}
+                    )
+            rows.append(base)
+        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+def audio_feature_dataset(ds, bytes_column: str = "bytes", key_column: str = "clip_id"):
+    """clips Dataset → per-clip feature Dataset (columns pruned before the
+    decode stage; batch size kept small because payloads are large)."""
+    return ds.select_columns([key_column, bytes_column]).map_batches(
+        AudioFeatureStage(bytes_column, key_column),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
