@@ -54,13 +54,14 @@ def _partial_counts(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     # int column silently becomes float64 when the batch contains a null
     # (5 → 5.0, different bit pattern → different bucket → the key's
     # partial counts split across buckets and `n > 1` never fires — a
-    # silent false negative). Hash the object representation instead:
-    # Python ints/strs hash identically whether or not nulls ride along.
-    # (np.asarray(col, dtype=object) still routes through the same float64
-    # conversion — to_pylist is the only dtype-faithful path)
+    # silent false negative). Integer promotion is the one hazard: fill
+    # nulls before conversion so the dtype stays int64 either way (null
+    # keys then share key-0's bucket — harmless, the bucket only routes).
     keys = g.column(column)
-    kv = np.empty(len(keys), dtype=object)
-    kv[:] = keys.to_pylist()
+    if pa.types.is_integer(keys.type) and keys.null_count:
+        kv = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False)
+    else:
+        kv = keys.to_numpy(zero_copy_only=False)
     bucket = (hash64(kv) % np.uint64(n_buckets)).astype(np.int32)
     return pa.table(
         {
