@@ -741,6 +741,21 @@ def audio_features_clips(sf_dir: str, n_rows: int = 1500):
     return audio_feature_dataset(ds)
 
 
+def audio_resample_clips(sf_dir: str, n_rows: int = 1500, target_sr: int = 16_000):
+    """Rate-normalize every decodable clip to ``target_sr`` (decode →
+    linear-interp resample → re-encode pcm_s16le) — the audio analogue of
+    an image-resize stage (rows-only: payload transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import ResampleStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        ResampleStage(target_sr=target_sr), batch_format="pyarrow", batch_size=512
+    )
+
+
 CLIPS_RULES_YAML = """
 rules:
   - rule: sr_hz_range
@@ -820,4 +835,5 @@ QUERIES = {
     "drift_nchars_by_source": drift_nchars_by_source,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
+    "audio_resample_clips": audio_resample_clips,
 }

@@ -131,3 +131,76 @@ def audio_feature_dataset(ds, bytes_column: str = "bytes", key_column: str = "cl
         batch_format="pyarrow",
         batch_size=512,
     )
+
+
+def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler (numpy-only; the audio analogue of
+    an image resize). Good enough for rate normalization of band-limited
+    speech; swap a polyphase/sinc kernel in via the same stage at
+    production quality."""
+    if sr_in == sr_out or len(x) == 0:
+        return np.asarray(x, dtype=np.float64)
+    n_out = max(1, int(round(len(x) * sr_out / sr_in)))
+    t_out = np.arange(n_out) * (sr_in / sr_out)
+    return np.interp(t_out, np.arange(len(x)), x)
+
+
+RESAMPLE_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+
+class ResampleStage:
+    """``map_batches`` callable: decode → resample to ``target_sr`` →
+    re-encode (``codec_out``) — the rate-normalization stage a training
+    pipeline runs before featurization. Undecodable payloads pass through
+    as ``decode_ok=false`` rows with null bytes (never dropped
+    silently)."""
+
+    def __init__(
+        self,
+        target_sr: int = 16_000,
+        codec_out: str = "pcm_s16le",
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        self.target_sr = target_sr
+        self.codec_out = codec_out
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "bytes": None,
+                "sr_hz": None,
+                "n_samples": None,
+                "decode_ok": False,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    y = resample_linear(x, sr_hz, self.target_sr)
+                    row.update(
+                        {
+                            "bytes": audio.encode(y, self.target_sr, self.codec_out),
+                            "sr_hz": self.target_sr,
+                            "n_samples": len(y),
+                            "decode_ok": True,
+                        }
+                    )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=RESAMPLE_SCHEMA)

@@ -78,3 +78,47 @@ def test_audio_features_query_runs(ray_session):
     assert len(ok) > 150
     assert (ok["duration_ms"] > 0).all()
     assert set(ok["codec"]) <= {"pcm_s16le", "pcm_u8", "ulaw", "alaw"}
+
+
+def test_resample_stage_roundtrip():
+    from fs_schema_validator_ray.stages.audio_features import (
+        ResampleStage,
+        clip_features,
+        resample_linear,
+    )
+
+    sr = 16000
+    x = tone(440, sr=sr, dur_s=1.0, amp=0.5)
+    # direct resampler: 2:1 decimation preserves duration and the tone
+    y = resample_linear(x, sr, 8000)
+    assert len(y) == 8000
+    f = clip_features(y, 8000)
+    assert f["spectral_centroid_hz"] == pytest.approx(440, rel=0.05)
+    assert f["duration_ms"] == pytest.approx(1000.0)
+
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "bad"]),
+            "bytes": pa.array(
+                [audio.encode(x, sr, "ulaw"), b"junk"], pa.binary()
+            ),
+        }
+    )
+    out = ResampleStage(target_sr=8000)(batch).to_pylist()
+    by_id = {r["clip_id"]: r for r in out}
+    assert by_id["a"]["decode_ok"] and by_id["a"]["sr_hz"] == 8000
+    dec, sr2, codec = audio.decode(by_id["a"]["bytes"])
+    assert sr2 == 8000 and codec == "pcm_s16le" and len(dec) == 8000
+    # tone survives the ulaw→resample→pcm16 chain
+    f2 = clip_features(dec, sr2)
+    assert f2["peak"] == pytest.approx(0.5, abs=0.05)
+    assert not by_id["bad"]["decode_ok"] and by_id["bad"]["bytes"] is None
+
+
+def test_resample_upsample():
+    from fs_schema_validator_ray.stages.audio_features import resample_linear
+
+    x = tone(100, sr=8000, dur_s=0.5)
+    y = resample_linear(x, 8000, 16000)
+    assert len(y) == 8000  # 0.5 s at 16 kHz
+    assert np.max(np.abs(y)) == pytest.approx(0.5, abs=0.01)
