@@ -127,3 +127,65 @@ def test_dsl_expansion_cardinality(lo, width, variants):
 def test_dsl_plain_string_identity(s):
     """Templates without holes expand to themselves."""
     assert list(dsl.expand(s, {})) == [s]
+
+
+# --- dedup primitives (round 2) --------------------------------------------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c1-"), min_size=0, max_size=40
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts_strategy, st.integers(1, 4))
+def test_distinct_shingle_hashes_matches_reference(texts, n):
+    """Vectorized per-row distinct shingle hashing == a per-row Python
+    reference (count + within-row sortedness + distinctness)."""
+    import pyarrow as pa
+    import re
+
+    from fs_schema_validator_ray.stages.dedup import _distinct_shingle_hashes
+
+    col = pa.array(texts, pa.string())
+    hashes, offsets = _distinct_shingle_hashes(col, n)
+    assert len(offsets) == len(texts) + 1
+    for i, text in enumerate(texts):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        expected = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+        row = hashes[offsets[i]:offsets[i + 1]]
+        assert len(row) == len(expected)
+        # sorted + distinct within the row
+        assert np.all(np.diff(row.astype(np.uint64)) > 0) or len(row) <= 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 30), max_size=20, unique=True),
+            st.lists(st.integers(0, 30), max_size=20, unique=True),
+        ),
+        max_size=10,
+    ),
+    st.floats(0.0, 1.0),
+)
+def test_pairwise_jaccard_matches_setops(pairs, threshold):
+    """Batched lexsort Jaccard == per-pair Python set arithmetic."""
+    from fs_schema_validator_ray.stages.dedup import _pairwise_jaccard
+
+    sets_a = [np.array(sorted(a), dtype=np.uint64) for a, _ in pairs]
+    sets_b = [np.array(sorted(b), dtype=np.uint64) for _, b in pairs]
+    keep, sim = _pairwise_jaccard(sets_a, sets_b, threshold)
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(a), set(b)
+        union = len(sa | sb)
+        if union == 0:
+            assert not keep[i]
+            continue
+        j = len(sa & sb) / union
+        assert sim[i] == j
+        assert keep[i] == (j >= threshold)
