@@ -204,6 +204,13 @@ SELECT DISTINCT p_brand FROM part
         "sample_orders_mod": """
 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 16 = 0
 """,
+        "stratified_sample_events": """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn % 20 = 1
+""",
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,

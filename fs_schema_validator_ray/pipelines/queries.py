@@ -390,6 +390,15 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def stratified_sample_events(sf_dir: str):
+    """Every 20th event per event_type ordered by event_id — exact
+    row_number semantics, oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return stratified_sample(ds, "event_type", "event_id", 20)
+
+
 def asof_events_orders(sf_dir: str):
     """Distributed as-of join: each event matched to the customer's most
     recent order at event time (co-partitioned groupby + per-group
@@ -820,6 +829,7 @@ QUERIES = {
     "broadcast_join_events_customer": broadcast_join_events_customer,
     "distinct_part_brands": distinct_part_brands,
     "sample_orders_mod": sample_orders_mod,
+    "stratified_sample_events": stratified_sample_events,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

@@ -139,6 +139,36 @@ def sessionize(
     )
 
 
+def stratified_sample(ds, group_column: str, order_column: str, k: int):
+    """Deterministic stratified sampling: every k-th row per group under
+    a total per-group order (1-indexed row_number % k == 1) — equal
+    sampling pressure per stratum regardless of stratum size, and exactly
+    SQL's ``row_number() OVER (PARTITION BY g ORDER BY o) % k = 1``.
+
+    ONE ``groupby(group)`` shuffle of the pruned two columns, per-group
+    vectorized argsort + stride slice. Partitioning assumption: one
+    stratum's (group, order) rows fit one group — for few huge strata at
+    corpus scale, pre-split each stratum by an order-key range and merge
+    counts, or fall back to hash-mod sampling (``sample_mod``) when
+    row-number semantics aren't required.
+    """
+
+    def per_group(group: pa.Table) -> pa.Table:
+        order_vals = group.column(order_column)
+        order = np.argsort(
+            np.asarray(pc.cast(order_vals, pa.int64()), dtype=np.int64),
+            kind="stable",
+        )
+        take = pa.array(order[::k], pa.int64())  # rows 1, k+1, 2k+1, ...
+        return group.select([group_column, order_column]).take(take)
+
+    return (
+        ds.select_columns([group_column, order_column])
+        .groupby(group_column)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
 def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
     """Attach a tumbling-window key derived from a timestamp column
     (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""

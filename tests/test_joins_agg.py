@@ -136,3 +136,23 @@ def test_tumbling_window():
     assert [r["window"] for r in out] == ["2024-01-01", "2024-01-01", "2024-02-03"]
     out_m = tumbling_window(ray.data.from_arrow(t), "ts", "month").take_all()
     assert [r["window"] for r in out_m] == ["2024-01", "2024-01", "2024-02"]
+
+
+def test_stratified_sample(ray_session):
+    """Every k-th row per group under per-group event order (1-indexed
+    row_number % k == 1) — equal pressure per stratum."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import stratified_sample
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 7 + ["b"] * 2 + ["c"] * 3),
+            "o": pa.array([70, 10, 30, 20, 60, 40, 50, 2, 1, 9, 7, 8], pa.int64()),
+        }
+    )
+    out = stratified_sample(ray.data.from_arrow(t), "g", "o", 3).take_all()
+    got = sorted((r["g"], r["o"]) for r in out)
+    # a sorted: 10,20,30,40,50,60,70 → rows 1,4,7 → 10,40,70
+    # b sorted: 1,2 → row 1 → 1 ; c sorted: 7,8,9 → row 1 → 7
+    assert got == [("a", 10), ("a", 40), ("a", 70), ("b", 1), ("c", 7)]
