@@ -211,6 +211,10 @@ SELECT event_type, event_id FROM (
   FROM events
 ) WHERE rn % 20 = 1
 """,
+        "hash_join_lineitem_orders": """
+SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,

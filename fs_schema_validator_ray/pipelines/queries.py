@@ -390,6 +390,19 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def hash_join_lineitem_orders(sf_dir: str):
+    """Large-large inner equi-join (bucketed co-partitioned merge):
+    lineitem ⋈ orders on order key — oracle-checked."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    return hash_join(
+        left, right, "l_orderkey", "o_orderkey",
+        ["l_linenumber"], ["o_custkey", "o_orderstatus"],
+    )
+
+
 def stratified_sample_events(sf_dir: str):
     """Every 20th event per event_type ordered by event_id — exact
     row_number semantics, oracle-checked."""
@@ -830,6 +843,7 @@ QUERIES = {
     "distinct_part_brands": distinct_part_brands,
     "sample_orders_mod": sample_orders_mod,
     "stratified_sample_events": stratified_sample_events,
+    "hash_join_lineitem_orders": hash_join_lineitem_orders,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

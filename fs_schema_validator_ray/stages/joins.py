@@ -179,6 +179,119 @@ def asof_join(
     return tagged.groupby("__key").map_groups(merge_group, batch_format="pyarrow")
 
 
+def hash_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    left_value_columns: list[str],
+    right_value_columns: list[str],
+    n_buckets: int | None = None,
+):
+    """Distributed inner equi-join, both sides large: ``tag → union →
+    groupby(hash(key) % n_buckets) → per-bucket vectorized merge``.
+
+    Only the pruned join columns shuffle, keyed by a small-int bucket
+    (one vectorized ``map_groups`` call per bucket, not one Python call
+    per key). Inside a bucket the right side is sorted by key once and
+    every left row's match range comes from two ``searchsorted`` calls;
+    duplicate keys on both sides expand to the full per-key cross
+    product, exactly like SQL. Null join keys drop (inner semantics).
+    Column names pass through (caller guarantees no collision across
+    sides). Skew note: one KEY's rows always co-locate; a pathologically
+    hot key inflates its bucket — salt it upstream or pre-aggregate,
+    same caveat as any hash join.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import hash64
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    l_types = {c: _target_type(left, c) for c in left_value_columns}
+    r_types = {c: _target_type(right, c) for c in right_value_columns}
+    key_type = _target_type(left, left_on)
+
+    def bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        kv = col.to_numpy(zero_copy_only=False)
+        return pa.array((hash64(kv) % np.uint64(n_buckets)).astype(np.int32))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(left_on)))
+        out = pa.table(
+            {
+                "__bucket": bucket_of(t.column(left_on).combine_chunks()),
+                "__key": pc.cast(t.column(left_on), key_type),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(c, t.column(c))
+        for c in right_value_columns:
+            out = out.append_column(c, pa.nulls(t.num_rows, r_types[c]))
+        return out
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(right_on)))
+        out = pa.table(
+            {
+                "__bucket": bucket_of(t.column(right_on).combine_chunks()),
+                "__key": pc.cast(t.column(right_on), key_type),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(c, pa.nulls(t.num_rows, l_types[c]))
+        for c in right_value_columns:
+            out = out.append_column(c, t.column(c))
+        return out
+
+    l_cols = list(dict.fromkeys([left_on, *left_value_columns]))
+    r_cols = list(dict.fromkeys([right_on, *right_value_columns]))
+    tagged = left.select_columns(l_cols).map_batches(
+        tag_left, batch_format="pyarrow"
+    ).union(
+        right.select_columns(r_cols).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        keys = group.column("__key").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        empty = {left_on: group.column("__key").slice(0, 0)}
+        for c in left_value_columns:
+            empty[c] = group.column(c).slice(0, 0)
+        for c in right_value_columns:
+            empty[c] = group.column(c).slice(0, 0)
+        if not len(l_idx) or not len(r_idx):
+            return pa.table(empty)
+        r_sorted = r_idx[np.argsort(keys[r_idx], kind="stable")]
+        rk = keys[r_sorted]
+        lk = keys[l_idx]
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(empty)
+        l_take = pa.array(np.repeat(l_idx, counts), pa.int64())
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        r_pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], counts)
+            + np.repeat(lo, counts)
+        )
+        r_take = pa.array(r_sorted[r_pos], pa.int64())
+        out = {left_on: group.column("__key").take(l_take)}
+        for c in left_value_columns:
+            out[c] = group.column(c).take(l_take)
+        for c in right_value_columns:
+            out[c] = group.column(c).take(r_take)
+        return pa.table(out)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def _target_type(ds, column: str) -> pa.DataType:
     schema = ds.schema()
     return schema.base_schema.field(column).type if hasattr(schema, "base_schema") else schema.field(column).type

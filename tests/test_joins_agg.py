@@ -156,3 +156,33 @@ def test_stratified_sample(ray_session):
     # a sorted: 10,20,30,40,50,60,70 → rows 1,4,7 → 10,40,70
     # b sorted: 1,2 → row 1 → 1 ; c sorted: 7,8,9 → row 1 → 7
     assert got == [("a", 10), ("a", 40), ("a", 70), ("b", 1), ("c", 7)]
+
+
+def test_hash_join_duplicates_and_nulls(ray_session):
+    """Inner equi-join: per-key cross product on duplicate keys, null
+    join keys drop, unmatched keys drop."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, None], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k2": pa.array([1, 1, 2, 4, None], pa.int64()),
+            "rv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k2", ["lv"], ["rv"],
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    assert got == [
+        (1, "a", 10), (1, "a", 20), (1, "b", 10), (1, "b", 20),
+        (2, "c", 30),
+    ]
