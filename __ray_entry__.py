@@ -215,6 +215,10 @@ SELECT event_type, event_id FROM (
 SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """,
+        "left_join_customer_orders": """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""",
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,

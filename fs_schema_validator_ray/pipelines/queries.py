@@ -403,6 +403,19 @@ def hash_join_lineitem_orders(sf_dir: str):
     )
 
 
+def left_join_customer_orders(sf_dir: str):
+    """LEFT equi-join: every customer, order columns null when the
+    customer has no orders — oracle-checked incl. the null rows."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return hash_join(
+        left, right, "c_custkey", "o_custkey",
+        ["c_mktsegment"], ["o_orderkey"], how="left",
+    )
+
+
 def stratified_sample_events(sf_dir: str):
     """Every 20th event per event_type ordered by event_id — exact
     row_number semantics, oracle-checked."""
@@ -844,6 +857,7 @@ QUERIES = {
     "sample_orders_mod": sample_orders_mod,
     "stratified_sample_events": stratified_sample_events,
     "hash_join_lineitem_orders": hash_join_lineitem_orders,
+    "left_join_customer_orders": left_join_customer_orders,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

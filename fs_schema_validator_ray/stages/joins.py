@@ -187,16 +187,19 @@ def hash_join(
     left_value_columns: list[str],
     right_value_columns: list[str],
     n_buckets: int | None = None,
+    how: str = "inner",
 ):
-    """Distributed inner equi-join, both sides large: ``tag → union →
-    groupby(hash(key) % n_buckets) → per-bucket vectorized merge``.
+    """Distributed equi-join (``how``: "inner" or "left"), both sides
+    large: ``tag → union → groupby(hash(key) % n_buckets) → per-bucket
+    vectorized merge``.
 
     Only the pruned join columns shuffle, keyed by a small-int bucket
     (one vectorized ``map_groups`` call per bucket, not one Python call
     per key). Inside a bucket the right side is sorted by key once and
     every left row's match range comes from two ``searchsorted`` calls;
     duplicate keys on both sides expand to the full per-key cross
-    product, exactly like SQL. Null join keys drop (inner semantics).
+    product, exactly like SQL. Null join keys drop from the match (for
+    ``how="left"`` they still emit with null right columns, like SQL).
     Column names pass through (caller guarantees no collision across
     sides). Skew note: one KEY's rows always co-locate; a pathologically
     hot key inflates its bucket — salt it upstream or pre-aggregate,
@@ -205,18 +208,30 @@ def hash_join(
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import hash64
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join how must be inner|left, got {how!r}")
     if n_buckets is None:
         n_buckets = default_n_buckets()
     l_types = {c: _target_type(left, c) for c in left_value_columns}
     r_types = {c: _target_type(right, c) for c in right_value_columns}
     key_type = _target_type(left, left_on)
 
+    def stable_np(col):
+        # dtype-stable conversion: to_numpy promotes int-with-null to
+        # float64 (5 → 5.0 → different hash/compare than int 5 from a
+        # null-free batch). Null keys never match (masked below), so
+        # filling 0 is safe and keeps int64 either way.
+        if pa.types.is_integer(col.type) and col.null_count:
+            col = pc.fill_null(col, 0)
+        return col.to_numpy(zero_copy_only=False)
+
     def bucket_of(col: pa.ChunkedArray) -> pa.Array:
-        kv = col.to_numpy(zero_copy_only=False)
+        kv = stable_np(col)
         return pa.array((hash64(kv) % np.uint64(n_buckets)).astype(np.int32))
 
     def tag_left(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(left_on)))
+        if how == "inner":
+            t = t.filter(pc.is_valid(t.column(left_on)))
         out = pa.table(
             {
                 "__bucket": bucket_of(t.column(left_on).combine_chunks()),
@@ -255,7 +270,7 @@ def hash_join(
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        keys = group.column("__key").to_numpy(zero_copy_only=False)
+        keys = stable_np(group.column("__key").combine_chunks())
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
         empty = {left_on: group.column("__key").slice(0, 0)}
@@ -263,30 +278,58 @@ def hash_join(
             empty[c] = group.column(c).slice(0, 0)
         for c in right_value_columns:
             empty[c] = group.column(c).slice(0, 0)
-        if not len(l_idx) or not len(r_idx):
+        if not len(l_idx) or (how == "inner" and not len(r_idx)):
             return pa.table(empty)
-        r_sorted = r_idx[np.argsort(keys[r_idx], kind="stable")]
-        rk = keys[r_sorted]
-        lk = keys[l_idx]
-        lo = np.searchsorted(rk, lk, side="left")
-        hi = np.searchsorted(rk, lk, side="right")
-        counts = hi - lo
-        total = int(counts.sum())
+        if len(r_idx):
+            r_sorted = r_idx[np.argsort(keys[r_idx], kind="stable")]
+            rk = keys[r_sorted]
+            lk = keys[l_idx]
+            valid_l = np.asarray(
+                pc.is_valid(group.column("__key").take(pa.array(l_idx, pa.int64())))
+            )
+            lo = np.searchsorted(rk, lk, side="left")
+            hi = np.searchsorted(rk, lk, side="right")
+            # a null key never matches (SQL semantics); numpy would happily
+            # match NaN-promoted or sentinel values
+            counts = np.where(valid_l, hi - lo, 0)
+        else:
+            r_sorted = r_idx
+            lo = np.zeros(len(l_idx), np.int64)
+            counts = np.zeros(len(l_idx), np.int64)
+        if how == "left":
+            # unmatched left rows emit once with null right columns
+            emit_counts = np.maximum(counts, 1)
+        else:
+            emit_counts = counts
+        total = int(emit_counts.sum())
         if total == 0:
             return pa.table(empty)
-        l_take = pa.array(np.repeat(l_idx, counts), pa.int64())
-        offs = np.concatenate([[0], np.cumsum(counts)])
+        l_take = pa.array(np.repeat(l_idx, emit_counts), pa.int64())
+        offs = np.concatenate([[0], np.cumsum(emit_counts)])
         r_pos = (
             np.arange(total, dtype=np.int64)
-            - np.repeat(offs[:-1], counts)
-            + np.repeat(lo, counts)
+            - np.repeat(offs[:-1], emit_counts)
+            + np.repeat(lo, emit_counts)
         )
-        r_take = pa.array(r_sorted[r_pos], pa.int64())
+        matched = np.repeat(counts > 0, emit_counts)
+        # unmatched rows point r_pos at slot lo (may be out of range) —
+        # clamp for the take, then null the right columns via the mask
+        r_pos = np.clip(r_pos, 0, max(len(r_sorted) - 1, 0))
+        r_take = pa.array(
+            np.where(matched, r_sorted[r_pos] if len(r_sorted) else 0, 0),
+            pa.int64(),
+        )
         out = {left_on: group.column("__key").take(l_take)}
         for c in left_value_columns:
             out[c] = group.column(c).take(l_take)
+        mmask = pa.array(matched)
         for c in right_value_columns:
-            out[c] = group.column(c).take(r_take)
+            taken = group.column(c).take(r_take)
+            out[c] = (
+                taken
+                if how == "inner"
+                else pc.if_else(mmask, taken, pa.nulls(total, r_types[c]))
+            )
         return pa.table(out)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

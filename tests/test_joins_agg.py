@@ -186,3 +186,32 @@ def test_hash_join_duplicates_and_nulls(ray_session):
         (1, "a", 10), (1, "a", 20), (1, "b", 10), (1, "b", 20),
         (2, "c", 30),
     ]
+
+
+def test_hash_join_left(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None], pa.int64()),
+            "lv": pa.array(["a", "b", "c"]),
+        }
+    )
+    right = pa.table(
+        {"k2": pa.array([1, 1], pa.int64()), "rv": pa.array([10, 20], pa.int64())}
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k2", ["lv"], ["rv"], how="left",
+    ).take_all()
+    got = sorted(
+        [(r["k"], r["lv"], r["rv"]) for r in out],
+        key=lambda x: (x[0] is None, x[0] or 0, x[1], x[2] is None, x[2] or 0),
+    )
+    assert got == [
+        (1, "a", 10), (1, "a", 20),
+        (2, "b", None),          # unmatched left row survives
+        (None, "c", None),       # null key never matches, still emits
+    ]
