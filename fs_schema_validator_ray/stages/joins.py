@@ -112,9 +112,17 @@ def asof_join(
     row with the same key and the greatest ``right_ts <= left_ts``.
     Inner semantics — left rows with no prior right row drop.
 
-    ``tag → union → groupby(key) → per-group sort + searchsorted``: one
-    shuffle of only the pruned join columns.
+    ``tag → union → groupby(hash(key) % n_buckets) → per-bucket
+    key-segment scan + searchsorted``: one shuffle of only the pruned
+    join columns, keyed by a small-int bucket (one vectorized
+    ``map_groups`` call per bucket, not one Python call per key — most
+    keys are singletons-per-side and the per-group call overhead
+    dominates at high key cardinality).
     """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import hash64
+
+    n_buckets = default_n_buckets()
     l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
     r_cols = list(dict.fromkeys([key_column, right_ts, *right_value_columns]))
     # resolve null-fill dtypes ONCE on the driver — referencing the
@@ -122,9 +130,20 @@ def asof_join(
     l_types = {c: _target_type(left, c) for c in left_value_columns}
     r_types = {c: _target_type(right, c) for c in right_value_columns}
 
+    def stable_np(col):
+        if pa.types.is_integer(col.type) and col.null_count:
+            col = pc.fill_null(col, 0)
+        return col.to_numpy(zero_copy_only=False)
+
+    def bucket_of(col) -> pa.Array:
+        kv = stable_np(col.combine_chunks())
+        return pa.array((hash64(kv) % np.uint64(n_buckets)).astype(np.int32))
+
     def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key_column)))  # inner: null keys drop
         out = pa.table(
             {
+                "__bucket": bucket_of(t.column(key_column)),
                 "__key": t.column(key_column),
                 "__ts": pc.cast(t.column(left_ts), pa.int64()),
                 "__side": pa.array(np.zeros(t.num_rows, np.int8)),
@@ -137,8 +156,10 @@ def asof_join(
         return out
 
     def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key_column)))
         out = pa.table(
             {
+                "__bucket": bucket_of(t.column(key_column)),
                 "__key": t.column(key_column),
                 "__ts": pc.cast(t.column(right_ts), pa.int64()),
                 "__side": pa.array(np.ones(t.num_rows, np.int8)),
@@ -154,29 +175,41 @@ def asof_join(
         tag_left, batch_format="pyarrow"
     ).union(right.select_columns(r_cols).map_batches(tag_right, batch_format="pyarrow"))
 
-    def merge_group(group: pa.Table) -> pa.Table:
+    def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
         ts = np.asarray(group.column("__ts"))
-        is_l = side == 0
-        l_idx = np.flatnonzero(is_l)
-        r_idx = np.flatnonzero(~is_l)
-        if not len(l_idx) or not len(r_idx):
+        keys = stable_np(group.column("__key").combine_chunks())
+        # one lexsort: rows grouped by key; within a key all lefts
+        # (ts-sorted) then all rights (ts-sorted)
+        order = np.lexsort((ts, side, keys))
+        k_s, side_s, ts_s = keys[order], side[order], ts[order]
+        seg_first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [len(k_s)]])
+        keep_l, match_r = [], []
+        for s, e in zip(starts, ends):
+            split = s + int(np.searchsorted(side_s[s:e], 1))
+            if split == s or split == e:
+                continue  # one-sided key
+            l_ts = ts_s[s:split]
+            r_ts = ts_s[split:e]
+            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+            ok = pos >= 0
+            keep_l.append(order[s:split][ok])
+            match_r.append(order[split:e][pos[ok]])
+        if not keep_l:
             return _empty_out(group, left_value_columns, right_value_columns)
-        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
-        # greatest right ts <= left ts
-        pos = np.searchsorted(ts[r_order], ts[l_idx], side="right") - 1
-        ok = pos >= 0
-        l_keep = l_idx[ok]
-        r_match = r_order[pos[ok]]
-        out_cols = {"__key": group.column("__key").take(pa.array(l_keep))}
-        out_cols["__ts"] = group.column("__ts").take(pa.array(l_keep))
+        l_keep = pa.array(np.concatenate(keep_l), pa.int64())
+        r_match = pa.array(np.concatenate(match_r), pa.int64())
+        out_cols = {"__key": group.column("__key").take(l_keep)}
+        out_cols["__ts"] = group.column("__ts").take(l_keep)
         for c in left_value_columns:
-            out_cols[f"l_{c}"] = group.column(f"l_{c}").take(pa.array(l_keep))
+            out_cols[f"l_{c}"] = group.column(f"l_{c}").take(l_keep)
         for c in right_value_columns:
-            out_cols[f"r_{c}"] = group.column(f"r_{c}").take(pa.array(r_match))
+            out_cols[f"r_{c}"] = group.column(f"r_{c}").take(r_match)
         return pa.table(out_cols)
 
-    return tagged.groupby("__key").map_groups(merge_group, batch_format="pyarrow")
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def hash_join(
