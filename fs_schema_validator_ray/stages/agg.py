@@ -101,41 +101,77 @@ def sessionize(
     ``(key, session_start, session_end, n_events)``.
 
     ``gap`` and the emitted bounds are in the timestamp's native int64
-    unit (cast upstream). Partitioning assumption: one key's events fit
-    one group — salt pathologically hot keys upstream.
+    unit (cast upstream). The shuffle key is ``hash(key) % n_buckets``
+    (one FULLY-vectorized ``map_groups`` call per bucket — session
+    boundaries for every key in the bucket come from one lexsort + one
+    diff; grouping by the raw key would cost one Python call per key).
+    Partitioning assumption: one key's events fit one bucket group —
+    salt pathologically hot keys upstream.
     """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import hash64
+
+    n_buckets = default_n_buckets()
     cols = [key_column, ts_column]
 
-    def per_key(group: pa.Table) -> pa.Table:
-        ts = np.asarray(
-            pc.cast(group.column(ts_column), pa.int64()), dtype=np.int64
-        )
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        # a new session starts where the gap from the previous event
-        # exceeds `gap`
-        starts = np.concatenate([[True], np.diff(ts) > int(gap)])
-        sid = np.cumsum(starts) - 1
-        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
-        first = np.flatnonzero(starts)
-        last = np.concatenate([first[1:] - 1, [len(ts) - 1]]) if n_sessions else first
-        key_val = group.column(key_column)[0]
-        key_type = group.column(key_column).type
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t.column(key_column).combine_chunks()
+        if pa.types.is_integer(col.type) and col.null_count:
+            hsrc = pc.fill_null(col, 0)  # dtype-stable across batches
+        else:
+            hsrc = col
+        kv = hsrc.to_numpy(zero_copy_only=False)
+        bucket = (hash64(kv) % np.uint64(n_buckets)).astype(np.int32)
         return pa.table(
             {
-                # explicit type: as_py() re-inference would widen ints and
-                # produce a null-typed column for null keys
-                key_column: pa.array([key_val.as_py()] * n_sessions, type=key_type),
-                "session_start": pa.array(ts[first], pa.int64()),
-                "session_end": pa.array(ts[last], pa.int64()),
+                "__bucket": pa.array(bucket),
+                key_column: t.column(key_column),
+                ts_column: pc.cast(t.column(ts_column), pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        key_col = group.column(key_column).combine_chunks()
+        key_type = key_col.type
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], key_type),
+                    "session_start": pa.array([], pa.int64()),
+                    "session_end": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        ts = np.asarray(group.column(ts_column), dtype=np.int64)
+        # sortable key proxy: encoded indices keep arbitrary key types
+        # (strings, nulls) groupable without dtype games
+        enc = pc.dictionary_encode(key_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kcode = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((ts, kcode))
+        kc, ts_s = kcode[order], ts[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        starts = seg_first | np.concatenate([[True], np.diff(ts_s) > int(gap)])
+        first = np.flatnonzero(starts)
+        last = np.concatenate([first[1:] - 1, [len(ts_s) - 1]])
+        take = pa.array(order[first], pa.int64())
+        return pa.table(
+            {
+                key_column: key_col.take(take),
+                "session_start": pa.array(ts_s[first], pa.int64()),
+                "session_end": pa.array(ts_s[last], pa.int64()),
                 "n_events": pa.array(
-                    np.diff(np.concatenate([first, [len(ts)]])), pa.int64()
+                    np.diff(np.concatenate([first, [len(ts_s)]])), pa.int64()
                 ),
             }
         )
 
-    return ds.select_columns(cols).groupby(key_column).map_groups(
-        per_key, batch_format="pyarrow"
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

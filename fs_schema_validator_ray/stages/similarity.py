@@ -255,13 +255,24 @@ class HyperplaneSignStage:
             sl = bits[:, blk * self.block_bits : (blk + 1) * self.block_bits]
             keys[blk * n : (blk + 1) * n] = sl.astype(np.int32) @ weights
         tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.n_blocks))
+        bands = np.repeat(np.arange(self.n_blocks, dtype=np.int32), n)
+        # coarse 256-way shuffle key: one vectorized map_groups call per
+        # bucket instead of one Python call per (band, band_key)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (
+                    (bands.astype(np.uint64) << np.uint64(32))
+                    ^ keys.view(np.uint32).astype(np.uint64)
+                )
+                * np.uint64(0xD1B54A32D192ED03)
+                % np.uint64(256)
+            ).astype(np.int32)
         return pa.table(
             {
                 self.id_column: batch.column(self.id_column).take(tile_idx),
                 self.vec_column: batch.column(self.vec_column).take(tile_idx),
-                "band": pa.array(
-                    np.repeat(np.arange(self.n_blocks, dtype=np.int32), n)
-                ),
+                "bucket": pa.array(bucket),
+                "band": pa.array(bands),
                 "band_key": pa.array(keys),
             }
         )
@@ -290,44 +301,66 @@ def embedding_near_dup_lsh(
         stage, batch_format="pyarrow"
     )
 
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "similarity": pa.array([], pa.float64())}
+    )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        # one COARSE bucket of (band, band_key) blocks: sorted segment
+        # scan, matmul only inside blocks with ≥2 ids
+        if group.num_rows < 2:
+            return empty
+        band = np.asarray(group.column("band"), dtype=np.int64)
+        bkey = np.asarray(group.column("band_key"), dtype=np.int64)
         ids = np.asarray(group.column(id_column), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
-        mat = _normalize(list_column_to_matrix(group.column(vec_column)))[order][keep]
-        ids = ids[keep]
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "similarity": pa.array([], pa.float64())}
-            )
-        # cap all-pairs fan-out at max_bucket; STAR-LINK overflow ids to
-        # the min id (O(n) dot products) so giant near-dup clusters —
-        # which hit the same bucket in every block — stay connected
-        # instead of silently losing members beyond the cap
-        h_ids, h_mat = ids[:max_bucket], mat[:max_bucket]
-        sims = h_mat @ h_mat.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b, s = h_ids[ai], h_ids[bi], sims[ai, bi]
-        if len(ids) > max_bucket:
-            t_ids, t_mat = ids[max_bucket:], mat[max_bucket:]
-            t_sims = t_mat @ mat[0]
-            ok = t_sims >= threshold
-            a = np.concatenate([a, np.full(int(ok.sum()), ids[0], np.int64)])
-            b = np.concatenate([b, t_ids[ok]])
-            s = np.concatenate([s, t_sims[ok]])
+        order = np.lexsort((ids, bkey, band))
+        band, bkey, ids = band[order], bkey[order], ids[order]
+        mat_all = _normalize(list_column_to_matrix(group.column(vec_column)))[order]
+        seg_first = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])]
+        )
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        multi = ends - starts >= 2
+        out_a, out_b, out_s = [], [], []
+        for st, en in zip(starts[multi], ends[multi]):
+            s_ids, mat = ids[st:en], mat_all[st:en]  # one row per doc/block
+            # cap all-pairs fan-out at max_bucket; STAR-LINK overflow ids
+            # to the min id (O(n) dot products) so giant near-dup
+            # clusters — which hit the same bucket in every block — stay
+            # connected instead of silently losing members beyond the cap
+            h_ids, h_mat = s_ids[:max_bucket], mat[:max_bucket]
+            sims = h_mat @ h_mat.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b, s = h_ids[ai], h_ids[bi], sims[ai, bi]
+            if len(s_ids) > max_bucket:
+                t_ids, t_mat = s_ids[max_bucket:], mat[max_bucket:]
+                t_sims = t_mat @ mat[0]
+                ok = t_sims >= threshold
+                a = np.concatenate([a, np.full(int(ok.sum()), s_ids[0], np.int64)])
+                b = np.concatenate([b, t_ids[ok]])
+                s = np.concatenate([s, t_sims[ok]])
+            out_a.append(a)
+            out_b.append(b)
+            out_s.append(s)
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "similarity": pa.array(s),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "similarity": pa.array(np.concatenate(out_s)),
             }
         )
 
-    allp = sig.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Max
+    allp = sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair's cosine is the same in every block — max == distinct
+    from fs_schema_validator_ray.stages.dedup import dedup_pairs_distinct
 
-    return allp.groupby(["a", "b"]).aggregate(Max("similarity", alias_name="similarity"))
+    import ray.data as rd
+
+    out = dedup_pairs_distinct(allp, agg=[("similarity", "max")])
+    # union a typed 0-row block: a no-pairs run otherwise yields a
+    # schemaless Dataset (groupby over 0 rows produces no blocks)
+    return out.union(rd.from_arrow(empty))
