@@ -109,19 +109,19 @@ def sessionize(
     salt pathologically hot keys upstream.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
-    from fs_schema_validator_ray.state.sketches import hash64
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
 
     n_buckets = default_n_buckets()
     cols = [key_column, ts_column]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        col = t.column(key_column).combine_chunks()
-        if pa.types.is_integer(col.type) and col.null_count:
-            hsrc = pc.fill_null(col, 0)  # dtype-stable across batches
-        else:
-            hsrc = col
-        kv = hsrc.to_numpy(zero_copy_only=False)
-        bucket = (hash64(kv) % np.uint64(n_buckets)).astype(np.int32)
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
         return pa.table(
             {
                 "__bucket": pa.array(bucket),
@@ -148,7 +148,11 @@ def sessionize(
         enc = pc.dictionary_encode(key_col)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        kcode = np.asarray(enc.indices, dtype=np.int64)
+        # null keys have NULL indices; the numpy conversion would go via
+        # float64 NaN whose int cast is platform-dependent (INT64_MIN on
+        # x86, 0 on aarch64 — colliding with dictionary code 0). Fill -1:
+        # nulls form their own segment deterministically.
+        kcode = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
         order = np.lexsort((ts, kcode))
         kc, ts_s = kcode[order], ts[order]
         seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
@@ -177,9 +181,10 @@ def sessionize(
 
 def stratified_sample(ds, group_column: str, order_column: str, k: int):
     """Deterministic stratified sampling: every k-th row per group under
-    a total per-group order (1-indexed row_number % k == 1) — equal
-    sampling pressure per stratum regardless of stratum size, and exactly
-    SQL's ``row_number() OVER (PARTITION BY g ORDER BY o) % k = 1``.
+    a total per-group order (rows 1, k+1, 2k+1, … — equal sampling
+    pressure per stratum regardless of stratum size), exactly SQL's
+    ``row_number() OVER (PARTITION BY g ORDER BY o) % k = 1 % k``
+    (the ``1 % k`` spelling keeps k=1 meaning "all rows" on both sides).
 
     ONE ``groupby(group)`` shuffle of the pruned two columns, per-group
     vectorized argsort + stride slice. Partitioning assumption: one
@@ -188,6 +193,9 @@ def stratified_sample(ds, group_column: str, order_column: str, k: int):
     counts, or fall back to hash-mod sampling (``sample_mod``) when
     row-number semantics aren't required.
     """
+
+    if k < 1:
+        raise ValueError(f"stratified_sample requires k >= 1, got {k}")
 
     def per_group(group: pa.Table) -> pa.Table:
         order_vals = group.column(order_column)

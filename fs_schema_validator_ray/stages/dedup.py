@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fs_schema_validator_ray.state.sketches import hash64
+from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -247,10 +247,7 @@ class MinHashBandStage:
         # "bucket" coarsens the shuffle key: grouping by raw (band,
         # band_hash) would mean one Python map_groups call per LSH bucket
         # (~rows × bands groups, mostly singletons)
-        with np.errstate(over="ignore"):
-            bucket = (
-                (band_hashes * np.uint64(0xD1B54A32D192ED03)) % np.uint64(256)
-            ).astype(np.int32)
+        bucket = mix_to_buckets(band_hashes, 256)
         return pa.table(
             {
                 self.id_column: pa.array(doc_ids),
@@ -285,7 +282,10 @@ def _bucket_pairs(group: pa.Table, id_column: str) -> pa.Table:
     cap = 64
     out_a, out_b = [], []
     for s, e in zip(starts[multi], ends[multi]):
-        seg = ids[s:e]  # sorted; one row per doc per LSH bucket → unique
+        seg = ids[s:e]  # sorted within the segment
+        seg = seg[np.concatenate([[True], seg[1:] != seg[:-1]])]  # dedup ids
+        if len(seg) < 2:
+            continue
         head = seg[:cap]
         ai, bi = np.triu_indices(len(head), k=1)
         a, b = head[ai], head[bi]
@@ -447,15 +447,13 @@ def minhash_verify_join(
     """
     if n_buckets is None:
         n_buckets = default_n_buckets()
-    P = np.uint64(n_buckets)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def roles(t: pa.Table) -> pa.Table:
         a = np.asarray(t.column("a"), dtype=np.int64)
         b = np.asarray(t.column("b"), dtype=np.int64)
         doc = np.concatenate([a, b])
-        with np.errstate(over="ignore"):
-            bucket = ((doc.view(np.uint64) * mix) % P).astype(np.int32)
+        bucket = mix_to_buckets(doc.view(np.uint64), n_buckets)
         return pa.table(
             {
                 "bucket": pa.array(bucket),
@@ -481,8 +479,7 @@ def minhash_verify_join(
             np.unique(hashes[offsets[i] : offsets[i + 1]]).tobytes()
             for i in range(len(ids))
         ]
-        with np.errstate(over="ignore"):
-            bucket = ((ids.view(np.uint64) * mix) % P).astype(np.int32)
+        bucket = mix_to_buckets(ids.view(np.uint64), n_buckets)
         return pa.table(
             {
                 "bucket": pa.array(bucket),
@@ -528,9 +525,9 @@ def minhash_verify_join(
         a = np.asarray(ro.column("a"), dtype=np.int64)
         b = np.asarray(ro.column("b"), dtype=np.int64)
         with np.errstate(over="ignore"):
-            pb = (
-                ((a.view(np.uint64) * mix) ^ b.view(np.uint64)) * mix % P
-            ).astype(np.int32)
+            pb = mix_to_buckets(
+                (a.view(np.uint64) * mix) ^ b.view(np.uint64), n_buckets
+            )
         return pa.table(
             {
                 "pair_bucket": pa.array(pb),
@@ -693,8 +690,7 @@ def shingle_document_frequencies(
             batch.column(text_column).combine_chunks(), shingle_n
         )
         u, c = np.unique(th, return_counts=True)  # distinct per doc already
-        with np.errstate(over="ignore"):
-            bucket = ((u * mix) % P).astype(np.int32)
+        bucket = mix_to_buckets(u, int(P))
         return pa.table(
             {
                 "bucket": pa.array(bucket),
@@ -809,10 +805,7 @@ class PrefixRowsStage:
         pos = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], sizes)
         keep = pos < np.repeat(prefix, sizes)
         tk = th[keep]
-        with np.errstate(over="ignore"):
-            bucket = ((tk * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(256)).astype(
-                np.int32
-            )
+        bucket = mix_to_buckets(tk, 256)
         ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
         return pa.table(
             {
@@ -877,7 +870,6 @@ def dedup_pairs_distinct(pairs, n_buckets: int = 64, agg=None):
     once candidate pairs reach the millions. ``agg``: optional Arrow
     aggregate spec for value columns carried through, e.g.
     ``[("similarity", "max")]`` (output keeps the plain column name)."""
-    P = np.uint64(n_buckets)
     mix = np.uint64(0x9E3779B97F4A7C15)
     val_cols = [c for c, _ in (agg or [])]
 
@@ -885,8 +877,8 @@ def dedup_pairs_distinct(pairs, n_buckets: int = 64, agg=None):
         a = np.asarray(t.column("a"), dtype=np.int64)
         b = np.asarray(t.column("b"), dtype=np.int64)
         with np.errstate(over="ignore"):
-            pb = (((a.view(np.uint64) * mix) ^ b.view(np.uint64)) * mix % P).astype(
-                np.int32
+            pb = mix_to_buckets(
+                (a.view(np.uint64) * mix) ^ b.view(np.uint64), n_buckets
             )
         cols = {"pb": pa.array(pb), "a": pa.array(a), "b": pa.array(b)}
         for c in val_cols:
@@ -1057,14 +1049,11 @@ class SimHashStage:
         # coarse "bucket" keeps the downstream map_groups call count at
         # ~256 instead of one Python call per (band, band_key)
         with np.errstate(over="ignore"):
-            bucket = (
-                (
-                    (bands.astype(np.uint64) << np.uint64(16))
-                    ^ keys.view(np.uint32).astype(np.uint64)
-                )
-                * np.uint64(0xD1B54A32D192ED03)
-                % np.uint64(256)
-            ).astype(np.int32)
+            bucket = mix_to_buckets(
+                (bands.astype(np.uint64) << np.uint64(16))
+                ^ keys.view(np.uint32).astype(np.uint64),
+                256,
+            )
         return pa.table(
             {
                 self.id_column: pa.array(np.tile(ids, 4)),
@@ -1103,7 +1092,11 @@ def simhash_near_dup_pairs(
         out_a, out_b, out_x = [], [], []
         cap = 256
         for s, e in zip(starts[multi], ends[multi]):
-            s_ids, s_hash = ids[s:e], hashes[s:e]  # one row per doc → unique
+            s_ids, s_hash = ids[s:e], hashes[s:e]
+            keepm = np.concatenate([[True], s_ids[1:] != s_ids[:-1]])
+            s_ids, s_hash = s_ids[keepm], s_hash[keepm]
+            if len(s_ids) < 2:
+                continue
             # cap all-pairs fan-out; STAR-LINK overflow ids to the min id
             # so a giant dup cluster stays connected (identical content
             # lands in the same bucket in every band, so truncation alone

@@ -120,7 +120,11 @@ def asof_join(
     dominates at high key cardinality).
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
-    from fs_schema_validator_ray.state.sketches import hash64
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
 
     n_buckets = default_n_buckets()
     l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
@@ -130,14 +134,9 @@ def asof_join(
     l_types = {c: _target_type(left, c) for c in left_value_columns}
     r_types = {c: _target_type(right, c) for c in right_value_columns}
 
-    def stable_np(col):
-        if pa.types.is_integer(col.type) and col.null_count:
-            col = pc.fill_null(col, 0)
-        return col.to_numpy(zero_copy_only=False)
-
     def bucket_of(col) -> pa.Array:
-        kv = stable_np(col.combine_chunks())
-        return pa.array((hash64(kv) % np.uint64(n_buckets)).astype(np.int32))
+        kv = stable_key_array(col)
+        return pa.array(mix_to_buckets(hash64(kv), n_buckets))
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(key_column)))  # inner: null keys drop
@@ -178,7 +177,7 @@ def asof_join(
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
         ts = np.asarray(group.column("__ts"))
-        keys = stable_np(group.column("__key").combine_chunks())
+        keys = stable_key_array(group.column("__key"))
         # one lexsort: rows grouped by key; within a key all lefts
         # (ts-sorted) then all rights (ts-sorted)
         order = np.lexsort((ts, side, keys))
@@ -239,7 +238,11 @@ def hash_join(
     same caveat as any hash join.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
-    from fs_schema_validator_ray.state.sketches import hash64
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
 
     if how not in ("inner", "left"):
         raise ValueError(f"hash_join how must be inner|left, got {how!r}")
@@ -249,18 +252,8 @@ def hash_join(
     r_types = {c: _target_type(right, c) for c in right_value_columns}
     key_type = _target_type(left, left_on)
 
-    def stable_np(col):
-        # dtype-stable conversion: to_numpy promotes int-with-null to
-        # float64 (5 → 5.0 → different hash/compare than int 5 from a
-        # null-free batch). Null keys never match (masked below), so
-        # filling 0 is safe and keeps int64 either way.
-        if pa.types.is_integer(col.type) and col.null_count:
-            col = pc.fill_null(col, 0)
-        return col.to_numpy(zero_copy_only=False)
-
-    def bucket_of(col: pa.ChunkedArray) -> pa.Array:
-        kv = stable_np(col)
-        return pa.array((hash64(kv) % np.uint64(n_buckets)).astype(np.int32))
+    def bucket_of(col) -> pa.Array:
+        return pa.array(mix_to_buckets(hash64(stable_key_array(col)), n_buckets))
 
     def tag_left(t: pa.Table) -> pa.Table:
         if how == "inner":
@@ -303,7 +296,8 @@ def hash_join(
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        keys = stable_np(group.column("__key").combine_chunks())
+        keys = stable_key_array(group.column("__key"))
+        key_valid = np.asarray(pc.is_valid(group.column("__key").combine_chunks()))
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
         empty = {left_on: group.column("__key").slice(0, 0)}
@@ -316,15 +310,18 @@ def hash_join(
         if len(r_idx):
             r_sorted = r_idx[np.argsort(keys[r_idx], kind="stable")]
             rk = keys[r_sorted]
-            lk = keys[l_idx]
-            valid_l = np.asarray(
-                pc.is_valid(group.column("__key").take(pa.array(l_idx, pa.int64())))
-            )
-            lo = np.searchsorted(rk, lk, side="left")
-            hi = np.searchsorted(rk, lk, side="right")
-            # a null key never matches (SQL semantics); numpy would happily
-            # match NaN-promoted or sentinel values
-            counts = np.where(valid_l, hi - lo, 0)
+            valid_l = key_valid[l_idx]
+            # a null key never matches (SQL semantics) — and for non-int
+            # key types the null stays a Python None in the object array,
+            # which np.searchsorted cannot even compare: search only the
+            # valid left keys, scatter back
+            lk_valid = keys[l_idx[valid_l]]
+            lo = np.zeros(len(l_idx), np.int64)
+            counts = np.zeros(len(l_idx), np.int64)
+            lo_v = np.searchsorted(rk, lk_valid, side="left")
+            hi_v = np.searchsorted(rk, lk_valid, side="right")
+            lo[valid_l] = lo_v
+            counts[valid_l] = hi_v - lo_v
         else:
             r_sorted = r_idx
             lo = np.zeros(len(l_idx), np.int64)

@@ -257,16 +257,17 @@ class HyperplaneSignStage:
         tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.n_blocks))
         bands = np.repeat(np.arange(self.n_blocks, dtype=np.int32), n)
         # coarse 256-way shuffle key: one vectorized map_groups call per
-        # bucket instead of one Python call per (band, band_key)
+        # bucket instead of one Python call per (band, band_key); high-bit
+        # mix — multiply-then-mod-2^8 would keep only the low byte of
+        # band_key and ignore the band entirely
+        from fs_schema_validator_ray.state.sketches import mix_to_buckets
+
         with np.errstate(over="ignore"):
-            bucket = (
-                (
-                    (bands.astype(np.uint64) << np.uint64(32))
-                    ^ keys.view(np.uint32).astype(np.uint64)
-                )
-                * np.uint64(0xD1B54A32D192ED03)
-                % np.uint64(256)
-            ).astype(np.int32)
+            bucket = mix_to_buckets(
+                (bands.astype(np.uint64) << np.uint64(32))
+                ^ keys.view(np.uint32).astype(np.uint64),
+                256,
+            )
         return pa.table(
             {
                 self.id_column: batch.column(self.id_column).take(tile_idx),
@@ -325,7 +326,13 @@ def embedding_near_dup_lsh(
         multi = ends - starts >= 2
         out_a, out_b, out_s = [], [], []
         for st, en in zip(starts[multi], ends[multi]):
-            s_ids, mat = ids[st:en], mat_all[st:en]  # one row per doc/block
+            s_ids, mat = ids[st:en], mat_all[st:en]
+            # duplicate input ids would otherwise emit (x, x, 1.0)
+            # self-pairs: keep one row per id (ids sorted within segment)
+            keepm = np.concatenate([[True], s_ids[1:] != s_ids[:-1]])
+            s_ids, mat = s_ids[keepm], mat[keepm]
+            if len(s_ids) < 2:
+                continue
             # cap all-pairs fan-out at max_bucket; STAR-LINK overflow ids
             # to the min id (O(n) dot products) so giant near-dup
             # clusters — which hit the same bucket in every block — stay

@@ -22,7 +22,7 @@ from fs_schema_validator_ray.report import VIOLATION_SCHEMA
 from fs_schema_validator_ray.rules import UniqueRule
 from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
 from fs_schema_validator_ray.state import HyperLogLog
-from fs_schema_validator_ray.state.sketches import hash64
+from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets, stable_key_array
 
 
 def _partial_counts(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
@@ -50,19 +50,12 @@ def _partial_counts(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     # keys keep their NATIVE type through the shuffle — casting ints to
     # strings here would make the shuffle payload (and its sort
     # comparisons) the widest possible; violations stringify at emission.
-    # The BUCKET hash must be dtype-stable across batches: to_numpy on an
-    # int column silently becomes float64 when the batch contains a null
-    # (5 → 5.0, different bit pattern → different bucket → the key's
-    # partial counts split across buckets and `n > 1` never fires — a
-    # silent false negative). Integer promotion is the one hazard: fill
-    # nulls before conversion so the dtype stays int64 either way (null
-    # keys then share key-0's bucket — harmless, the bucket only routes).
+    # The BUCKET hash must be dtype-stable across batches (to_numpy
+    # promotes int/bool-with-null differently than null-free batches,
+    # splitting one key's partials across buckets → silent false
+    # negative) — stable_key_array canonicalizes per TYPE, not per batch.
     keys = g.column(column)
-    if pa.types.is_integer(keys.type) and keys.null_count:
-        kv = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False)
-    else:
-        kv = keys.to_numpy(zero_copy_only=False)
-    bucket = (hash64(kv) % np.uint64(n_buckets)).astype(np.int32)
+    bucket = mix_to_buckets(hash64(stable_key_array(keys)), n_buckets)
     return pa.table(
         {
             "bucket": pa.array(bucket),

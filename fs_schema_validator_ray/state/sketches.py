@@ -28,6 +28,46 @@ def hash64(values, key: str = "0123456789abcdef") -> np.ndarray:
     return pd.util.hash_array(arr, hash_key=key, categorize=False)
 
 
+def stable_key_array(col) -> np.ndarray:
+    """Batch-independent numpy representation of an Arrow key column for
+    hashing: ``to_numpy`` silently promotes int-with-null to float64 and
+    bool-with-null to object, so the SAME key value hashes differently
+    depending on whether its batch happened to carry a null — splitting
+    one key's partial rows across shuffle buckets (silent wrong answers
+    in uniqueness/joins). Integers/bools canonicalize to null-filled
+    int64 (null keys route like key 0 — harmless, callers that care mask
+    nulls separately); every other Arrow type's to_numpy representation
+    is already null-presence-independent (float64+NaN, datetime64+NaT,
+    object str/None/Decimal)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+    return col.to_numpy(zero_copy_only=False)
+
+
+_BUCKET_MIX = np.uint64(0xD1B54A32D192ED03)
+
+
+def mix_to_buckets(x: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Map uint64 values (hashes OR structured keys like band ids) to
+    int32 bucket ids. Takes HIGH bits of the multiply: ``(x * C) % P``
+    with a power-of-two P keeps only the low byte(s) of ``x`` — a
+    structured key (band << 32 ^ band_key) would ignore the band entirely
+    and amplify hot-key skew n_bands-fold."""
+    with np.errstate(over="ignore"):
+        return (
+            ((np.asarray(x, dtype=np.uint64) * _BUCKET_MIX) >> np.uint64(33))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+
+
 class HyperLogLog:
     """Distinct-count sketch; ~0.8% relative error at p=14 (16 KiB)."""
 

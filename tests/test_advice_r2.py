@@ -276,3 +276,67 @@ def test_svg_dims_ignores_stroke_width():
     assert parse_image_dims(svg, "svg") == (300, 200)
     svg2 = b'<svg stroke-width="2" width="40" height="100"><rect/></svg>'
     assert parse_image_dims(svg2, "svg") == (40, 100)
+
+
+def test_hash_join_left_string_keys_with_nulls(ray_session):
+    """code-review r2b: left join with NULL keys of a non-integer type
+    crashed in np.searchsorted (None vs str comparison)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {"k": pa.array(["x", None, "y"]), "lv": pa.array([1, 2, 3], pa.int64())}
+    )
+    right = pa.table(
+        {"k2": pa.array(["x", "x", "z"]), "rv": pa.array([10, 20, 30], pa.int64())}
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k2", ["lv"], ["rv"], how="left", n_buckets=1,
+    ).take_all()
+    got = sorted(
+        [(r["k"], r["lv"], r["rv"]) for r in out],
+        key=lambda x: (x[0] is None, x[0] or "", x[1], x[2] is None, x[2] or 0),
+    )
+    assert got == [
+        ("x", 1, 10), ("x", 1, 20),
+        ("y", 3, None),
+        (None, 2, None),
+    ]
+
+
+def test_mix_to_buckets_uses_high_bits():
+    """code-review r2b: multiply-then-mod-2^8 kept only the low byte, so
+    (band << 32) ^ key ignored the band entirely."""
+    from fs_schema_validator_ray.state.sketches import mix_to_buckets
+
+    key = np.uint64(5)
+    buckets = {
+        int(mix_to_buckets(np.array([(np.uint64(b) << np.uint64(32)) ^ key]), 256)[0])
+        for b in range(8)
+    }
+    assert len(buckets) > 1, "all bands landed in one coarse bucket"
+
+
+def test_embedding_lsh_duplicate_ids_no_self_pairs(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((6, 8))
+    mat[5] = mat[0] + 0.001  # a real near-dup pair (0, 5)
+    rows = list(range(6)) + [0]  # vec_id 0 appears TWICE
+    t = pa.table(
+        {
+            "vec_id": pa.array(rows, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, mat[i])) for i in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = embedding_near_dup_lsh(ray.data.from_arrow(t), threshold=0.9).take_all()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert all(a != b for a, b in pairs), f"self-pair leaked: {pairs}"
+    assert (0, 5) in pairs
