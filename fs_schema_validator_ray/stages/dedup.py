@@ -908,6 +908,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 1,
     max_broadcast_docs: int = 500_000,
+    freq_order: bool | None = None,
 ):
     """EXACT token/shingle-set Jaccard similarity join → Dataset of
     ``(a, b, similarity)`` with true Jaccard ≥ threshold.
@@ -928,8 +929,16 @@ def ngram_jaccard_pairs(
     import ray
 
     hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
-    df_ref = ray.put(
-        shingle_document_frequencies(ds, text_column, id_column, shingle_n)
+    if freq_order is None:
+        # the df pass (an extra corpus read + shuffle) buys candidate
+        # PRECISION, never correctness — below ~200k docs the broadcast
+        # verify absorbs the extra hash-order candidates for less than
+        # the pass costs; at corpus scale it is essential
+        freq_order = ds.count() >= 200_000
+    df_ref = (
+        ray.put(shingle_document_frequencies(ds, text_column, id_column, shingle_n))
+        if freq_order
+        else None
     )
     prefix_rows = ds.select_columns([id_column, text_column]).map_batches(
         PrefixRowsStage(text_column, id_column, threshold, shingle_n, df_ref),

@@ -237,6 +237,8 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
         norm(ngram_jaccard_pairs(ds, threshold=thr, max_broadcast_docs=0))
         == expect
     )
+    # frequency-ordered prefix path (auto-skipped on small corpora)
+    assert norm(ngram_jaccard_pairs(ds, threshold=thr, freq_order=True)) == expect
 
     # trigram shingles: docs with <3 tokens emit no shingles (SQL parity)
     def trigram_set(s_):
