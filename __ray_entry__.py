@@ -247,7 +247,7 @@ SELECT ov.a, ov.b,
 FROM ov
 JOIN sz sa ON sa.doc_id = ov.a
 JOIN sz sb ON sb.doc_id = ov.b
-WHERE CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) >= 0.5
+WHERE CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) >= 0.7
 """,
         "dedup_embedding_cosine": """
 SELECT a.vec_id AS a, b.vec_id AS b

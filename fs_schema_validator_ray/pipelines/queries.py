@@ -524,7 +524,7 @@ def dedup_ngram_jaccard_documents(sf_dir: str):
     from fs_schema_validator_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+    return ngram_jaccard_pairs(ds, threshold=0.7, shingle_n=3)
 
 
 def dedup_simhash_documents(sf_dir: str):

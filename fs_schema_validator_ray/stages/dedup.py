@@ -929,12 +929,20 @@ def ngram_jaccard_pairs(
     import ray
 
     hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
+    n_docs = ds.count()
+    small = n_docs < 200_000
+    if small:
+        # the pipeline consumes the corpus 2-3× (prefix pass, optional df
+        # pass, verify lookup): pin the two pruned columns in the object
+        # store instead of re-reading parquet per consumer. NEVER at
+        # corpus scale — there the branches re-read, which streams.
+        ds = ds.select_columns([id_column, text_column]).materialize()
     if freq_order is None:
         # the df pass (an extra corpus read + shuffle) buys candidate
         # PRECISION, never correctness — below ~200k docs the broadcast
         # verify absorbs the extra hash-order candidates for less than
         # the pass costs; at corpus scale it is essential
-        freq_order = ds.count() >= 200_000
+        freq_order = not small
     df_ref = (
         ray.put(shingle_document_frequencies(ds, text_column, id_column, shingle_n))
         if freq_order
