@@ -44,6 +44,8 @@ HEADLINE_QUERIES = [
     "agg_events_by_type",
     "windowed_events_daily",
     "asof_events_orders",
+    "hash_join_lineitem_orders",
+    "sessionize_events",
     "dedup_exact_documents",
     "dedup_minhash_documents",
     "dedup_ngram_jaccard_documents",
