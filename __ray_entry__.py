@@ -219,6 +219,68 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "text_langid_documents": r"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+tok AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(t)), '\s+') AS toks,
+         len(regexp_extract_all(t, '\S+')) AS n_tokens
+  FROM base
+),
+sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für','von','im','den','des','sich','dem'))) AS DOUBLE) / GREATEST(n_tokens, 1) AS s_de,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE) / GREATEST(n_tokens, 1) AS s_en,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','los','las','por','con','para','del','se','no','al'))) AS DOUBLE) / GREATEST(n_tokens, 1) AS s_es,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','un','une','du','que','pour','dans','qui','sur','pas','au','ce'))) AS DOUBLE) / GREATEST(n_tokens, 1) AS s_fr,
+    CAST(len(list_filter(toks, x -> x IN ('的','了','是','我','在','有','他','这','不','们','就','人','都','一个','上','也','和','要'))) AS DOUBLE) / GREATEST(n_tokens, 1) AS s_zh
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0.0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS lang_pred,
+  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+FROM sc
+""",
+        "text_quality_documents": r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(regexp_extract_all(t, '\S+')) AS n_tokens,
+         len(list_distinct(string_split_regex(trim(t), '\s+'))) AS nu_raw,
+         len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(t, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(t, '[A-Za-z]')) AS n_alpha
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0 ELSE nu_raw END AS n_unique_tokens,
+       n_bpe_tokens,
+       CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE nu_raw END AS DOUBLE)
+         / GREATEST(n_tokens, 1) AS ttr,
+       CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+       CAST(n_digit AS DOUBLE) / GREATEST(n_chars, 1) AS digit_ratio,
+       CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1) AS alpha_ratio,
+       CAST(n_chars - GREATEST(n_tokens - 1, 0) AS DOUBLE)
+         / GREATEST(n_tokens, 1) AS mean_token_len,
+       CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.35
+         + LEAST(CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE nu_raw END AS DOUBLE)
+                 / GREATEST(n_tokens, 1), 1.0) * 0.25
+         + CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1) * 0.30
+         + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) * 4.0,
+                        1.0)) * 0.10
+       END AS quality
+FROM counts
+""",
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """,
