@@ -215,3 +215,20 @@ def test_hash_join_left(ray_session):
         (2, "b", None),          # unmatched left row survives
         (None, "c", None),       # null key never matches, still emits
     ]
+
+
+def test_hash_join_left_empty_right(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array(["a", "b"])})
+    right = pa.table(
+        {"k2": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())}
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k2", ["lv"], ["rv"], how="left", n_buckets=2,
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    assert got == [(1, "a", None), (2, "b", None)]
