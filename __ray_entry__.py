@@ -223,7 +223,8 @@ FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
 tok AS (
   SELECT doc_id,
-         string_split_regex(trim(lower(t)), '\s+') AS toks,
+         list_filter(string_split_regex(trim(lower(t)), '\s+'),
+                     x -> x <> '') AS toks,
          len(regexp_extract_all(t, '\S+')) AS n_tokens
   FROM base
 ),
@@ -254,7 +255,8 @@ counts AS (
   SELECT doc_id,
          length(t) AS n_chars,
          len(regexp_extract_all(t, '\S+')) AS n_tokens,
-         len(list_distinct(string_split_regex(trim(t), '\s+'))) AS nu_raw,
+         len(list_distinct(list_filter(
+             string_split_regex(trim(t), '\s+'), x -> x <> ''))) AS nu_raw,
          len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
          len(regexp_extract_all(t, '[^A-Za-z0-9\s]')) AS n_punct,
          len(regexp_extract_all(t, '[0-9]')) AS n_digit,
@@ -327,15 +329,23 @@ FROM (SELECT qid, nid,
       FROM s) t
 WHERE rnk <= 10
 """,
-        "text_profile_documents": """
-SELECT doc_id, length(text) AS n_chars,
-  CASE WHEN trim(text) = '' THEN 0
-       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-  CASE WHEN trim(text) = '' THEN 0
-       ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS n_unique_tokens,
-  CASE WHEN trim(text) = '' THEN 0.0
-       ELSE CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-            / len(string_split_regex(trim(text), '\\s+')) END AS ttr
-FROM documents
+        "text_profile_documents": r"""
+WITH c AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), k AS (
+  SELECT doc_id, length(t) AS n_chars,
+         len(regexp_extract_all(t, '\S+')) AS n_tokens,
+         -- filter '' rather than relying on trim(): DuckDB trim strips
+         -- only spaces while the engine strips all whitespace, so a
+         -- tab/newline edge would otherwise yield a phantom '' token
+         len(list_distinct(list_filter(
+             string_split_regex(trim(t), '\s+'), x -> x <> ''))) AS nu
+  FROM c
+)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0 ELSE nu END AS n_unique_tokens,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(nu AS DOUBLE) / n_tokens END AS ttr
+FROM k
 """,
     }

@@ -909,6 +909,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     max_broadcast_docs: int = 500_000,
     freq_order: bool | None = None,
+    n_docs: int | None = None,
 ):
     """EXACT token/shingle-set Jaccard similarity join → Dataset of
     ``(a, b, similarity)`` with true Jaccard ≥ threshold.
@@ -929,14 +930,19 @@ def ngram_jaccard_pairs(
     import ray
 
     hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
-    n_docs = ds.count()
+    ds = ds.select_columns([id_column, text_column])
+    if n_docs is None:
+        # metadata-fast on a bare parquet read; on a dataset with lineage
+        # count() EXECUTES the pipeline — callers with expensive upstream
+        # transforms should pass n_docs to skip it
+        n_docs = ds.count()
     small = n_docs < 200_000
     if small:
         # the pipeline consumes the corpus 2-3× (prefix pass, optional df
         # pass, verify lookup): pin the two pruned columns in the object
         # store instead of re-reading parquet per consumer. NEVER at
         # corpus scale — there the branches re-read, which streams.
-        ds = ds.select_columns([id_column, text_column]).materialize()
+        ds = ds.materialize()
     if freq_order is None:
         # the df pass (an extra corpus read + shuffle) buys candidate
         # PRECISION, never correctness — below ~200k docs the broadcast
