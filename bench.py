@@ -113,7 +113,10 @@ def run_clips_bench(rows: int, partitions: int = 64, wave_size: int = 64) -> dic
     ).count()
 
     best = None
-    for _attempt in range(2):  # report steady-state: best of 2
+    # best-of-3: this VM swings 2x between interference windows (measured
+    # 5.2s vs 12s for identical code) — one extra attempt materially
+    # improves the odds of recording a clean-window number
+    for _attempt in range(3):  # report steady-state: best of 3
         out_dir = tempfile.mkdtemp(prefix="fsvr_bench_run_")
         cfg = ValidationRunConfig(
             input_path=clips,
