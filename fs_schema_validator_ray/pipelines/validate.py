@@ -413,8 +413,10 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         for rule in rules.referential_rules():
             mcol = cfg.manifest_key_column or rule.column
             keys = pq.read_table(cfg.manifest_path, columns=[mcol]).column(mcol)
+            # pass the Arrow column: build_membership canonicalizes it the
+            # same way the probe side does (dtype-stable under nulls)
             membership = build_membership(
-                np.asarray(keys, dtype=object), use_bloom=rule.use_bloom, fpp=rule.bloom_fpp
+                keys, use_bloom=rule.use_bloom, fpp=rule.bloom_fpp
             )
             membership_refs[rule.rule_id] = ray.put(membership)
 

@@ -26,11 +26,22 @@ from fs_schema_validator_ray.report import VIOLATION_SCHEMA
 from fs_schema_validator_ray.rules import ReferentialRule
 from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
 from fs_schema_validator_ray.state import BloomFilter, hash64
+from fs_schema_validator_ray.state.sketches import stable_key_array
 
 
 def build_membership(keys, use_bloom: bool = False, fpp: float = 1e-4):
-    """Build the broadcastable membership structure from manifest keys."""
-    arr = np.asarray(keys, dtype=object)
+    """Build the broadcastable membership structure from manifest keys.
+
+    Keys canonicalize through ``stable_key_array`` so the hash matches the
+    probe side regardless of null presence in either batch (to_numpy's
+    int→float promotion would hash 5 as 5.0 — valid keys then read as
+    missing). Null manifest entries whitelist nothing and are dropped."""
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        arr = stable_key_array(keys.drop_null())
+    else:
+        arr = np.asarray(keys)
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            arr = arr.astype(object)
     if use_bloom:
         bf = BloomFilter(len(arr), fpp=fpp)
         bf.add(arr)
@@ -42,7 +53,7 @@ def membership_from_dataset(ds, column: str, use_bloom: bool = False, fpp: float
     """Distributed build: hash per batch on workers, merge tiny partials on
     the driver. Only the hashed key column ever reaches the driver."""
     def partial(t: pa.Table) -> pa.Table:
-        vals = np.asarray(t.column(column), dtype=object)
+        vals = stable_key_array(t.column(column).combine_chunks().drop_null())
         h1, h2 = BloomFilter.hash_pair(vals)
         return pa.table({"h1": pa.array(h1, pa.uint64()), "h2": pa.array(h2, pa.uint64())})
 
@@ -90,11 +101,13 @@ class ReferentialStage:
         rule = self.rule
         membership = self._resolve()
         col = batch.column(rule.column).combine_chunks()
-        values = np.asarray(col, dtype=object)
+        # canonical conversion (matches the membership build): a null in
+        # THIS batch must not change how the non-null keys hash
+        values = stable_key_array(col)
         nulls = np.asarray(col.is_null()) if col.null_count else np.zeros(len(col), bool)
         present = np.zeros(len(values), dtype=bool)
         if (~nulls).any():
-            present[~nulls] = _probe(membership, values[~nulls].astype(object))
+            present[~nulls] = _probe(membership, values[~nulls])
         missing = np.flatnonzero(~present)
         if PARTITION_COLUMN in batch.column_names:
             parts = np.asarray(batch.column(PARTITION_COLUMN).combine_chunks().cast(pa.int32()))

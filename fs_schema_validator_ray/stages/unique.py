@@ -125,7 +125,9 @@ def estimate_duplicates(ds, column: str) -> dict:
     """Shuffle-free duplicate estimate: HLL distinct vs exact row count."""
     def partial(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog()
-        hll.add(np.asarray(batch.column(column), dtype=object))
+        # stable representation: int-with-null batches would otherwise
+        # hash 5 as 5.0, inflating the distinct estimate
+        hll.add(stable_key_array(batch.column(column).combine_chunks()))
         return pa.table(
             {"blob": pa.array([hll.to_bytes()], pa.binary()),
              "rows": pa.array([batch.num_rows], pa.int64())}

@@ -340,3 +340,34 @@ def test_embedding_lsh_duplicate_ids_no_self_pairs(ray_session):
     pairs = {(r["a"], r["b"]) for r in out}
     assert all(a != b for a, b in pairs), f"self-pair leaked: {pairs}"
     assert (0, 5) in pairs
+
+
+def test_referential_probe_dtype_stable():
+    """code-review r2c: a null in the PROBE batch promoted int keys to
+    float objects, so valid manifest keys hashed differently and were
+    falsely flagged missing (rendered '5.0')."""
+    from fs_schema_validator_ray.rules import ReferentialRule
+    from fs_schema_validator_ray.stages.referential import (
+        ReferentialStage,
+        build_membership,
+    )
+
+    membership = build_membership(pa.array([5, 7], pa.int64()))
+    stage = ReferentialStage(
+        ReferentialRule(rule_id="r", column="k", manifest="m"), membership
+    )
+    out = stage(pa.table({"k": pa.array([5, None, 9], pa.int64())})).to_pylist()
+    got = sorted((r["key"] or "", r["reason"]) for r in out)
+    # 5 is present (no violation); null and 9 are missing; 9 renders "9"
+    assert got == [
+        ("", "does not exist in manifest `m`"),
+        ("9", "does not exist in manifest `m`"),
+    ]
+
+    # membership built from a null-carrying manifest batch likewise
+    membership2 = build_membership(pa.array([5, None], pa.int64()))
+    stage2 = ReferentialStage(
+        ReferentialRule(rule_id="r", column="k", manifest="m"), membership2
+    )
+    out2 = stage2(pa.table({"k": pa.array([5], pa.int64())})).to_pylist()
+    assert out2 == []
