@@ -329,6 +329,46 @@ FROM (SELECT qid, nid,
       FROM s) t
 WHERE rnk <= 10
 """,
+        "ntile_orders": """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+       NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+FROM orders
+""",
+        "window_user_running": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events)
+SELECT event_id, user_id,
+       LAG(vc) OVER w AS prev_value_cents,
+       CAST(SUM(vc) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_cents,
+       CAST(SUM(vc) OVER (w ROWS 2 PRECEDING) AS BIGINT) AS rolling3_value_cents
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+""",
+        "grouped_median_lineitem": """
+SELECT l_returnflag, COUNT(l_quantity) AS n,
+       quantile_disc(l_quantity, 0.25) AS q_25,
+       quantile_disc(l_quantity, 0.5) AS q_50,
+       quantile_disc(l_quantity, 0.75) AS q_75
+FROM lineitem GROUP BY l_returnflag
+""",
+        "semi_join_orders_lineitem": """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+""",
+        "anti_join_customer_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+""",
+        "chunk_documents": """
+SELECT doc_id, s // 150 AS chunk_idx, s AS "start",
+       substr(text, CAST(s + 1 AS INT), 200) AS chunk_text,
+       length(substr(text, CAST(s + 1 AS INT), 200)) AS chunk_len
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, length(text) - 1, 150)) AS s
+      FROM documents WHERE length(text) > 0)
+""",
         "text_profile_documents": r"""
 WITH c AS (
   SELECT doc_id, coalesce(text, '') AS t FROM documents

@@ -425,6 +425,95 @@ def stratified_sample_events(sf_dir: str):
     return stratified_sample(ds, "event_type", "event_id", 20)
 
 
+def ntile_orders(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey):
+    distributed range-partitioned sort with two-phase rank offsets
+    (``stages/sort.py``) — oracle-checked against the SQL window
+    functions."""
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return global_sort_rank(ds, "o_totalprice", ["o_orderkey"], n_tiles=8)
+
+
+def window_user_running(sf_dir: str):
+    """Per-user ordered window functions (LAG / running sum / rolling-3
+    sum of value cents, ordered by event time then id) — ONE bucketed
+    key shuffle, vectorized segment arithmetic (``stages/window.py``)."""
+    from fs_schema_validator_ray.stages.window import per_key_window
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    return per_key_window(
+        ds,
+        key_column="user_id",
+        order_columns=["ts", "event_id"],
+        value_column="value_cents",
+        id_columns=["event_id"],
+    )
+
+
+def grouped_median_lineitem(sf_dir: str):
+    """EXACT per-group quantiles (p25/p50/p75 of l_quantity per return
+    flag) via the (key, value)-count combiner — matches DuckDB
+    ``quantile_disc`` bit-for-bit (``stages/agg.py``); the t-digest
+    sketch path covers unbounded-cardinality values."""
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_quantile_disc(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
+
+
+def semi_join_orders_lineitem(sf_dir: str):
+    """Distributed SEMI join (SQL EXISTS): orders with at least one
+    high-quantity lineitem — the right side ships only per-batch
+    distinct keys."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    right = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_quantity"), 49)).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return semi_anti_join(
+        left, right, "o_orderkey", "l_orderkey", ["o_totalprice"], how="semi"
+    )
+
+
+def anti_join_customer_orders(sf_dir: str):
+    """Distributed ANTI join (SQL NOT EXISTS): customers with no
+    big-ticket order (> 450k) — the filter keeps the result non-empty
+    at every test SF so the oracle hash is a real check."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    left = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    right = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450_000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return semi_anti_join(
+        left, right, "c_custkey", "o_custkey", ["c_name"], how="anti"
+    )
+
+
+def chunk_documents(sf_dir: str):
+    """LLM context-window chunking: 200-codepoint chunks, stride 150
+    (50-codepoint overlap), one training-sample row per window —
+    vectorized by chunk index, oracle-checked incl. the sliced text."""
+    from fs_schema_validator_ray.stages.text import ChunkStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
+
+
 def asof_events_orders(sf_dir: str):
     """Distributed as-of join: each event matched to the customer's most
     recent order at event time (co-partitioned groupby + per-group
@@ -791,6 +880,35 @@ def audio_resample_clips(sf_dir: str, n_rows: int = 1500, target_sr: int = 16_00
     )
 
 
+def audio_spectrogram_clips(sf_dir: str, n_rows: int = 1500):
+    """Per-clip spectral summary (strided frames → batched rFFT →
+    log-spaced band energies) over the deterministic clips corpus —
+    bounded-size spectral fingerprint rows, never per-frame matrices
+    (rows-only: payload DSP is not SQL-expressible)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import SpectrogramStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        SpectrogramStage(), batch_format="pyarrow", batch_size=512
+    )
+
+
+def audio_vad_clips(sf_dir: str, n_rows: int = 1500):
+    """Energy-based voice-activity segments per clip (25 ms frames,
+    10 ms hop, −35 dBFS gate) — flat-map shape, one row per detected
+    speech segment (rows-only)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import VadStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(VadStage(), batch_format="pyarrow", batch_size=512)
+
+
 CLIPS_RULES_YAML = """
 rules:
   - rule: sr_hz_range
@@ -871,7 +989,15 @@ QUERIES = {
     "text_langid_documents": text_langid_documents,
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
+    "ntile_orders": ntile_orders,
+    "window_user_running": window_user_running,
+    "grouped_median_lineitem": grouped_median_lineitem,
+    "semi_join_orders_lineitem": semi_join_orders_lineitem,
+    "anti_join_customer_orders": anti_join_customer_orders,
+    "chunk_documents": chunk_documents,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
     "audio_resample_clips": audio_resample_clips,
+    "audio_spectrogram_clips": audio_spectrogram_clips,
+    "audio_vad_clips": audio_vad_clips,
 }

@@ -213,6 +213,93 @@ def stratified_sample(ds, group_column: str, order_column: str, k: int):
     )
 
 
+def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float]):
+    """EXACT per-key discrete quantiles (SQL ``quantile_disc``) with a
+    (key, value)-count combiner: each batch pre-aggregates to distinct
+    ``(key, value, count)`` rows (a huge reduction when the value column
+    has bounded cardinality — e.g. quantities, durations, scores), ONE
+    bucketed shuffle of those partials, then one fully-vectorized
+    weighted-quantile pass per bucket (lexsort + cumsum + ONE
+    ``searchsorted`` across all keys in the bucket — no per-key Python).
+
+    Semantics match DuckDB ``quantile_disc(v, q)`` exactly: the element
+    at 0-based index ``ceil(q*n) - 1`` of the sorted non-null values
+    (verified empirically). Nulls are excluded from both the quantile
+    and the returned ``n`` (= ``COUNT(value)``). Use dyadic ``q``
+    (0.25/0.5/0.75) for bit-exact oracle parity — ``ceil`` of an
+    inexact float product can differ by one element either side.
+
+    Output: ``(key, n, q_<pct> …)`` e.g. ``q_50`` for 0.5. For the
+    shuffle-free approximate path over unbounded-cardinality values, use
+    the t-digest sketches in ``pipelines/stats.py``.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets()
+    qcols = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_column, value_column])
+        t = t.filter(pc.is_valid(t.column(value_column)))
+        g = pa.TableGroupBy(t, [key_column, value_column]).aggregate([([], "count_all")])
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(g.column(key_column))), n_buckets
+        )
+        return pa.table(
+            {
+                "__bucket": pa.array(bucket),
+                key_column: g.column(key_column),
+                value_column: g.column(value_column),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        key_col = group.column(key_column).combine_chunks()
+        val_col = group.column(value_column).combine_chunks()
+        if group.num_rows == 0:
+            out = {key_column: key_col.slice(0, 0), "n": pa.array([], pa.int64())}
+            for qc in qcols:
+                out[qc] = val_col.slice(0, 0)
+            return pa.table(out)
+        enc = pc.dictionary_encode(key_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kcode = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        vals = np.asarray(val_col)
+        c = np.asarray(group.column("c"), dtype=np.int64)
+        order = np.lexsort((vals, kcode))
+        kc, c_s = kcode[order], c[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        starts = np.flatnonzero(seg_first)
+        gc = np.cumsum(c_s)  # global inclusive cumulative count
+        excl = np.concatenate([[0], gc])[starts]  # count before each key
+        ends = np.concatenate([starts[1:], [len(kc)]])
+        n_k = gc[ends - 1] - excl
+        rep = pa.array(order[starts], pa.int64())
+        out = {key_column: key_col.take(rep), "n": pa.array(n_k, pa.int64())}
+        for q, qc in zip(qs, qcols):
+            # DuckDB quantile_disc index: ceil(q*n) - 1 (0-based)
+            tgt = np.ceil(q * n_k).astype(np.int64) - 1
+            tgt = np.maximum(tgt, 0)
+            # first sorted slot whose cumulative count exceeds the target
+            j = np.searchsorted(gc, excl + tgt + 1, side="left")
+            out[qc] = val_col.take(pa.array(order[j], pa.int64()))
+        return pa.table(out)
+
+    return (
+        ds.select_columns([key_column, value_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
     """Attach a tumbling-window key derived from a timestamp column
     (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""

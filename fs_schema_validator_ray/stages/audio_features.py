@@ -204,3 +204,191 @@ class ResampleStage:
                     )
             rows.append(row)
         return pa.Table.from_pylist(rows, schema=RESAMPLE_SCHEMA)
+
+
+# --- spectrogram summary ----------------------------------------------------
+
+_SPEC_N_BANDS = 8
+_SPEC_FRAME = 512
+_SPEC_HOP = 256
+
+SPECTROGRAM_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("sr_hz", pa.int32()),
+        ("n_frames", pa.int64()),
+        *[(f"band{b}_db", pa.float64()) for b in range(_SPEC_N_BANDS)],
+    ]
+)
+
+
+def _frame_signal(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
+    """(n_frames, frame) view of x — zero-copy strided windows."""
+    if len(x) < frame:
+        return np.zeros((0, frame))
+    n_frames = 1 + (len(x) - frame) // hop
+    return np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, frame),
+        strides=(x.strides[0] * hop, x.strides[0]),
+        writeable=False,
+    )
+
+
+def spectrogram_bands(x: np.ndarray, sr_hz: int) -> tuple[int, np.ndarray]:
+    """(n_frames, mean log-spaced band energies in dB) for one clip:
+    strided 512-sample frames (hop 256) → one batched ``rfft`` over all
+    frames → power split into log-spaced frequency bands. Numpy-only —
+    the real mel-filterbank drops into the same stage when a DSP library
+    is available."""
+    frames = _frame_signal(np.ascontiguousarray(x), _SPEC_FRAME, _SPEC_HOP)
+    if frames.shape[0] == 0:
+        return 0, np.full(_SPEC_N_BANDS, -120.0)
+    win = np.hanning(_SPEC_FRAME)
+    power = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2  # (n_frames, 257)
+    freqs = np.fft.rfftfreq(_SPEC_FRAME, d=1.0 / sr_hz)
+    nyq = sr_hz / 2.0
+    edges = np.geomspace(50.0, max(nyq, 51.0), _SPEC_N_BANDS + 1)
+    band = np.clip(np.searchsorted(edges, freqs, side="right") - 1, 0, _SPEC_N_BANDS - 1)
+    sums = np.zeros(_SPEC_N_BANDS)
+    np.add.at(sums, band, power.mean(axis=0))
+    db = 10.0 * np.log10(np.maximum(sums, 1e-12))
+    return frames.shape[0], db
+
+
+class SpectrogramStage:
+    """``map_batches`` callable: (clip_id, bytes) → one spectral-summary
+    row per clip (``SPECTROGRAM_SCHEMA``) — the bounded-size output a
+    corpus pipeline stratifies on (band-energy fingerprint) without ever
+    shipping per-frame spectrogram matrices through the shuffle.
+    Undecodable payloads emit ``decode_ok=false`` rows, never drop."""
+
+    def __init__(
+        self, bytes_column: str = "bytes", key_column: str = "clip_id"
+    ) -> None:
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "decode_ok": False,
+                "sr_hz": None,
+                "n_frames": None,
+                **{f"band{b}_db": None for b in range(_SPEC_N_BANDS)},
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    n_frames, db = spectrogram_bands(x, sr_hz)
+                    row.update(
+                        {
+                            "decode_ok": True,
+                            "sr_hz": sr_hz,
+                            "n_frames": n_frames,
+                            **{
+                                f"band{b}_db": float(db[b])
+                                for b in range(_SPEC_N_BANDS)
+                            },
+                        }
+                    )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=SPECTROGRAM_SCHEMA)
+
+
+# --- energy-based voice-activity segments -----------------------------------
+
+VAD_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("seg_idx", pa.int64()),
+        ("start_ms", pa.float64()),
+        ("end_ms", pa.float64()),
+        ("rms_db", pa.float64()),
+    ]
+)
+
+
+def vad_segments(
+    x: np.ndarray, sr_hz: int, threshold_db: float = -35.0
+) -> list[tuple[float, float, float]]:
+    """Energy VAD for one clip: 25 ms frames / 10 ms hop, a frame is
+    active when its RMS clears ``threshold_db`` dBFS, consecutive active
+    frames merge into one segment (run-length over the boolean frame
+    mask). Returns ``[(start_ms, end_ms, seg_rms_db), …]``."""
+    frame = max(1, int(0.025 * sr_hz))
+    hop = max(1, int(0.010 * sr_hz))
+    frames = _frame_signal(np.ascontiguousarray(x), frame, hop)
+    if frames.shape[0] == 0:
+        return []
+    rms = np.sqrt(np.mean(np.square(frames), axis=1))
+    active = 20.0 * np.log10(np.maximum(rms, 1e-12)) > threshold_db
+    edges = np.diff(active.astype(np.int8))
+    starts = np.flatnonzero(edges == 1) + 1
+    ends = np.flatnonzero(edges == -1) + 1
+    if active[0]:
+        starts = np.concatenate([[0], starts])
+    if active[-1]:
+        ends = np.concatenate([ends, [len(active)]])
+    out = []
+    for s, e in zip(starts, ends):
+        seg_rms = float(np.sqrt(np.mean(np.square(rms[s:e]))))
+        out.append(
+            (
+                s * hop * 1000.0 / sr_hz,
+                ((e - 1) * hop + frame) * 1000.0 / sr_hz,
+                20.0 * float(np.log10(max(seg_rms, 1e-12))),
+            )
+        )
+    return out
+
+
+class VadStage:
+    """``map_batches`` callable: (clip_id, bytes) → one row per detected
+    speech segment (``VAD_SCHEMA``) — flat-map shape (0..n rows per
+    clip). Silent or undecodable clips emit no rows; the companion
+    ``AudioFeatureStage.silence_ratio`` covers the screening use case
+    where every clip must appear."""
+
+    def __init__(
+        self,
+        threshold_db: float = -35.0,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        self.threshold_db = threshold_db
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            if view is None or len(view) == 0 or key is None:
+                continue
+            try:
+                x, sr_hz, _ = audio.decode(view)
+            except (audio.AudioDecodeError, ValueError):
+                continue
+            for i, (s_ms, e_ms, seg_db) in enumerate(
+                vad_segments(x, sr_hz, self.threshold_db)
+            ):
+                rows.append(
+                    {
+                        "clip_id": str(key),
+                        "seg_idx": i,
+                        "start_ms": s_ms,
+                        "end_ms": e_ms,
+                        "rms_db": seg_db,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=VAD_SCHEMA)

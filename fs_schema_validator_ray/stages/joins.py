@@ -365,6 +365,105 @@ def hash_join(
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def semi_anti_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    left_value_columns: list[str],
+    how: str = "semi",
+    n_buckets: int | None = None,
+):
+    """Distributed SEMI / ANTI equi-join (SQL ``EXISTS`` / ``NOT
+    EXISTS``), both sides large: the right side ships only its
+    per-batch-DISTINCT keys (combiner — duplicate keys on the probe side
+    never shuffle), union with the tagged left rows, ONE
+    ``groupby(hash(key) % n_buckets)`` shuffle, then a per-bucket
+    vectorized membership test (sort right keys once, two-sided
+    ``searchsorted`` equality probe for every left row).
+
+    Semantics match SQL ``EXISTS``/``NOT EXISTS`` (not ``NOT IN``): a
+    null left key matches nothing — it drops from a semi join and is
+    KEPT by an anti join. Output columns: ``[left_on,
+    *left_value_columns]``. Skew: same caveat as ``hash_join`` — one
+    key's rows co-locate; salting is the caller's lever, though the
+    right side is already reduced to distinct keys so only left-side
+    skew matters.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"semi_anti_join how must be semi|anti, got {how!r}")
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    key_type = _target_type(left, left_on)
+
+    def bucket_of(col) -> pa.Array:
+        return pa.array(mix_to_buckets(hash64(stable_key_array(col)), n_buckets))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if how == "semi":  # a null key can never match — drop early
+            t = t.filter(pc.is_valid(t.column(left_on)))
+        out = pa.table(
+            {
+                "__bucket": bucket_of(t.column(left_on).combine_chunks()),
+                "__key": pc.cast(t.column(left_on), key_type),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(c, t.column(c))
+        return out
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column(right_on).combine_chunks())
+        keys = keys.filter(pc.is_valid(keys))
+        keys = pc.cast(keys, key_type)
+        out = pa.table(
+            {
+                "__bucket": bucket_of(keys),
+                "__key": keys,
+                "__side": pa.array(np.ones(len(keys), np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(c, pa.nulls(len(keys), _target_type(left, c)))
+        return out
+
+    tagged = left.select_columns(
+        list(dict.fromkeys([left_on, *left_value_columns]))
+    ).map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns([right_on]).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        keys = stable_key_array(group.column("__key"))
+        key_valid = np.asarray(pc.is_valid(group.column("__key").combine_chunks()))
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        hit = np.zeros(len(l_idx), bool)
+        if len(r_idx) and len(l_idx):
+            rk = np.sort(keys[r_idx], kind="stable")
+            valid_l = key_valid[l_idx]
+            lk_valid = keys[l_idx[valid_l]]
+            pos = np.clip(np.searchsorted(rk, lk_valid), 0, len(rk) - 1)
+            hit[valid_l] = rk[pos] == lk_valid
+        keep = l_idx[hit] if how == "semi" else l_idx[~hit]
+        take = pa.array(keep, pa.int64())
+        out = {left_on: group.column("__key").take(take)}
+        for c in left_value_columns:
+            out[c] = group.column(c).take(take)
+        return pa.table(out)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def _target_type(ds, column: str) -> pa.DataType:
     schema = ds.schema()
     return schema.base_schema.field(column).type if hasattr(schema, "base_schema") else schema.field(column).type

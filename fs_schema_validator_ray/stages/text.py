@@ -327,3 +327,73 @@ class FingerprintStage:
                 "n_grams": pa.array(sizes.astype(np.int64)),
             }
         )
+
+
+class ChunkStage:
+    """``map_batches`` callable: fixed-size character chunking with
+    stride/overlap — the LLM context-window chunker (one training
+    sample per window). Emits one row per chunk:
+    ``(id, chunk_idx, start, chunk_text, chunk_len)`` where chunks start
+    at ``0, stride, 2·stride, …`` while ``start < len(text)`` and each
+    spans ``[start, start + size)`` codepoints (``stride < size`` ⇒
+    overlapping windows). Empty/null documents emit no chunks.
+
+    Vectorized BY CHUNK INDEX, not by row: all rows long enough to have
+    a k-th chunk are sliced together with one scalar-arg
+    ``utf8_slice_codeunits`` call (Arrow's per-row slice takes only
+    scalar offsets) — the loop runs ``max_doc_len / stride`` times per
+    batch, independent of row count. Flat-map shape: output rows ≫ input
+    rows, so keep upstream batches modest when documents are huge."""
+
+    def __init__(
+        self,
+        size: int = 200,
+        stride: int = 150,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+    ) -> None:
+        if size < 1 or stride < 1:
+            raise ValueError("chunk size and stride must be >= 1")
+        self.size = size
+        self.stride = stride
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(self.text_column).combine_chunks(), "")
+        lens = np.asarray(pc.utf8_length(text), dtype=np.int64)
+        n_chunks = np.where(lens > 0, (lens - 1) // self.stride + 1, 0)
+        max_k = int(n_chunks.max()) if len(n_chunks) else 0
+        ids = batch.column(self.id_column).combine_chunks()
+        parts = []
+        for k in range(max_k):
+            mask = pa.array(n_chunks > k)
+            sub_text = text.filter(mask)
+            start = k * self.stride
+            chunk = pc.utf8_slice_codeunits(sub_text, start, start + self.size)
+            parts.append(
+                pa.table(
+                    {
+                        self.id_column: ids.filter(mask),
+                        "chunk_idx": pa.array(
+                            np.full(len(sub_text), k, np.int64)
+                        ),
+                        "start": pa.array(
+                            np.full(len(sub_text), start, np.int64)
+                        ),
+                        "chunk_text": chunk,
+                        "chunk_len": pc.cast(pc.utf8_length(chunk), pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.schema(
+                [
+                    (self.id_column, ids.type),
+                    ("chunk_idx", pa.int64()),
+                    ("start", pa.int64()),
+                    ("chunk_text", pa.string()),
+                    ("chunk_len", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.concat_tables(parts)

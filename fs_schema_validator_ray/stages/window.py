@@ -1,0 +1,121 @@
+"""Per-key ordered window functions (LAG / running sum / rolling sum).
+
+The SQL shape ``... OVER (PARTITION BY key ORDER BY order1, order2)``
+expressed Ray-Data-first: ONE ``groupby(hash(key) % n_buckets)`` shuffle
+of the pruned columns, then one fully-vectorized pass per coarse bucket
+(lexsort + cumsum segment arithmetic over ALL keys in the bucket — never
+one Python call per key; most keys have few rows and per-group call
+overhead would dominate at high key cardinality, cf. ``sessionize``).
+
+Value arithmetic is int64 (callers convert currency to cents upstream)
+so the distributed sums are order-insensitive and bit-exact against a
+SQL oracle — float window sums would be evaluation-order-dependent.
+
+Partitioning assumption: one key's rows fit in one bucket group (same
+as any PARTITION BY — salt or range-split a pathologically hot key
+upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def per_key_window(
+    ds,
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    id_columns: list[str] | None = None,
+    rolling: int = 3,
+    lag: int = 1,
+    n_buckets: int | None = None,
+):
+    """Per-key ordered window functions over an int64 value column.
+
+    Output: ``id_columns + [key_column, prev_<value>, running_<value>,
+    rolling<k>_<value>]`` — one row per input row, where
+
+    * ``prev_<value>``   = ``LAG(value, lag)`` (null for the first
+      ``lag`` rows of each key),
+    * ``running_<value>``= ``SUM(value) ROWS UNBOUNDED PRECEDING``,
+    * ``rolling<k>_<value>`` = ``SUM(value) ROWS k-1 PRECEDING``.
+
+    ``(key, *order_columns)`` should be a total order per key for a
+    deterministic result (SQL has the same caveat).
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    id_columns = id_columns or []
+    cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
+    prev_col = f"prev_{value_column}"
+    run_col = f"running_{value_column}"
+    roll_col = f"rolling{rolling}_{value_column}"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        out = {"__bucket": pa.array(bucket)}
+        for c in cols:
+            col = t.column(c)
+            out[c] = pc.cast(col, pa.int64()) if c in order_columns else col
+        return pa.table(out)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        key_col = group.column(key_column).combine_chunks()
+        if n == 0:
+            empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
+            empty[prev_col] = pa.array([], pa.int64())
+            empty[run_col] = pa.array([], pa.int64())
+            empty[roll_col] = pa.array([], pa.int64())
+            return pa.table(empty)
+        # sortable key proxy (arbitrary key types incl. nulls — nulls form
+        # their own deterministic segment, cf. stages/agg.sessionize)
+        enc = pc.dictionary_encode(key_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kcode = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        orders = [
+            np.asarray(group.column(c), dtype=np.int64) for c in order_columns
+        ]
+        order = np.lexsort((*orders[::-1], kcode))
+        kc = kcode[order]
+        vals = np.asarray(group.column(value_column), dtype=np.int64)[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg_start_idx = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        row_start = seg_start_idx[seg_id]  # each row's segment start index
+        cs = np.cumsum(vals)
+        cs_excl = np.concatenate([[0], cs[:-1]])
+        running = cs - cs_excl[row_start]
+        low = np.maximum(np.arange(n, dtype=np.int64) - (rolling - 1), row_start)
+        roll = cs - cs_excl[low]
+        # LAG: value lag rows back, null when it crosses the segment start
+        pos = np.arange(n, dtype=np.int64) - lag
+        has_prev = pos >= row_start
+        prev = np.where(has_prev, vals[np.maximum(pos, 0)], 0)
+        take = pa.array(order, pa.int64())
+        out = {c: group.column(c).take(take) for c in id_columns}
+        out[key_column] = key_col.take(take)
+        out[prev_col] = pa.array(prev, pa.int64(), mask=~has_prev)
+        out[run_col] = pa.array(running, pa.int64())
+        out[roll_col] = pa.array(roll, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

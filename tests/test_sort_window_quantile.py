@@ -1,0 +1,310 @@
+"""Global sort/rank/NTILE, per-key windows, semi/anti join, grouped
+quantiles, chunking, spectrogram + VAD — ground-truth checks."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fs_schema_validator_ray import audio
+
+
+def tone(freq, sr=16000, dur_s=1.0, amp=0.5):
+    t = np.arange(int(sr * dur_s)) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+# --- global_sort_rank -------------------------------------------------------
+
+
+def test_global_sort_rank_permutation_many_blocks(ray_session):
+    """Ranks are exactly 1..n in value order even when the input arrives
+    as MANY small blocks (regression: the partition-count pass must sum
+    duplicate-pid partials with np.add.at, not fancy-index +=)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    vals = rng.permutation(n).astype(np.float64)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)), "v": pa.array(vals)})
+    # 40 tiny blocks so iter_batches coalesces several count partials
+    ds = ray.data.from_arrow(t).repartition(40)
+    out = global_sort_rank(ds, "v", ["id"], n_tiles=4, n_parts=8).to_pandas()
+    assert len(out) == n
+    assert sorted(out["rnk"]) == list(range(1, n + 1))
+    by_rank = out.sort_values("rnk")
+    assert np.all(np.diff(by_rank["v"].to_numpy()) > 0)
+    # ANSI NTILE sizes: 2000/4 → four tiles of 500
+    sizes = out.groupby("tile").size()
+    assert sorted(sizes.index) == [1, 2, 3, 4] and set(sizes) == {500}
+    # tile boundaries respect rank order
+    assert np.all(np.diff(by_rank["tile"].to_numpy()) >= 0)
+
+
+def test_global_sort_rank_ties_and_remainder_tiles(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    # heavy ties on the sort column: tiebreak column decides rank
+    t = pa.table(
+        {
+            "v": pa.array([5.0, 1.0, 5.0, 1.0, 5.0, 3.0, 3.0, 2.0, 4.0, 0.0]),
+            "id": pa.array(list(range(10)), pa.int64()),
+        }
+    )
+    out = (
+        global_sort_rank(ray.data.from_arrow(t).repartition(3), "v", ["id"], n_tiles=4)
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    assert list(out["rnk"]) == list(range(1, 11))
+    assert list(zip(out["v"], out["id"])) == sorted(zip(t["v"].to_pylist(), t["id"].to_pylist()))
+    # 10 rows / 4 tiles → sizes 3,3,2,2 (remainder-first, DuckDB-verified)
+    sizes = out.groupby("tile").size()
+    assert list(sizes) == [3, 3, 2, 2]
+
+
+# --- per_key_window ---------------------------------------------------------
+
+
+def test_per_key_window_ground_truth(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_window
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "a", "b", "b", "c"]),
+            "ts": pa.array([3, 1, 2, 4, 10, 5, 1], pa.int64()),
+            "rid": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+            "val": pa.array([30, 10, 20, 40, 7, 5, 9], pa.int64()),
+        }
+    )
+    out = per_key_window(
+        ray.data.from_arrow(t).repartition(3),
+        key_column="k",
+        order_columns=["ts", "rid"],
+        value_column="val",
+        id_columns=["rid"],
+    ).to_pandas()
+    by_rid = out.set_index("rid")
+    # key a ordered by ts: vals 10,20,30,40 (rids 1,2,0,3)
+    assert by_rid.loc[1, "running_val"] == 10 and math.isnan(by_rid.loc[1, "prev_val"])
+    assert by_rid.loc[2, "prev_val"] == 10 and by_rid.loc[2, "running_val"] == 30
+    assert by_rid.loc[0, "prev_val"] == 20 and by_rid.loc[0, "running_val"] == 60
+    assert by_rid.loc[3, "rolling3_val"] == 20 + 30 + 40
+    assert by_rid.loc[0, "rolling3_val"] == 10 + 20 + 30
+    # key b ordered by ts: 5 (rid 5) then 7 (rid 4)
+    assert math.isnan(by_rid.loc[5, "prev_val"]) and by_rid.loc[4, "prev_val"] == 5
+    assert by_rid.loc[4, "running_val"] == 12
+    # singleton key c
+    assert by_rid.loc[6, "running_val"] == 9 and by_rid.loc[6, "rolling3_val"] == 9
+
+
+# --- semi / anti join -------------------------------------------------------
+
+
+def _join_sides(ray_data, left_keys, right_keys):
+    left = ray_data.from_arrow(
+        pa.table(
+            {
+                "lk": pa.array(left_keys, pa.int64()),
+                "tag": pa.array([f"r{i}" for i in range(len(left_keys))]),
+            }
+        )
+    ).repartition(2)
+    right = ray_data.from_arrow(
+        pa.table({"rk": pa.array(right_keys, pa.int64())})
+    ).repartition(2)
+    return left, right
+
+
+def test_semi_anti_join_with_null_keys(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    left_keys = [1, 2, None, 3, 2]
+    right_keys = [2, 2, 4, None]
+    left, right = _join_sides(ray.data, left_keys, right_keys)
+    semi = semi_anti_join(left, right, "lk", "rk", ["tag"], how="semi").take_all()
+    # EXISTS: only lk=2 rows match; null left key matches nothing
+    assert sorted(r["tag"] for r in semi) == ["r1", "r4"]
+    anti = semi_anti_join(left, right, "lk", "rk", ["tag"], how="anti").take_all()
+    # NOT EXISTS keeps the null-key row (null never matches)
+    assert sorted(r["tag"] for r in anti) == ["r0", "r2", "r3"]
+
+
+def test_semi_join_empty_right(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    left, right = _join_sides(ray.data, [1, 2], [7])
+    import pyarrow.compute as pc
+
+    right = right.map_batches(
+        lambda t: t.filter(pc.greater(t.column("rk"), 100)), batch_format="pyarrow"
+    )
+    assert semi_anti_join(left, right, "lk", "rk", ["tag"], how="semi").count() == 0
+    anti = semi_anti_join(left, right, "lk", "rk", ["tag"], how="anti")
+    assert sorted(r["tag"] for r in anti.take_all()) == ["r0", "r1"]
+
+
+# --- grouped_quantile_disc --------------------------------------------------
+
+
+def test_grouped_quantile_disc_ground_truth(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["x", "y", "z"], size=600).tolist()
+    vals = rng.integers(0, 50, size=600).astype(np.int64)
+    # plant some nulls: excluded from both quantile and n
+    mask = rng.random(600) < 0.1
+    varr = pa.array([None if m else int(v) for m, v in zip(mask, vals)], pa.int64())
+    t = pa.table({"k": pa.array(keys), "v": varr})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = (
+        grouped_quantile_disc(ds, "k", "v", [0.25, 0.5, 0.75])
+        .to_pandas()
+        .set_index("k")
+    )
+    for key in ["x", "y", "z"]:
+        expect = sorted(
+            int(v) for kk, v, m in zip(keys, vals, mask) if kk == key and not m
+        )
+        n = len(expect)
+        assert out.loc[key, "n"] == n
+        for q, col in [(0.25, "q_25"), (0.5, "q_50"), (0.75, "q_75")]:
+            # DuckDB quantile_disc: element at 0-based ceil(q*n)-1
+            assert out.loc[key, col] == expect[max(0, math.ceil(q * n) - 1)], (key, q)
+
+
+# --- ChunkStage -------------------------------------------------------------
+
+
+def test_chunk_stage_overlap_and_unicode():
+    from fs_schema_validator_ray.stages.text import ChunkStage
+
+    stage = ChunkStage(size=5, stride=3)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+            "text": pa.array(["abcdefgh", "xyz", "", None, "éü漢字πβγδ"]),
+        }
+    )
+    out = stage(batch).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+    # "abcdefgh" (8 chars, stride 3) → starts 0,3,6
+    assert [r["chunk_text"] for r in by_doc["a"]] == ["abcde", "defgh", "gh"]
+    assert [r["start"] for r in by_doc["a"]] == [0, 3, 6]
+    assert [r["chunk_len"] for r in by_doc["a"]] == [5, 5, 2]
+    # short doc → one chunk; empty/null docs → no chunks
+    assert [r["chunk_text"] for r in by_doc["b"]] == ["xyz"]
+    assert "c" not in by_doc and "d" not in by_doc
+    # codepoint (not byte) slicing for multibyte text
+    assert [r["chunk_text"] for r in by_doc["e"]] == ["éü漢字π", "字πβγδ", "γδ"]
+
+
+def test_chunk_stage_empty_batch():
+    from fs_schema_validator_ray.stages.text import ChunkStage
+
+    stage = ChunkStage()
+    batch = pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())})
+    out = stage(batch)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "chunk_idx", "start", "chunk_text", "chunk_len"]
+
+
+# --- spectrogram ------------------------------------------------------------
+
+
+def test_spectrogram_bands_tone_location():
+    from fs_schema_validator_ray.stages.audio_features import (
+        _SPEC_FRAME,
+        _SPEC_HOP,
+        spectrogram_bands,
+    )
+
+    sr = 16000
+    x = tone(3000, sr=sr, dur_s=0.5)
+    n_frames, db = spectrogram_bands(x, sr)
+    assert n_frames == 1 + (len(x) - _SPEC_FRAME) // _SPEC_HOP
+    # log-spaced 50..8000 Hz over 8 bands: 3000 Hz falls in band 6
+    edges = np.geomspace(50.0, sr / 2.0, 9)
+    expect_band = int(np.searchsorted(edges, 3000.0, side="right") - 1)
+    assert int(np.argmax(db)) == expect_band
+    # silence → floor everywhere
+    _, silent_db = spectrogram_bands(np.zeros(sr), sr)
+    assert np.all(silent_db < -100)
+
+
+def test_spectrogram_stage_batch():
+    from fs_schema_validator_ray.stages.audio_features import SpectrogramStage
+
+    sr = 16000
+    payload = audio.encode(tone(1000, sr=sr, dur_s=0.25), sr, "pcm_s16le")
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["ok", "bad"]),
+            "bytes": pa.array([payload, b"junk"], pa.binary()),
+        }
+    )
+    out = {r["clip_id"]: r for r in SpectrogramStage()(batch).to_pylist()}
+    assert out["ok"]["decode_ok"] and out["ok"]["sr_hz"] == sr
+    assert out["ok"]["n_frames"] > 0
+    assert not out["bad"]["decode_ok"]
+
+
+# --- VAD --------------------------------------------------------------------
+
+
+def test_vad_segments_tone_burst():
+    from fs_schema_validator_ray.stages.audio_features import vad_segments
+
+    sr = 16000
+    x = np.concatenate(
+        [np.zeros(sr // 2), tone(440, sr=sr, dur_s=0.5), np.zeros(sr // 2)]
+    )
+    segs = vad_segments(x, sr)
+    assert len(segs) == 1
+    s_ms, e_ms, seg_db = segs[0]
+    # the burst spans [500, 1000) ms; frame granularity is 25/10 ms
+    assert s_ms == pytest.approx(500.0, abs=30.0)
+    assert e_ms == pytest.approx(1000.0, abs=30.0)
+    assert seg_db == pytest.approx(-9.03, abs=1.0)
+    assert vad_segments(np.zeros(sr), sr) == []
+
+
+def test_vad_stage_batch():
+    from fs_schema_validator_ray.stages.audio_features import VadStage
+
+    sr = 16000
+    burst = np.concatenate([np.zeros(sr // 4), tone(440, sr=sr, dur_s=0.25)])
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["v", "silent", "bad"]),
+            "bytes": pa.array(
+                [
+                    audio.encode(burst, sr, "pcm_s16le"),
+                    audio.encode(np.zeros(sr // 4), sr, "pcm_s16le"),
+                    b"junk",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = VadStage()(batch).to_pylist()
+    assert {r["clip_id"] for r in out} == {"v"}
+    assert out[0]["start_ms"] == pytest.approx(250.0, abs=30.0)
