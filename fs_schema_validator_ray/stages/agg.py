@@ -142,17 +142,12 @@ def sessionize(
                     "n_events": pa.array([], pa.int64()),
                 }
             )
+        from fs_schema_validator_ray.state.sketches import key_codes
+
         ts = np.asarray(group.column(ts_column), dtype=np.int64)
         # sortable key proxy: encoded indices keep arbitrary key types
         # (strings, nulls) groupable without dtype games
-        enc = pc.dictionary_encode(key_col)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        # null keys have NULL indices; the numpy conversion would go via
-        # float64 NaN whose int cast is platform-dependent (INT64_MIN on
-        # x86, 0 on aarch64 — colliding with dictionary code 0). Fill -1:
-        # nulls form their own segment deterministically.
-        kcode = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        kcode = key_codes(key_col)
         order = np.lexsort((ts, kcode))
         kc, ts_s = kcode[order], ts[order]
         seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
@@ -225,7 +220,9 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     Semantics match DuckDB ``quantile_disc(v, q)`` exactly: the element
     at 0-based index ``ceil(q*n) - 1`` of the sorted non-null values
     (verified empirically). Nulls are excluded from both the quantile
-    and the returned ``n`` (= ``COUNT(value)``). Use dyadic ``q``
+    and the returned ``n`` (= ``COUNT(value)``); a key whose values are
+    ALL null still emits its group row with ``n = 0`` and NULL
+    quantiles, matching SQL GROUP BY. Use dyadic ``q``
     (0.25/0.5/0.75) for bit-exact oracle parity — ``ceil`` of an
     inexact float product can differ by one element either side.
 
@@ -244,8 +241,11 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     qcols = [f"q_{int(round(q * 100))}" for q in qs]
 
     def partial(t: pa.Table) -> pa.Table:
+        # null values group too: a key whose values are ALL null must
+        # still reach per_bucket (SQL GROUP BY emits it with n=0 and
+        # NULL quantiles); the null-value partial rows carry only key
+        # presence — per_bucket excludes them from n and the quantiles
         t = t.select([key_column, value_column])
-        t = t.filter(pc.is_valid(t.column(value_column)))
         g = pa.TableGroupBy(t, [key_column, value_column]).aggregate([([], "count_all")])
         bucket = mix_to_buckets(
             hash64(stable_key_array(g.column(key_column))), n_buckets
@@ -260,6 +260,8 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.state.sketches import key_codes
+
         key_col = group.column(key_column).combine_chunks()
         val_col = group.column(value_column).combine_chunks()
         if group.num_rows == 0:
@@ -267,21 +269,25 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
             for qc in qcols:
                 out[qc] = val_col.slice(0, 0)
             return pa.table(out)
-        enc = pc.dictionary_encode(key_col)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        kcode = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
-        vals = np.asarray(val_col)
-        c = np.asarray(group.column("c"), dtype=np.int64)
-        order = np.lexsort((vals, kcode))
-        kc, c_s = kcode[order], c[order]
-        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        kcode = key_codes(key_col)
+        vmask = np.asarray(pc.is_valid(val_col))
+        # keys seen ONLY with null values → (key, n=0, NULL quantiles)
+        missing = np.setdiff1d(kcode[~vmask], kcode[vmask])
+        valid_idx = np.flatnonzero(vmask)
+        kcode_v = kcode[valid_idx]
+        vals = np.asarray(val_col.take(pa.array(valid_idx, pa.int64())))
+        c = np.asarray(group.column("c"), dtype=np.int64)[valid_idx]
+        order = np.lexsort((vals, kcode_v))
+        kc, c_s = kcode_v[order], c[order]
+        seg_first = (
+            np.concatenate([[True], kc[1:] != kc[:-1]]) if len(kc) else kc.astype(bool)
+        )
         starts = np.flatnonzero(seg_first)
         gc = np.cumsum(c_s)  # global inclusive cumulative count
         excl = np.concatenate([[0], gc])[starts]  # count before each key
         ends = np.concatenate([starts[1:], [len(kc)]])
-        n_k = gc[ends - 1] - excl
-        rep = pa.array(order[starts], pa.int64())
+        n_k = gc[ends - 1] - excl if len(starts) else np.zeros(0, np.int64)
+        rep = pa.array(valid_idx[order[starts]], pa.int64())
         out = {key_column: key_col.take(rep), "n": pa.array(n_k, pa.int64())}
         for q, qc in zip(qs, qcols):
             # DuckDB quantile_disc index: ceil(q*n) - 1 (0-based)
@@ -289,7 +295,22 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
             tgt = np.maximum(tgt, 0)
             # first sorted slot whose cumulative count exceeds the target
             j = np.searchsorted(gc, excl + tgt + 1, side="left")
-            out[qc] = val_col.take(pa.array(order[j], pa.int64()))
+            out[qc] = val_col.take(pa.array(valid_idx[order[j]], pa.int64()))
+        if len(missing):
+            # first group-row index of each all-null key (stable argsort)
+            sidx = np.argsort(kcode, kind="stable")
+            first_idx = sidx[np.searchsorted(kcode[sidx], missing)]
+            tables = [
+                pa.table(out),
+                pa.table(
+                    {
+                        key_column: key_col.take(pa.array(first_idx, pa.int64())),
+                        "n": pa.array(np.zeros(len(missing), np.int64)),
+                        **{qc: pa.nulls(len(missing), val_col.type) for qc in qcols},
+                    }
+                ),
+            ]
+            return pa.concat_tables(tables)
         return pa.table(out)
 
     return (

@@ -125,6 +125,8 @@ def global_sort_rank(
     ``n_tiles`` is set, ``tile`` (``NTILE(n_tiles)``, DuckDB/ANSI
     remainder-first sizing). ``(sort, *tiebreaks)`` must be a total order
     for a deterministic result (SQL has the same caveat)."""
+    if descending:
+        raise NotImplementedError("descending global rank: negate the key upstream")
     if n_parts is None:
         try:
             import ray
@@ -139,9 +141,6 @@ def global_sort_rank(
     counts = _partition_counts(proj, splits, sort_column, n_parts)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     total = int(counts.sum())
-
-    if descending:
-        raise NotImplementedError("descending global rank: negate the key upstream")
 
     def rank_partition(group: pa.Table) -> pa.Table:
         pid = int(group.column("__pid")[0].as_py()) if group.num_rows else 0

@@ -387,12 +387,15 @@ class ChunkStage:
                 )
             )
         if not parts:
+            # chunk_text keeps the INPUT string type (string vs
+            # large_string) so all-empty batches don't emit a block
+            # schema different from sliced batches
             return pa.schema(
                 [
                     (self.id_column, ids.type),
                     ("chunk_idx", pa.int64()),
                     ("start", pa.int64()),
-                    ("chunk_text", pa.string()),
+                    ("chunk_text", text.type),
                     ("chunk_len", pa.int64()),
                 ]
             ).empty_table()

@@ -44,11 +44,15 @@ def per_key_window(
     * ``rolling<k>_<value>`` = ``SUM(value) ROWS k-1 PRECEDING``.
 
     ``(key, *order_columns)`` should be a total order per key for a
-    deterministic result (SQL has the same caveat).
+    deterministic result (SQL has the same caveat). Null handling
+    matches SQL defaults: order columns sort ASC NULLS LAST, null
+    values are skipped by the sums (NULL result only when a frame has
+    no valid value), and LAG of a null value is null.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
         hash64,
+        key_codes,
         mix_to_buckets,
         stable_key_array,
     )
@@ -82,35 +86,49 @@ def per_key_window(
             return pa.table(empty)
         # sortable key proxy (arbitrary key types incl. nulls — nulls form
         # their own deterministic segment, cf. stages/agg.sessionize)
-        enc = pc.dictionary_encode(key_col)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        kcode = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
-        orders = [
-            np.asarray(group.column(c), dtype=np.int64) for c in order_columns
-        ]
-        order = np.lexsort((*orders[::-1], kcode))
+        kcode = key_codes(key_col)
+        # sort keys, most→least significant: key, then per order column a
+        # (null-flag, value) pair — SQL default ASC NULLS LAST; a plain
+        # int64 conversion of a null would silently become INT64_MIN and
+        # sort FIRST (and poison sums below)
+        sig = [kcode]
+        for c in order_columns:
+            oc = group.column(c).combine_chunks()
+            sig.append(np.asarray(pc.is_null(oc)))
+            sig.append(np.asarray(pc.fill_null(oc, 0), dtype=np.int64))
+        order = np.lexsort(tuple(sig[::-1]))
         kc = kcode[order]
-        vals = np.asarray(group.column(value_column), dtype=np.int64)[order]
+        val_col = group.column(value_column).combine_chunks()
+        valid = np.asarray(pc.is_valid(val_col))[order]
+        vals = np.asarray(pc.fill_null(val_col, 0), dtype=np.int64)[order]
         seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
         seg_start_idx = np.flatnonzero(seg_first)
         seg_id = np.cumsum(seg_first) - 1
         row_start = seg_start_idx[seg_id]  # each row's segment start index
+        # SQL SUM ignores null addends but returns NULL when the frame
+        # holds no valid value at all — track a parallel valid-count
         cs = np.cumsum(vals)
         cs_excl = np.concatenate([[0], cs[:-1]])
+        cv = np.cumsum(valid.astype(np.int64))
+        cv_excl = np.concatenate([[0], cv[:-1]])
         running = cs - cs_excl[row_start]
+        run_n = cv - cv_excl[row_start]
         low = np.maximum(np.arange(n, dtype=np.int64) - (rolling - 1), row_start)
         roll = cs - cs_excl[low]
-        # LAG: value lag rows back, null when it crosses the segment start
+        roll_n = cv - cv_excl[low]
+        # LAG: value lag rows back — null when it crosses the segment
+        # start OR the lagged value itself is null
         pos = np.arange(n, dtype=np.int64) - lag
         has_prev = pos >= row_start
-        prev = np.where(has_prev, vals[np.maximum(pos, 0)], 0)
+        safe_pos = np.maximum(pos, 0)
+        prev = np.where(has_prev, vals[safe_pos], 0)
+        prev_ok = has_prev & valid[safe_pos]
         take = pa.array(order, pa.int64())
         out = {c: group.column(c).take(take) for c in id_columns}
         out[key_column] = key_col.take(take)
-        out[prev_col] = pa.array(prev, pa.int64(), mask=~has_prev)
-        out[run_col] = pa.array(running, pa.int64())
-        out[roll_col] = pa.array(roll, pa.int64())
+        out[prev_col] = pa.array(prev, pa.int64(), mask=~prev_ok)
+        out[run_col] = pa.array(running, pa.int64(), mask=run_n == 0)
+        out[roll_col] = pa.array(roll, pa.int64(), mask=roll_n == 0)
         return pa.table(out)
 
     return (

@@ -52,6 +52,25 @@ def stable_key_array(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def key_codes(col) -> np.ndarray:
+    """Dictionary-encoded int64 codes for an Arrow key column — the
+    sortable, groupable key proxy used by the vectorized per-bucket
+    segment scans (sessionize / windows / grouped quantiles). Codes are
+    equal iff key values are equal (within one call); null keys code to
+    -1 and form their own deterministic segment — the explicit fill
+    avoids the platform-dependent NaN→int cast of null dictionary
+    indices (INT64_MIN on x86, 0 on aarch64, colliding with code 0)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+
+
 _BUCKET_MIX = np.uint64(0xD1B54A32D192ED03)
 
 

@@ -105,6 +105,42 @@ def test_per_key_window_ground_truth(ray_session):
     assert by_rid.loc[6, "running_val"] == 9 and by_rid.loc[6, "rolling3_val"] == 9
 
 
+def test_per_key_window_null_values_and_order(ray_session):
+    """SQL null semantics: sums skip null addends (NULL only when the
+    frame has no valid value), LAG of a null value is null, null order
+    keys sort ASC NULLS LAST — regression for the silent INT64_MIN
+    conversion of arrow nulls."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_window
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "ts": pa.array([1, 2, None, 1, 2], pa.int64()),
+            "rid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "val": pa.array([None, 10, 20, None, None], pa.int64()),
+        }
+    )
+    out = per_key_window(
+        ray.data.from_arrow(t),
+        key_column="k",
+        order_columns=["ts", "rid"],
+        value_column="val",
+        id_columns=["rid"],
+    ).to_pandas().set_index("rid")
+    # key a order: rid0 (val null), rid1 (10), rid2 (ts null → LAST, 20)
+    assert math.isnan(out.loc[0, "running_val"])  # frame = {null}
+    assert out.loc[1, "running_val"] == 10 and math.isnan(out.loc[1, "prev_val"])
+    assert out.loc[2, "running_val"] == 30 and out.loc[2, "prev_val"] == 10
+    assert out.loc[2, "rolling3_val"] == 30
+    # key b: every value null → all sums null, LAG of null is null
+    for rid in (3, 4):
+        assert math.isnan(out.loc[rid, "running_val"])
+        assert math.isnan(out.loc[rid, "rolling3_val"])
+        assert math.isnan(out.loc[rid, "prev_val"])
+
+
 # --- semi / anti join -------------------------------------------------------
 
 
@@ -187,6 +223,30 @@ def test_grouped_quantile_disc_ground_truth(ray_session):
             assert out.loc[key, col] == expect[max(0, math.ceil(q * n) - 1)], (key, q)
 
 
+def test_grouped_quantile_disc_all_null_group(ray_session):
+    """A key whose values are ALL null still emits (key, n=0, NULL
+    quantiles) — matches SQL GROUP BY + quantile_disc."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "allnull", "allnull", "b"]),
+            "v": pa.array([4, 2, None, None, 7], pa.int64()),
+        }
+    )
+    out = (
+        grouped_quantile_disc(ray.data.from_arrow(t).repartition(2), "k", "v", [0.5])
+        .to_pandas()
+        .set_index("k")
+    )
+    assert sorted(out.index) == ["a", "allnull", "b"]
+    assert out.loc["allnull", "n"] == 0 and math.isnan(out.loc["allnull", "q_50"])
+    assert out.loc["a", "n"] == 2 and out.loc["a", "q_50"] == 2
+    assert out.loc["b", "n"] == 1 and out.loc["b", "q_50"] == 7
+
+
 # --- ChunkStage -------------------------------------------------------------
 
 
@@ -217,14 +277,25 @@ def test_chunk_stage_overlap_and_unicode():
     assert [r["chunk_text"] for r in by_doc["e"]] == ["éü漢字π", "字πβγδ", "γδ"]
 
 
-def test_chunk_stage_empty_batch():
+def test_chunk_stage_empty_batch_schema_stability():
+    """All-empty batches keep the INPUT string type for chunk_text so
+    mixed blocks unify (regression: hardcoded pa.string() vs a
+    large_string corpus)."""
     from fs_schema_validator_ray.stages.text import ChunkStage
 
     stage = ChunkStage()
-    batch = pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())})
-    out = stage(batch)
-    assert out.num_rows == 0
-    assert out.schema.names == ["doc_id", "chunk_idx", "start", "chunk_text", "chunk_len"]
+    for ty in (pa.string(), pa.large_string()):
+        empty = stage(
+            pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], ty)})
+        )
+        assert empty.num_rows == 0
+        assert empty.schema.names == [
+            "doc_id", "chunk_idx", "start", "chunk_text", "chunk_len",
+        ]
+        full = stage(
+            pa.table({"doc_id": pa.array(["a"]), "text": pa.array(["hello"], ty)})
+        )
+        assert full.schema.field("chunk_text").type == empty.schema.field("chunk_text").type == ty
 
 
 # --- spectrogram ------------------------------------------------------------
