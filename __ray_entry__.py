@@ -313,6 +313,40 @@ JOIN sz sa ON sa.doc_id = ov.a
 JOIN sz sb ON sb.doc_id = ov.b
 WHERE CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) >= 0.7
 """,
+        "dedup_clusters_documents": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ov.a, ov.b FROM ov
+  JOIN sz sa ON sa.doc_id = ov.a
+  JOIN sz sb ON sb.doc_id = ov.b
+  WHERE CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) >= 0.7
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY node
+""",
         "dedup_embedding_cosine": """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

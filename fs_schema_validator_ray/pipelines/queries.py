@@ -514,6 +514,44 @@ def chunk_documents(sf_dir: str):
     return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
 
 
+def dedup_clusters_documents(sf_dir: str):
+    """Duplicate-CLUSTER resolution: connected components (iterative
+    min-label propagation, ``stages/graph.py``) over the exact trigram-
+    Jaccard pair graph, then a distributed left join back onto the
+    corpus so every document carries its cluster representative
+    (singletons cluster as themselves). Oracle: DuckDB recursive CTE
+    over the identical pair SQL."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.dedup import ngram_jaccard_pairs
+    from fs_schema_validator_ray.stages.graph import connected_components
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7, shingle_n=3)
+    labels = connected_components(
+        pairs, "a", "b", node_column="node", cluster_column="lbl"
+    )
+    joined = hash_join(
+        _read(sf_dir, "documents", ["doc_id"]),
+        labels,
+        "doc_id",
+        "node",
+        [],
+        ["lbl"],
+        how="left",
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pc.coalesce(t.column("lbl"), t.column("doc_id")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def asof_events_orders(sf_dir: str):
     """Distributed as-of join: each event matched to the customer's most
     recent order at event time (co-partitioned groupby + per-group
@@ -995,6 +1033,7 @@ QUERIES = {
     "semi_join_orders_lineitem": semi_join_orders_lineitem,
     "anti_join_customer_orders": anti_join_customer_orders,
     "chunk_documents": chunk_documents,
+    "dedup_clusters_documents": dedup_clusters_documents,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
     "audio_resample_clips": audio_resample_clips,

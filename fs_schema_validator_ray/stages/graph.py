@@ -1,0 +1,219 @@
+"""Distributed connected components (duplicate-cluster resolution).
+
+Near-dup operators (`stages/dedup.py`) emit PAIRS; curation needs
+CLUSTERS — "keep one representative per component of the similarity
+graph". This stage closes that gap with iterative min-label propagation
+expressed purely as Ray Data shuffles:
+
+* state: one ``(node, label)`` row per node, label = smallest node id
+  reached so far (init: itself);
+* round: co-locate each edge's source with its current label (ONE
+  ``groupby(hash(node) % n_buckets)`` shuffle of the tagged union),
+  emit ``(dst, label(src))`` messages for both edge orientations, then
+  min-reduce messages per node (second shuffle) — every per-bucket body
+  is one vectorized two-pass stable argsort + segment scan, no per-node
+  Python;
+* converged when no label changed (labels only ever decrease, and the
+  reduce counts changes as it goes — no extra comparison pass).
+
+Rounds needed = graph diameter. Duplicate clusters are near-cliques or
+stars (the LSH bucket overflow star-links members — `dedup.py`), so 2-4
+rounds is typical; `max_rounds` guards pathological chain graphs, where
+a hash-to-min doubling scheme would be the upgrade path.
+
+Scale notes: the edge set (near-dup pairs) is assumed ≪ corpus — it is
+``materialize()``-d once and re-tagged per round instead of re-running
+the pair pipeline (Ray Data branches re-execute their input). Per-round
+state is O(nodes-in-edges) rows of (node, label), spread across buckets;
+the driver holds only the per-round changed-count scalar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _two_pass_lexsort(primary: np.ndarray, secondary: np.ndarray) -> np.ndarray:
+    """Stable argsort by (primary, secondary) that also works for
+    object-dtype (string node id) arrays, which np.lexsort rejects."""
+    order = np.argsort(secondary, kind="stable")
+    return order[np.argsort(primary[order], kind="stable")]
+
+
+def connected_components(
+    edges,
+    a_column: str = "a",
+    b_column: str = "b",
+    node_column: str = "node",
+    cluster_column: str = "cluster_id",
+    max_rounds: int = 25,
+    n_buckets: int | None = None,
+):
+    """Connected components of the undirected graph given by an edge
+    Dataset → Dataset of ``(node_column, cluster_column)`` with one row
+    per node that appears in an edge; ``cluster_column`` is the smallest
+    node id in the component (a deterministic representative). Node ids
+    may be any orderable Arrow type (ints, strings). Raises
+    ``RuntimeError`` if not converged within ``max_rounds`` (diameter
+    exceeded — not silently wrong)."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    # pairs ≪ corpus (they are the near-duplicates): pin once, re-tag per
+    # round rather than re-running the pair pipeline every round
+    edges = edges.select_columns([a_column, b_column]).materialize()
+
+    def bucket_of(col) -> pa.Array:
+        return pa.array(mix_to_buckets(hash64(stable_key_array(col)), n_buckets))
+
+    def tag_init(t: pa.Table) -> pa.Table:
+        # distinct endpoints per batch, label = self
+        nodes = pc.unique(
+            pa.chunked_array(
+                [t.column(a_column).combine_chunks(), t.column(b_column).combine_chunks()]
+            ).combine_chunks()
+        )
+        nodes = nodes.filter(pc.is_valid(nodes))
+        return pa.table(
+            {
+                "__b2": bucket_of(nodes),
+                "__node": nodes,
+                "__lbl": nodes,
+                "__old": pa.array(np.ones(len(nodes), bool)),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        node = t.column(node_column).combine_chunks()
+        return pa.table(
+            {
+                "__bucket": bucket_of(node),
+                "__node": node,
+                "__lbl": t.column(cluster_column).combine_chunks(),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        a = t.column(a_column).combine_chunks()
+        b = t.column(b_column).combine_chunks()
+        src = pa.chunked_array([a, b]).combine_chunks()
+        dst = pa.chunked_array([b, a]).combine_chunks()
+        valid = pc.and_(pc.is_valid(src), pc.is_valid(dst))
+        src, dst = src.filter(valid), dst.filter(valid)
+        return pa.table(
+            {
+                "__bucket": bucket_of(src),
+                "__node": src,  # keyed by source: co-locates with its label row
+                "__lbl": dst,  # payload column reused (same type) for the dst id
+                "__side": pa.array(np.ones(len(src), np.int8)),
+            }
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """Per source-bucket: resolve label(src) for each edge, emit
+        (dst, label(src)) messages + the label rows themselves."""
+        side = np.asarray(group.column("__side"))
+        node = group.column("__node").combine_chunks()
+        lbl = group.column("__lbl").combine_chunks()
+        node_np = node.to_numpy(zero_copy_only=False)
+        lbl_np = lbl.to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        e_idx = np.flatnonzero(side == 1)
+        out_node = [node.take(pa.array(l_idx, pa.int64()))]
+        out_lbl = [lbl.take(pa.array(l_idx, pa.int64()))]
+        out_old = [np.ones(len(l_idx), bool)]
+        if len(e_idx) and len(l_idx):
+            ln = node_np[l_idx]
+            ll = lbl_np[l_idx]
+            o = np.argsort(ln, kind="stable")
+            ln_s, ll_s = ln[o], ll[o]
+            pos = np.clip(np.searchsorted(ln_s, node_np[e_idx]), 0, len(ln_s) - 1)
+            # every edge endpoint has a label row by construction
+            out_node.append(lbl.take(pa.array(e_idx, pa.int64())))  # dst ids
+            out_lbl.append(pa.array(ll_s[pos], type=lbl.type))
+            out_old.append(np.zeros(len(e_idx), bool))
+        nodes_out = pa.chunked_array(out_node).combine_chunks()
+        return pa.table(
+            {
+                "__b2": bucket_of(nodes_out),
+                "__node": nodes_out,
+                "__lbl": pa.chunked_array(out_lbl).combine_chunks(),
+                "__old": pa.array(np.concatenate(out_old)),
+            }
+        )
+
+    def min_reduce(group: pa.Table) -> pa.Table:
+        """Per destination-bucket: new label = min over messages per
+        node; count changes against the passthrough old label."""
+        if group.num_rows == 0:
+            t = group.schema.field("__node").type
+            return pa.table(
+                {
+                    node_column: pa.array([], t),
+                    cluster_column: pa.array([], t),
+                    "__chg": pa.array([], pa.int8()),
+                }
+            )
+        node = group.column("__node").combine_chunks()
+        lbl = group.column("__lbl").combine_chunks()
+        node_np = node.to_numpy(zero_copy_only=False)
+        lbl_np = lbl.to_numpy(zero_copy_only=False)
+        old = np.asarray(group.column("__old"))
+        order = _two_pass_lexsort(node_np, lbl_np)
+        n_s, l_s, old_s = node_np[order], lbl_np[order], old[order]
+        seg_first = np.concatenate([[True], n_s[1:] != n_s[:-1]])
+        starts = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        new_lbl = l_s[starts]  # min per node (sorted secondary)
+        old_rows = np.flatnonzero(old_s)
+        old_lbl = new_lbl.copy()
+        old_lbl[seg_id[old_rows]] = l_s[old_rows]
+        chg = (new_lbl != old_lbl).astype(np.int8)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table(
+            {
+                node_column: node.take(take),
+                cluster_column: pa.array(new_lbl, type=lbl.type),
+                "__chg": pa.array(chg),
+            }
+        )
+
+    # initial labels: per-batch distinct endpoints, reduced to one row
+    # per node through the same min_reduce machinery (labels = self)
+    labels = (
+        edges.map_batches(tag_init, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(min_reduce, batch_format="pyarrow")
+        .drop_columns(["__chg"])
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+        )
+        new_labels = (
+            tagged.groupby("__bucket")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("__b2")
+            .map_groups(min_reduce, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = new_labels.sum("__chg") or 0
+        labels = new_labels.drop_columns(["__chg"]).materialize()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(component diameter too large — raise max_rounds)"
+    )

@@ -1,0 +1,100 @@
+"""Connected components: ground-truth topologies, string ids, convergence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _cc(ray_data, edges_table, **kw):
+    from fs_schema_validator_ray.stages.graph import connected_components
+
+    ds = ray_data.from_arrow(edges_table).repartition(3)
+    out = connected_components(ds, "a", "b", **kw).to_pandas()
+    return dict(zip(out["node"], out["cluster_id"]))
+
+
+def test_cc_chain_star_and_separate_components(ray_session):
+    import ray.data
+
+    # chain 1-2-3-4-5 (diameter 4), star 10-{11,12,13}, pair 20-21
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 4, 10, 10, 10, 20], pa.int64()),
+            "b": pa.array([2, 3, 4, 5, 11, 12, 13, 21], pa.int64()),
+        }
+    )
+    got = _cc(ray.data, t)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_cc_string_ids_and_duplicate_edges(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "a": pa.array(["doc_b", "doc_a", "doc_b", "zz", "doc_c"]),
+            "b": pa.array(["doc_a", "doc_b", "doc_c", "zz", "doc_b"]),
+        }
+    )
+    got = _cc(ray.data, t)
+    # self-loops and duplicate/reversed edges are harmless
+    assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a", "zz": "zz"}
+
+
+def test_cc_convergence_guard(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import connected_components
+
+    # a 12-node chain cannot converge in 2 rounds of 1-hop propagation
+    n = 12
+    t = pa.table(
+        {
+            "a": pa.array(list(range(n - 1)), pa.int64()),
+            "b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ray.data.from_arrow(t), "a", "b", max_rounds=2).to_pandas()
+
+
+def test_cc_large_random_graph_matches_reference(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 400, 500
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    out = (
+        connected_components(ray.data.from_arrow(t).repartition(5), "a", "b")
+        .to_pandas()
+    )
+    # reference: union-find on the driver
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    seen = set(a) | set(b)
+    expect = {}
+    for node in seen:
+        root = find(int(node))
+        expect.setdefault(root, []).append(int(node))
+    # cluster_id must be the min member of each component
+    want = {int(n): min(members) for root, members in expect.items() for n in members}
+    got = dict(zip(out["node"].astype(int), out["cluster_id"].astype(int)))
+    assert got == want
