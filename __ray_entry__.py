@@ -313,6 +313,17 @@ JOIN sz sa ON sa.doc_id = ov.a
 JOIN sz sb ON sb.doc_id = ov.b
 WHERE CAST(ov.i AS DOUBLE) / (sa.n + sb.n - ov.i) >= 0.7
 """,
+        "pack_documents": """
+WITH d AS (SELECT doc_id, length(coalesce(text, '')) AS nchars FROM documents),
+r AS (SELECT doc_id, nchars,
+             CAST(SUM(nchars) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rn
+      FROM d)
+SELECT doc_id, nchars,
+       (rn - nchars) // 4096 AS seq_id,
+       (rn - nchars) % 4096 AS seq_offset
+FROM r
+""",
         "dedup_clusters_documents": """
 WITH RECURSIVE toks AS (
   SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t

@@ -514,6 +514,47 @@ def chunk_documents(sf_dir: str):
     return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
 
 
+def pack_documents(sf_dir: str, budget: int = 4096):
+    """GPT-style training-sequence packing (concat-and-slice): documents
+    in deterministic doc_id order, each assigned the sequence its FIRST
+    character lands in after global concatenation — one distributed
+    prefix sum (``stages/sort.py::global_running_sum``), no sequential
+    driver scan. ``seq_offset`` is the document's start position inside
+    its sequence."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.sort import global_running_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nchars": pc.cast(
+                    pc.utf8_length(pc.fill_null(t.column("text"), "")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ds = global_running_sum(ds, "doc_id", [], "nchars")
+
+    def assign(t: pa.Table) -> pa.Table:
+        start = pc.subtract(t.column("running_nchars"), t.column("nchars"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nchars": t.column("nchars"),
+                "seq_id": pc.divide(start, budget),
+                "seq_offset": pc.subtract(
+                    start, pc.multiply(pc.divide(start, budget), budget)
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def dedup_clusters_documents(sf_dir: str):
     """Duplicate-CLUSTER resolution: connected components (iterative
     min-label propagation, ``stages/graph.py``) over the exact trigram-
@@ -1034,6 +1075,7 @@ QUERIES = {
     "anti_join_customer_orders": anti_join_customer_orders,
     "chunk_documents": chunk_documents,
     "dedup_clusters_documents": dedup_clusters_documents,
+    "pack_documents": pack_documents,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
     "audio_resample_clips": audio_resample_clips,

@@ -161,6 +161,73 @@ def global_sort_rank(
     )
 
 
+def global_running_sum(
+    ds,
+    sort_column: str,
+    tiebreak_columns: list[str],
+    weight_column: str,
+    n_parts: int | None = None,
+):
+    """Distributed global prefix sum: input columns + ``running_<w>`` =
+    ``SUM(w) OVER (ORDER BY sort, *tiebreaks ROWS UNBOUNDED PRECEDING)``
+    (int64 weights). Same two-phase shape as :func:`global_sort_rank` —
+    the count pass sums WEIGHT per range partition instead of rows, so
+    each partition starts its local cumsum from an exact global offset.
+    This is the training-data packing primitive: with ``running`` in
+    hand, ``(running - w) // budget`` assigns every row its
+    concat-and-slice sequence id with zero extra passes."""
+    if n_parts is None:
+        try:
+            import ray
+
+            n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:  # noqa: BLE001
+            n_parts = 8
+
+    cols = list(dict.fromkeys([sort_column, *tiebreak_columns, weight_column]))
+    proj = ds.select_columns(cols).materialize()
+    splits = sample_split_points(proj, sort_column, n_parts)
+
+    def weight_partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(sort_column))
+        pid = (
+            np.searchsorted(splits, keys, side="right")
+            if len(splits)
+            else np.zeros(len(keys), np.int64)
+        )
+        w = np.asarray(pc.cast(t.column(weight_column), pa.int64()))
+        sums = np.zeros(n_parts, dtype=np.int64)
+        np.add.at(sums, pid, w)
+        return pa.table(
+            {"pid": pa.array(np.arange(n_parts, dtype=np.int64)), "c": pa.array(sums)}
+        )
+
+    sums = np.zeros(n_parts, dtype=np.int64)
+    for b in (
+        proj.select_columns([sort_column, weight_column])
+        .map_batches(weight_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        np.add.at(sums, np.asarray(b.column("pid")), np.asarray(b.column("c")))
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    run_col = f"running_{weight_column}"
+
+    def sum_partition(group: pa.Table) -> pa.Table:
+        pid = int(group.column("__pid")[0].as_py()) if group.num_rows else 0
+        arrays = [np.asarray(group.column(c)) for c in [sort_column, *tiebreak_columns]]
+        order = np.lexsort(arrays[::-1])
+        out = group.drop_columns(["__pid"]).take(pa.array(order, pa.int64()))
+        w = np.asarray(pc.cast(out.column(weight_column), pa.int64()))
+        running = offsets[pid] + np.cumsum(w)
+        return out.append_column(run_col, pa.array(running, pa.int64()))
+
+    return (
+        proj.map_batches(_assign_pid(splits, sort_column), batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(sum_partition, batch_format="pyarrow")
+    )
+
+
 def _ntile(rnk: np.ndarray, total: int, k: int) -> np.ndarray:
     """ANSI NTILE from the 1-based global rank: with ``q, r = divmod(n,
     k)`` the first ``r`` tiles have ``q + 1`` rows (verified against

@@ -68,6 +68,28 @@ def test_global_sort_rank_ties_and_remainder_tiles(ray_session):
     assert list(sizes) == [3, 3, 2, 2]
 
 
+def test_global_running_sum_many_blocks(ray_session):
+    """Exact global prefix sum over a range-partitioned order, with the
+    input arriving as many small blocks (same duplicate-pid partial
+    hazard as the rank count pass)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.sort import global_running_sum
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    keys = rng.permutation(n).astype(np.int64)
+    w = rng.integers(1, 100, n).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "w": pa.array(w)})
+    out = (
+        global_running_sum(ray.data.from_arrow(t).repartition(30), "k", [], "w")
+        .to_pandas()
+        .sort_values("k")
+    )
+    expect = np.cumsum(w[np.argsort(keys)])
+    assert np.array_equal(out["running_w"].to_numpy(), expect)
+
+
 # --- per_key_window ---------------------------------------------------------
 
 
