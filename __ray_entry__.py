@@ -139,6 +139,11 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """,
+        "agg_events_by_user": """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+""",
         "topk_events_users": """
 SELECT user_id,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

@@ -290,6 +290,20 @@ def agg_events_by_type(sf_dir: str):
     )
 
 
+def agg_events_by_user(sf_dir: str):
+    """Grouped aggregation over a HIGH-cardinality key (user_id ≈ one
+    group per few rows — the shape where the per-batch combiner barely
+    reduces): bucketed shuffle + one Arrow group_by per coarse bucket
+    (``group_sum_bucketed``), never a global sort of raw keys."""
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    return group_sum_bucketed(ds, "user_id", ["value_cents"]).select_columns(
+        ["user_id", "n", "value_cents"]
+    )
+
+
 def topk_events_users(sf_dir: str):
     """Top-20 users by total event value — combiner pre-aggregation →
     groupby → sort(desc, id tie-break) → limit. The shuffle carries at
@@ -1043,6 +1057,7 @@ QUERIES = {
     "stats_lineitem": stats_lineitem,
     "stats_full_lineitem": stats_full_lineitem,
     "agg_events_by_type": agg_events_by_type,
+    "agg_events_by_user": agg_events_by_user,
     "topk_events_users": topk_events_users,
     "topk_per_event_type": topk_per_event_type,
     "revenue_by_segment": revenue_by_segment,

@@ -48,6 +48,53 @@ def group_sum(ds, keys: list[str], sum_cols: list[str]):
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def group_sum_bucketed(
+    ds, key_column: str, sum_cols: list[str], n_buckets: int | None = None
+):
+    """Grouped count + integer sums for HIGH-cardinality keys: the
+    per-batch combiner barely reduces when keys are near-unique, so
+    ``group_sum``'s builtin aggregate would sort-shuffle ~rows of raw
+    (possibly wide string) keys. Here partials shuffle keyed by the
+    usual 256-way coarse bucket of the key's hash, and each bucket's
+    final merge is ONE Arrow ``TableGroupBy`` over all of its keys —
+    narrow int32 exchange key, no per-key Python, no global sort.
+
+    Single key column (the high-cardinality shape); composite
+    low-cardinality groupings should use ``group_sum``."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    combine = _partial([key_column], sum_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = combine(batch)
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(g.column(key_column))), n_buckets
+        )
+        return g.append_column("__bucket", pa.array(bucket))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns(["__bucket"])
+        aggs = [(c, "sum") for c in [*sum_cols, "n"]]
+        g = pa.TableGroupBy(tbl, [key_column]).aggregate(aggs)
+        out = {key_column: g.column(key_column)}
+        for c in [*sum_cols, "n"]:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
 def salted_topk_per_key(
     ds,
     key_column: str,

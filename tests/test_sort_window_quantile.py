@@ -213,6 +213,37 @@ def test_semi_join_empty_right(ray_session):
     assert sorted(r["tag"] for r in anti.take_all()) == ["r0", "r1"]
 
 
+def test_group_sum_bucketed_matches_group_sum(ray_session):
+    """High-cardinality bucketed aggregation agrees with the builtin
+    path on ~unique keys, null keys and null values."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_sum, group_sum_bucketed
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    keys = [None if rng.random() < 0.01 else f"u{rng.integers(0, 2000)}" for _ in range(n)]
+    vals = pa.array(
+        [None if rng.random() < 0.05 else int(v) for v in rng.integers(-50, 50, n)],
+        pa.int64(),
+    )
+    t = pa.table({"k": pa.array(keys), "v": vals})
+    ds = ray.data.from_arrow(t).repartition(9)
+    a = group_sum(ds, ["k"], ["v"]).to_pandas().sort_values("k", na_position="last")
+    b = (
+        group_sum_bucketed(ds, "k", ["v"])
+        .to_pandas()
+        .sort_values("k", na_position="last")
+    )
+    assert len(a) == len(b)
+    for col in ("k", "n", "v"):
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        mask = ~(
+            (av != av) & (bv != bv)  # both NaN/null
+        ) if col == "v" else np.ones(len(av), bool)
+        assert np.array_equal(av[mask], bv[mask]), col
+
+
 # --- grouped_quantile_disc --------------------------------------------------
 
 
