@@ -989,6 +989,25 @@ def audio_spectrogram_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def audio_chunk_clips(sf_dir: str, n_rows: int = 1500):
+    """Fixed-window audio segmentation (100 ms windows, 50 ms stride —
+    sized to the 60-240 ms synthetic clips; real speech would use
+    ~1 s / 0.5 s) — each row a standalone PCM16 WAV training window;
+    the payload-axis analogue of ``chunk_documents`` (rows-only)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import AudioChunkStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    # flat-map with payload fan-out: small batches keep heap bounded
+    return ds.map_batches(
+        AudioChunkStage(window_ms=100, stride_ms=50),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+
 def audio_vad_clips(sf_dir: str, n_rows: int = 1500):
     """Energy-based voice-activity segments per clip (25 ms frames,
     10 ms hop, −35 dBFS gate) — flat-map shape, one row per detected
@@ -1096,4 +1115,5 @@ QUERIES = {
     "audio_resample_clips": audio_resample_clips,
     "audio_spectrogram_clips": audio_spectrogram_clips,
     "audio_vad_clips": audio_vad_clips,
+    "audio_chunk_clips": audio_chunk_clips,
 }

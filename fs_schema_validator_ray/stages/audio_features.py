@@ -392,3 +392,81 @@ class VadStage:
                     }
                 )
         return pa.Table.from_pylist(rows, schema=VAD_SCHEMA)
+
+
+# --- fixed-window audio segmentation ----------------------------------------
+
+AUDIO_CHUNK_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("seg_idx", pa.int64()),
+        ("start_ms", pa.float64()),
+        ("dur_ms", pa.float64()),
+        ("n_samples", pa.int64()),
+        ("bytes", pa.binary()),
+    ]
+)
+
+
+class AudioChunkStage:
+    """``map_batches`` callable: (clip_id, bytes) → fixed-length audio
+    training windows, the payload-axis analogue of ``text.ChunkStage``:
+    windows start every ``stride_ms`` and span ``window_ms``
+    (``stride < window`` ⇒ overlap); each emitted row carries a
+    STANDALONE mono PCM16 WAV payload so downstream stages (feature
+    extraction, model inference) treat segments exactly like clips.
+    Flat-map shape — one row per window, output bytes ≈ input bytes ×
+    (window/stride); keep upstream batches modest for long clips.
+
+    A trailing window shorter than ``min_fill × window_ms`` is dropped
+    (a 1 ms tail is not a training sample); undecodable or empty
+    payloads emit no rows (the screening pass is ``AudioFeatureStage``,
+    where every clip appears)."""
+
+    def __init__(
+        self,
+        window_ms: int = 1000,
+        stride_ms: int = 500,
+        min_fill: float = 0.5,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if window_ms < 1 or stride_ms < 1:
+            raise ValueError("window_ms and stride_ms must be >= 1")
+        if not 0.0 < min_fill <= 1.0:
+            raise ValueError("min_fill must be in (0, 1]")
+        self.window_ms = window_ms
+        self.stride_ms = stride_ms
+        self.min_fill = min_fill
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            if view is None or len(view) == 0 or key is None:
+                continue
+            try:
+                x, sr_hz, _ = audio.decode(view)
+            except (audio.AudioDecodeError, ValueError):
+                continue
+            win = max(1, int(round(self.window_ms * sr_hz / 1000.0)))
+            hop = max(1, int(round(self.stride_ms * sr_hz / 1000.0)))
+            min_len = max(1, int(round(win * self.min_fill)))
+            for i, start in enumerate(range(0, max(len(x) - min_len + 1, 1), hop)):
+                seg = x[start : start + win]
+                if len(seg) < min_len:
+                    break
+                rows.append(
+                    {
+                        "clip_id": str(key),
+                        "seg_idx": i,
+                        "start_ms": start * 1000.0 / sr_hz,
+                        "dur_ms": len(seg) * 1000.0 / sr_hz,
+                        "n_samples": len(seg),
+                        "bytes": audio.encode(seg, sr_hz, "pcm_s16le"),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=AUDIO_CHUNK_SCHEMA)

@@ -391,6 +391,41 @@ def test_spectrogram_stage_batch():
     assert not out["bad"]["decode_ok"]
 
 
+def test_audio_chunk_stage_windows_roundtrip():
+    from fs_schema_validator_ray.stages.audio_features import AudioChunkStage
+
+    sr = 16000
+    x = tone(440, sr=sr, dur_s=2.25)  # 2.25 s → windows at 0,.5,1,1.5 (+1.75 tail?)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["c", "short", "bad"]),
+            "bytes": pa.array(
+                [
+                    audio.encode(x, sr, "pcm_s16le"),
+                    audio.encode(tone(440, sr=sr, dur_s=0.2), sr, "pcm_s16le"),
+                    b"junk",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = AudioChunkStage(window_ms=1000, stride_ms=500)(batch).to_pylist()
+    segs = [r for r in out if r["clip_id"] == "c"]
+    # starts 0/0.5/1.0/1.25(s): window at 1.5s has 0.75s ≥ min_fill, at
+    # 2.0s only 0.25s < 0.5 fill → dropped
+    assert [r["start_ms"] for r in segs] == [0.0, 500.0, 1000.0, 1500.0]
+    assert [r["n_samples"] for r in segs] == [sr, sr, sr, int(0.75 * sr)]
+    assert [r["seg_idx"] for r in segs] == [0, 1, 2, 3]
+    # each payload is a standalone decodable WAV of exactly the window
+    for r in segs:
+        y, sr2, codec = audio.decode(r["bytes"])
+        assert sr2 == sr and codec == "pcm_s16le" and len(y) == r["n_samples"]
+        start = int(r["start_ms"] * sr / 1000)
+        assert np.max(np.abs(y - x[start : start + len(y)])) < 1e-3
+    # a 0.2 s clip has no window ≥ 0.5 s fill; junk decodes to nothing
+    assert {r["clip_id"] for r in out} == {"c"}
+
+
 # --- VAD --------------------------------------------------------------------
 
 
