@@ -199,6 +199,14 @@ SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms
 FROM events e ASOF JOIN orders o
 ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
+        "range_join_events_attribution": """
+SELECT p.event_id AS purchase_id, k.event_id AS click_id,
+       epoch_us(k.ts) AS click_ts_us
+FROM events p JOIN events k
+  ON p.user_id = k.user_id
+ AND p.event_type = 'purchase' AND k.event_type = 'click'
+ AND p.ts >= k.ts AND p.ts < k.ts + INTERVAL 60 MINUTE
+""",
         "broadcast_join_events_customer": """
 SELECT e.event_id, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey

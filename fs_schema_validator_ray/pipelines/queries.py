@@ -633,6 +633,66 @@ def asof_events_orders(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def range_join_events_attribution(sf_dir: str):
+    """Distributed range (interval) join: every purchase event paired
+    with every click by the same user in the preceding 60 minutes
+    (``click.ts <= purchase.ts < click.ts + 1h`` — classic attribution).
+    Single key-bucketed shuffle of pruned join columns; the 1-hour
+    ``max_span`` bounds each left row's candidate window to two
+    searchsorted calls per key segment."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import range_join
+
+    hour_us = 3_600 * 1_000_000
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "purchase_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+            }
+        )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        lo = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "click_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "lo_us": lo,
+                "hi_us": pc.add(lo, hour_us),
+            }
+        )
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    left = _read(sf_dir, "events", cols).map_batches(
+        purchases, batch_format="pyarrow"
+    )
+    right = _read(sf_dir, "events", cols).map_batches(clicks, batch_format="pyarrow")
+    out = range_join(
+        left, right,
+        key_column="user_id", left_ts="ts", right_lo="lo_us", right_hi="hi_us",
+        left_value_columns=["purchase_id"],
+        right_value_columns=["click_id", "lo_us"],
+        max_span=hour_us,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "purchase_id": t.column("l_purchase_id"),
+                "click_id": t.column("r_click_id"),
+                "click_ts_us": t.column("r_lo_us"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def broadcast_join_events_customer(sf_dir: str):
     """Broadcast hash join (no shuffle): events enriched with the
     customer's market segment from a ray.put small side."""
@@ -1083,6 +1143,7 @@ QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
+    "range_join_events_attribution": range_join_events_attribution,
     "broadcast_join_events_customer": broadcast_join_events_customer,
     "distinct_part_brands": distinct_part_brands,
     "sample_orders_mod": sample_orders_mod,

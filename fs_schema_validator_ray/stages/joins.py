@@ -211,6 +211,159 @@ def asof_join(
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def range_join(
+    left,
+    right,
+    key_column: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    left_value_columns: list[str],
+    right_value_columns: list[str],
+    max_span: int | None = None,
+):
+    """Distributed range (interval) join: every (left, right) pair with
+    equal keys and ``right_lo <= left_ts < right_hi``. Inner semantics —
+    rows with null key/timestamp drop; a left row matching k right
+    intervals emits k rows (SQL ``JOIN ON key AND ts BETWEEN`` shape).
+
+    Same single-shuffle plan as ``asof_join``: tag → union → ONE
+    ``groupby(hash(key) % n_buckets)`` of only the pruned join columns →
+    per-bucket vectorized merge (one lexsort; per key-segment the rights
+    are lo-sorted, every left row's candidate window comes from two
+    ``searchsorted`` calls, expanded with repeat/arange and filtered by
+    ``hi > ts``).
+
+    ``max_span``: optional upper bound on ``right_hi - right_lo`` (same
+    units as the timestamps after int64 cast). With it, candidates for a
+    left row shrink from "every right with lo <= ts in this key" to the
+    ``(ts - max_span, ts]`` lo-window — essential when one key holds many
+    long-lived intervals. Without it the candidate prefix is unbounded
+    (correct, but O(rights-per-key) per left row in the worst case).
+    Partitioning assumption: one key's rows fit in one group — salt
+    upstream if a key is pathologically hot, as with any equi-join.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets()
+    l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
+    r_cols = list(dict.fromkeys([key_column, right_lo, right_hi, *right_value_columns]))
+    l_types = {c: _target_type(left, c) for c in left_value_columns}
+    r_types = {c: _target_type(right, c) for c in right_value_columns}
+
+    def bucket_of(col) -> pa.Array:
+        return pa.array(mix_to_buckets(hash64(stable_key_array(col)), n_buckets))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_valid(t.column(key_column)), pc.is_valid(t.column(left_ts))
+        )
+        t = t.filter(mask)
+        out = pa.table(
+            {
+                "__bucket": bucket_of(t.column(key_column).combine_chunks()),
+                "__key": t.column(key_column),
+                "__ts": pc.cast(t.column(left_ts), pa.int64()),
+                "__hi": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(f"l_{c}", t.column(c))
+        for c in right_value_columns:
+            out = out.append_column(f"r_{c}", pa.nulls(t.num_rows, r_types[c]))
+        return out
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column(key_column)), pc.is_valid(t.column(right_lo))
+            ),
+            pc.is_valid(t.column(right_hi)),
+        )
+        t = t.filter(mask)
+        out = pa.table(
+            {
+                "__bucket": bucket_of(t.column(key_column).combine_chunks()),
+                "__key": t.column(key_column),
+                "__ts": pc.cast(t.column(right_lo), pa.int64()),
+                "__hi": pc.cast(t.column(right_hi), pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+        for c in left_value_columns:
+            out = out.append_column(f"l_{c}", pa.nulls(t.num_rows, l_types[c]))
+        for c in right_value_columns:
+            out = out.append_column(f"r_{c}", t.column(c))
+        return out
+
+    tagged = left.select_columns(l_cols).map_batches(
+        tag_left, batch_format="pyarrow"
+    ).union(right.select_columns(r_cols).map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        ts = np.asarray(group.column("__ts"))
+        keys = stable_key_array(group.column("__key"))
+        # rows grouped by key; within a key: lefts ts-sorted, rights lo-sorted
+        order = np.lexsort((ts, side, keys))
+        k_s, side_s, ts_s = keys[order], side[order], ts[order]
+        hi_np = np.asarray(
+            group.column("__hi").combine_chunks().fill_null(0), dtype=np.int64
+        )
+        hi_s = hi_np[order]
+        seg_first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [len(k_s)]])
+        keep_l, match_r = [], []
+        for s, e in zip(starts, ends):
+            split = s + int(np.searchsorted(side_s[s:e], 1))
+            if split == s or split == e:
+                continue  # one-sided key
+            l_ts = ts_s[s:split]
+            r_lo = ts_s[split:e]
+            r_hi = hi_s[split:e]
+            hi_c = np.searchsorted(r_lo, l_ts, side="right")
+            if max_span is not None:
+                lo_c = np.searchsorted(r_lo, l_ts - max_span, side="left")
+            else:
+                lo_c = np.zeros(len(l_ts), np.int64)
+            counts = hi_c - lo_c
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            l_rep = np.repeat(np.arange(split - s, dtype=np.int64), counts)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            r_pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs[:-1], counts)
+                + np.repeat(lo_c, counts)
+            )
+            ok = r_hi[r_pos] > l_ts[l_rep]
+            keep_l.append(order[s:split][l_rep[ok]])
+            match_r.append(order[split:e][r_pos[ok]])
+        if not keep_l:
+            return _empty_out(group, left_value_columns, right_value_columns)
+        l_keep = pa.array(np.concatenate(keep_l), pa.int64())
+        r_match = pa.array(np.concatenate(match_r), pa.int64())
+        out_cols = {
+            "__key": group.column("__key").take(l_keep),
+            "__ts": group.column("__ts").take(l_keep),
+        }
+        for c in left_value_columns:
+            out_cols[f"l_{c}"] = group.column(f"l_{c}").take(l_keep)
+        for c in right_value_columns:
+            out_cols[f"r_{c}"] = group.column(f"r_{c}").take(r_match)
+        return pa.table(out_cols)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def hash_join(
     left,
     right,

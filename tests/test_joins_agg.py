@@ -232,3 +232,115 @@ def test_hash_join_left_empty_right(ray_session):
     ).take_all()
     got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
     assert got == [(1, "a", None), (2, "b", None)]
+
+
+def test_range_join_intervals(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import range_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3, None, 1], pa.int64()),
+                "ts": pa.array([5, 10, 25, 7, 7, 7, None], pa.int64()),
+                "lid": pa.array([100, 101, 102, 103, 104, 105, 106], pa.int64()),
+            }
+        )
+    )
+    # k=1: [0,10) id7, [5,20) id8, nested [6,7) id9; k=2: [0,5) id10;
+    # k=4: one-sided right
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 4], pa.int64()),
+                "lo": pa.array([0, 5, 6, 0, 0], pa.int64()),
+                "hi": pa.array([10, 20, 7, 5, 99], pa.int64()),
+                "rid": pa.array([7, 8, 9, 10, 11], pa.int64()),
+            }
+        )
+    )
+    out = range_join(
+        left, right, key_column="k", left_ts="ts", right_lo="lo", right_hi="hi",
+        left_value_columns=["lid"], right_value_columns=["rid"],
+    ).take_all()
+    got = sorted((r["l_lid"], r["r_rid"]) for r in out)
+    # lid=100 (k1 ts5): [0,10) and [5,20) match, [6,7) does not (lo>ts);
+    # lid=101 (k1 ts10): only [5,20) (hi=10 excluded — half-open);
+    # lid=102 (k1 ts25): none; lid=103 (k2 ts7): none (hi 5 <= 7);
+    # lid=104 (k3): no right side; null key and null ts rows drop
+    assert got == [(100, 7), (100, 8), (101, 8)]
+
+
+def test_range_join_max_span_prunes_not_drops(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import range_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "ts": pa.array([100, 104], pa.int64()),
+                "lid": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "lo": pa.array([95, 99], pa.int64()),
+                "hi": pa.array([100, 104 + 1], pa.int64()),
+                "rid": pa.array([7, 8], pa.int64()),
+            }
+        )
+    )
+    # all spans <= 6: max_span=6 must give identical results to unbounded
+    kwargs = dict(
+        key_column="k", left_ts="ts", right_lo="lo", right_hi="hi",
+        left_value_columns=["lid"], right_value_columns=["rid"],
+    )
+    unbounded = sorted(
+        (r["l_lid"], r["r_rid"])
+        for r in range_join(left, right, **kwargs).take_all()
+    )
+    pruned = sorted(
+        (r["l_lid"], r["r_rid"])
+        for r in range_join(left, right, max_span=6, **kwargs).take_all()
+    )
+    # lid=1 ts100: [99,105) matches, [95,100) excluded (half-open);
+    # lid=2 ts104: [99,105) matches
+    assert unbounded == [(1, 8), (2, 8)]
+    assert pruned == unbounded
+
+
+def test_range_join_empty_sides(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import range_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ts": pa.array([5], pa.int64()),
+                "lid": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "rid": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = range_join(
+        left, right, key_column="k", left_ts="ts", right_lo="lo", right_hi="hi",
+        left_value_columns=["lid"], right_value_columns=["rid"],
+    ).take_all()
+    assert out == []
