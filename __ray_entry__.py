@@ -144,6 +144,16 @@ SELECT user_id, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY user_id
 """,
+        "pivot_events_user_type": """
+SELECT user_id,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS click_cents,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS view_cents,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS purchase_cents,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS signup_cents,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS error_cents,
+  COUNT(*) AS n
+FROM events GROUP BY user_id
+""",
         "topk_events_users": """
 SELECT user_id,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

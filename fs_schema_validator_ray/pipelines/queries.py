@@ -304,6 +304,26 @@ def agg_events_by_user(sf_dir: str):
     )
 
 
+def pivot_events_user_type(sf_dir: str):
+    """Pivot / crosstab: per-user spend broken out into one column per
+    event type (``SUM(CASE WHEN ...)`` shape) over a high-cardinality
+    key. Per-batch narrow combiner → vectorized widen → one bucketed
+    shuffle of wide int64 partials (``stages/agg.py::pivot_wide``)."""
+    from fs_schema_validator_ray.stages.agg import pivot_wide
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return pivot_wide(
+        ds,
+        key_column="user_id",
+        pivot_column="event_type",
+        value_column="value_cents",
+        pivot_values=types,
+        names=[f"{t}_cents" for t in types],
+    )
+
+
 def topk_events_users(sf_dir: str):
     """Top-20 users by total event value — combiner pre-aggregation →
     groupby → sort(desc, id tie-break) → limit. The shuffle carries at
@@ -1137,6 +1157,7 @@ QUERIES = {
     "stats_full_lineitem": stats_full_lineitem,
     "agg_events_by_type": agg_events_by_type,
     "agg_events_by_user": agg_events_by_user,
+    "pivot_events_user_type": pivot_events_user_type,
     "topk_events_users": topk_events_users,
     "topk_per_event_type": topk_per_event_type,
     "revenue_by_segment": revenue_by_segment,

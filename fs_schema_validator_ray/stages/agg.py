@@ -95,6 +95,96 @@ def group_sum_bucketed(
     )
 
 
+def pivot_wide(
+    ds,
+    key_column: str,
+    pivot_column: str,
+    value_column: str,
+    pivot_values: list,
+    names: list[str] | None = None,
+    n_buckets: int | None = None,
+):
+    """Crosstab / pivot: one row per key, one int64 sum column per listed
+    pivot value (SQL ``SUM(CASE WHEN pivot = v THEN value ELSE 0 END)``
+    shape), plus total row count ``n``.
+
+    Semantics match the SQL form exactly: EVERY key appears (a key whose
+    rows all have unlisted / null pivot values still emits, with zeros),
+    unlisted pivot values contribute only to ``n``, null values sum as 0.
+    ``value_column`` must already be int64 (e.g. cents) so the
+    distributed sum is order-insensitive.
+
+    Plan: per-batch narrow Arrow ``group_by(key, pivot)`` combiner →
+    vectorized widen (np.unique inverse + masked scatter-add; no Python
+    per key or per value-row) → ONE 256-way bucketed shuffle of the wide
+    partials (≤ distinct-keys-per-batch rows, ``2 + len(pivot_values)``
+    int64 columns) → one Arrow group_by per bucket. Never shuffles raw
+    rows, never sorts raw keys — same discipline as
+    ``group_sum_bucketed``, with the wide schema fixed at plan time.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if names is None:
+        names = [str(v) for v in pivot_values]
+    if len(names) != len(pivot_values):
+        raise ValueError("names must parallel pivot_values")
+    reserved = {key_column, "n", "__bucket"}
+    if reserved & set(names) or len(set(names)) != len(names):
+        raise ValueError(f"pivot column names collide: {names}")
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key_column, pivot_column, value_column])
+        g = pa.TableGroupBy(tbl, [key_column, pivot_column]).aggregate(
+            [(value_column, "sum"), ([], "count_all")]
+        )
+        k_arr = g.column(key_column).combine_chunks()
+        kk = stable_key_array(k_arr)
+        uniq, first_idx, inv = np.unique(kk, return_index=True, return_inverse=True)
+        n_keys = len(uniq)
+        sums = np.asarray(
+            pc.cast(pc.fill_null(g.column(f"{value_column}_sum"), 0), pa.int64())
+        )
+        cnts = np.asarray(pc.cast(g.column("count_all"), pa.int64()))
+        piv = g.column(pivot_column).combine_chunks()
+        out = {key_column: k_arr.take(pa.array(first_idx, pa.int64()))}
+        for v, nm in zip(pivot_values, names):
+            mask = np.asarray(pc.fill_null(pc.equal(piv, v), False))
+            col = np.zeros(n_keys, np.int64)
+            np.add.at(col, inv[mask], sums[mask])
+            out[nm] = pa.array(col)
+        n_col = np.zeros(n_keys, np.int64)
+        np.add.at(n_col, inv, cnts)
+        out["n"] = pa.array(n_col)
+        bucket = mix_to_buckets(hash64(stable_key_array(out[key_column])), n_buckets)
+        out["__bucket"] = pa.array(bucket)
+        return pa.table(out)
+
+    sum_cols = [*names, "n"]
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns(["__bucket"])
+        g = pa.TableGroupBy(tbl, [key_column]).aggregate(
+            [(c, "sum") for c in sum_cols]
+        )
+        out = {key_column: g.column(key_column)}
+        for c in sum_cols:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
 def salted_topk_per_key(
     ds,
     key_column: str,

@@ -344,3 +344,40 @@ def test_range_join_empty_sides(ray_session):
         left_value_columns=["lid"], right_value_columns=["rid"],
     ).take_all()
     assert out == []
+
+
+def test_pivot_wide(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import pivot_wide
+
+    # key 1: a=10 twice + b=5; key 2: only unlisted 'z' and a null pivot
+    # (must still appear, all zeros); key 3: null value sums as 0
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "p": pa.array(["a", "a", "b", "z", None, "a"]),
+            "v": pa.array([10, 10, 5, 99, 99, None], pa.int64()),
+        }
+    )
+    out = pivot_wide(
+        ray.data.from_arrow(t).repartition(3),
+        key_column="k",
+        pivot_column="p",
+        value_column="v",
+        pivot_values=["a", "b"],
+        names=["a_sum", "b_sum"],
+    ).take_all()
+    rows = {r["k"]: (r["a_sum"], r["b_sum"], r["n"]) for r in out}
+    assert rows == {1: (20, 5, 3), 2: (0, 0, 2), 3: (0, 0, 1)}
+
+
+def test_pivot_wide_name_collision():
+    from fs_schema_validator_ray.stages.agg import pivot_wide
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pivot_wide(None, "k", "p", "v", ["a"], names=["n"])
+    with pytest.raises(ValueError):
+        pivot_wide(None, "k", "p", "v", ["a", "b"], names=["x", "x"])
