@@ -1038,6 +1038,58 @@ def audio_features_clips(sf_dir: str, n_rows: int = 1500):
     return audio_feature_dataset(ds)
 
 
+def dedup_audio_fingerprint_clips(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
+    """Cross-codec audio dedup: every ``plant_mod``-th clean clip is
+    re-emitted under a ``-re`` id, decoded and re-encoded through a
+    DIFFERENT codec (different bytes, same audio) inside the same
+    ``map_batches`` pass — then 64-bit perceptual fingerprints + 16-bit
+    band LSH + hamming verify recover the planted pairs (rows-only:
+    payload decode is not SQL-expressible; coverage of the planted pairs
+    is asserted in tests/test_audio_features.py)."""
+    import ray.data
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import audio_near_dup_pairs
+
+    clips_dir, _ = _clips_corpus(n_rows)
+
+    def plant_recodes(t: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.stages.decode import binary_views
+
+        ids = t.column("clip_id").to_pylist()
+        views = binary_views(t.column("bytes"))
+        extra_ids, extra_bytes = [], []
+        for cid, view in zip(ids, views):
+            if cid is None or view is None or len(view) == 0:
+                continue
+            # deterministic selection on the id's numeric suffix
+            try:
+                idx = int(cid.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if idx % plant_mod != 0:
+                continue
+            try:
+                x, sr_hz, codec = audio.decode(view)
+            except (audio.AudioDecodeError, ValueError):
+                continue
+            other = "ulaw" if codec != "ulaw" else "alaw"
+            extra_ids.append(f"{cid}-re")
+            extra_bytes.append(audio.encode(x, sr_hz, other))
+        extra = pa.table(
+            {
+                "clip_id": pa.array(extra_ids, pa.string()),
+                "bytes": pa.array(extra_bytes, pa.binary()),
+            }
+        )
+        return pa.concat_tables([t.select(["clip_id", "bytes"]), extra])
+
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"]).map_batches(
+        plant_recodes, batch_format="pyarrow", batch_size=512
+    )
+    return audio_near_dup_pairs(ds)
+
+
 def audio_resample_clips(sf_dir: str, n_rows: int = 1500, target_sr: int = 16_000):
     """Rate-normalize every decodable clip to ``target_sr`` (decode →
     linear-interp resample → re-encode pcm_s16le) — the audio analogue of
@@ -1198,4 +1250,5 @@ QUERIES = {
     "audio_spectrogram_clips": audio_spectrogram_clips,
     "audio_vad_clips": audio_vad_clips,
     "audio_chunk_clips": audio_chunk_clips,
+    "dedup_audio_fingerprint_clips": dedup_audio_fingerprint_clips,
 }

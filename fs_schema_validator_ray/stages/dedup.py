@@ -26,7 +26,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
+from fs_schema_validator_ray.state.sketches import (
+    hash64,
+    mix_to_buckets,
+    stable_key_array,
+)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -874,13 +878,17 @@ def dedup_pairs_distinct(pairs, n_buckets: int = 64, agg=None):
     val_cols = [c for c, _ in (agg or [])]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        a = np.asarray(t.column("a"), dtype=np.int64)
-        b = np.asarray(t.column("b"), dtype=np.int64)
+        a_col = t.column("a").combine_chunks()
+        b_col = t.column("b").combine_chunks()
+        if pa.types.is_integer(a_col.type):
+            a = np.asarray(a_col, dtype=np.int64).view(np.uint64)
+            b = np.asarray(b_col, dtype=np.int64).view(np.uint64)
+        else:  # string / other ids: hash for the bucket, ship originals
+            a = hash64(stable_key_array(a_col))
+            b = hash64(stable_key_array(b_col))
         with np.errstate(over="ignore"):
-            pb = mix_to_buckets(
-                (a.view(np.uint64) * mix) ^ b.view(np.uint64), n_buckets
-            )
-        cols = {"pb": pa.array(pb), "a": pa.array(a), "b": pa.array(b)}
+            pb = mix_to_buckets((a * mix) ^ b, n_buckets)
+        cols = {"pb": pa.array(pb), "a": a_col, "b": b_col}
         for c in val_cols:
             cols[c] = t.column(c)
         return pa.table(cols)

@@ -122,3 +122,85 @@ def test_resample_upsample():
     y = resample_linear(x, 8000, 16000)
     assert len(y) == 8000  # 0.5 s at 16 kHz
     assert np.max(np.abs(y)) == pytest.approx(0.5, abs=0.01)
+
+
+def test_audio_fingerprint_codec_invariance():
+    import numpy as np
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import audio_fingerprint64
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    fps = []
+    worst_same = 0
+    for i in range(40):
+        cid = f"fp-{i:05d}"
+        sr, dur = [(16000, 120), (8000, 90), (44100, 200), (22050, 60)][i % 4]
+        x = audio.reference_signal(cid, sr, dur)
+        base = audio_fingerprint64(x, sr)
+        fps.append(base)
+        for codec in ["ulaw", "alaw", "pcm_u8"]:
+            y, s, _ = audio.decode(audio.encode(x, sr, codec))
+            worst_same = max(worst_same, ham(base, audio_fingerprint64(y, s)))
+    # re-encodes stay within the LSH guarantee; distinct content far apart
+    assert worst_same <= 3
+    d = [ham(fps[i], fps[j]) for i in range(len(fps)) for j in range(i + 1, len(fps))]
+    assert np.mean(d) > 20
+
+
+def test_audio_fingerprint_empty_and_stage_nulls():
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.stages.audio_features import (
+        AudioFingerprintStage,
+        audio_fingerprint64,
+    )
+    import numpy as np
+
+    assert audio_fingerprint64(np.zeros(0), 16000) == 0
+    t = pa.table(
+        {
+            "clip_id": pa.array(["a", None, "c"]),
+            "bytes": pa.array([b"", None, b"\x00garbage"], pa.binary()),
+        }
+    )
+    out = AudioFingerprintStage()(t)
+    assert out.column("decode_ok").to_pylist() == [False, False, False]
+    assert out.column("fp").to_pylist() == [0, 0, 0]
+
+
+def test_audio_near_dup_recovers_cross_codec_plants(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import audio_near_dup_pairs
+
+    ids, payloads = [], []
+    for i in range(30):
+        cid = f"nd-{i:05d}"
+        sr, dur = [(16000, 150), (8000, 100)][i % 2]
+        x = audio.reference_signal(cid, sr, dur)
+        ids.append(cid)
+        payloads.append(audio.encode(x, sr, "pcm_s16le"))
+        if i % 5 == 0:  # cross-codec re-encode, different bytes
+            ids.append(f"{cid}-re")
+            payloads.append(audio.encode(x, sr, "ulaw"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+            }
+        )
+    ).repartition(3)
+    pairs = audio_near_dup_pairs(ds).take_all()
+    got = {(r["a"], r["b"]) for r in pairs}
+    for i in range(0, 30, 5):
+        cid = f"nd-{i:05d}"
+        assert (cid, f"{cid}-re") in got, f"planted pair {cid} missed"
+    for r in pairs:
+        assert r["a"] < r["b"]
+        assert 0 <= r["hamming"] <= 3
