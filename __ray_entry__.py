@@ -397,6 +397,20 @@ FROM (SELECT qid, nid,
       FROM s) t
 WHERE rnk <= 10
 """,
+        "setop_intersect_users": """
+SELECT user_id FROM events INTERSECT SELECT o_custkey FROM orders
+""",
+        "setop_except_customers": """
+SELECT o_custkey FROM orders EXCEPT SELECT user_id FROM events
+""",
+        "setop_intersect_user_type": """
+SELECT user_id, event_type FROM events WHERE value > 50
+INTERSECT
+SELECT user_id, event_type FROM events WHERE value <= 50
+""",
+        "setop_union_keys": """
+SELECT o_custkey FROM orders UNION SELECT user_id FROM events
+""",
         "ntile_orders": """
 SELECT o_orderkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,

@@ -459,6 +459,71 @@ def stratified_sample_events(sf_dir: str):
     return stratified_sample(ds, "event_type", "event_id", 20)
 
 
+def setop_intersect_users(sf_dir: str):
+    """``SELECT user_id FROM events INTERSECT SELECT o_custkey FROM
+    orders`` — distributed distinct set intersection (``stages/setops.py``:
+    per-batch distinct combiner, one bucketed shuffle of distinct
+    survivors, vectorized per-bucket side-presence scan)."""
+    from fs_schema_validator_ray.stages.setops import set_op_distinct
+
+    left = _read(sf_dir, "events", ["user_id"])
+    right = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow"
+    )
+    return set_op_distinct(left, right, ["user_id"], "intersect")
+
+
+def setop_except_customers(sf_dir: str):
+    """``SELECT o_custkey FROM orders EXCEPT SELECT user_id FROM
+    events`` — order custkeys with no event activity, distinct EXCEPT
+    semantics (vs ``anti_join_customer_orders`` which keeps payload
+    columns and non-distinct rows)."""
+    from fs_schema_validator_ray.stages.setops import set_op_distinct
+
+    left = _read(sf_dir, "orders", ["o_custkey"])
+    right = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    return set_op_distinct(left, right, ["o_custkey"], "except")
+
+
+def setop_intersect_user_type(sf_dir: str):
+    """Multi-column INTERSECT: (user_id, event_type) pairs that appear
+    both among high-value (value > 50) and low-value events — exercises
+    the multi-column row-equality path (per-column key codes, composite
+    row hash for the shuffle bucket)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.setops import set_op_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), 50.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("value"), 50.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return set_op_distinct(left, right, ["user_id", "event_type"], "intersect")
+
+
+def setop_union_keys(sf_dir: str):
+    """Distinct UNION of order custkeys and event user ids — the
+    third set op over the same single-shuffle plan."""
+    from fs_schema_validator_ray.stages.setops import set_op_distinct
+
+    left = _read(sf_dir, "orders", ["o_custkey"])
+    right = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    return set_op_distinct(left, right, ["o_custkey"], "union")
+
+
 def ntile_orders(sf_dir: str):
     """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey):
     distributed range-partitioned sort with two-phase rank offsets
@@ -1236,6 +1301,10 @@ QUERIES = {
     "text_langid_documents": text_langid_documents,
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
+    "setop_intersect_users": setop_intersect_users,
+    "setop_except_customers": setop_except_customers,
+    "setop_intersect_user_type": setop_intersect_user_type,
+    "setop_union_keys": setop_union_keys,
     "ntile_orders": ntile_orders,
     "window_user_running": window_user_running,
     "grouped_median_lineitem": grouped_median_lineitem,

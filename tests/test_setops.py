@@ -1,0 +1,147 @@
+"""Distributed set operations (INTERSECT / EXCEPT / UNION, SQL distinct
+semantics with NULL = NULL row equality) — stages/setops.py."""
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows: dict):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def _null_last(row):
+    return tuple((v is None, v) for v in row)
+
+
+def _run(left, right, columns, op, **kw):
+    from fs_schema_validator_ray.stages.setops import set_op_distinct
+
+    out = set_op_distinct(left, right, columns, op, **kw).take_all()
+    return sorted((tuple(r[c] for c in columns) for r in out), key=_null_last)
+
+
+def test_intersect_single_column(ray_session):
+    left = _ds({"k": pa.array([1, 2, 2, 3, 4], pa.int64())})
+    right = _ds({"k": pa.array([2, 3, 3, 5], pa.int64())})
+    assert _run(left, right, ["k"], "intersect") == [(2,), (3,)]
+
+
+def test_except_single_column(ray_session):
+    left = _ds({"k": pa.array([1, 2, 2, 3, 4], pa.int64())})
+    right = _ds({"k": pa.array([2, 3, 3, 5], pa.int64())})
+    assert _run(left, right, ["k"], "except") == [(1,), (4,)]
+
+
+def test_union_distinct(ray_session):
+    left = _ds({"k": pa.array([1, 2, 2], pa.int64())})
+    right = _ds({"k": pa.array([2, 5, 5], pa.int64())})
+    assert _run(left, right, ["k"], "union") == [(1,), (2,), (5,)]
+
+
+def test_null_equals_null(ray_session):
+    # SQL set ops treat NULL = NULL as row equality (unlike WHERE =):
+    # a NULL key present on both sides survives an INTERSECT and is
+    # removed by an EXCEPT.
+    left = _ds({"k": pa.array([None, 1, None], pa.int64())})
+    right = _ds({"k": pa.array([None, 2], pa.int64())})
+    assert _run(left, right, ["k"], "intersect") == [(None,)]
+    assert _run(left, right, ["k"], "except") == [(1,)]
+
+
+def test_null_vs_zero_distinct(ray_session):
+    # stable_key_array routes NULL like key 0 for BUCKETING only; the
+    # in-bucket key codes must still keep NULL and 0 apart.
+    left = _ds({"k": pa.array([0, None], pa.int64())})
+    right = _ds({"k": pa.array([0], pa.int64())})
+    assert _run(left, right, ["k"], "intersect") == [(0,)]
+    assert _run(left, right, ["k"], "except") == [(None,)]
+
+
+def test_multi_column_rows(ray_session):
+    left = _ds(
+        {
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", "y", "x", None], pa.string()),
+        }
+    )
+    right = _ds(
+        {
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array(["y", None, "x"], pa.string()),
+        }
+    )
+    assert _run(left, right, ["a", "b"], "intersect") == [(1, "y"), (2, None)]
+    assert _run(left, right, ["a", "b"], "except") == [(1, "x"), (2, "x")]
+
+
+def test_multi_column_no_cross_column_mixup(ray_session):
+    # ("x","y") on the left and ("y","x") on the right are different rows.
+    left = _ds({"a": pa.array(["x"]), "b": pa.array(["y"])})
+    right = _ds({"a": pa.array(["y"]), "b": pa.array(["x"])})
+    assert _run(left, right, ["a", "b"], "intersect") == []
+
+
+def test_empty_right_side(ray_session):
+    left = _ds({"k": pa.array([1, 2], pa.int64())})
+    right = _ds({"k": pa.array([], pa.int64())})
+    assert _run(left, right, ["k"], "except") == [(1,), (2,)]
+    assert _run(left, right, ["k"], "intersect") == []
+    assert _run(left, right, ["k"], "union") == [(1,), (2,)]
+
+
+def test_duplicates_across_batches_collapse(ray_session):
+    # The per-batch combiner only dedups within a block; the bucket scan
+    # must collapse duplicates that arrive from different blocks.
+    import ray.data
+
+    left = ray.data.from_arrow_refs(
+        [
+            __import__("ray").put(pa.table({"k": pa.array([7, 8], pa.int64())})),
+            __import__("ray").put(pa.table({"k": pa.array([7, 9], pa.int64())})),
+        ]
+    )
+    right = _ds({"k": pa.array([9], pa.int64())})
+    assert _run(left, right, ["k"], "except") == [(7,), (8,)]
+    assert _run(left, right, ["k"], "union") == [(7,), (8,), (9,)]
+
+
+def test_bad_op_rejected(ray_session):
+    from fs_schema_validator_ray.stages.setops import set_op_distinct
+
+    left = _ds({"k": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        set_op_distinct(left, left, ["k"], "minus")
+
+
+def test_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    lt = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None, 3, 3], pa.int64()),
+            "b": pa.array(["p", "q", None, "r", "s", "s"], pa.string()),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array([1, 2, None, 4], pa.int64()),
+            "b": pa.array(["q", None, "r", "t"], pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    for op, sql_op in [("intersect", "INTERSECT"), ("except", "EXCEPT"), ("union", "UNION")]:
+        want = sorted(
+            (tuple(row)
+             for row in con.execute(
+                 f"SELECT a, b FROM lt {sql_op} SELECT a, b FROM rt"
+             ).fetchall()),
+            key=_null_last,
+        )
+        got = _run(_ds(dict(zip(lt.column_names, lt.columns))),
+                   _ds(dict(zip(rt.column_names, rt.columns))),
+                   ["a", "b"], op)
+        assert got == [tuple(w) for w in want], op
