@@ -397,6 +397,58 @@ FROM (SELECT qid, nid,
       FROM s) t
 WHERE rnk <= 10
 """,
+        "unpivot_lineitem_metrics": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(l_tax AS DOUBLE) FROM lineitem
+""",
+        "hopping_window_events": """
+WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+     g AS (SELECT unnest(generate_series(0, 3)) AS i),
+     w AS (SELECT ((ts_us // 900000000) - i) * 900000000 AS window_start_us,
+                  event_type, vc
+           FROM e CROSS JOIN g)
+SELECT window_start_us, event_type,
+       CAST(SUM(vc) AS BIGINT) AS value_cents, COUNT(*) AS n
+FROM w GROUP BY 1, 2
+""",
+        "inverted_index_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tok AS (SELECT DISTINCT doc_id, token FROM raw)
+SELECT token, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY token
+""",
+        "tfidf_top_terms_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM raw GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM raw GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+              CAST(tf.tf * nn.n AS DOUBLE) / df.df AS score
+       FROM tf JOIN df USING (token) CROSS JOIN nn),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rnk
+      FROM sc)
+SELECT doc_id, token, tf, df, score, rnk AS "rank" FROM r WHERE rnk <= 3
+""",
         "setop_intersect_users": """
 SELECT user_id FROM events INTERSECT SELECT o_custkey FROM orders
 """,

@@ -459,6 +459,73 @@ def stratified_sample_events(sf_dir: str):
     return stratified_sample(ds, "event_type", "event_id", 20)
 
 
+def unpivot_lineitem_metrics(sf_dir: str):
+    """Wide → long melt of the four lineitem measures — inverse of the
+    pivot operator, stateless flat-map (``stages/reshape.py``)."""
+    from fs_schema_validator_ray.stages.reshape import unpivot
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return unpivot(
+        ds,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
+def hopping_window_events(sf_dir: str):
+    """Sliding (hopping) window aggregate: 1 h windows every 15 min —
+    each event fans out to its 4 containing windows (vectorized
+    np.repeat), then the usual combiner group-sum."""
+    from fs_schema_validator_ray.stages.agg import group_sum, hopping_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    ds = hopping_window(ds, "ts", size_us=3_600_000_000, hop_us=900_000_000)
+    return group_sum(ds, ["window_start_us", "event_type"], ["value_cents"])
+
+
+def inverted_index_documents(sf_dir: str):
+    """token → (df, ascending doc-id postings) over the documents table
+    (``stages/textindex.py``): distinct (token, doc) rows through one
+    token-bucketed shuffle, posting strings via vectorized list join."""
+    from fs_schema_validator_ray.stages.textindex import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds)
+
+
+def tfidf_top_terms_documents(sf_dir: str):
+    """Per-doc top-3 salient tokens by tf·idf (idf = N/df, bit-exact
+    across engines — see ``stages/textindex.py``). One df pass
+    (broadcast vocab) + one scoring pass."""
+    from fs_schema_validator_ray.stages.textindex import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+def audio_gain_normalize_clips(sf_dir: str, n_rows: int = 1500):
+    """Loudness-normalize every decodable clip to −20 dBFS RMS with a
+    0.999 peak limiter (decode → gain → re-encode pcm_s16le) — the
+    level-normalization pass before featurization (rows-only: payload
+    transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import GainNormalizeStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        GainNormalizeStage(target_dbfs=-20.0), batch_format="pyarrow", batch_size=512
+    )
+
+
 def setop_intersect_users(sf_dir: str):
     """``SELECT user_id FROM events INTERSECT SELECT o_custkey FROM
     orders`` — distributed distinct set intersection (``stages/setops.py``:
@@ -1301,6 +1368,11 @@ QUERIES = {
     "text_langid_documents": text_langid_documents,
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "hopping_window_events": hopping_window_events,
+    "inverted_index_documents": inverted_index_documents,
+    "tfidf_top_terms_documents": tfidf_top_terms_documents,
+    "audio_gain_normalize_clips": audio_gain_normalize_clips,
     "setop_intersect_users": setop_intersect_users,
     "setop_except_customers": setop_except_customers,
     "setop_intersect_user_type": setop_intersect_user_type,

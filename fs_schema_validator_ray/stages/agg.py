@@ -458,6 +458,42 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     )
 
 
+def hopping_window(
+    ds,
+    ts_column: str,
+    size_us: int,
+    hop_us: int,
+    out_column: str = "window_start_us",
+):
+    """Attach OVERLAPPING hopping-window keys: each row expands to
+    ``size/hop`` rows, one per window ``[w, w+size)`` containing its
+    timestamp (window starts aligned to multiples of ``hop``). Stateless
+    vectorized flat-map (np.repeat row fan-out); feed the result to
+    ``group_sum`` for a sliding-window aggregate. Fan-out is the
+    size/hop ratio — keep it small (2-8) or pre-aggregate per hop and
+    roll up windows from hop partials downstream."""
+    if size_us % hop_us != 0:
+        raise ValueError("hopping_window: size_us must be a multiple of hop_us")
+    k = size_us // hop_us
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_column)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+            ts_us = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
+        else:
+            ts_us = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
+        n = len(ts_us)
+        base = (ts_us // hop_us) * hop_us  # numpy floor division: negatives ok
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return batch.take(idx).append_column(out_column, pa.array(starts, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
     """Attach a tumbling-window key derived from a timestamp column
     (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""

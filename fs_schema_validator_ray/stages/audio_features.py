@@ -206,6 +206,90 @@ class ResampleStage:
         return pa.Table.from_pylist(rows, schema=RESAMPLE_SCHEMA)
 
 
+GAIN_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("decode_ok", pa.bool_()),
+        ("gain_db", pa.float64()),
+        ("rms_db_in", pa.float64()),
+        ("rms_db_out", pa.float64()),
+        ("limited", pa.bool_()),
+    ]
+)
+
+
+class GainNormalizeStage:
+    """``map_batches`` callable: decode → scale to a target RMS level
+    (dBFS) with a peak limiter → re-encode — the loudness-normalization
+    pass a speech corpus runs before training (batch gain, not a
+    compressor). All-silence clips pass through at unit gain
+    (``gain_db = 0``); when the required gain would push the peak past
+    ``peak_ceiling`` the gain is capped and ``limited = true``.
+    Undecodable payloads emit ``decode_ok=false`` with null bytes."""
+
+    def __init__(
+        self,
+        target_dbfs: float = -20.0,
+        peak_ceiling: float = 0.999,
+        codec_out: str = "pcm_s16le",
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        self.target_rms = 10.0 ** (target_dbfs / 20.0)
+        self.peak_ceiling = float(peak_ceiling)
+        self.codec_out = codec_out
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "bytes": None,
+                "sr_hz": None,
+                "decode_ok": False,
+                "gain_db": None,
+                "rms_db_in": None,
+                "rms_db_out": None,
+                "limited": None,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    rms = float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
+                    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+                    if rms > 0.0 and peak > 0.0:
+                        gain = self.target_rms / rms
+                        limited = gain * peak > self.peak_ceiling
+                        if limited:
+                            gain = self.peak_ceiling / peak
+                    else:
+                        gain, limited = 1.0, False
+                    y = x * gain
+                    rms_out = float(np.sqrt(np.mean(np.square(y)))) if len(y) else 0.0
+                    row.update(
+                        {
+                            "bytes": audio.encode(y, sr_hz, self.codec_out),
+                            "sr_hz": sr_hz,
+                            "decode_ok": True,
+                            "gain_db": 20.0 * float(np.log10(gain)) if gain > 0 else 0.0,
+                            "rms_db_in": 20.0 * float(np.log10(rms)) if rms > 0 else -120.0,
+                            "rms_db_out": 20.0 * float(np.log10(rms_out)) if rms_out > 0 else -120.0,
+                            "limited": bool(limited),
+                        }
+                    )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=GAIN_SCHEMA)
+
+
 # --- spectrogram summary ----------------------------------------------------
 
 _SPEC_N_BANDS = 8

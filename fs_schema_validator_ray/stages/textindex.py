@@ -1,0 +1,275 @@
+"""Inverted index / document-frequency / TF-IDF operators over a text
+corpus — the vocabulary-building stages of a training-data pipeline
+(stopword discovery, df-based vocab pruning, per-doc salient terms).
+
+The reference has no text indexing (it validates schemas); these extend
+the engine along the training-data axis with the same shuffle
+discipline as the dedup family: tokenization is the oracle-replicable
+``lower → split [^a-z0-9]+ → drop ''`` used by the n-gram Jaccard join
+(``stages/dedup.py::_distinct_shingle_hashes``), the only all-to-all
+exchange carries distinct ``(token, doc_id)`` rows keyed by a 256-way
+coarse bucket of the token hash, and every per-bucket/per-batch body is
+one lexsort + segment scan (no per-token or per-doc Python).
+
+Scale notes (10¹² docs): the (token, doc_id) exchange is bounded by
+distinct tokens per doc, not raw tokens; posting strings for
+stopword-grade tokens are unbounded — prune them with ``max_df`` (the
+standard vocab-build move). ``tfidf_top_terms`` broadcasts the df table
+(one ``ray.put``, vocab-sized — ~10⁷ entries for real corpora, the same
+bounded-broadcast regime as the referential manifest); beyond that,
+co-partition the flat tf rows with the df table on token buckets
+instead (the ``minhash_verify_join`` pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenization of a string column → (flat token object
+    array, row index per token). Empty tokens dropped; equals DuckDB
+    ``list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), pattern=_TOKEN_SPLIT)
+    flat = toks.values
+    counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    if not keep.any():
+        return np.empty(0, object), np.empty(0, np.int64)
+    return np.asarray(flat, dtype=object)[keep], rows[keep]
+
+
+def _distinct_doc_tokens(batch: pa.Table, text_column: str, id_column: str):
+    """Distinct (token, doc_id) pairs of one batch, vectorized."""
+    tok, rows = _flat_tokens(batch.column(text_column))
+    if len(tok) == 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    ids = np.asarray(batch.column(id_column), dtype=np.int64)[rows]
+    uniq, codes = np.unique(tok, return_inverse=True)
+    order = np.lexsort((ids, codes))
+    c_s, i_s = codes[order], ids[order]
+    first = np.concatenate([[True], (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])])
+    return uniq[c_s[first]], i_s[first]
+
+
+_INDEX_SCHEMA = pa.schema(
+    [("token", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+)
+
+
+def inverted_index(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+    n_buckets: int | None = None,
+):
+    """token → (document frequency, comma-joined ascending doc-id
+    postings). ``min_df``/``max_df`` prune rare/stopword tokens — at
+    corpus scale ``max_df`` is what keeps posting rows bounded."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def flat(batch: pa.Table) -> pa.Table:
+        tok, ids = _distinct_doc_tokens(batch, text_column, id_column)
+        return pa.table(
+            {
+                "token": pa.array(tok, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "__bucket": pa.array(mix_to_buckets(hash64(tok), n_buckets))
+                if len(tok)
+                else pa.array(np.empty(0, np.int32)),
+            }
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _INDEX_SCHEMA.empty_table()
+        tok = np.asarray(group.column("token"), dtype=object)
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        uniq, codes = np.unique(tok, return_inverse=True)
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        # re-dedup across batches (duplicate doc_id rows would double-count df)
+        first = np.concatenate([[True], (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])])
+        c_s, i_s = c_s[first], i_s[first]
+        bound = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        seg_starts = np.flatnonzero(bound)
+        seg_ends = np.concatenate([seg_starts[1:], [len(c_s)]])
+        df = (seg_ends - seg_starts).astype(np.int64)
+        tokens_out = uniq[c_s[seg_starts]]
+        keep = df >= min_df
+        if max_df is not None:
+            keep &= df <= max_df
+        if not keep.all():
+            # segments are contiguous runs → mask by repeating keep per run
+            i_s = i_s[np.repeat(keep, df)]
+            df, tokens_out = df[keep], tokens_out[keep]
+        offsets = np.concatenate([[0], np.cumsum(df)]).astype(np.int32)
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), pc.cast(pa.array(i_s), pa.string())
+            ),
+            ",",
+        )
+        return pa.table(
+            {
+                "token": pa.array(tokens_out, pa.string()),
+                "df": pa.array(df),
+                "postings": postings,
+            }
+        )
+
+    flat_ds = ds.select_columns([id_column, text_column]).map_batches(
+        flat, batch_format="pyarrow"
+    )
+    return flat_ds.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def token_document_frequencies(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """(token, df) Dataset — the vocab/df table. Same plan as
+    ``inverted_index`` minus the posting strings (what you actually ship
+    at corpus scale)."""
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    def flat(batch: pa.Table) -> pa.Table:
+        tok, _ids = _distinct_doc_tokens(batch, text_column, id_column)
+        return pa.table({"token": pa.array(tok, pa.string())})
+
+    flat_ds = ds.select_columns([id_column, text_column]).map_batches(
+        flat, batch_format="pyarrow"
+    )
+    # distinct (token, doc) per batch (docs never split across batches)
+    # → per-token row count IS the document frequency
+    out = group_sum_bucketed(flat_ds, "token", [])
+    return out.map_batches(
+        lambda t: pa.table({"token": t.column("token"), "df": t.column("n")}),
+        batch_format="pyarrow",
+    )
+
+
+_TFIDF_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("token", pa.string()),
+        ("tf", pa.int64()),
+        ("df", pa.int64()),
+        ("score", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+class TfidfTopTermsStage:
+    """``map_batches`` callable: per-doc top-k tokens by tf·idf with
+    ``idf = n_docs / df`` (reciprocal document frequency — IEEE division
+    is correctly rounded, so the score is bit-exact across engines and
+    oracle-checkable; a log idf is a one-line swap that any two libms
+    may disagree on in the last ulp). Ties break on token ascending.
+
+    The df table arrives as ONE broadcast ``ray.put`` of (sorted token
+    array, df array) — resolved once per worker, vectorized searchsorted
+    probe per batch."""
+
+    def __init__(self, df_ref, n_docs: int, k: int = 3,
+                 text_column: str = "text", id_column: str = "doc_id") -> None:
+        self.df_ref = df_ref
+        self.n_docs = int(n_docs)
+        self.k = int(k)
+        self.text_column = text_column
+        self.id_column = id_column
+        self._lookup = None
+
+    def _resolve(self):
+        if self._lookup is None:
+            import ray
+
+            self._lookup = ray.get(self.df_ref)
+        return self._lookup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vocab, vocab_df = self._resolve()
+        tok, rows = _flat_tokens(batch.column(self.text_column))
+        if len(tok) == 0:
+            return _TFIDF_SCHEMA.empty_table()
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        uniq, codes = np.unique(tok, return_inverse=True)
+        order = np.lexsort((codes, rows))
+        r_s, c_s = rows[order], codes[order]
+        first = np.concatenate([[True], (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.concatenate([starts, [len(r_s)]])).astype(np.int64)
+        r_u, c_u = r_s[starts], c_s[starts]
+        if len(vocab):
+            pos = np.minimum(np.searchsorted(vocab, uniq), len(vocab) - 1)
+            per_uniq_df = np.where(vocab[pos] == uniq, vocab_df[pos], 1).astype(np.int64)
+        else:  # df table missing a token (shouldn't happen on one corpus)
+            per_uniq_df = np.ones(len(uniq), np.int64)
+        df = per_uniq_df[c_u]
+        score = (tf * self.n_docs).astype(np.float64) / df
+        # top-k per doc: (doc asc, score desc, token asc) — np.unique
+        # codes are lexicographic, so c_u ascending == token ascending
+        o2 = np.lexsort((c_u, -score, r_u))
+        r_o = r_u[o2]
+        seg_first = np.concatenate([[True], r_o[1:] != r_o[:-1]])
+        seg_id = np.cumsum(seg_first) - 1
+        rank = (np.arange(len(r_o)) - np.flatnonzero(seg_first)[seg_id] + 1).astype(np.int64)
+        keep = rank <= self.k
+        sel = o2[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[r_u[sel]], pa.int64()),
+                "token": pa.array(uniq[c_u[sel]], pa.string()),
+                "tf": pa.array(tf[sel]),
+                "df": pa.array(df[sel]),
+                "score": pa.array(score[sel], pa.float64()),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+
+def tfidf_top_terms(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 3,
+    n_docs: int | None = None,
+):
+    """Per-doc top-k salient tokens by tf·idf. One df pass + one scoring
+    pass; the df table broadcasts once (vocab-sized, see module
+    docstring for the beyond-vocab co-partitioned alternative)."""
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    df_parts = [
+        b
+        for b in token_document_frequencies(ds, text_column, id_column).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if df_parts:
+        df_tbl = pa.concat_tables(df_parts)
+        vocab = np.asarray(df_tbl.column("token"), dtype=object)
+        dfs = np.asarray(df_tbl.column("df"), dtype=np.int64)
+        o = np.argsort(vocab)
+        vocab, dfs = vocab[o], dfs[o]
+    else:
+        vocab, dfs = np.empty(0, object), np.empty(0, np.int64)
+    df_ref = ray.put((vocab, dfs))
+    return ds.select_columns([id_column, text_column]).map_batches(
+        TfidfTopTermsStage(df_ref, n_docs, k, text_column, id_column),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,237 @@
+"""Unpivot/melt, hopping windows, inverted index / TF-IDF, and the audio
+gain-normalize stage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows: dict):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows))
+
+
+# --- unpivot ---------------------------------------------------------------
+
+
+def test_unpivot_basic(ray_session):
+    from fs_schema_validator_ray.stages.reshape import unpivot
+
+    ds = _ds(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "a": pa.array([1.5, 2.5], pa.float64()),
+            "b": pa.array([10, 20], pa.int64()),
+        }
+    )
+    out = sorted(
+        (r["id"], r["variable"], r["value"])
+        for r in unpivot(ds, ["id"], ["a", "b"]).take_all()
+    )
+    assert out == [(1, "a", 1.5), (1, "b", 10.0), (2, "a", 2.5), (2, "b", 20.0)]
+
+
+def test_unpivot_keeps_nulls_and_schema(ray_session):
+    from fs_schema_validator_ray.stages.reshape import unpivot
+
+    ds = _ds({"id": pa.array([7], pa.int64()), "a": pa.array([None], pa.float64())})
+    res = unpivot(ds, ["id"], ["a"], var_name="m", value_name="v")
+    rows = res.take_all()
+    assert rows == [{"id": 7, "m": "a", "v": None}]
+
+
+def test_unpivot_name_collision_rejected(ray_session):
+    from fs_schema_validator_ray.stages.reshape import unpivot
+
+    ds = _ds({"id": pa.array([1], pa.int64()), "a": pa.array([1.0])})
+    with pytest.raises(ValueError):
+        unpivot(ds, ["id"], ["a"], var_name="id")
+    with pytest.raises(ValueError):
+        unpivot(ds, ["id"], [])
+
+
+# --- hopping window ----------------------------------------------------------
+
+
+def test_hopping_window_membership(ray_session):
+    from fs_schema_validator_ray.stages.agg import hopping_window
+
+    # size 40, hop 10 → each ts lands in exactly 4 windows [w, w+40)
+    ds = _ds({"ts": pa.array([25], pa.int64()), "x": pa.array(["p"])})
+    out = hopping_window(ds, "ts", size_us=40, hop_us=10).take_all()
+    starts = sorted(r["window_start_us"] for r in out)
+    assert starts == [-10, 0, 10, 20]
+    for w in starts:
+        assert w <= 25 < w + 40
+    assert all(r["x"] == "p" for r in out)
+
+
+def test_hopping_window_timestamp_column(ray_session):
+    from fs_schema_validator_ray.stages.agg import hopping_window
+
+    ts = pa.array([np.datetime64("2024-01-01T00:20:00", "us")], pa.timestamp("us"))
+    ds = _ds({"ts": ts})
+    out = hopping_window(
+        ds, "ts", size_us=3_600_000_000, hop_us=900_000_000
+    ).take_all()
+    assert len(out) == 4
+    epoch = int(np.datetime64("2024-01-01T00:20:00", "us").astype(np.int64))
+    base = epoch // 900_000_000 * 900_000_000
+    assert sorted(r["window_start_us"] for r in out) == [
+        base - 3 * 900_000_000, base - 2 * 900_000_000, base - 900_000_000, base
+    ]
+
+
+def test_hopping_window_requires_divisible(ray_session):
+    from fs_schema_validator_ray.stages.agg import hopping_window
+
+    ds = _ds({"ts": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        hopping_window(ds, "ts", size_us=100, hop_us=33)
+
+
+# --- inverted index ----------------------------------------------------------
+
+
+def test_inverted_index_postings_sorted_distinct(ray_session):
+    from fs_schema_validator_ray.stages.textindex import inverted_index
+
+    ds = _ds(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            # doc 3 repeats "apple" — distinct per doc; "Banana!" lowercases/splits
+            "text": pa.array(["apple apple pie", "Banana! apple", None]),
+        }
+    )
+    out = {r["token"]: (r["df"], r["postings"]) for r in inverted_index(ds).take_all()}
+    assert out == {
+        "apple": (2, "1,3"),
+        "pie": (1, "3"),
+        "banana": (1, "1"),
+    }
+
+
+def test_inverted_index_df_bounds(ray_session):
+    from fs_schema_validator_ray.stages.textindex import inverted_index
+
+    ds = _ds(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["the cat", "the dog", "the cat dog fox"]),
+        }
+    )
+    out = {r["token"] for r in inverted_index(ds, min_df=2).take_all()}
+    assert out == {"the", "cat", "dog"}
+    out = {r["token"] for r in inverted_index(ds, min_df=2, max_df=2).take_all()}
+    assert out == {"cat", "dog"}
+
+
+def test_token_document_frequencies(ray_session):
+    from fs_schema_validator_ray.stages.textindex import token_document_frequencies
+
+    ds = _ds(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b a", "b c"]),
+        }
+    )
+    out = {r["token"]: r["df"] for r in token_document_frequencies(ds).take_all()}
+    assert out == {"a": 1, "b": 2, "c": 1}
+
+
+# --- tf-idf ------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_scores_and_ties(ray_session):
+    from fs_schema_validator_ray.stages.textindex import tfidf_top_terms
+
+    ds = _ds(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["rare rare common", "common zzz"]),
+        }
+    )
+    rows = sorted(
+        (r["doc_id"], r["rank"], r["token"], r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(ds, k=2).take_all()
+    )
+    # doc 1: rare tf=2 df=1 score=4; common tf=1 df=2 score=1
+    # doc 2: zzz tf=1 df=1 score=2; common tf=1 df=2 score=1
+    assert rows == [
+        (1, 1, "rare", 2, 1, 4.0),
+        (1, 2, "common", 1, 2, 1.0),
+        (2, 1, "zzz", 1, 1, 2.0),
+        (2, 2, "common", 1, 2, 1.0),
+    ]
+
+
+def test_tfidf_tie_breaks_token_ascending(ray_session):
+    from fs_schema_validator_ray.stages.textindex import tfidf_top_terms
+
+    ds = _ds({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["beta alfa"])})
+    rows = sorted((r["rank"], r["token"]) for r in tfidf_top_terms(ds, k=2).take_all())
+    assert rows == [(1, "alfa"), (2, "beta")]
+
+
+def test_tfidf_empty_doc_emits_nothing(ray_session):
+    from fs_schema_validator_ray.stages.textindex import tfidf_top_terms
+
+    ds = _ds({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["", "x"])})
+    rows = tfidf_top_terms(ds, k=3).take_all()
+    assert [(r["doc_id"], r["token"]) for r in rows] == [(2, "x")]
+
+
+# --- audio gain normalize ----------------------------------------------------
+
+
+def _wav(samples, sr=16000):
+    from fs_schema_validator_ray import audio
+
+    return audio.encode(np.asarray(samples, np.float64), sr, "pcm_s16le")
+
+
+def test_gain_normalize_reaches_target(ray_session):
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import GainNormalizeStage
+
+    t = np.sin(np.linspace(0, 40 * np.pi, 4000)) * 0.01  # very quiet sine
+    batch = pa.table({"clip_id": pa.array(["c1"]), "bytes": pa.array([_wav(t)], pa.binary())})
+    out = GainNormalizeStage(target_dbfs=-20.0)(batch)
+    row = out.to_pylist()[0]
+    assert row["decode_ok"] and not row["limited"]
+    assert abs(row["rms_db_out"] - (-20.0)) < 0.1  # int16 quantization slack
+    x, sr, _ = audio.decode(row["bytes"])
+    assert sr == 16000 and len(x) == 4000
+
+
+def test_gain_normalize_limiter_engages(ray_session):
+    from fs_schema_validator_ray.stages.audio_features import GainNormalizeStage
+
+    # near-full-scale peak: reaching -6 dBFS RMS would clip → limiter caps gain
+    t = np.zeros(2000)
+    t[::100] = 0.95  # spiky: high peak, low RMS
+    batch = pa.table({"clip_id": pa.array(["c1"]), "bytes": pa.array([_wav(t)], pa.binary())})
+    row = GainNormalizeStage(target_dbfs=-6.0)(batch).to_pylist()[0]
+    assert row["decode_ok"] and row["limited"]
+    assert row["rms_db_out"] < -6.0
+
+
+def test_gain_normalize_silence_passthrough(ray_session):
+    from fs_schema_validator_ray.stages.audio_features import GainNormalizeStage
+
+    batch = pa.table(
+        {"clip_id": pa.array(["s"]), "bytes": pa.array([_wav(np.zeros(100))], pa.binary())}
+    )
+    row = GainNormalizeStage()(batch).to_pylist()[0]
+    assert row["decode_ok"] and row["gain_db"] == 0.0 and row["rms_db_in"] == -120.0
+
+
+def test_gain_normalize_undecodable(ray_session):
+    from fs_schema_validator_ray.stages.audio_features import GainNormalizeStage
+
+    batch = pa.table(
+        {"clip_id": pa.array(["bad"]), "bytes": pa.array([b"notawav"], pa.binary())}
+    )
+    row = GainNormalizeStage()(batch).to_pylist()[0]
+    assert row["decode_ok"] is False and row["bytes"] is None
