@@ -480,16 +480,20 @@ def hopping_window(
         ts = batch.column(ts_column)
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(ts, pa.timestamp("us"))
-            ts_us = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
-        else:
-            ts_us = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
+        ts_i64 = pc.cast(ts, pa.int64())
+        # null-safe: fill for the arithmetic, re-mask after (a null ts
+        # must yield null window keys like epoch_us(NULL) in SQL — a
+        # bare to_numpy would round-trip nulls through float64 garbage)
+        null_mask = np.asarray(pc.is_null(ts_i64))
+        ts_us = np.asarray(pc.fill_null(ts_i64, 0), dtype=np.int64)
         n = len(ts_us)
         base = (ts_us // hop_us) * hop_us  # numpy floor division: negatives ok
         starts = np.repeat(base, k) - np.tile(
             np.arange(k, dtype=np.int64) * hop_us, n
         )
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
-        return batch.take(idx).append_column(out_column, pa.array(starts, pa.int64()))
+        win = pa.array(starts, pa.int64(), mask=np.repeat(null_mask, k))
+        return batch.take(idx).append_column(out_column, win)
 
     return ds.map_batches(attach, batch_format="pyarrow")
 

@@ -32,9 +32,13 @@ def unpivot(
         value_type = pa.float64()
     if not value_columns:
         raise ValueError("unpivot needs at least one value column")
-    overlap = set(id_columns) & {var_name, value_name}
+    if var_name == value_name:
+        raise ValueError(f"var_name and value_name collide: {var_name!r}")
+    overlap = (set(id_columns) | set(value_columns)) & {var_name, value_name}
+    if set(id_columns) & set(value_columns):
+        raise ValueError("id_columns and value_columns overlap")
     if overlap:
-        raise ValueError(f"id/output column names collide: {sorted(overlap)}")
+        raise ValueError(f"column names collide with outputs: {sorted(overlap)}")
 
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows

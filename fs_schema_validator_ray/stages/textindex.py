@@ -117,13 +117,17 @@ def inverted_index(
             # segments are contiguous runs → mask by repeating keep per run
             i_s = i_s[np.repeat(keep, df)]
             df, tokens_out = df[keep], tokens_out[keep]
-        offsets = np.concatenate([[0], np.cumsum(df)]).astype(np.int32)
+        # int64 offsets + LargeList: a bucket's flat postings can pass
+        # 2^31 entries at corpus scale — int32 offsets would wrap silently
+        offsets = np.concatenate([[0], np.cumsum(df)]).astype(np.int64)
         postings = pc.binary_join(
-            pa.ListArray.from_arrays(
+            pa.LargeListArray.from_arrays(
                 pa.array(offsets), pc.cast(pa.array(i_s), pa.string())
             ),
             ",",
         )
+        if postings.type != pa.string():
+            postings = pc.cast(postings, pa.string())
         return pa.table(
             {
                 "token": pa.array(tokens_out, pa.string()),
@@ -184,12 +188,16 @@ class TfidfTopTermsStage:
     probe per batch."""
 
     def __init__(self, df_ref, n_docs: int, k: int = 3,
-                 text_column: str = "text", id_column: str = "doc_id") -> None:
+                 text_column: str = "text", id_column: str = "doc_id",
+                 on_missing: str = "error") -> None:
+        if on_missing not in ("error", "drop"):
+            raise ValueError("on_missing must be 'error' or 'drop'")
         self.df_ref = df_ref
         self.n_docs = int(n_docs)
         self.k = int(k)
         self.text_column = text_column
         self.id_column = id_column
+        self.on_missing = on_missing
         self._lookup = None
 
     def _resolve(self):
@@ -212,11 +220,28 @@ class TfidfTopTermsStage:
         starts = np.flatnonzero(first)
         tf = np.diff(np.concatenate([starts, [len(r_s)]])).astype(np.int64)
         r_u, c_u = r_s[starts], c_s[starts]
+        # vocab miss policy: the df table is built from the SAME corpus,
+        # so a miss means a stale/pruned vocab. 'error' fails loudly;
+        # 'drop' skips the token (the right semantics for a max_df-pruned
+        # vocab — never score a pruned stopword at phantom max idf).
         if len(vocab):
             pos = np.minimum(np.searchsorted(vocab, uniq), len(vocab) - 1)
-            per_uniq_df = np.where(vocab[pos] == uniq, vocab_df[pos], 1).astype(np.int64)
-        else:  # df table missing a token (shouldn't happen on one corpus)
+            found = vocab[pos] == uniq
+            per_uniq_df = np.where(found, vocab_df[pos], 1).astype(np.int64)
+        else:
+            found = np.zeros(len(uniq), bool)
             per_uniq_df = np.ones(len(uniq), np.int64)
+        if not found.all():
+            if self.on_missing == "error":
+                missing = uniq[~found][:5].tolist()
+                raise KeyError(
+                    f"tokens missing from the broadcast df table: {missing} "
+                    "(stale vocab? pass on_missing='drop' for pruned vocabs)"
+                )
+            keep_pair = found[c_u]
+            r_u, c_u, tf = r_u[keep_pair], c_u[keep_pair], tf[keep_pair]
+            if len(r_u) == 0:
+                return _TFIDF_SCHEMA.empty_table()
         df = per_uniq_df[c_u]
         score = (tf * self.n_docs).astype(np.float64) / df
         # top-k per doc: (doc asc, score desc, token asc) — np.unique

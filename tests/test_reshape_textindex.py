@@ -182,6 +182,59 @@ def test_tfidf_empty_doc_emits_nothing(ray_session):
     assert [(r["doc_id"], r["token"]) for r in rows] == [(2, "x")]
 
 
+# --- review regressions --------------------------------------------------
+
+
+def test_hopping_window_null_ts_yields_null_windows(ray_session):
+    # a null timestamp must group under a NULL window key (epoch_us(NULL)
+    # in SQL), never round-trip through float64 into garbage int64 keys
+    from fs_schema_validator_ray.stages.agg import hopping_window
+
+    ds = _ds({"ts": pa.array([100, None], pa.int64())})
+    out = hopping_window(ds, "ts", size_us=40, hop_us=10).take_all()
+    real = sorted(r["window_start_us"] for r in out if r["ts"] == 100)
+    nulls = [r["window_start_us"] for r in out if r["ts"] is None]
+    assert real == [70, 80, 90, 100]
+    assert nulls == [None, None, None, None]
+
+
+def test_unpivot_var_equals_value_rejected(ray_session):
+    from fs_schema_validator_ray.stages.reshape import unpivot
+
+    ds = _ds({"id": pa.array([1], pa.int64()), "a": pa.array([1.0])})
+    with pytest.raises(ValueError):
+        unpivot(ds, ["id"], ["a"], var_name="v", value_name="v")
+    with pytest.raises(ValueError):
+        unpivot(ds, ["id", "a"], ["a"])
+
+
+def test_tfidf_stage_vocab_miss_policies(ray_session):
+    import ray
+
+    from fs_schema_validator_ray.stages.textindex import TfidfTopTermsStage
+
+    vocab = np.array(["kept"], dtype=object)
+    dfs = np.array([1], np.int64)
+    ref = ray.put((vocab, dfs))
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["kept pruned"])}
+    )
+    with pytest.raises(KeyError):
+        TfidfTopTermsStage(ref, n_docs=2, k=3)(batch)
+    out = TfidfTopTermsStage(ref, n_docs=2, k=3, on_missing="drop")(batch)
+    assert out.column("token").to_pylist() == ["kept"]
+
+
+def test_inverted_index_large_offsets_type(ray_session):
+    # postings built through int64/LargeList offsets (int32 would wrap
+    # past 2^31 flat postings per bucket); output stays plain string
+    from fs_schema_validator_ray.stages.textindex import inverted_index
+
+    ds = _ds({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b"])})
+    res = inverted_index(ds)
+    assert res.schema().base_schema.field("postings").type == pa.string()
+
+
 # --- audio gain normalize ----------------------------------------------------
 
 
