@@ -51,6 +51,9 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard_documents",
     "ann_topk_embeddings",
     "text_profile_documents",
+    "setop_union_keys",
+    "hopping_window_events",
+    "inverted_index_documents",
 ]
 
 
