@@ -397,6 +397,43 @@ FROM (SELECT qid, nid,
       FROM s) t
 WHERE rnk <= 10
 """,
+        "text_clean_documents": r"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(coalesce(text, ''),
+                                            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
+                                            '', 'g'),
+                             '\s+', ' ', 'g'), ' ') AS clean_text
+  FROM documents)
+SELECT doc_id, clean_text, length(clean_text) AS n_chars_clean FROM c
+""",
+        "redact_pii_documents": r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com via https://ex.net/p/' || CAST(doc_id AS VARCHAR)
+           || ' or call +1 (555) 010-' || CAST(doc_id AS VARCHAR) || ' now' AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+              regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+       FROM base),
+s2 AS (SELECT doc_id, n_urls,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_urls, n_emails,
+              len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phones,
+              regexp_replace(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_urls, n_emails, n_phones, t AS redacted_text FROM s3
+""",
+        "rollup_lineitem_status": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
         "unpivot_lineitem_metrics": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
        CAST(l_quantity AS DOUBLE) AS value FROM lineitem

@@ -526,6 +526,66 @@ def audio_gain_normalize_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def text_clean_documents(sf_dir: str):
+    """Pretraining text cleanup: NFC → strip control chars → collapse
+    whitespace → trim (all Arrow RE2 kernels, oracle-exact)."""
+    from fs_schema_validator_ray.stages.text import TextCleanStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TextCleanStage(), batch_format="pyarrow")
+
+
+def redact_pii_documents(sf_dir: str):
+    """PII-style redaction (URL → email → phone) with per-kind counts.
+    The corpus text is deterministically enriched with synthetic
+    contact strings (both engine and oracle build the identical text)
+    so the redaction path is actually exercised on every row."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.text import RedactStage
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.string())
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            " contact user", ids,
+            "@example.com via https://ex.net/p/", ids,
+            " or call +1 (555) 010-", ids, " now",
+            "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(enrich, batch_format="pyarrow").map_batches(
+        RedactStage(), batch_format="pyarrow"
+    )
+
+
+def rollup_lineitem_status(sf_dir: str):
+    """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` over quantity
+    cents: cascaded subtotal levels from one combiner pass
+    (``stages/agg.py::rollup_sum``)."""
+    from fs_schema_validator_ray.stages.agg import rollup_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return rollup_sum(ds, ["l_returnflag", "l_linestatus"], ["qty_cents"])
+
+
 def setop_intersect_users(sf_dir: str):
     """``SELECT user_id FROM events INTERSECT SELECT o_custkey FROM
     orders`` — distributed distinct set intersection (``stages/setops.py``:
@@ -1368,6 +1428,9 @@ QUERIES = {
     "text_langid_documents": text_langid_documents,
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
+    "text_clean_documents": text_clean_documents,
+    "redact_pii_documents": redact_pii_documents,
+    "rollup_lineitem_status": rollup_lineitem_status,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

@@ -458,6 +458,66 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     )
 
 
+def rollup_sum(ds, keys: list[str], sum_cols: list[str]):
+    """``GROUP BY ROLLUP(keys)``: subtotals at every key prefix plus the
+    grand total, rolled-up key columns emitted as typed nulls.
+
+    Single pass over the raw data: the finest level runs the usual
+    combiner ``group_sum``; every coarser level CASCADES from the
+    one-step-finer AGGREGATE (distinct-combos-sized, materialized once)
+    — int64 sums re-aggregate exactly, so no level re-reads the corpus.
+    Assumes no null data keys (SQL ROLLUP's GROUPING() disambiguation
+    between data null and rollup null is not modeled — document or
+    pre-filter if your keys are nullable)."""
+    from ray.data.aggregate import Sum
+
+    if not keys:
+        raise ValueError("rollup_sum needs at least one key")
+    types = {k: ds.schema().base_schema.field(k).type for k in keys}
+    meas = [*sum_cols, "n"]
+
+    def with_null_keys(level_keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    t.column(k) if k in level_keys else pa.nulls(t.num_rows, types[k])
+                )
+            for c in meas:
+                cols[c] = pc.cast(t.column(c), pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    finest = group_sum(ds, keys, sum_cols).materialize()
+    parts = [finest.map_batches(with_null_keys(keys), batch_format="pyarrow")]
+    prev = finest
+    for i in range(len(keys) - 1, -1, -1):
+        prefix = list(keys[:i])
+        aggs = [Sum(c, alias_name=c) for c in meas]
+        if prefix:
+            lvl = prev.groupby(prefix).aggregate(*aggs)
+        else:
+            lvl = (
+                prev.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array(np.zeros(t.num_rows, np.int8))
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("__all")
+                .aggregate(*aggs)
+                .drop_columns(["__all"])
+            )
+        parts.append(lvl.map_batches(with_null_keys(prefix), batch_format="pyarrow"))
+        prev = lvl
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def hopping_window(
     ds,
     ts_column: str,

@@ -400,3 +400,83 @@ class ChunkStage:
                 ]
             ).empty_table()
         return pa.concat_tables(parts)
+
+
+# --- cleanup / redaction (pretraining-corpus normalization) -----------------
+
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_WS_RUN_RE = r"\s+"
+
+
+class TextCleanStage:
+    """``map_batches`` callable: canonical pretraining text cleanup —
+    strip C0/DEL control chars → collapse whitespace runs to single
+    spaces → trim edge spaces (all Arrow RE2 kernels), oracle-replicable
+    as ``trim(regexp_replace(regexp_replace(t, ctrl, '', 'g'), '\\s+',
+    ' ', 'g'), ' ')`` in DuckDB (trailing trim uses plain-space chars
+    only — after the collapse all whitespace IS plain spaces,
+    sidestepping the unicode-trim divergence).
+
+    ``normalize='NFC'`` adds unicode normalization as the first step,
+    OFF by default: this container's pyarrow 16.1 ``utf8_normalize``
+    decomposes composed characters regardless of the requested form
+    (verified: NFC of U+00E9 returns U+0065 U+0301; DuckDB
+    ``nfc_normalize`` and Python ``unicodedata`` both compose), so
+    enabling it here diverges from any NFC oracle — turn it on only on
+    an Arrow build whose utf8proc behaves."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 out_column: str = "clean_text", normalize: str | None = None) -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+        self.out_column = out_column
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(self.text_column), "")
+        if self.normalize:
+            t = pc.utf8_normalize(t, form=self.normalize)
+        t = pc.replace_substring_regex(t, pattern=_CTRL_RE, replacement="")
+        t = pc.replace_substring_regex(t, pattern=_WS_RUN_RE, replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                self.out_column: t,
+                "n_chars_clean": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+
+# ordered: URLs swallow embedded emails/digits first, then emails, then
+# phone-shaped digit runs
+REDACT_PATTERNS = (
+    ("n_urls", r"https?://[^\s]+", "<URL>"),
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_phones", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+class RedactStage:
+    """``map_batches`` callable: PII-style redaction (URL → email →
+    phone, in that order — each count is taken on the text state AFTER
+    the previous replacements, so an email inside a URL counts once as
+    a URL). All RE2 kernels; byte-identical to the same
+    ``regexp_replace(..., 'g')`` chain in DuckDB."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 out_column: str = "redacted_text") -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(self.text_column), "")
+        out = {self.id_column: batch.column(self.id_column)}
+        for count_name, pattern, repl in REDACT_PATTERNS:
+            out[count_name] = pc.cast(
+                pc.count_substring_regex(t, pattern=pattern), pa.int64()
+            )
+            t = pc.replace_substring_regex(t, pattern=pattern, replacement=repl)
+        out[self.out_column] = t
+        return pa.table(out)
