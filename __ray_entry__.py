@@ -434,6 +434,30 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
+        "cube_lineitem_status": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+        "corr_lineitem_qty_discount": """
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sum_xy
+      FROM c GROUP BY l_returnflag)
+SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
+       CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS cov_num,
+       ROUND(CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sum_x AS DOUBLE) * sum_x)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sum_y AS DOUBLE) * sum_y)),
+             6) AS corr6
+FROM s
+""",
         "unpivot_lineitem_metrics": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
        CAST(l_quantity AS DOUBLE) AS value FROM lineitem

@@ -586,6 +586,61 @@ def rollup_lineitem_status(sf_dir: str):
     return rollup_sum(ds, ["l_returnflag", "l_linestatus"], ["qty_cents"])
 
 
+def cube_lineitem_status(sf_dir: str):
+    """``GROUP BY CUBE(l_returnflag, l_linestatus)`` over quantity cents:
+    all 4 grouping sets from one combiner pass
+    (``stages/agg.py::cube_sum`` → ``grouping_sets_sum``)."""
+    from fs_schema_validator_ray.stages.agg import cube_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return cube_sum(ds, ["l_returnflag", "l_linestatus"], ["qty_cents"])
+
+
+def corr_lineitem_qty_discount(sf_dir: str):
+    """Grouped Pearson correlation / covariance of quantity vs discount
+    (cents) by return flag — distributed exact-integer second-moment
+    combiner (``stages/agg.py::group_moments``). ``cov_num = n·Σxy −
+    Σx·Σy`` is exact int64; headroom: qty_cents ≤ 5100, disc_cents ≤ 10,
+    so per-group Σx² ≤ 2.6e7·n and n·Σxy ≤ 5.1e4·n² stay well under 2^63
+    for n ≤ 10^6 groups-rows at bench scale."""
+    from fs_schema_validator_ray.stages.agg import group_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+                "disc_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return group_moments(ds, ["l_returnflag"], "qty_cents", "disc_cents")
+
+
 def setop_intersect_users(sf_dir: str):
     """``SELECT user_id FROM events INTERSECT SELECT o_custkey FROM
     orders`` — distributed distinct set intersection (``stages/setops.py``:
@@ -1431,6 +1486,8 @@ QUERIES = {
     "text_clean_documents": text_clean_documents,
     "redact_pii_documents": redact_pii_documents,
     "rollup_lineitem_status": rollup_lineitem_status,
+    "cube_lineitem_status": cube_lineitem_status,
+    "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

@@ -518,6 +518,152 @@ def rollup_sum(ds, keys: list[str], sum_cols: list[str]):
     return out
 
 
+def grouping_sets_sum(ds, keys: list[str], sets: list[list[str]], sum_cols: list[str]):
+    """``GROUP BY GROUPING SETS(sets)`` generalization of ``rollup_sum``:
+    one combiner pass over the raw data at the FINEST grouping (the union
+    of all requested keys), materialized once; every requested set then
+    re-aggregates from that distinct-combos-sized table — int64 sums
+    re-aggregate exactly, so no set re-reads the corpus. Same null-key
+    caveat as ``rollup_sum`` (set-null vs data-null not disambiguated)."""
+    from ray.data.aggregate import Sum
+
+    if not sets:
+        raise ValueError("grouping_sets_sum needs at least one set")
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"set keys {unknown} not in keys {keys}")
+    types = {k: ds.schema().base_schema.field(k).type for k in keys}
+    meas = [*sum_cols, "n"]
+
+    def with_null_keys(level_keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    t.column(k) if k in level_keys else pa.nulls(t.num_rows, types[k])
+                )
+            for c in meas:
+                cols[c] = pc.cast(t.column(c), pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    finest = group_sum(ds, keys, sum_cols).materialize()
+    parts = []
+    for s in sets:
+        aggs = [Sum(c, alias_name=c) for c in meas]
+        if sorted(s) == sorted(keys):
+            lvl = finest
+        elif s:
+            lvl = finest.groupby(list(s)).aggregate(*aggs)
+        else:
+            lvl = (
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array(np.zeros(t.num_rows, np.int8))
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("__all")
+                .aggregate(*aggs)
+                .drop_columns(["__all"])
+            )
+        parts.append(lvl.map_batches(with_null_keys(list(s)), batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def group_moments(ds, keys: list[str], x_col: str, y_col: str):
+    """Grouped second-moment statistics (covariance / correlation) via the
+    exact-integer combiner: per-batch Arrow group-by sums of ``x, y, x²,
+    y², x·y`` (inputs must already be int64, e.g. cents), one tiny
+    groupby-Sum over the partials, then the population covariance
+    numerator ``n·Σxy − Σx·Σy`` emitted as EXACT int64 (order-insensitive,
+    hash-exact vs SQL) plus Pearson ``corr`` computed from the same exact
+    sums in float64 and rounded to 6 (both engines evaluate the identical
+    expression over identical integers).
+
+    Output columns: ``keys + [n, sum_x, sum_y, sum_xy, cov_num, corr6]``.
+    Caller owns overflow headroom: |x|,|y| small enough that per-group
+    Σx², Σy², Σxy and n·Σxy fit int64 (document per use)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.int64())
+        y = pc.cast(batch.column(y_col), pa.int64())
+        tbl = pa.table(
+            {
+                **{k: batch.column(k) for k in keys},
+                "sum_x": x,
+                "sum_y": y,
+                "sxx": pc.multiply_checked(x, x),
+                "syy": pc.multiply_checked(y, y),
+                "sum_xy": pc.multiply_checked(x, y),
+            }
+        )
+        cols = ["sum_x", "sum_y", "sxx", "syy", "sum_xy"]
+        aggs = [(c, "sum") for c in cols] + [([], "count_all")]
+        g = pa.TableGroupBy(tbl, keys).aggregate(aggs)
+        out = {k: g.column(k) for k in keys}
+        for c in cols:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        out["n"] = pc.cast(g.column("count_all"), pa.int64())
+        return pa.table(out)
+
+    cols = ["sum_x", "sum_y", "sxx", "syy", "sum_xy", "n"]
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        sx = np.asarray(t.column("sum_x"), dtype=np.int64)
+        sy = np.asarray(t.column("sum_y"), dtype=np.int64)
+        sxx = np.asarray(t.column("sxx"), dtype=np.int64)
+        syy = np.asarray(t.column("syy"), dtype=np.int64)
+        sxy = np.asarray(t.column("sum_xy"), dtype=np.int64)
+        cov_num = n * sxy - sx * sy  # exact int64 (caller-guaranteed headroom)
+        # identical float64 expression to the SQL oracle: every operand is
+        # an exactly-converted int64 → deterministic IEEE result
+        vx = n.astype(np.float64) * sxx - sx.astype(np.float64) * sx
+        vy = n.astype(np.float64) * syy - sy.astype(np.float64) * sy
+        denom = np.sqrt(vx * vy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(denom > 0, cov_num / denom, np.nan)
+        return pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                "n": pa.array(n),
+                "sum_x": pa.array(sx),
+                "sum_y": pa.array(sy),
+                "sum_xy": pa.array(sxy),
+                "cov_num": pa.array(cov_num),
+                "corr6": pa.array(np.round(corr, 6)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def cube_sum(ds, keys: list[str], sum_cols: list[str]):
+    """``GROUP BY CUBE(keys)``: every subset of the keys (2^k grouping
+    sets) from one combiner pass — the powerset fed to
+    ``grouping_sets_sum``. Keys must be few (CUBE is exponential by
+    definition); the raw data is still read exactly once."""
+    sets: list[list[str]] = [[]]
+    for k in keys:
+        sets = sets + [s + [k] for s in sets]
+    # emit finest-first for readability; order is irrelevant to the result
+    sets.sort(key=len, reverse=True)
+    return grouping_sets_sum(ds, keys, sets, sum_cols)
+
+
 def hopping_window(
     ds,
     ts_column: str,
