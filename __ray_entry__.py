@@ -434,6 +434,74 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
+        "decontaminate_documents": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+agg AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM sh s LEFT JOIN bench b ON b.g = s.g
+  WHERE s.doc_id % 10 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
+       (COALESCE(a.n_shingles, 0) > 0
+        AND COALESCE(a.n_hit, 0) * 100 >= COALESCE(a.n_shingles, 0) * 50)
+         AS contaminated
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.doc_id % 10 <> 0
+""",
+        "repetition_documents": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+bg AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS g
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+bga AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+        FROM bgc GROUP BY doc_id),
+fg AS (
+  SELECT a.doc_id,
+         a.t || ' ' || b.t || ' ' || c.t || ' ' || d.t || ' ' || e.t AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+  JOIN toks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+),
+fgc AS (SELECT doc_id, g, COUNT(*) AS c FROM fg GROUP BY doc_id, g),
+fga AS (SELECT doc_id, SUM(c) AS n_5grams,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_5gram_n
+        FROM fgc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(bga.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(bga.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(COALESCE(fga.n_5grams, 0) AS BIGINT) AS n_5grams,
+       CAST(COALESCE(fga.dup_5gram_n, 0) AS BIGINT) AS dup_5gram_n
+FROM documents d
+LEFT JOIN bga ON bga.doc_id = d.doc_id
+LEFT JOIN fga ON fga.doc_id = d.doc_id
+""",
         "cube_lineitem_status": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,

@@ -641,6 +641,38 @@ def corr_lineitem_qty_discount(sf_dir: str):
     return group_moments(ds, ["l_returnflag"], "qty_cents", "disc_cents")
 
 
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 10 == 0`` act as
+    the held-out eval set; every other doc is flagged when ≥ 50% of its
+    distinct word trigrams appear in the eval set (broadcast hash set +
+    one ``searchsorted`` per batch — ``stages/decontaminate.py``)."""
+    from fs_schema_validator_ray.stages.decontaminate import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            # pyarrow.compute has no modulo kernel — numpy on the int column
+            is_bench = np.asarray(t.column("doc_id"), dtype=np.int64) % 10 == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return fn
+
+    bench = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, shingle_n=3, threshold_pct=50)
+
+
+def repetition_documents(sf_dir: str):
+    """Gopher-style repetition quality signals per document: top-bigram
+    occupancy and duplicate-5-gram occupancy as exact integers
+    (``stages/text.py::RepetitionStage``, stateless vectorized pass)."""
+    from fs_schema_validator_ray.stages.text import RepetitionStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
+
+
 def setop_intersect_users(sf_dir: str):
     """``SELECT user_id FROM events INTERSECT SELECT o_custkey FROM
     orders`` — distributed distinct set intersection (``stages/setops.py``:
@@ -1488,6 +1520,8 @@ QUERIES = {
     "rollup_lineitem_status": rollup_lineitem_status,
     "cube_lineitem_status": cube_lineitem_status,
     "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
+    "decontaminate_documents": decontaminate_documents,
+    "repetition_documents": repetition_documents,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

@@ -622,13 +622,18 @@ def minhash_near_dup_pairs(
 # --- exact n-gram Jaccard similarity join (prefix filtering) ---------------
 
 
-def _distinct_shingle_hashes(col: pa.Array, n: int = 1) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row DISTINCT word n-gram shingle hashes, sorted within each row
-    → (flat uint64, row offsets). Tokenization is deliberately
-    oracle-replicable: lowercase, split on ``[^a-z0-9]+``, drop empties —
-    exactly ``string_split_regex(lower(text), '[^a-z0-9]+')`` in SQL;
-    rows with fewer than ``n`` tokens produce NO shingles (the SQL
-    self-join semantics, unlike ``_word_shingle_hashes``'s clamping)."""
+def _distinct_shingle_hashes(
+    col: pa.Array, n: int = 1, distinct: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row word n-gram shingle hashes, sorted within each row →
+    (flat uint64, row offsets); DISTINCT per row by default
+    (``distinct=False`` keeps multiplicity — still row-sorted, so equal
+    shingles form contiguous runs for run-length counting). Tokenization
+    is deliberately oracle-replicable: lowercase, split on ``[^a-z0-9]+``,
+    drop empties — exactly ``string_split_regex(lower(text),
+    '[^a-z0-9]+')`` in SQL; rows with fewer than ``n`` tokens produce NO
+    shingles (the SQL self-join semantics, unlike
+    ``_word_shingle_hashes``'s clamping)."""
     toks = pc.split_pattern_regex(
         pc.utf8_lower(pc.fill_null(col, "")), pattern=r"[^a-z0-9]+"
     )
@@ -665,7 +670,7 @@ def _distinct_shingle_hashes(col: pa.Array, n: int = 1) -> tuple[np.ndarray, np.
                 sh = sh * base + th_tok[starts + k]
     order = np.lexsort((sh, rows))
     rows, sh = rows[order], sh[order]
-    if len(sh):
+    if distinct and len(sh):
         first = np.concatenate([[True], (rows[1:] != rows[:-1]) | (sh[1:] != sh[:-1])])
         rows, sh = rows[first], sh[first]
     out = np.bincount(rows, minlength=n_rows)

@@ -480,3 +480,68 @@ class RedactStage:
             t = pc.replace_substring_regex(t, pattern=pattern, replacement=repl)
         out[self.out_column] = t
         return pa.table(out)
+
+
+# --- repetition quality signals (Gopher-style) -------------------------------
+
+
+class RepetitionStage:
+    """``map_batches`` callable: per-document n-gram repetition signals à la
+    the Gopher quality-filter family (top 2-gram occupancy, duplicate
+    5-gram occupancy) — template/boilerplate text scores high on both.
+
+    Emits exact integers only (hash-exact vs a SQL oracle):
+    ``n_bigrams`` / ``top_bigram_n`` (total bigram occurrences and the
+    count of the most frequent bigram) and ``n_5grams`` / ``dup_5gram_n``
+    (total 5-gram occurrences and how many of them belong to 5-grams seen
+    more than once). Fully vectorized: one tokenize + shingle-hash pass
+    per n (``dedup._distinct_shingle_hashes`` with multiplicity kept —
+    row-sorted, so equal shingles form contiguous runs), then run-length
+    segment math; no per-row Python."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 top_n: int = 2, dup_n: int = 5) -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+        self.top_n = top_n
+        self.dup_n = dup_n
+
+    @staticmethod
+    def _run_lengths(sh: np.ndarray, rows: np.ndarray):
+        """Run lengths of equal (row, shingle) pairs in row-sorted order →
+        (run length per run, row of each run)."""
+        if not len(sh):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        new = np.concatenate([[True], (rows[1:] != rows[:-1]) | (sh[1:] != sh[:-1])])
+        starts = np.flatnonzero(new)
+        lengths = np.diff(np.concatenate([starts, [len(sh)]]))
+        return lengths.astype(np.int64), rows[starts]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.stages.dedup import _distinct_shingle_hashes
+
+        col = batch.column(self.text_column).combine_chunks()
+        n_rows = batch.num_rows
+        out: dict[str, pa.Array] = {self.id_column: batch.column(self.id_column)}
+
+        sh, offs = _distinct_shingle_hashes(col, self.top_n, distinct=False)
+        counts = np.diff(offs).astype(np.int64)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        lens, lrows = self._run_lengths(sh, rows)
+        top = np.zeros(n_rows, dtype=np.int64)
+        if len(lens):
+            np.maximum.at(top, lrows, lens)
+        out["n_bigrams"] = pa.array(counts)
+        out["top_bigram_n"] = pa.array(top)
+
+        sh, offs = _distinct_shingle_hashes(col, self.dup_n, distinct=False)
+        counts = np.diff(offs).astype(np.int64)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        lens, lrows = self._run_lengths(sh, rows)
+        dup = np.zeros(n_rows, dtype=np.int64)
+        if len(lens):
+            rep = lens > 1
+            np.add.at(dup, lrows[rep], lens[rep])
+        out["n_5grams"] = pa.array(counts)
+        out["dup_5gram_n"] = pa.array(dup)
+        return pa.table(out)
