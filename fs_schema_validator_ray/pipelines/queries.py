@@ -526,6 +526,36 @@ def audio_gain_normalize_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def audio_transcode_clips(sf_dir: str, n_rows: int = 1500):
+    """Transcode every decodable clip to µ-law (decode → compand →
+    re-encode) with a per-clip round-trip SNR audit — the mixed-codec →
+    single-container normalization pass (rows-only: payload transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        TranscodeStage(codec_out="ulaw"), batch_format="pyarrow", batch_size=512
+    )
+
+
+def audio_silence_trim_clips(sf_dir: str, n_rows: int = 1500):
+    """Strip leading/trailing silence (−40 dBFS, 25 ms frames) from every
+    decodable clip and re-encode the kept span (rows-only: payload
+    transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import SilenceTrimStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        SilenceTrimStage(), batch_format="pyarrow", batch_size=512
+    )
+
+
 def text_clean_documents(sf_dir: str):
     """Pretraining text cleanup: NFC → strip control chars → collapse
     whitespace → trim (all Arrow RE2 kernels, oracle-exact)."""
@@ -1527,6 +1557,8 @@ QUERIES = {
     "inverted_index_documents": inverted_index_documents,
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "audio_gain_normalize_clips": audio_gain_normalize_clips,
+    "audio_transcode_clips": audio_transcode_clips,
+    "audio_silence_trim_clips": audio_silence_trim_clips,
     "setop_intersect_users": setop_intersect_users,
     "setop_except_customers": setop_except_customers,
     "setop_intersect_user_type": setop_intersect_user_type,

@@ -768,3 +768,172 @@ def audio_near_dup_pairs(
         "bucket"
     ).map_groups(block_pairs, batch_format="pyarrow")
     return dedup_pairs_distinct(allp, agg=[("hamming", "min")])
+
+
+TRANSCODE_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("codec_in", pa.string()),
+        ("codec_out", pa.string()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("snr_db", pa.float64()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+
+class TranscodeStage:
+    """``map_batches`` callable: decode each clip and re-encode it in the
+    target codec (the corpus-normalization pass that standardizes a
+    mixed-codec crawl onto one container before training). Emits the
+    transcoded payload plus the round-trip SNR vs the source samples —
+    µ-law/A-law companding is lossy, so the SNR column is the per-clip
+    quality audit (lossless targets report ``inf``). Undecodable payloads
+    emit ``decode_ok=false`` with null bytes."""
+
+    def __init__(
+        self,
+        codec_out: str = "pcm_s16le",
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if codec_out not in ("pcm_s16le", "pcm_u8", "ulaw", "alaw"):
+            raise ValueError(f"unknown target codec `{codec_out}`")
+        self.codec_out = codec_out
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "bytes": None,
+                "codec_in": None,
+                "codec_out": self.codec_out,
+                "sr_hz": None,
+                "n_samples": None,
+                "snr_db": None,
+                "decode_ok": False,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, codec_in = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    payload = audio.encode(x, sr_hz, self.codec_out)
+                    y, _, _ = audio.decode(payload)
+                    row.update(
+                        {
+                            "bytes": payload,
+                            "codec_in": codec_in,
+                            "sr_hz": sr_hz,
+                            "n_samples": int(len(x)),
+                            "snr_db": audio.snr_db(x, y),
+                            "decode_ok": True,
+                        }
+                    )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=TRANSCODE_SCHEMA)
+
+
+TRIM_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("dur_ms_in", pa.float64()),
+        ("dur_ms_out", pa.float64()),
+        ("trimmed_head_ms", pa.float64()),
+        ("trimmed_tail_ms", pa.float64()),
+        ("all_silent", pa.bool_()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+
+class SilenceTrimStage:
+    """``map_batches`` callable: strip leading/trailing silence (frame RMS
+    below ``threshold_db`` dBFS over ``frame_ms`` frames) and re-encode
+    the kept span — the edge-trim pass before duration bucketing /
+    sequence packing. Frames are vectorized per clip (strided reshape +
+    one RMS reduction); an all-silent clip emits ``all_silent=true`` with
+    null bytes rather than a zero-length payload."""
+
+    def __init__(
+        self,
+        threshold_db: float = -40.0,
+        frame_ms: int = 25,
+        codec_out: str = "pcm_s16le",
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        self.threshold = 10.0 ** (threshold_db / 20.0)
+        self.frame_ms = int(frame_ms)
+        self.codec_out = codec_out
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "bytes": None,
+                "sr_hz": None,
+                "dur_ms_in": None,
+                "dur_ms_out": None,
+                "trimmed_head_ms": None,
+                "trimmed_tail_ms": None,
+                "all_silent": None,
+                "decode_ok": False,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    frame = max(1, sr_hz * self.frame_ms // 1000)
+                    n_frames = (len(x) + frame - 1) // frame
+                    padded = np.zeros(n_frames * frame, dtype=np.float64)
+                    padded[: len(x)] = x
+                    rms = np.sqrt(
+                        np.mean(np.square(padded.reshape(n_frames, frame)), axis=1)
+                    )
+                    active = np.flatnonzero(rms >= self.threshold)
+                    dur_in = 1000.0 * len(x) / sr_hz if sr_hz else 0.0
+                    row.update(
+                        {"sr_hz": sr_hz, "dur_ms_in": dur_in, "decode_ok": True}
+                    )
+                    if len(active) == 0:
+                        row.update(
+                            {
+                                "all_silent": True,
+                                "dur_ms_out": 0.0,
+                                "trimmed_head_ms": dur_in,
+                                "trimmed_tail_ms": 0.0,
+                            }
+                        )
+                    else:
+                        start = int(active[0]) * frame
+                        stop = min(len(x), (int(active[-1]) + 1) * frame)
+                        kept = x[start:stop]
+                        row.update(
+                            {
+                                "bytes": audio.encode(kept, sr_hz, self.codec_out),
+                                "all_silent": False,
+                                "dur_ms_out": 1000.0 * len(kept) / sr_hz,
+                                "trimmed_head_ms": 1000.0 * start / sr_hz,
+                                "trimmed_tail_ms": 1000.0 * (len(x) - stop) / sr_hz,
+                            }
+                        )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=TRIM_SCHEMA)

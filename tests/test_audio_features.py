@@ -204,3 +204,103 @@ def test_audio_near_dup_recovers_cross_codec_plants(ray_session):
     for r in pairs:
         assert r["a"] < r["b"]
         assert 0 <= r["hamming"] <= 3
+
+
+# --- TranscodeStage / SilenceTrimStage --------------------------------------
+
+
+def test_transcode_to_ulaw_roundtrip_snr():
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    sr = 16000
+    payload = audio.encode(tone(440, sr=sr, dur_s=0.5), sr, "pcm_s16le")
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["c1", "c2"]),
+            "bytes": pa.array([payload, b"not audio"], pa.binary()),
+        }
+    )
+    out = {r["clip_id"]: r for r in TranscodeStage(codec_out="ulaw")(batch).to_pylist()}
+    ok = out["c1"]
+    assert ok["decode_ok"] and ok["codec_in"] == "pcm_s16le"
+    assert ok["codec_out"] == "ulaw" and ok["sr_hz"] == sr
+    # the transcoded payload must decode as ulaw with companding-grade SNR
+    y, sr2, codec2 = audio.decode(ok["bytes"])
+    assert codec2 == "ulaw" and sr2 == sr and len(y) == ok["n_samples"]
+    assert 25.0 < ok["snr_db"] < 60.0
+    bad = out["c2"]
+    assert not bad["decode_ok"] and bad["bytes"] is None
+
+
+def test_transcode_lossless_target_inf_snr():
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    sr = 8000
+    payload = audio.encode(tone(100, sr=sr, dur_s=0.2), sr, "pcm_s16le")
+    batch = pa.table(
+        {"clip_id": pa.array(["a"]), "bytes": pa.array([payload], pa.binary())}
+    )
+    r = TranscodeStage(codec_out="pcm_s16le")(batch).to_pylist()[0]
+    # s16 -> s16 requantization is exact -> infinite SNR
+    assert r["snr_db"] == float("inf")
+
+
+def test_transcode_rejects_unknown_codec():
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    with pytest.raises(ValueError, match="unknown target codec"):
+        TranscodeStage(codec_out="mp3")
+
+
+def test_silence_trim_edges():
+    from fs_schema_validator_ray.stages.audio_features import SilenceTrimStage
+
+    sr = 16000
+    head = np.zeros(sr // 2)  # 500 ms silence
+    body = tone(440, sr=sr, dur_s=0.5)  # 500 ms tone
+    tail = np.zeros(sr // 4)  # 250 ms silence
+    payload = audio.encode(np.concatenate([head, body, tail]), sr, "pcm_s16le")
+    batch = pa.table(
+        {"clip_id": pa.array(["t"]), "bytes": pa.array([payload], pa.binary())}
+    )
+    r = SilenceTrimStage(threshold_db=-40.0, frame_ms=25)(batch).to_pylist()[0]
+    assert r["decode_ok"] and not r["all_silent"]
+    assert r["dur_ms_in"] == pytest.approx(1250.0)
+    # trim boundaries land on 25 ms frames
+    assert r["trimmed_head_ms"] == pytest.approx(500.0, abs=25.0)
+    assert r["trimmed_tail_ms"] == pytest.approx(250.0, abs=25.0)
+    assert r["dur_ms_out"] == pytest.approx(500.0, abs=50.0)
+    y, _, _ = audio.decode(r["bytes"])
+    assert len(y) == pytest.approx(sr * r["dur_ms_out"] / 1000.0, abs=1)
+
+
+def test_silence_trim_all_silent_and_garbage():
+    from fs_schema_validator_ray.stages.audio_features import SilenceTrimStage
+
+    sr = 8000
+    silent = audio.encode(np.zeros(sr), sr, "pcm_s16le")
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["s", "g"]),
+            "bytes": pa.array([silent, b"xx"], pa.binary()),
+        }
+    )
+    out = {r["clip_id"]: r for r in SilenceTrimStage()(batch).to_pylist()}
+    s = out["s"]
+    assert s["decode_ok"] and s["all_silent"] and s["bytes"] is None
+    assert s["dur_ms_out"] == 0.0 and s["trimmed_head_ms"] == pytest.approx(1000.0)
+    g = out["g"]
+    assert not g["decode_ok"] and g["bytes"] is None
+
+
+def test_silence_trim_no_silence_is_identity_span():
+    from fs_schema_validator_ray.stages.audio_features import SilenceTrimStage
+
+    sr = 16000
+    payload = audio.encode(tone(300, sr=sr, dur_s=0.3), sr, "pcm_s16le")
+    batch = pa.table(
+        {"clip_id": pa.array(["n"]), "bytes": pa.array([payload], pa.binary())}
+    )
+    r = SilenceTrimStage()(batch).to_pylist()[0]
+    assert r["trimmed_head_ms"] == 0.0 and r["trimmed_tail_ms"] == 0.0
+    assert r["dur_ms_out"] == pytest.approx(r["dur_ms_in"])
