@@ -502,6 +502,31 @@ FROM documents d
 LEFT JOIN bga ON bga.doc_id = d.doc_id
 LEFT JOIN fga ON fga.doc_id = d.doc_id
 """,
+        "bm25_contrib_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+              (SELECT COUNT(*) FROM toks) AS total),
+q AS (SELECT unnest(['spark', 'window', 'hash', 'merge']) AS t),
+tf AS (SELECT toks.doc_id, toks.t, COUNT(*) AS tf
+       FROM toks JOIN q ON q.t = toks.t GROUP BY toks.doc_id, toks.t),
+df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks
+       WHERE t IN (SELECT t FROM q) GROUP BY t)
+SELECT tf.doc_id, tf.t AS token, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dl.dl AS BIGINT) AS dl, CAST(df.df AS BIGINT) AS df,
+       ROUND(LN(1 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                            * CAST(st.n_docs AS DOUBLE)
+                            / CAST(st.total AS DOUBLE)))),
+             6) AS score6
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.t = tf.t CROSS JOIN st
+""",
         "cube_lineitem_status": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,

@@ -510,6 +510,21 @@ def tfidf_top_terms_documents(sf_dir: str):
     return tfidf_top_terms(ds, k=3)
 
 
+_BM25_QUERY_TOKENS = ["spark", "window", "hash", "merge"]
+
+
+def bm25_contrib_documents(sf_dir: str):
+    """BM25 term contributions for a fixed query-token set: one integer
+    stats pass (N, Σdl, per-token df folded on the driver) + one
+    stateless scoring pass; ``score6`` is hash-exact because the idf is
+    libm-log over exact ints and the norm expression matches the SQL
+    text term-for-term (``stages/textindex.py::Bm25ContribStage``)."""
+    from fs_schema_validator_ray.stages.textindex import bm25_contributions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_contributions(ds, _BM25_QUERY_TOKENS)
+
+
 def audio_gain_normalize_clips(sf_dir: str, n_rows: int = 1500):
     """Loudness-normalize every decodable clip to −20 dBFS RMS with a
     0.999 peak limiter (decode → gain → re-encode pcm_s16le) — the
@@ -1552,6 +1567,7 @@ QUERIES = {
     "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
+    "bm25_contrib_documents": bm25_contrib_documents,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

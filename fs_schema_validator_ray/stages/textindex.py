@@ -298,3 +298,157 @@ def tfidf_top_terms(
         TfidfTopTermsStage(df_ref, n_docs, k, text_column, id_column),
         batch_format="pyarrow",
     )
+
+
+# --- BM25 term contributions -------------------------------------------------
+
+_BM25_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("token", pa.string()),
+        ("tf", pa.int64()),
+        ("dl", pa.int64()),
+        ("df", pa.int64()),
+        ("score6", pa.float64()),
+    ]
+)
+
+
+def corpus_query_stats(
+    ds, query_tokens: list[str], text_column: str = "text", id_column: str = "doc_id"
+) -> tuple[int, int, dict[str, int]]:
+    """One pruned pass → ``(n_docs, total_tokens, {query token: df})``.
+    Per-batch partials are a handful of integers (len(query_tokens)+2);
+    the driver folds them — no shuffle, no driver-side corpus."""
+    qt = sorted(set(query_tokens))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tok, rows = _flat_tokens(batch.column(text_column))
+        dfs = np.zeros(len(qt), dtype=np.int64)
+        if len(tok):
+            tok_pa = pa.array(tok, pa.string())
+            for i, q in enumerate(qt):
+                m = np.asarray(pc.equal(tok_pa, q).fill_null(False))
+                dfs[i] = len(np.unique(rows[m]))
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "total_tokens": pa.array([len(tok)], pa.int64()),
+                **{f"df_{i}": pa.array([int(dfs[i])]) for i in range(len(qt))},
+            }
+        )
+
+    n_docs = total = 0
+    dfs = np.zeros(len(qt), dtype=np.int64)
+    proj = ds.select_columns([id_column, text_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    for b in proj.iter_batches(batch_format="pyarrow"):
+        n_docs += int(pc.sum(b.column("n_docs")).as_py() or 0)
+        total += int(pc.sum(b.column("total_tokens")).as_py() or 0)
+        for i in range(len(qt)):
+            dfs[i] += int(pc.sum(b.column(f"df_{i}")).as_py() or 0)
+    return n_docs, total, dict(zip(qt, (int(x) for x in dfs)))
+
+
+class Bm25ContribStage:
+    """``map_batches`` callable: one output row per (document, matched
+    query token) with the exact integers ``tf`` (term count in doc),
+    ``dl`` (doc token count), ``df``, plus the BM25 term contribution
+    ``score6 = round(idf · tf·(k1+1)/(tf + k1·(1−b + b·dl·N/total)), 6)``.
+
+    ``idf = ln(1 + (N − df + ½)/(df + ½))`` is computed ONCE PER TOKEN on
+    the driver with ``math.log`` (libm — the same code path as the SQL
+    oracle's ``LN``), so the only float ops per row are the same
+    multiply/divide expression both engines evaluate over exact integers
+    — hash-exact after round-6. Summing contributions per doc ranks
+    documents; that sum is float-order-dependent, so the oracle-checked
+    surface is the per-term table and ranking is tested engine-side."""
+
+    def __init__(
+        self,
+        stats: tuple[int, int, dict[str, int]],
+        k1: float = 1.2,
+        b: float = 0.75,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+    ) -> None:
+        import math
+
+        n_docs, total_tokens, df_map = stats
+        self.n_docs = int(n_docs)
+        self.total_tokens = int(total_tokens)
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.tokens = sorted(df_map)
+        self.dfs = {t: int(df_map[t]) for t in self.tokens}
+        self.idf = {
+            t: math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+            for t, d in self.dfs.items()
+        }
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tok, rows = _flat_tokens(batch.column(self.text_column))
+        n_rows = batch.num_rows
+        dl = np.bincount(rows, minlength=n_rows).astype(np.int64) if len(tok) else np.zeros(n_rows, np.int64)
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        parts = []
+        tok_pa = pa.array(tok, pa.string()) if len(tok) else None
+        for q in self.tokens:
+            if tok_pa is None:
+                continue
+            m = np.asarray(pc.equal(tok_pa, q).fill_null(False))
+            tf = np.bincount(rows[m], minlength=n_rows).astype(np.int64)
+            hit = np.flatnonzero(tf > 0)
+            if not len(hit):
+                continue
+            tfs = tf[hit].astype(np.float64)
+            dls = dl[hit].astype(np.float64)
+            # identical association to the SQL oracle expression
+            norm = (tfs * (self.k1 + 1.0)) / (
+                tfs
+                + self.k1
+                * (
+                    (1.0 - self.b)
+                    + self.b * dls * float(self.n_docs) / float(self.total_tokens)
+                )
+            )
+            score = np.round(self.idf[q] * norm, 6)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[hit]),
+                        "token": pa.array([q] * len(hit), pa.string()),
+                        "tf": pa.array(tf[hit]),
+                        "dl": pa.array(dl[hit]),
+                        "df": pa.array(
+                            np.full(len(hit), self.dfs[q], dtype=np.int64)
+                        ),
+                        "score6": pa.array(score),
+                    }
+                )
+            )
+        if not parts:
+            return _BM25_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+
+def bm25_contributions(
+    ds,
+    query_tokens: list[str],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Distributed BM25 scoring against a fixed query-token set: one
+    stats pass (integers to the driver), one stateless contribution pass.
+    Returns a Dataset of per-(doc, token) contributions; per-doc totals
+    are one tiny ``group_sum`` away (float sum — rank engine-side)."""
+    stats = corpus_query_stats(ds, query_tokens, text_column, id_column)
+    return ds.select_columns([id_column, text_column]).map_batches(
+        Bm25ContribStage(stats, k1, b, text_column, id_column),
+        batch_format="pyarrow",
+    )

@@ -288,3 +288,74 @@ def test_gain_normalize_undecodable(ray_session):
     )
     row = GainNormalizeStage()(batch).to_pylist()[0]
     assert row["decode_ok"] is False and row["bytes"] is None
+
+
+# --- BM25 --------------------------------------------------------------------
+
+
+def test_corpus_query_stats_integers(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import corpus_query_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["cat dog cat", "dog bird", None]  # null -> 0 tokens
+                ),
+            }
+        )
+    )
+    n_docs, total, dfs = corpus_query_stats(ds, ["cat", "dog", "zz"])
+    assert n_docs == 3 and total == 5
+    assert dfs == {"cat": 1, "dog": 2, "zz": 0}
+
+
+def test_bm25_contributions_rank_known_corpus(ray_session):
+    import math
+
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import bm25_contributions
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spark spark spark filler filler",
+                        "spark filler filler filler filler",
+                        "filler filler filler filler filler",
+                    ]
+                ),
+            }
+        )
+    )
+    rows = bm25_contributions(ds, ["spark"]).take_all()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {1, 2}  # doc 3 has no match -> no row
+    assert by_doc[1]["tf"] == 3 and by_doc[2]["tf"] == 1
+    assert by_doc[1]["df"] == 2 and by_doc[1]["dl"] == 5
+    # higher tf at equal dl -> strictly higher contribution
+    assert by_doc[1]["score6"] > by_doc[2]["score6"] > 0
+    # spot-check the formula
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    norm = (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * 5 * 3 / 15))
+    assert by_doc[1]["score6"] == pytest.approx(idf * norm, abs=1e-6)
+
+
+def test_bm25_empty_query_and_no_matches(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import bm25_contributions
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["plain words"])}
+        )
+    )
+    out = bm25_contributions(ds, ["absent"]).take_all()
+    assert out == []
