@@ -502,6 +502,19 @@ FROM documents d
 LEFT JOIN bga ON bga.doc_id = d.doc_id
 LEFT JOIN fga ON fga.doc_id = d.doc_id
 """,
+        "iqr_outliers_events": """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+b AS (SELECT event_type,
+             quantile_disc(value_cents, 0.25) AS q_25,
+             quantile_disc(value_cents, 0.75) AS q_75
+      FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.value_cents, b.q_25, b.q_75
+FROM c JOIN b USING (event_type)
+WHERE 2 * c.value_cents < 2 * b.q_25 - 3 * (b.q_75 - b.q_25)
+   OR 2 * c.value_cents > 2 * b.q_75 + 3 * (b.q_75 - b.q_25)
+""",
         "bm25_contrib_documents": """
 WITH toks AS (
   SELECT doc_id,

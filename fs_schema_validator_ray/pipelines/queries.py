@@ -718,6 +718,34 @@ def repetition_documents(sf_dir: str):
     return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
 
 
+def iqr_outliers_events(sf_dir: str):
+    """Per-event-type Tukey-fence (1.5·IQR) outlier rows over value
+    cents: exact grouped quantiles (one combiner shuffle) → KB-sized
+    bounds broadcast → stateless integer fence filter
+    (``stages/agg.py::iqr_outlier_filter``)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import iqr_outlier_filter
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return iqr_outlier_filter(
+        ds, "event_type", "value_cents", passthrough=["event_id"]
+    )
+
+
 def setop_intersect_users(sf_dir: str):
     """``SELECT user_id FROM events INTERSECT SELECT o_custkey FROM
     orders`` — distributed distinct set intersection (``stages/setops.py``:
@@ -1568,6 +1596,7 @@ QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
     "bm25_contrib_documents": bm25_contrib_documents,
+    "iqr_outliers_events": iqr_outliers_events,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

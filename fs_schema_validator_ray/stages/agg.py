@@ -458,6 +458,81 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     )
 
 
+def iqr_outlier_filter(
+    ds,
+    key_column: str,
+    value_column: str,
+    passthrough: list[str] | None = None,
+    k_num: int = 3,
+    k_den: int = 2,
+):
+    """Per-key Tukey-fence outlier detection: rows whose value falls
+    outside ``[q1 − k·IQR, q3 + k·IQR]`` with ``k = k_num/k_den`` (default
+    3/2 = the classic 1.5). Composition of existing machinery: the exact
+    grouped quantiles run as ONE combiner shuffle of distinct
+    ``(key, value, count)`` partials (``grouped_quantile_disc``), the
+    per-key bounds (few groups by contract — this is the low-cardinality
+    grouping shape) come back to the driver as a KB-sized table, and the
+    outlier test is a stateless broadcast-filter pass.
+
+    Integer-exact (hash-exact vs SQL): the fence test multiplies through
+    by ``k_den`` — ``k_den·v < k_den·q1 − k_num·(q3−q1)`` — so no float
+    ever appears. Null values and keys with no non-null values are never
+    outliers (SQL WHERE semantics). Emits the outlier rows with
+    ``passthrough`` columns plus ``key, value, q_25, q_75``."""
+    cols = [key_column, value_column, *(passthrough or [])]
+    bounds_tbl = grouped_quantile_disc(
+        ds.select_columns([key_column, value_column]), key_column, value_column,
+        [0.25, 0.75],
+    )
+    bounds: dict = {}
+    raw_q: dict = {}
+    for r in bounds_tbl.iter_rows():  # one pass — iter_rows re-executes per call
+        q1, q3 = r["q_25"], r["q_75"]
+        if q1 is None or q3 is None:
+            continue
+        iqr = int(q3) - int(q1)
+        bounds[r[key_column]] = (
+            k_den * int(q1) - k_num * iqr,
+            k_den * int(q3) + k_num * iqr,
+        )
+        raw_q[r[key_column]] = (int(q1), int(q3))
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        key = t.column(key_column)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        lo = np.array(
+            [bounds.get(k, (0, 0))[0] for k in dict_vals], dtype=np.int64
+        )
+        hi = np.array(
+            [bounds.get(k, (0, 0))[1] for k in dict_vals], dtype=np.int64
+        )
+        known = np.array([k in bounds for k in dict_vals], dtype=bool)
+        idx = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
+        v = t.column(value_column)
+        valid = np.asarray(pc.is_valid(v)) & (idx >= 0)
+        vv = np.asarray(pc.fill_null(pc.cast(v, pa.int64()), 0), dtype=np.int64)
+        ok_idx = np.maximum(idx, 0)
+        scaled = k_den * vv
+        out = valid & known[ok_idx] & (
+            (scaled < lo[ok_idx]) | (scaled > hi[ok_idx])
+        )
+        return t.filter(pa.array(out))
+
+    def flag_with_q(t: pa.Table) -> pa.Table:
+        kept = flag(t)
+        keys = kept.column(key_column).to_pylist()
+        q1 = pa.array([raw_q[k][0] for k in keys], pa.int64())
+        q3 = pa.array([raw_q[k][1] for k in keys], pa.int64())
+        return kept.append_column("q_25", q1).append_column("q_75", q3)
+
+    return ds.map_batches(flag_with_q, batch_format="pyarrow")
+
+
 def rollup_sum(ds, keys: list[str], sum_cols: list[str]):
     """``GROUP BY ROLLUP(keys)``: subtotals at every key prefix plus the
     grand total, rolled-up key columns emitted as typed nulls.

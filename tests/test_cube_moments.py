@@ -123,3 +123,80 @@ def test_group_moments_zero_variance_corr_is_nan(ray_session):
     r = group_moments(ds, ["k"], "x", "y").take_all()[0]
     assert r["cov_num"] == 0
     assert r["corr6"] is None or np.isnan(r["corr6"])
+
+
+# --- iqr_outlier_filter -------------------------------------------------------
+
+
+def test_iqr_outlier_filter_basic(ray_session):
+    from fs_schema_validator_ray.stages.agg import iqr_outlier_filter
+
+    # key 'a': values 1..9 plus a wild 1000 -> only 1000 is outside the fence
+    vals = list(range(1, 10)) + [1000]
+    ds = _ds(
+        {
+            "k": pa.array(["a"] * 10 + ["b"] * 3, pa.string()),
+            "v": pa.array(vals + [5, 5, 5], pa.int64()),
+            "rid": pa.array(range(13), pa.int64()),
+        }
+    )
+    out = iqr_outlier_filter(ds, "k", "v", passthrough=["rid"]).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k"] == "a" and r["v"] == 1000 and r["rid"] == 9
+    assert r["q_25"] == 3 and r["q_75"] == 8  # quantile_disc semantics
+
+
+def test_iqr_outlier_filter_nulls_and_all_null_key(ray_session):
+    from fs_schema_validator_ray.stages.agg import iqr_outlier_filter
+
+    ds = _ds(
+        {
+            "k": pa.array(["a", "a", "a", "a", "z", "z"], pa.string()),
+            "v": pa.array([1, 2, 3, None, None, None], pa.int64()),
+            "rid": pa.array(range(6), pa.int64()),
+        }
+    )
+    # null values are never outliers; key 'z' has no non-null values ->
+    # no bounds -> none of its rows emit
+    out = iqr_outlier_filter(ds, "k", "v", passthrough=["rid"]).take_all()
+    assert out == []
+
+
+def test_iqr_outlier_filter_matches_duckdb(ray_session):
+    import duckdb
+
+    from fs_schema_validator_ray.stages.agg import iqr_outlier_filter
+
+    rng = np.random.default_rng(5)
+    k = rng.choice(["p", "q", "r"], size=300)
+    v = rng.integers(-50, 50, size=300)
+    v[::37] *= 100  # plant outliers
+    tbl = pa.table(
+        {
+            "k": pa.array(k),
+            "v": pa.array(v, pa.int64()),
+            "rid": pa.array(range(300), pa.int64()),
+        }
+    )
+    got = sorted(
+        (r["rid"], r["k"], r["v"])
+        for r in iqr_outlier_filter(
+            _ds(dict(zip(tbl.column_names, tbl.columns))), "k", "v",
+            passthrough=["rid"],
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            """
+            WITH b AS (SELECT k, quantile_disc(v,0.25) q1,
+                              quantile_disc(v,0.75) q3 FROM t GROUP BY k)
+            SELECT rid, t.k, v FROM t JOIN b USING(k)
+            WHERE 2*v < 2*q1 - 3*(q3-q1) OR 2*v > 2*q3 + 3*(q3-q1)
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
