@@ -718,6 +718,17 @@ def repetition_documents(sf_dir: str):
     return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
 
 
+def grouped_hll_users_by_type(sf_dir: str):
+    """Approximate distinct users per event type: per-batch HLL register
+    blobs vectorized across keys, one tiny key-blob shuffle, max-merge +
+    estimate (``stages/unique.py::grouped_hll_distinct``). Rows-only by
+    design (sketch estimate); the accuracy gate lives in pytest."""
+    from fs_schema_validator_ray.stages.unique import grouped_hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_hll_distinct(ds, "event_type", "user_id", p=12)
+
+
 def iqr_outliers_events(sf_dir: str):
     """Per-event-type Tukey-fence (1.5·IQR) outlier rows over value
     cents: exact grouped quantiles (one combiner shuffle) → KB-sized
@@ -1597,6 +1608,7 @@ QUERIES = {
     "repetition_documents": repetition_documents,
     "bm25_contrib_documents": bm25_contrib_documents,
     "iqr_outliers_events": iqr_outliers_events,
+    "grouped_hll_users_by_type": grouped_hll_users_by_type,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

@@ -121,3 +121,57 @@ def test_histogram_ks_psi():
     assert merged.total() == 200_000
     rt = Histogram.from_bytes(shifted.to_bytes())
     assert ks_statistic(rt, shifted) == 0.0
+
+
+# --- grouped_hll_distinct -----------------------------------------------------
+
+
+def test_grouped_hll_distinct_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.unique import grouped_hll_distinct
+
+    rng = np.random.default_rng(9)
+    n = 20000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    # different true cardinalities per key
+    vals = np.where(
+        keys == "a",
+        rng.integers(0, 5000, size=n),
+        np.where(keys == "b", rng.integers(0, 200, size=n), 7),
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    )
+    out = {r["k"]: r for r in grouped_hll_distinct(ds, "k", "v", p=12).take_all()}
+    import pandas as pd
+
+    truth = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+    for k in ["a", "b", "c"]:
+        est = out[k]["distinct_estimate"]
+        assert abs(est - truth[k]) <= max(3, 0.05 * truth[k]), (k, est, truth[k])
+        assert out[k]["n_values"] == int((keys == k).sum())
+
+
+def test_grouped_hll_distinct_null_values_excluded(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.unique import grouped_hll_distinct
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["x", "x", "x", "y"]),
+                "v": pa.array([1, None, None, None], pa.int64()),
+            }
+        )
+    )
+    out = {r["k"]: r for r in grouped_hll_distinct(ds, "k", "v").take_all()}
+    assert out["x"]["n_values"] == 1
+    assert out["x"]["distinct_estimate"] == pytest.approx(1.0, abs=0.1)
+    # a key with ONLY null values still emits its group row, estimate 0
+    assert out["y"]["n_values"] == 0
+    assert out["y"]["distinct_estimate"] == pytest.approx(0.0, abs=1e-9)
