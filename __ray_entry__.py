@@ -242,6 +242,12 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "full_join_customer_orders": """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+       c.c_mktsegment, o.o_orderkey
+FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
+FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+""",
         "text_langid_documents": r"""
 WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
 tok AS (

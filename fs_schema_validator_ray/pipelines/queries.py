@@ -450,6 +450,28 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def full_join_customer_orders(sf_dir: str):
+    """FULL OUTER equi-join: customers restricted to ``c_custkey % 3 != 0``
+    vs all orders, so BOTH sides have unmatched rows — left-only customers
+    emit null order columns, right-only orders emit null ``c_mktsegment``
+    and carry their key in the coalesced key column (SQL ``USING``
+    semantics) — oracle-checked incl. both null sides."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t.column("c_custkey"), dtype=np.int64)
+        return t.filter(pa.array(ck % 3 != 0))
+
+    left = left.map_batches(keep, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return hash_join(
+        left, right, "c_custkey", "o_custkey",
+        ["c_mktsegment"], ["o_orderkey"], how="full_outer",
+    )
+
+
 def stratified_sample_events(sf_dir: str):
     """Every 20th event per event_type ordered by event_id — exact
     row_number semantics, oracle-checked."""
@@ -1586,6 +1608,7 @@ QUERIES = {
     "stratified_sample_events": stratified_sample_events,
     "hash_join_lineitem_orders": hash_join_lineitem_orders,
     "left_join_customer_orders": left_join_customer_orders,
+    "full_join_customer_orders": full_join_customer_orders,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

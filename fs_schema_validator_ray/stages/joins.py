@@ -374,9 +374,9 @@ def hash_join(
     n_buckets: int | None = None,
     how: str = "inner",
 ):
-    """Distributed equi-join (``how``: "inner" or "left"), both sides
-    large: ``tag → union → groupby(hash(key) % n_buckets) → per-bucket
-    vectorized merge``.
+    """Distributed equi-join (``how``: "inner", "left" or "full_outer"),
+    both sides large: ``tag → union → groupby(hash(key) % n_buckets) →
+    per-bucket vectorized merge``.
 
     Only the pruned join columns shuffle, keyed by a small-int bucket
     (one vectorized ``map_groups`` call per bucket, not one Python call
@@ -384,11 +384,16 @@ def hash_join(
     every left row's match range comes from two ``searchsorted`` calls;
     duplicate keys on both sides expand to the full per-key cross
     product, exactly like SQL. Null join keys drop from the match (for
-    ``how="left"`` they still emit with null right columns, like SQL).
-    Column names pass through (caller guarantees no collision across
-    sides). Skew note: one KEY's rows always co-locate; a pathologically
-    hot key inflates its bucket — salt it upstream or pre-aggregate,
-    same caveat as any hash join.
+    ``how="left"`` / ``"full_outer"`` they still emit with the other
+    side's columns null, like SQL). The output key column is named
+    ``left_on`` and carries SQL ``USING``-style coalesce semantics: for
+    ``full_outer`` right-only rows it holds the RIGHT key (oracle:
+    ``COALESCE(l.key, r.key)``). A right join is ``full_outer`` minus
+    left-only rows — or just swap the sides and use "left". Column names
+    pass through (caller guarantees no collision across sides). Skew
+    note: one KEY's rows always co-locate; a pathologically hot key
+    inflates its bucket — salt it upstream or pre-aggregate, same caveat
+    as any hash join.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
@@ -397,8 +402,8 @@ def hash_join(
         stable_key_array,
     )
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "full_outer"):
+        raise ValueError(f"hash_join how must be inner|left|full_outer, got {how!r}")
     if n_buckets is None:
         n_buckets = default_n_buckets()
     l_types = {c: _target_type(left, c) for c in left_value_columns}
@@ -425,7 +430,10 @@ def hash_join(
         return out
 
     def tag_right(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(right_on)))
+        if how != "full_outer":
+            # a null right key can never match and (inner/left) never
+            # emits; full_outer emits it as a right-only row
+            t = t.filter(pc.is_valid(t.column(right_on)))
         out = pa.table(
             {
                 "__bucket": bucket_of(t.column(right_on).combine_chunks()),
@@ -458,10 +466,19 @@ def hash_join(
             empty[c] = group.column(c).slice(0, 0)
         for c in right_value_columns:
             empty[c] = group.column(c).slice(0, 0)
-        if not len(l_idx) or (how == "inner" and not len(r_idx)):
+        if (how != "full_outer" and not len(l_idx)) or (
+            how == "inner" and not len(r_idx)
+        ):
             return pa.table(empty)
-        if len(r_idx):
-            r_sorted = r_idx[np.argsort(keys[r_idx], kind="stable")]
+        # full_outer: only valid-key right rows join the match structure —
+        # null-key rows emit right-only below (an int null key fills to 0
+        # in stable_key_array and would otherwise match a real key 0, and
+        # a None in an object key array breaks argsort)
+        r_match = r_idx[key_valid[r_idx]] if how == "full_outer" else r_idx
+        rk = keys[:0]
+        lk_valid = keys[:0]
+        if len(r_match):
+            r_sorted = r_match[np.argsort(keys[r_match], kind="stable")]
             rk = keys[r_sorted]
             valid_l = key_valid[l_idx]
             # a null key never matches (SQL semantics) — and for non-int
@@ -476,16 +493,16 @@ def hash_join(
             lo[valid_l] = lo_v
             counts[valid_l] = hi_v - lo_v
         else:
-            r_sorted = r_idx
+            r_sorted = r_match
             lo = np.zeros(len(l_idx), np.int64)
             counts = np.zeros(len(l_idx), np.int64)
-        if how == "left":
+        if how == "inner":
+            emit_counts = counts
+        else:
             # unmatched left rows emit once with null right columns
             emit_counts = np.maximum(counts, 1)
-        else:
-            emit_counts = counts
         total = int(emit_counts.sum())
-        if total == 0:
+        if total == 0 and how != "full_outer":
             return pa.table(empty)
         l_take = pa.array(np.repeat(l_idx, emit_counts), pa.int64())
         offs = np.concatenate([[0], np.cumsum(emit_counts)])
@@ -513,7 +530,32 @@ def hash_join(
                 if how == "inner"
                 else pc.if_else(mmask, taken, pa.nulls(total, r_types[c]))
             )
-        return pa.table(out)
+        left_tbl = pa.table(out)
+        if how != "full_outer":
+            return left_tbl
+        # right-only rows: valid-key rows matching no valid left key, plus
+        # all null-key right rows; their left value columns are already
+        # typed nulls from tag_right, and the key column carries the RIGHT
+        # key (USING-style coalesce — oracle: COALESCE(l.key, r.key))
+        if len(rk) and len(lk_valid):
+            lk_sorted = np.sort(lk_valid, kind="stable")
+            pos = np.searchsorted(lk_sorted, rk, side="left")
+            pos_clip = np.minimum(pos, len(lk_sorted) - 1)
+            hit = (pos < len(lk_sorted)) & (lk_sorted[pos_clip] == rk)
+            unmatched_valid = r_sorted[~hit]
+        elif len(rk):
+            unmatched_valid = r_sorted
+        else:
+            unmatched_valid = np.zeros(0, np.int64)
+        r_null = r_idx[~key_valid[r_idx]]
+        ru = np.concatenate([unmatched_valid, r_null]).astype(np.int64)
+        if not len(ru):
+            return left_tbl
+        rtake = pa.array(ru, pa.int64())
+        right_only = {left_on: group.column("__key").take(rtake)}
+        for c in [*left_value_columns, *right_value_columns]:
+            right_only[c] = group.column(c).take(rtake)
+        return pa.concat_tables([left_tbl, pa.table(right_only)])
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 

@@ -381,3 +381,71 @@ def test_pivot_wide_name_collision():
         pivot_wide(None, "k", "p", "v", ["a"], names=["n"])
     with pytest.raises(ValueError):
         pivot_wide(None, "k", "p", "v", ["a", "b"], names=["x", "x"])
+
+
+def test_hash_join_full_outer(ray_session):
+    """FULL OUTER: matched cross products, left-only rows with null right
+    columns, right-only rows with null left columns carrying their key in
+    the coalesced key column, and null keys on BOTH sides emitting
+    unmatched (SQL: NULL = NULL is not a match)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, None], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k2": pa.array([1, 3, None], pa.int64()),
+            "rv": pa.array([10, 30, 50], pa.int64()),
+        }
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k2", ["lv"], ["rv"], how="full_outer",
+    ).take_all()
+    got = sorted(
+        [(r["k"], r["lv"], r["rv"]) for r in out],
+        key=lambda x: (x[0] is None, x[0] or 0, x[1] or "", x[2] is None, x[2] or 0),
+    )
+    assert got == [
+        (1, "a", 10), (1, "b", 10),
+        (2, "c", None),           # left-only
+        (3, None, 30),            # right-only: key coalesced from right
+        (None, None, 50),         # null right key never matches
+        (None, "d", None),        # null left key never matches
+    ]
+
+
+def test_hash_join_full_outer_string_keys_one_side_empty(ray_session):
+    """Object-dtype keys through the full_outer matched/unmatched scan
+    (argsort/searchsorted on strings), plus an entirely empty left side —
+    every right row must emit right-only."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table({"k": pa.array([], pa.string()), "lv": pa.array([], pa.int64())})
+    right = pa.table(
+        {"k2": pa.array(["x", "y", None]), "rv": pa.array([1, 2, 3], pa.int64())}
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k2", ["lv"], ["rv"], how="full_outer", n_buckets=2,
+    ).take_all()
+    got = sorted((r["k"] or "", r["lv"], r["rv"]) for r in out)
+    assert got == [("", None, 3), ("x", None, 1), ("y", None, 2)]
+
+    # and the mirror: empty right side — every left row emits left-only
+    out2 = hash_join(
+        ray.data.from_arrow(right.rename_columns(["k", "rv"])),
+        ray.data.from_arrow(pa.table({"k2": pa.array([], pa.string()),
+                                      "lv": pa.array([], pa.int64())})),
+        "k", "k2", ["rv"], ["lv"], how="full_outer", n_buckets=2,
+    ).take_all()
+    got2 = sorted((r["k"] or "", r["rv"], r["lv"]) for r in out2)
+    assert got2 == [("", 3, None), ("x", 1, None), ("y", 2, None)]
