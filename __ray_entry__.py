@@ -242,6 +242,15 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "rank_orders_per_customer": """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderpriority, o_orderkey) AS rn,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS "rank",
+       DENSE_RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderpriority) AS dense_rank
+FROM orders
+""",
         "full_join_customer_orders": """
 SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
        c.c_mktsegment, o.o_orderkey

@@ -450,6 +450,21 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def rank_orders_per_customer(sf_dir: str):
+    """ROW_NUMBER / RANK / DENSE_RANK per customer over order priority
+    (5 distinct values → heavy ties exercise rank-vs-dense semantics),
+    row_number tie-broken by order key — one coarse-bucket shuffle, one
+    vectorized lexsort/segment scan per bucket
+    (``stages/window.py::per_key_rank``) — oracle-checked."""
+    from fs_schema_validator_ray.stages.window import per_key_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    return per_key_rank(
+        ds, "o_custkey", ["o_orderpriority"], ["o_orderkey"],
+        id_columns=["o_orderkey"],
+    )
+
+
 def full_join_customer_orders(sf_dir: str):
     """FULL OUTER equi-join: customers restricted to ``c_custkey % 3 != 0``
     vs all orders, so BOTH sides have unmatched rows — left-only customers
@@ -1609,6 +1624,7 @@ QUERIES = {
     "hash_join_lineitem_orders": hash_join_lineitem_orders,
     "left_join_customer_orders": left_join_customer_orders,
     "full_join_customer_orders": full_join_customer_orders,
+    "rank_orders_per_customer": rank_orders_per_customer,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

@@ -137,3 +137,108 @@ def per_key_window(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def _order_arrays(col) -> tuple[np.ndarray, np.ndarray]:
+    """(null_flag, fill-nulled values) sort pair for one order column —
+    ASC NULLS LAST when the flag sorts before the value. Strings stay
+    object dtype (numpy codepoint order == SQL binary collation for
+    ASCII), floats stay float64, everything else canonicalizes int64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    isnull = np.asarray(pc.is_null(col))
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        vals = np.asarray(pc.fill_null(col, ""), dtype=object)
+    elif pa.types.is_floating(t):
+        vals = np.asarray(pc.fill_null(col, 0.0), dtype=np.float64)
+    else:
+        vals = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0), dtype=np.int64)
+    return isnull, vals
+
+
+def per_key_rank(
+    ds,
+    key_column: str,
+    rank_columns: list[str],
+    tiebreak_columns: list[str],
+    id_columns: list[str] | None = None,
+    n_buckets: int | None = None,
+):
+    """``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY key
+    ORDER BY rank_columns)`` — same coarse-bucket shuffle + one
+    vectorized lexsort/segment scan per bucket as ``per_key_window``.
+
+    ``row_number`` breaks ties by ``tiebreak_columns`` (the caller makes
+    ``rank_columns + tiebreak_columns`` a total order per key for a
+    deterministic result — SQL has the same caveat); ``rank`` and
+    ``dense_rank`` are computed over ``rank_columns`` only, so tied rows
+    share them. Order is ASC NULLS LAST (SQL default).
+
+    Output: ``id_columns + [key_column, rn, rank, dense_rank]`` (int64),
+    one row per input row.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    id_columns = id_columns or []
+    cols = list(
+        dict.fromkeys([key_column, *rank_columns, *tiebreak_columns, *id_columns])
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.select(cols).append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        key_col = group.column(key_column).combine_chunks()
+        if n == 0:
+            empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
+            for c in ("rn", "rank", "dense_rank"):
+                empty[c] = pa.array([], pa.int64())
+            return pa.table(empty)
+        kcode = key_codes(key_col)
+        sig: list[np.ndarray] = [kcode]
+        rank_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        for c in rank_columns:
+            pair = _order_arrays(group.column(c))
+            rank_pairs.append(pair)
+            sig.extend(pair)
+        for c in tiebreak_columns:
+            sig.extend(_order_arrays(group.column(c)))
+        order = np.lexsort(tuple(sig[::-1]))
+        kc = kcode[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        # a rank group starts where the key OR any rank column changes
+        rchange = seg_first.copy()
+        for isnull, vals in rank_pairs:
+            nn, vv = isnull[order], vals[order]
+            rchange[1:] |= (nn[1:] != nn[:-1]) | (vv[1:] != vv[:-1])
+        idx = np.arange(n, dtype=np.int64)
+        row_start = idx[np.flatnonzero(seg_first)][np.cumsum(seg_first) - 1]
+        grp_start = np.maximum.accumulate(np.where(rchange, idx, 0))
+        dr = np.cumsum(rchange)
+        take = pa.array(order, pa.int64())
+        out = {c: group.column(c).take(take) for c in id_columns}
+        out[key_column] = key_col.take(take)
+        out["rn"] = pa.array(idx - row_start + 1, pa.int64())
+        out["rank"] = pa.array(grp_start - row_start + 1, pa.int64())
+        out["dense_rank"] = pa.array(dr - dr[row_start] + 1, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

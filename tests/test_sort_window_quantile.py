@@ -467,3 +467,31 @@ def test_vad_stage_batch():
     out = VadStage()(batch).to_pylist()
     assert {r["clip_id"] for r in out} == {"v"}
     assert out[0]["start_ms"] == pytest.approx(250.0, abs=30.0)
+
+
+def test_per_key_rank_ties_and_nulls(ray_session):
+    """RANK/DENSE_RANK share values on ties (gaps vs no gaps), null rank
+    values sort last (SQL ASC NULLS LAST), null keys form one partition."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_rank
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "a", None, None], pa.string()),
+            "v": pa.array([10, 10, 20, None, 5, 5], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    out = per_key_rank(
+        ray.data.from_arrow(t), "k", ["v"], ["id"], id_columns=["id"], n_buckets=4
+    ).take_all()
+    by_id = {r["id"]: (r["rn"], r["rank"], r["dense_rank"]) for r in out}
+    assert by_id == {
+        1: (1, 1, 1),
+        2: (2, 1, 1),   # tied on v=10: same rank/dense_rank, rn advances
+        3: (3, 3, 2),   # rank has a gap after the 2-way tie, dense does not
+        4: (4, 4, 3),   # null v sorts last
+        5: (1, 1, 1),   # null-key partition
+        6: (2, 1, 1),
+    }
