@@ -242,6 +242,14 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "latest_order_per_customer": """
+SELECT o_custkey, o_orderdate, o_orderkey, n FROM (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+""",
         "rank_orders_per_customer": """
 SELECT o_orderkey, o_custkey,
        ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -450,6 +450,17 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def latest_order_per_customer(sf_dir: str):
+    """Grouped ARG-MAX: each customer's most recent order (date, then key
+    as tiebreak) plus their order count — per-batch one-row-per-key
+    combiner, bucketed merge (``stages/agg.py::group_argmax``) —
+    oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_argmax
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    return group_argmax(ds, "o_custkey", ["o_orderdate", "o_orderkey"])
+
+
 def rank_orders_per_customer(sf_dir: str):
     """ROW_NUMBER / RANK / DENSE_RANK per customer over order priority
     (5 distinct values → heavy ties exercise rank-vs-dense semantics),
@@ -1625,6 +1636,7 @@ QUERIES = {
     "left_join_customer_orders": left_join_customer_orders,
     "full_join_customer_orders": full_join_customer_orders,
     "rank_orders_per_customer": rank_orders_per_customer,
+    "latest_order_per_customer": latest_order_per_customer,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

@@ -791,3 +791,72 @@ def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "w
         return batch.append_column(out_column, win)
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def group_argmax(ds, key_column: str, order_columns: list[str], n_buckets=None):
+    """Per-key ARG-MAX with counts: for each key, the row maximal under
+    lexicographic ``order_columns`` plus the key's total row count —
+    "latest order per customer" in one pass. SQL shape::
+
+        SELECT ... QUALIFY ROW_NUMBER() OVER (PARTITION BY key
+                   ORDER BY o1 DESC, o2 DESC) = 1   (+ COUNT(*) OVER key)
+
+    Combiner discipline: each batch reduces to ONE row per distinct key
+    (argmax + count via a single lexsort/segment scan), partials shuffle
+    keyed by the 256-way bucket of the key hash, each bucket merges with
+    the same scan (counts summed with ``np.add.reduceat``). Null order
+    values lose to any non-null (a key whose rows are ALL null emits its
+    null row — SQL MAX-ignores-nulls analogue); make ``order_columns``
+    total per key (append a unique id) for a deterministic winner.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.stages.window import _order_arrays
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    cols = list(dict.fromkeys([key_column, *order_columns]))
+
+    def argmax_scan(t: pa.Table, counts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            out = {c: t.column(c).slice(0, 0) for c in cols}
+            out["n"] = pa.array([], pa.int64())
+            return pa.table(out)
+        kcode = key_codes(t.column(key_column).combine_chunks())
+        sig: list[np.ndarray] = [kcode]
+        for c in order_columns:
+            isnull, vals = _order_arrays(t.column(c))
+            sig.append(~isnull)  # valid sorts AFTER null → null loses
+            sig.append(vals)
+        order = np.lexsort(tuple(sig[::-1]))
+        kc = kcode[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        starts = np.flatnonzero(seg_first)
+        last = np.concatenate([starts[1:], [n]]) - 1
+        take = pa.array(order[last], pa.int64())
+        out = {c: t.column(c).take(take) for c in cols}
+        out["n"] = pa.array(np.add.reduceat(counts[order], starts), pa.int64())
+        return pa.table(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = argmax_scan(t.select(cols), np.ones(t.num_rows, np.int64))
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(g.column(key_column))), n_buckets
+        )
+        return g.append_column("__bucket", pa.array(bucket, pa.int32()))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns(["__bucket"])
+        return argmax_scan(tbl, np.asarray(tbl.column("n"), dtype=np.int64))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )

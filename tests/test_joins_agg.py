@@ -449,3 +449,28 @@ def test_hash_join_full_outer_string_keys_one_side_empty(ray_session):
     ).take_all()
     got2 = sorted((r["k"] or "", r["rv"], r["lv"]) for r in out2)
     assert got2 == [("", 3, None), ("x", 1, None), ("y", 2, None)]
+
+
+def test_group_argmax_nulls_and_merge(ray_session):
+    """Argmax survives the partial→merge path across many blocks; null
+    order values lose to any non-null; an all-null key emits its null
+    row; counts cover every row."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_argmax
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+            "v": pa.array([3, None, 7, 1, 1, None], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)  # one row per block
+    out = group_argmax(ds, "k", ["v", "id"], n_buckets=4).take_all()
+    got = {r["k"]: (r["v"], r["id"], r["n"]) for r in out}
+    assert got == {
+        "a": (7, 3, 3),      # max v wins; null v row still counted
+        "b": (1, 5, 2),      # tie on v → max id wins
+        "c": (None, 6, 1),   # all-null key emits its null row
+    }
