@@ -242,6 +242,22 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "entropy_lang_by_source": """
+WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE),
+             6) AS entropy6
+FROM c GROUP BY source
+""",
+        "histogram_orders_totalprice": """
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+SELECT CAST(FLOOR(CAST(v AS DOUBLE) / 2000000) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+FROM c GROUP BY 1
+""",
         "latest_order_per_customer": """
 SELECT o_custkey, o_orderdate, o_orderkey, n FROM (
   SELECT o_custkey, o_orderdate, o_orderkey,

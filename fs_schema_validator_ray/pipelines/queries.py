@@ -450,6 +450,41 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def entropy_lang_by_source(sf_dir: str):
+    """Shannon entropy (nats) of the language mix per document source —
+    integer count combiner + one tiny float pass, ROUND(·,6) protocol
+    (``stages/agg.py::group_entropy``) — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_entropy
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return group_entropy(ds, "source", "lang")
+
+
+def histogram_orders_totalprice(sf_dir: str):
+    """Equi-width histogram of order totals in $20k bins: exact per-bin
+    count / min / max cents (``stages/agg.py::histogram_fixed_width``) —
+    oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import histogram_fixed_width
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    return histogram_fixed_width(
+        ds.map_batches(cents, batch_format="pyarrow"), "cents", 2_000_000
+    )
+
+
 def latest_order_per_customer(sf_dir: str):
     """Grouped ARG-MAX: each customer's most recent order (date, then key
     as tiebreak) plus their order count — per-batch one-row-per-key
@@ -1637,6 +1672,8 @@ QUERIES = {
     "full_join_customer_orders": full_join_customer_orders,
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
+    "entropy_lang_by_source": entropy_lang_by_source,
+    "histogram_orders_totalprice": histogram_orders_totalprice,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

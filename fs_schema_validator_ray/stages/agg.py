@@ -860,3 +860,94 @@ def group_argmax(ds, key_column: str, order_columns: list[str], n_buckets=None):
         .groupby("__bucket")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )
+
+
+def histogram_fixed_width(ds, value_column: str, width: int):
+    """Equi-width histogram over an int64 column: ``bin = value // width``
+    (floor), exact per-bin count / min / max. Per-batch ``TableGroupBy``
+    combiner reduces each block to one row per bin, so the final builtin
+    groupby only shuffles the LOW-cardinality bin partials (value-range /
+    width rows per block, not data rows). Null values drop (SQL GROUP BY
+    over an expression of a null row would keep a null bin — callers that
+    want that can fill upstream)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(value_column)
+        v = np.asarray(
+            pa.table({"v": col}).filter(pc.is_valid(col)).column("v"),
+            dtype=np.int64,
+        )
+        tbl = pa.table(
+            {
+                "bin": pa.array(np.floor_divide(v, width), pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["bin"]).aggregate(
+            [("v", "min"), ("v", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "bin": g.column("bin"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "min_v": g.column("v_min"),
+                "max_v": g.column("v_max"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bin").aggregate(
+        Sum("n", alias_name="n"),
+        Min("min_v", alias_name="min_v"),
+        Max("max_v", alias_name="max_v"),
+    )
+
+
+def group_entropy(ds, group_column: str, category_column: str):
+    """Shannon entropy (nats) of the category distribution within each
+    group: ``H = ln(n) − Σ c·ln(c) / n`` over exact distributed counts.
+
+    The only float math happens once, on the tiny (groups × categories)
+    counts table — everything upstream is the integer ``group_sum``
+    combiner. Rounded to 6 decimals (``entropy6``) so the result is
+    insensitive to float summation order and can gate against a SQL
+    oracle, same protocol as ``group_moments``'s ``corr6``."""
+    from fs_schema_validator_ray.state.sketches import key_codes
+
+    counts = group_sum(
+        ds.select_columns([group_column, category_column]),
+        [group_column, category_column],
+        [],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_column: t.column(group_column).slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                    "entropy6": pa.array([], pa.float64()),
+                }
+            )
+        kcode = key_codes(t.column(group_column).combine_chunks())
+        order = np.argsort(kcode, kind="stable")
+        kc = kcode[order]
+        c = np.asarray(t.column("n"), dtype=np.int64)[order].astype(np.float64)
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        starts = np.flatnonzero(seg_first)
+        n_per = np.add.reduceat(c, starts)
+        clnc = np.add.reduceat(c * np.log(c), starts)
+        ent = np.round(np.log(n_per) - clnc / n_per, 6)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table(
+            {
+                group_column: t.column(group_column).take(take),
+                "n": pa.array(n_per.astype(np.int64), pa.int64()),
+                "entropy6": pa.array(ent, pa.float64()),
+            }
+        )
+
+    # the counts table is groups × categories rows (KBs) — one partition
+    # holds it all and keeps the per-group segment sums single-pass
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -474,3 +474,35 @@ def test_group_argmax_nulls_and_merge(ray_session):
         "b": (1, 5, 2),      # tie on v → max id wins
         "c": (None, 6, 1),   # all-null key emits its null row
     }
+
+
+def test_histogram_fixed_width(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import histogram_fixed_width
+
+    t = pa.table({"v": pa.array([0, 5, 9, 10, 19, 25, None], pa.int64())})
+    out = histogram_fixed_width(
+        ray.data.from_arrow(t).repartition(3), "v", 10
+    ).take_all()
+    got = sorted((r["bin"], r["n"], r["min_v"], r["max_v"]) for r in out)
+    assert got == [(0, 3, 0, 9), (1, 2, 10, 19), (2, 1, 25, 25)]
+
+
+def test_group_entropy(ray_session):
+    import math
+
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_entropy
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 3),
+            "c": pa.array(["x", "x", "y", "y", "z", "z", "z"]),
+        }
+    )
+    out = {r["g"]: (r["n"], r["entropy6"]) for r in
+           group_entropy(ray.data.from_arrow(t).repartition(4), "g", "c").take_all()}
+    assert out["a"] == (4, round(math.log(2), 6))   # 2 equally likely cats
+    assert out["b"] == (3, 0.0)                      # single category
