@@ -1302,6 +1302,18 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding corpus: bounded
+    driver-sample init, per-iteration streaming (count, vector-sum)
+    partial passes, final streaming assignment
+    (``stages/similarity.py::kmeans_cluster``). Approximate/iterative —
+    rows-only check (one row per vector)."""
+    from fs_schema_validator_ray.stages.similarity import kmeans_cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_cluster(ds, n_clusters=16, iters=4)
+
+
 def ann_topk_ivf(sf_dir: str):
     """IVF-pruned ANN (approximate — rows-only check)."""
     from fs_schema_validator_ray.stages.similarity import topk_cosine_ivf
@@ -1674,6 +1686,7 @@ QUERIES = {
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "histogram_orders_totalprice": histogram_orders_totalprice,
+    "kmeans_embeddings": kmeans_embeddings,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

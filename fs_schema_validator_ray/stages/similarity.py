@@ -371,3 +371,111 @@ def embedding_near_dup_lsh(
     # union a typed 0-row block: a no-pairs run otherwise yields a
     # schemaless Dataset (groupby over 0 rows produces no blocks)
     return out.union(rd.from_arrow(empty))
+
+
+# --- distributed Lloyd's k-means -------------------------------------------
+
+
+class KmeansPartialStage:
+    """map_batches callable: per-cluster (count, vector-sum) partials for
+    one Lloyd iteration — k×dim floats per block (KBs), the corpus never
+    leaves the workers. Centroids resolve from the broadcast ref once per
+    actor/task instance."""
+
+    def __init__(self, cent_ref, vec_column: str = "embedding") -> None:
+        self.cent_ref = cent_ref
+        self.vec_column = vec_column
+        self._cent = None
+
+    def _resolve(self) -> np.ndarray:
+        if self._cent is None:
+            import ray
+
+            obj = self.cent_ref
+            self._cent = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._cent
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cent = self._resolve()
+        k, dim = cent.shape
+        mat = _normalize(list_column_to_matrix(batch.column(self.vec_column)))
+        if not len(mat):
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "vec_sum": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        assign = np.argmax(mat @ cent.T, axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        sums = np.zeros((k, dim), np.float64)
+        np.add.at(sums, assign, mat)
+        live = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster_id": pa.array(live.astype(np.int32)),
+                "n": pa.array(counts[live], pa.int64()),
+                "vec_sum": pa.array(list(sums[live])),
+            }
+        )
+
+
+def kmeans_cluster(
+    ds,
+    n_clusters: int = 16,
+    iters: int = 5,
+    sample_size: int = 10_000,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    seed: int = 11,
+):
+    """Distributed Lloyd's k-means over an embedding column (cosine
+    geometry, unit-normalized): init from a bounded driver-side sample
+    (``kmeans_fit``), then each iteration is ONE streaming pass emitting
+    per-block per-cluster (count, vector-sum) partials that the driver
+    merges (k×dim floats — KBs) into updated centroids. The final pass
+    assigns each vector its cluster id. ``iters+1`` passes over the
+    corpus total — the streaming re-read IS the scale-correct shape for
+    an iterative algorithm (never materializes the corpus).
+
+    Returns a Dataset ``(id_column, cluster_id)``, one row per vector.
+    """
+    import ray
+
+    sample = ds.limit(sample_size)
+    cent = kmeans_fit(collect_matrix(sample, vec_column), n_clusters, seed=seed)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        partials = ds.map_batches(
+            KmeansPartialStage(cent_ref, vec_column), batch_format="pyarrow"
+        ).to_pandas()  # blocks × ≤k rows of (id, n, k-dim sum) — KBs
+        if not len(partials):
+            break
+        new = cent.copy()
+        grouped = partials.groupby("cluster_id")
+        for cid, g in grouped:
+            total = int(g["n"].sum())
+            if total:
+                new[int(cid)] = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / total
+        cent = _normalize(new)
+
+    def assign_batch(stage):
+        def fn(t: pa.Table) -> pa.Table:
+            centm = stage._resolve()
+            mat = _normalize(list_column_to_matrix(t.column(vec_column)))
+            a = (
+                np.argmax(mat @ centm.T, axis=1).astype(np.int32)
+                if len(mat)
+                else np.zeros(0, np.int32)
+            )
+            return pa.table(
+                {id_column: t.column(id_column), "cluster_id": pa.array(a)}
+            )
+
+        return fn
+
+    final_stage = KmeansPartialStage(ray.put(cent), vec_column)
+    return ds.select_columns([id_column, vec_column]).map_batches(
+        assign_batch(final_stage), batch_format="pyarrow"
+    )

@@ -257,3 +257,31 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
     expect3.sort()
     assert expect3, "fixture must plant qualifying trigram pairs"
     assert norm(ngram_jaccard_pairs(ds, threshold=thr, shingle_n=3)) == expect3
+
+
+def test_kmeans_cluster_separates_blobs(ray_session):
+    """Two well-separated direction blobs → k-means with k=2 puts each
+    blob in one cluster (purity 1.0), one assignment row per vector."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import kmeans_cluster
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.05, (60, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(0, 0.05, (60, 8)) + np.array([0.0] * 7 + [1.0])
+    mat = np.concatenate([a, b]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+            "embedding": pa.array(list(mat)),
+        }
+    )
+    out = kmeans_cluster(
+        ray.data.from_arrow(t).repartition(5),
+        n_clusters=2, iters=4, sample_size=50,
+    ).take_all()
+    assert len(out) == 120
+    cl = {r["vec_id"]: r["cluster_id"] for r in out}
+    first = {cl[i] for i in range(60)}
+    second = {cl[i] for i in range(60, 120)}
+    assert len(first) == 1 and len(second) == 1 and first != second
