@@ -1302,6 +1302,74 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def audio_speed_perturb_clips(sf_dir: str, n_rows: int = 1500):
+    """Deterministic speed-perturbation augmentation (0.9/1.0/1.1 per
+    stable clip-id hash — Kaldi-style) over the clips corpus
+    (``stages/audio_features.py::SpeedPerturbStage``; rows-only: payload
+    transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import SpeedPerturbStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    out = ds.map_batches(SpeedPerturbStage(), batch_format="pyarrow", batch_size=512)
+    return out.select_columns(["clip_id", "factor", "n_samples", "decode_ok"])
+
+
+def audio_curation_clips(sf_dir: str, n_rows: int = 1500):
+    """END-TO-END audio curation: quality gate (decode-once screen on
+    duration/RMS/clipping/silence) → silence trim → resample to 16 kHz →
+    fixed 1 s training windows. The composition a speech-corpus prep run
+    executes over 100 TB — every stage is the same ``map_batches``
+    callable it is standalone, chained on the bytes column; the gate runs
+    FIRST so downstream decodes touch only survivors (rows-only: payload
+    pipeline)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import (
+        AudioChunkStage,
+        AudioQualityGateStage,
+        ResampleStage,
+        SilenceTrimStage,
+    )
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    # thresholds sized to the synthetic corpus (clips are 60-240 ms)
+    gated = ds.map_batches(
+        AudioQualityGateStage(min_duration_ms=80.0),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    trimmed = gated.select_columns(["clip_id", "bytes"]).map_batches(
+        SilenceTrimStage(), batch_format="pyarrow", batch_size=512
+    )
+
+    def keep_decoded(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("decode_ok"), True))
+
+    resampled = (
+        trimmed.map_batches(keep_decoded, batch_format="pyarrow")
+        .select_columns(["clip_id", "bytes"])
+        .map_batches(ResampleStage(16_000), batch_format="pyarrow", batch_size=512)
+    )
+    windows = (
+        resampled.map_batches(keep_decoded, batch_format="pyarrow")
+        .select_columns(["clip_id", "bytes"])
+        .map_batches(
+            AudioChunkStage(window_ms=100, stride_ms=100),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+    )
+    return windows.select_columns(
+        ["clip_id", "seg_idx", "start_ms", "dur_ms", "n_samples"]
+    )
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus: bounded
     driver-sample init, per-iteration streaming (count, vector-sum)
@@ -1687,6 +1755,8 @@ QUERIES = {
     "entropy_lang_by_source": entropy_lang_by_source,
     "histogram_orders_totalprice": histogram_orders_totalprice,
     "kmeans_embeddings": kmeans_embeddings,
+    "audio_speed_perturb_clips": audio_speed_perturb_clips,
+    "audio_curation_clips": audio_curation_clips,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,

@@ -937,3 +937,157 @@ class SilenceTrimStage:
                         )
             rows.append(row)
         return pa.Table.from_pylist(rows, schema=TRIM_SCHEMA)
+
+
+GATE_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("duration_ms", pa.float64()),
+        ("rms_db", pa.float64()),
+    ]
+)
+
+
+class AudioQualityGateStage:
+    """``map_batches`` callable: decode ONCE, compute the screening
+    features, and pass the original payload through only for clips that
+    clear every gate — the filter stage at the head of a curation
+    pipeline (gate first so every downstream decode/transcode runs only
+    on survivors). Undecodable, too-short, too-quiet, clipped or
+    mostly-silent clips drop here (this is a filter by design — the
+    audit pass that reports every clip is ``AudioFeatureStage``)."""
+
+    def __init__(
+        self,
+        min_duration_ms: float = 400.0,
+        min_rms_db: float = -45.0,
+        max_clipping_ratio: float = 0.1,
+        max_silence_ratio: float = 0.9,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        self.min_duration_ms = min_duration_ms
+        self.min_rms_db = min_rms_db
+        self.max_clipping_ratio = max_clipping_ratio
+        self.max_silence_ratio = max_silence_ratio
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            if view is None or len(view) == 0 or key is None:
+                continue
+            try:
+                x, sr_hz, _ = audio.decode(view)
+            except (audio.AudioDecodeError, ValueError):
+                continue
+            feats = clip_features(x, sr_hz)
+            if (
+                feats["duration_ms"] >= self.min_duration_ms
+                and feats["rms_db"] is not None
+                and feats["rms_db"] >= self.min_rms_db
+                and feats["clipping_ratio"] <= self.max_clipping_ratio
+                and feats["silence_ratio"] <= self.max_silence_ratio
+            ):
+                rows.append(
+                    {
+                        "clip_id": str(key),
+                        "bytes": bytes(view),
+                        "sr_hz": sr_hz,
+                        "duration_ms": feats["duration_ms"],
+                        "rms_db": feats["rms_db"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=GATE_SCHEMA)
+
+
+SPEED_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("factor", pa.float64()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+
+class SpeedPerturbStage:
+    """``map_batches`` callable: deterministic speed-perturbation
+    augmentation (the ASR-training standard, cf. Kaldi's 0.9/1.0/1.1
+    triple): each clip is resampled to ``round(n / factor)`` samples and
+    re-labeled at the ORIGINAL rate, so playback runs ``factor``× faster
+    (pitch shifts with it, like SoX ``speed``). The factor is chosen per
+    clip by a stable hash of ``clip_id`` — reruns and resumed partitions
+    pick identical factors with no RNG state. ``emit_all`` instead emits
+    every factor per clip (dataset ×len(factors) augmentation).
+    Undecodable payloads emit ``decode_ok=false`` with null bytes."""
+
+    def __init__(
+        self,
+        factors: tuple = (0.9, 1.0, 1.1),
+        emit_all: bool = False,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if not factors or any(f <= 0 for f in factors):
+            raise ValueError("factors must be positive and non-empty")
+        self.factors = tuple(float(f) for f in factors)
+        self.emit_all = emit_all
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def _factor_of(self, key: str) -> float:
+        from fs_schema_validator_ray.state.sketches import hash64
+
+        h = int(hash64(np.asarray([str(key)], dtype=object))[0])
+        return self.factors[h % len(self.factors)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            kid = None if key is None else str(key)
+            factors = (
+                self.factors if self.emit_all
+                else (self._factor_of(kid) if kid is not None else self.factors[0],)
+            )
+            decoded = None
+            if view is not None and len(view) > 0:
+                try:
+                    decoded = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    decoded = None
+            for f in factors:
+                if decoded is None:
+                    rows.append(
+                        {
+                            "clip_id": kid, "factor": f, "bytes": None,
+                            "sr_hz": None, "n_samples": None, "decode_ok": False,
+                        }
+                    )
+                    continue
+                x, sr_hz, _ = decoded
+                # speed f ⇒ same content in n/f samples at the same rate:
+                # resample the waveform onto round(n/f) points
+                target_n = max(1, int(round(len(x) / f)))
+                sr_virtual = max(1, int(round(sr_hz * len(x) / max(target_n, 1))))
+                y = resample_linear(x, sr_virtual, sr_hz) if len(x) else x
+                rows.append(
+                    {
+                        "clip_id": kid,
+                        "factor": f,
+                        "bytes": audio.encode(y, sr_hz, "pcm_s16le"),
+                        "sr_hz": sr_hz,
+                        "n_samples": len(y),
+                        "decode_ok": True,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=SPEED_SCHEMA)

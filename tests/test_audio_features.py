@@ -304,3 +304,66 @@ def test_silence_trim_no_silence_is_identity_span():
     r = SilenceTrimStage()(batch).to_pylist()[0]
     assert r["trimmed_head_ms"] == 0.0 and r["trimmed_tail_ms"] == 0.0
     assert r["dur_ms_out"] == pytest.approx(r["dur_ms_in"])
+
+
+def test_speed_perturb_changes_length(ray_session):
+    """factor f ⇒ n_samples ≈ n/f at the same sample rate; factor is a
+    stable function of clip_id (rerun-identical); emit_all triples rows."""
+    import ray.data
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import SpeedPerturbStage
+
+    sr = 8000
+    x = np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 0.5  # 1 s tone
+    payload = audio.encode(x, sr, "pcm_s16le")
+    t = pa.table(
+        {
+            "clip_id": pa.array([f"c{i}" for i in range(6)]),
+            "bytes": pa.array([payload] * 6, pa.binary()),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(
+        SpeedPerturbStage(), batch_format="pyarrow"
+    ).take_all()
+    assert len(out) == 6
+    for r in out:
+        assert r["decode_ok"]
+        assert abs(r["n_samples"] - sr / r["factor"]) <= sr * 0.02
+    # deterministic: same ids → same factors on a second run
+    out2 = ray.data.from_arrow(t).map_batches(
+        SpeedPerturbStage(), batch_format="pyarrow"
+    ).take_all()
+    assert {r["clip_id"]: r["factor"] for r in out} == \
+           {r["clip_id"]: r["factor"] for r in out2}
+    # emit_all: every factor per clip
+    out3 = ray.data.from_arrow(t).map_batches(
+        SpeedPerturbStage(emit_all=True), batch_format="pyarrow"
+    ).take_all()
+    assert len(out3) == 18
+
+
+def test_quality_gate_filters(ray_session):
+    """Gate keeps a healthy clip, drops silence / too-short / undecodable."""
+    import ray.data
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import AudioQualityGateStage
+
+    sr = 8000
+    good = audio.encode(
+        np.sin(2 * np.pi * 300 * np.arange(sr) / sr) * 0.3, sr, "pcm_s16le"
+    )
+    silent = audio.encode(np.zeros(sr), sr, "pcm_s16le")
+    short = audio.encode(np.ones(100) * 0.3, sr, "pcm_s16le")
+    t = pa.table(
+        {
+            "clip_id": pa.array(["good", "silent", "short", "garbage"]),
+            "bytes": pa.array([good, silent, short, b"\x00\x01junk"], pa.binary()),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(
+        AudioQualityGateStage(), batch_format="pyarrow"
+    ).take_all()
+    assert [r["clip_id"] for r in out] == ["good"]
+    assert out[0]["bytes"] == good  # payload passes through untouched
