@@ -242,6 +242,25 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "mode_event_type_per_user": """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2)
+SELECT user_id, cnt, event_type, n FROM (
+  SELECT user_id, cnt, event_type,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type DESC) AS rn
+  FROM c) WHERE rn = 1
+""",
+        "distinct_users_by_type": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1
+""",
+        "orderkeys_agg_per_customer": """
+SELECT o_custkey,
+       STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS vals,
+       COUNT(o_orderkey) AS n
+FROM orders GROUP BY 1
+""",
         "entropy_lang_by_source": """
 WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang)
 SELECT source, CAST(SUM(c) AS BIGINT) AS n,

@@ -450,6 +450,46 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (count ties →
+    lexicographically max type) — distributed counts combiner feeding the
+    grouped argmax, both existing operators composed; ``n`` = the user's
+    distinct type count — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_argmax, group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = group_sum(ds, ["user_id", "event_type"], [])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "event_type", "cnt"])
+
+    counts = counts.map_batches(rename, batch_format="pyarrow")
+    return group_argmax(counts, "user_id", ["cnt", "event_type"])
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: first groupby reduces
+    to distinct (type, user) pairs (per-batch Arrow combiner), second
+    counts the tiny per-type partials — no raw-row shuffle —
+    oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = group_sum(ds, ["event_type", "user_id"], [])
+    pairs = pairs.select_columns(["event_type"])
+    return group_sum(pairs, ["event_type"], [])
+
+
+def orderkeys_agg_per_customer(sf_dir: str):
+    """Order-sensitive STRING_AGG: each customer's order keys joined
+    ascending (sorted by the NATIVE int, cast after) —
+    ``stages/agg.py::group_string_agg`` — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_string_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return group_string_agg(ds, "o_custkey", "o_orderkey")
+
+
 def entropy_lang_by_source(sf_dir: str):
     """Shannon entropy (nats) of the language mix per document source —
     integer count combiner + one tiny float pass, ROUND(·,6) protocol
@@ -1753,6 +1793,9 @@ QUERIES = {
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "distinct_users_by_type": distinct_users_by_type,
+    "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
     "histogram_orders_totalprice": histogram_orders_totalprice,
     "kmeans_embeddings": kmeans_embeddings,
     "audio_speed_perturb_clips": audio_speed_perturb_clips,

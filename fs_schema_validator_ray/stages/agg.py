@@ -951,3 +951,81 @@ def group_entropy(ds, group_column: str, category_column: str):
     # the counts table is groups × categories rows (KBs) — one partition
     # holds it all and keeps the per-group segment sums single-pass
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def group_string_agg(
+    ds, key_column: str, value_column: str, sep: str = ",", n_buckets=None
+):
+    """``STRING_AGG(value, sep ORDER BY value)`` per key: bucketed
+    shuffle of the two pruned columns, ONE lexsort per bucket, then a
+    per-SEGMENT join loop — per-key Python here is irreducible (the
+    output is one Python string per key) and bounded by output size,
+    not input rows. Values order by their NATIVE type (int 9 < 10, not
+    "10" < "9") and cast to string after the sort, matching SQL
+    ``ORDER BY value`` + CAST in the aggregate. Null values are skipped
+    (SQL aggregate semantics): a key with no non-null value emits a null
+    string and ``n = 0`` (``n`` counts non-null values, SQL
+    ``COUNT(value)``)."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.stages.window import _order_arrays
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([key_column, value_column])
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key_column: group.column(key_column).slice(0, 0),
+                    "vals": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        key_col = group.column(key_column).combine_chunks()
+        kcode = key_codes(key_col)
+        isnull, vals = _order_arrays(group.column(value_column))
+        order = np.lexsort((vals, isnull, kcode))  # nulls last per key
+        kc = kcode[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [n]])
+        valid = ~isnull[order]
+        strs = np.asarray(
+            pc.cast(group.column(value_column).combine_chunks(), pa.string()),
+            dtype=object,
+        )[order]
+        n_valid = np.concatenate([[0], np.cumsum(valid)])
+        out_strs, out_n = [], []
+        for s, e in zip(starts, ends):
+            k = int(n_valid[e] - n_valid[s])
+            out_n.append(k)
+            out_strs.append(sep.join(strs[s : s + k]) if k else None)
+        take = pa.array(starts.astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                key_column: key_col.take(pa.array(order, pa.int64())).take(take),
+                "vals": pa.array(out_strs, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_column, value_column])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

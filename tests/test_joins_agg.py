@@ -506,3 +506,22 @@ def test_group_entropy(ray_session):
            group_entropy(ray.data.from_arrow(t).repartition(4), "g", "c").take_all()}
     assert out["a"] == (4, round(math.log(2), 6))   # 2 equally likely cats
     assert out["b"] == (3, 0.0)                      # single category
+
+
+def test_group_string_agg_null_semantics(ray_session):
+    """Null values skip (n counts non-null); all-null key emits null
+    string with n=0; native-type ordering (int 9 before 10)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_string_agg
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "v": pa.array([10, 9, None, None, None], pa.int64()),
+        }
+    )
+    out = {r["k"]: (r["vals"], r["n"]) for r in group_string_agg(
+        ray.data.from_arrow(t).repartition(3), "k", "v", n_buckets=4
+    ).take_all()}
+    assert out == {"a": ("9,10", 2), "b": (None, 0)}
