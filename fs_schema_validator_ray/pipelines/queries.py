@@ -475,6 +475,14 @@ def distinct_users_by_type(sf_dir: str):
     from fs_schema_validator_ray.stages.agg import group_sum
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def drop_null_users(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # COUNT(DISTINCT user_id) ignores nulls — so must the pair-reduce
+        return t.filter(pc.is_valid(t.column("user_id")))
+
+    ds = ds.map_batches(drop_null_users, batch_format="pyarrow")
     pairs = group_sum(ds, ["event_type", "user_id"], [])
     pairs = pairs.select_columns(["event_type"])
     return group_sum(pairs, ["event_type"], [])
@@ -1360,7 +1368,8 @@ def audio_speed_perturb_clips(sf_dir: str, n_rows: int = 1500):
 def audio_curation_clips(sf_dir: str, n_rows: int = 1500):
     """END-TO-END audio curation: quality gate (decode-once screen on
     duration/RMS/clipping/silence) → silence trim → resample to 16 kHz →
-    fixed 1 s training windows. The composition a speech-corpus prep run
+    fixed 100 ms training windows (sized to the 60-240 ms synthetic
+    clips; a speech corpus would use 1 s). The composition a corpus prep run
     executes over 100 TB — every stage is the same ``map_batches``
     callable it is standalone, chained on the bytes column; the gate runs
     FIRST so downstream decodes touch only survivors (rows-only: payload

@@ -897,11 +897,24 @@ def histogram_fixed_width(ds, value_column: str, width: int):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("bin").aggregate(
+    out = partials.groupby("bin").aggregate(
         Sum("n", alias_name="n"),
         Min("min_v", alias_name="min_v"),
         Max("max_v", alias_name="max_v"),
     )
+    # union a typed 0-row block: an all-null/empty column otherwise yields
+    # a schemaless Dataset (groupby over 0 rows produces no blocks)
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "min_v": pa.array([], pa.int64()),
+            "max_v": pa.array([], pa.int64()),
+        }
+    )
+    return out.union(rd.from_arrow(empty))
 
 
 def group_entropy(ds, group_column: str, category_column: str):
@@ -1014,10 +1027,10 @@ def group_string_agg(
             k = int(n_valid[e] - n_valid[s])
             out_n.append(k)
             out_strs.append(sep.join(strs[s : s + k]) if k else None)
-        take = pa.array(starts.astype(np.int64), pa.int64())
+        take = pa.array(order[starts], pa.int64())
         return pa.table(
             {
-                key_column: key_col.take(pa.array(order, pa.int64())).take(take),
+                key_column: key_col.take(take),
                 "vals": pa.array(out_strs, pa.string()),
                 "n": pa.array(out_n, pa.int64()),
             }

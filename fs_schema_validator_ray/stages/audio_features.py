@@ -1043,22 +1043,20 @@ class SpeedPerturbStage:
         self.bytes_column = bytes_column
         self.key_column = key_column
 
-    def _factor_of(self, key: str) -> float:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         from fs_schema_validator_ray.state.sketches import hash64
 
-        h = int(hash64(np.asarray([str(key)], dtype=object))[0])
-        return self.factors[h % len(self.factors)]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
         views = binary_views(batch.column(self.bytes_column))
         keys = batch.column(self.key_column).to_pylist()
+        # one vectorized hash per batch picks every clip's factor
+        kh = hash64(np.asarray([str(k) for k in keys], dtype=object))
+        picked = np.asarray(self.factors)[
+            (kh % np.uint64(len(self.factors))).astype(np.int64)
+        ]
         rows = []
-        for key, view in zip(keys, views):
+        for key, view, pick in zip(keys, views, picked):
             kid = None if key is None else str(key)
-            factors = (
-                self.factors if self.emit_all
-                else (self._factor_of(kid) if kid is not None else self.factors[0],)
-            )
+            factors = self.factors if self.emit_all else (float(pick),)
             decoded = None
             if view is not None and len(view) > 0:
                 try:

@@ -445,9 +445,10 @@ def kmeans_cluster(
 
     sample = ds.limit(sample_size)
     cent = kmeans_fit(collect_matrix(sample, vec_column), n_clusters, seed=seed)
+    vecs = ds.select_columns([vec_column])  # iteration passes never need ids
     for _ in range(iters):
         cent_ref = ray.put(cent)
-        partials = ds.map_batches(
+        partials = vecs.map_batches(
             KmeansPartialStage(cent_ref, vec_column), batch_format="pyarrow"
         ).to_pandas()  # blocks × ≤k rows of (id, n, k-dim sum) — KBs
         if not len(partials):
@@ -460,22 +461,12 @@ def kmeans_cluster(
                 new[int(cid)] = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / total
         cent = _normalize(new)
 
-    def assign_batch(stage):
-        def fn(t: pa.Table) -> pa.Table:
-            centm = stage._resolve()
-            mat = _normalize(list_column_to_matrix(t.column(vec_column)))
-            a = (
-                np.argmax(mat @ centm.T, axis=1).astype(np.int32)
-                if len(mat)
-                else np.zeros(0, np.int32)
-            )
-            return pa.table(
-                {id_column: t.column(id_column), "cluster_id": pa.array(a)}
-            )
-
-        return fn
-
-    final_stage = KmeansPartialStage(ray.put(cent), vec_column)
-    return ds.select_columns([id_column, vec_column]).map_batches(
-        assign_batch(final_stage), batch_format="pyarrow"
+    # final assignment = IvfAssignStage (the same broadcast
+    # nearest-centroid kernel), relabeled list_id → cluster_id
+    assigned = ds.select_columns([id_column, vec_column]).map_batches(
+        IvfAssignStage(ray.put(cent), vec_column), batch_format="pyarrow"
+    )
+    return assigned.select_columns([id_column, "list_id"]).map_batches(
+        lambda t: t.rename_columns([id_column, "cluster_id"]),
+        batch_format="pyarrow",
     )

@@ -525,3 +525,16 @@ def test_group_string_agg_null_semantics(ray_session):
         ray.data.from_arrow(t).repartition(3), "k", "v", n_buckets=4
     ).take_all()}
     assert out == {"a": ("9,10", 2), "b": (None, 0)}
+
+
+def test_histogram_fixed_width_all_null(ray_session):
+    """An all-null value column yields an EMPTY TYPED histogram, not a
+    schemaless Dataset (groupby over 0 rows produces no blocks)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import histogram_fixed_width
+
+    t = pa.table({"v": pa.array([None, None], pa.int64())})
+    out = histogram_fixed_width(ray.data.from_arrow(t), "v", 10)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"bin", "n", "min_v", "max_v"}
