@@ -242,6 +242,16 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "range_window_events": """
+SELECT event_id, user_id,
+       CAST(SUM(value_cents) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS win_value_cents
+FROM (SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+""",
         "mode_event_type_per_user": """
 WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
            FROM events GROUP BY 1, 2)

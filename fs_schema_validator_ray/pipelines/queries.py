@@ -450,6 +450,23 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def range_window_events(sf_dir: str):
+    """Time-interval rolling sum: each event's 7-day trailing value total
+    per user (``RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW``,
+    peers included) — vectorized banded-searchsorted frame bounds, int64
+    cumsum sums (``stages/window.py::per_key_range_window_sum``) —
+    oracle-checked."""
+    from fs_schema_validator_ray.stages.window import per_key_range_window_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    return per_key_range_window_sum(
+        ds, "user_id", "ts", "value_cents",
+        preceding=7 * 86_400 * 1_000_000,  # 7 days in µs
+        id_columns=["event_id"],
+    )
+
+
 def mode_event_type_per_user(sf_dir: str):
     """Grouped MODE: each user's most frequent event type (count ties →
     lexicographically max type) — distributed counts combiner feeding the
@@ -1803,6 +1820,7 @@ QUERIES = {
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "mode_event_type_per_user": mode_event_type_per_user,
+    "range_window_events": range_window_events,
     "distinct_users_by_type": distinct_users_by_type,
     "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
     "histogram_orders_totalprice": histogram_orders_totalprice,

@@ -242,3 +242,130 @@ def per_key_rank(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def per_key_range_window_sum(
+    ds,
+    key_column: str,
+    ts_column: str,
+    value_column: str,
+    preceding: int,
+    id_columns: list[str] | None = None,
+    n_buckets: int | None = None,
+):
+    """``SUM(value) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <preceding> PRECEDING AND CURRENT ROW)`` — the time-interval rolling
+    window (``preceding`` in the ts column's native int units, e.g. µs
+    for timestamp[us]).
+
+    Same coarse-bucket shuffle as ``per_key_window``; inside a bucket the
+    frame bounds are fully vectorized: the frame END comes from run-length
+    ends over (key, ts) — RANGE includes CURRENT ROW's *peers* (equal ts),
+    unlike ROWS — and the frame START from ONE ``np.searchsorted`` over a
+    per-segment-banded composite (ts offset by segment × band width), no
+    per-key Python. Null ts rows form their own peer run at the segment
+    end (frame = all null-ts peers), matching SQL. Window sums are int64
+    cumsum differences (order-insensitive, bit-exact vs a SQL oracle);
+    a frame with no non-null value yields NULL (SQL SUM).
+
+    Falls back to a per-segment loop only if the composite would overflow
+    int64 (ts span + preceding ≈ 2^63 / segment count — never for
+    realistic time ranges)."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    id_columns = id_columns or []
+    cols = list(dict.fromkeys([key_column, ts_column, value_column, *id_columns]))
+    out_col = f"win_{value_column}"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        out = {"__bucket": pa.array(bucket)}
+        for c in cols:
+            col = t.column(c)
+            out[c] = pc.cast(col, pa.int64()) if c == ts_column else col
+        return pa.table(out)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        key_col = group.column(key_column).combine_chunks()
+        if n == 0:
+            empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
+            empty[out_col] = pa.array([], pa.int64())
+            return pa.table(empty)
+        kcode = key_codes(key_col)
+        ts_col = group.column(ts_column).combine_chunks()
+        ts_null = np.asarray(pc.is_null(ts_col))
+        ts = np.asarray(pc.fill_null(ts_col, 0), dtype=np.int64)
+        order = np.lexsort((ts, ts_null, kcode))
+        kc, nn, tt = kcode[order], ts_null[order], ts[order]
+        val_col = group.column(value_column).combine_chunks()
+        valid = np.asarray(pc.is_valid(val_col))[order]
+        vals = np.asarray(pc.fill_null(val_col, 0), dtype=np.int64)[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg_start_idx = np.flatnonzero(seg_first)
+        row_start = seg_start_idx[np.cumsum(seg_first) - 1]
+        # frame END: end of the (key, null-flag, ts) peer run
+        run_first = np.concatenate(
+            [[True], seg_first[1:] | (nn[1:] != nn[:-1]) | (tt[1:] != tt[:-1])]
+        )
+        run_starts = np.flatnonzero(run_first)
+        run_id = np.cumsum(run_first) - 1
+        run_ends = np.concatenate([run_starts[1:], [n]])
+        hi = run_ends[run_id]
+        # frame START: first row of the segment with ts >= t - preceding
+        # (null-ts rows: their peer run start)
+        seg_id = np.cumsum(seg_first) - 1
+        span = int(tt.max() - tt.min()) if n else 0
+        band = span + int(preceding) + 2
+        n_segs = int(seg_id[-1]) + 1
+        lo = np.empty(n, np.int64)
+        if band > 0 and n_segs * band < 2**62:
+            base = tt - (tt.min() if n else 0)
+            comp = seg_id * band + base
+            # valid rows only — null runs handled below
+            q = comp - int(preceding)
+            comp_valid = comp[~nn]
+            # positions of valid rows in the bucket order
+            vpos = np.flatnonzero(~nn)
+            lo_v = vpos[
+                np.clip(
+                    np.searchsorted(comp_valid, q[~nn], side="left"),
+                    0,
+                    max(len(vpos) - 1, 0),
+                )
+            ] if len(vpos) else np.zeros(0, np.int64)
+            lo[~nn] = lo_v
+        else:  # pragma: no cover — astronomical ts span
+            for s, e in zip(seg_start_idx, np.concatenate([seg_start_idx[1:], [n]])):
+                m = slice(s, e)
+                vmask = ~nn[m]
+                sub = tt[m][vmask]
+                res = s + np.searchsorted(sub, tt[m][vmask] - int(preceding), "left")
+                lo[np.arange(s, e)[vmask]] = res
+        lo[nn] = run_starts[run_id[nn]]
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        win = cs[hi] - cs[lo]
+        win_n = cv[hi] - cv[lo]
+        take = pa.array(order, pa.int64())
+        out = {c: group.column(c).take(take) for c in id_columns}
+        out[key_column] = key_col.take(take)
+        out[out_col] = pa.array(win, pa.int64(), mask=win_n == 0)
+        return pa.table(out)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

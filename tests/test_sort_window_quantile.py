@@ -495,3 +495,34 @@ def test_per_key_rank_ties_and_nulls(ray_session):
         5: (1, 1, 1),   # null-key partition
         6: (2, 1, 1),
     }
+
+
+def test_range_window_peers_nulls(ray_session):
+    """RANGE frame includes ts PEERS (equal ts later in row order), the
+    window start is inclusive (ts == t-preceding in frame), null ts rows
+    form their own peer group, null values skip with SQL NULL-sum rules."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_range_window_sum
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+            "ts": pa.array([0, 10, 10, 15, None, 3, None], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 32, None], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        }
+    )
+    out = {r["id"]: r["win_v"] for r in per_key_range_window_sum(
+        ray.data.from_arrow(t).repartition(3), "k", "ts", "v",
+        preceding=10, id_columns=["id"], n_buckets=4,
+    ).take_all()}
+    assert out == {
+        1: 1,        # ts=0: only itself
+        2: 7,        # ts=10, preceding 10 → ts∈[0,10], peers incl. id3
+        3: 7,
+        4: 14,       # ts=15 → ts∈[5,15]: ids 2,3,4
+        5: 16,       # null ts: its own peer group
+        6: 32,       # other key
+        7: None,     # null ts peer group, value null → SQL NULL sum
+    }
