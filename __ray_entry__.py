@@ -720,6 +720,16 @@ SELECT l_returnflag, COUNT(l_quantity) AS n,
        quantile_disc(l_quantity, 0.75) AS q_75
 FROM lineitem GROUP BY l_returnflag
 """,
+        "percentile_cont_lineitem": """
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+           FROM lineitem)
+SELECT l_returnflag, COUNT(price_cents) AS n,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY price_cents), 6) AS p_25,
+       ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY price_cents), 6) AS p_50,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY price_cents), 6) AS p_75
+FROM c GROUP BY l_returnflag
+""",
         "semi_join_orders_lineitem": """
 SELECT o_orderkey, o_totalprice FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l

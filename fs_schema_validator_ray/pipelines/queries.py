@@ -1009,6 +1009,35 @@ def grouped_median_lineitem(sf_dir: str):
     return grouped_quantile_disc(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
 
 
+def percentile_cont_lineitem(sf_dir: str):
+    """Interpolated per-group percentiles (SQL ``PERCENTILE_CONT`` at
+    p25/p50/p75 of extended price per return flag) — same (key, value)-
+    count combiner as the discrete path, linear interpolation +
+    ROUND(·,6) at the end (``grouped_quantile_disc(interpolate=True)``)
+    — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return grouped_quantile_disc(
+        ds, "l_returnflag", "price_cents", [0.25, 0.5, 0.75], interpolate=True
+    )
+
+
 def semi_join_orders_lineitem(sf_dir: str):
     """Distributed SEMI join (SQL EXISTS): orders with at least one
     high-quantity lineitem — the right side ships only per-batch
@@ -1821,6 +1850,7 @@ QUERIES = {
     "entropy_lang_by_source": entropy_lang_by_source,
     "mode_event_type_per_user": mode_event_type_per_user,
     "range_window_events": range_window_events,
+    "percentile_cont_lineitem": percentile_cont_lineitem,
     "distinct_users_by_type": distinct_users_by_type,
     "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
     "histogram_orders_totalprice": histogram_orders_totalprice,

@@ -345,7 +345,9 @@ def stratified_sample(ds, group_column: str, order_column: str, k: int):
     )
 
 
-def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float]):
+def grouped_quantile_disc(
+    ds, key_column: str, value_column: str, qs: list[float], interpolate: bool = False
+):
     """EXACT per-key discrete quantiles (SQL ``quantile_disc``) with a
     (key, value)-count combiner: each batch pre-aggregates to distinct
     ``(key, value, count)`` rows (a huge reduction when the value column
@@ -366,6 +368,12 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     Output: ``(key, n, q_<pct> …)`` e.g. ``q_50`` for 0.5. For the
     shuffle-free approximate path over unbounded-cardinality values, use
     the t-digest sketches in ``pipelines/stats.py``.
+
+    ``interpolate=True`` switches to SQL ``PERCENTILE_CONT`` semantics:
+    linear interpolation at 0-based position ``q·(n−1)`` —
+    ``lo + (hi−lo)·frac`` in float64, emitted as ``p_<pct>`` columns
+    ROUNDed to 6 decimals (dyadic ``q`` keeps ``frac`` exact on both
+    engines, the same oracle protocol as ``corr6``).
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
@@ -375,7 +383,8 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
     )
 
     n_buckets = default_n_buckets()
-    qcols = [f"q_{int(round(q * 100))}" for q in qs]
+    prefix = "p" if interpolate else "q"
+    qcols = [f"{prefix}_{int(round(q * 100))}" for q in qs]
 
     def partial(t: pa.Table) -> pa.Table:
         # null values group too: a key whose values are ALL null must
@@ -404,7 +413,9 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
         if group.num_rows == 0:
             out = {key_column: key_col.slice(0, 0), "n": pa.array([], pa.int64())}
             for qc in qcols:
-                out[qc] = val_col.slice(0, 0)
+                out[qc] = (
+                    pa.array([], pa.float64()) if interpolate else val_col.slice(0, 0)
+                )
             return pa.table(out)
         kcode = key_codes(key_col)
         vmask = np.asarray(pc.is_valid(val_col))
@@ -427,12 +438,32 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
         rep = pa.array(valid_idx[order[starts]], pa.int64())
         out = {key_column: key_col.take(rep), "n": pa.array(n_k, pa.int64())}
         for q, qc in zip(qs, qcols):
-            # DuckDB quantile_disc index: ceil(q*n) - 1 (0-based)
-            tgt = np.ceil(q * n_k).astype(np.int64) - 1
-            tgt = np.maximum(tgt, 0)
-            # first sorted slot whose cumulative count exceeds the target
-            j = np.searchsorted(gc, excl + tgt + 1, side="left")
-            out[qc] = val_col.take(pa.array(valid_idx[order[j]], pa.int64()))
+            if interpolate:
+                # PERCENTILE_CONT: position q·(n−1), lo + (hi−lo)·frac
+                pos = q * (n_k - 1).astype(np.float64)
+                t_lo = np.floor(pos).astype(np.int64)
+                t_hi = np.ceil(pos).astype(np.int64)
+                frac = pos - t_lo
+                j_lo = np.searchsorted(gc, excl + t_lo + 1, side="left")
+                j_hi = np.searchsorted(gc, excl + t_hi + 1, side="left")
+                v_lo = np.asarray(
+                    val_col.take(pa.array(valid_idx[order[j_lo]], pa.int64())),
+                    dtype=np.float64,
+                )
+                v_hi = np.asarray(
+                    val_col.take(pa.array(valid_idx[order[j_hi]], pa.int64())),
+                    dtype=np.float64,
+                )
+                out[qc] = pa.array(
+                    np.round(v_lo + (v_hi - v_lo) * frac, 6), pa.float64()
+                )
+            else:
+                # DuckDB quantile_disc index: ceil(q*n) - 1 (0-based)
+                tgt = np.ceil(q * n_k).astype(np.int64) - 1
+                tgt = np.maximum(tgt, 0)
+                # first sorted slot whose cumulative count exceeds the target
+                j = np.searchsorted(gc, excl + tgt + 1, side="left")
+                out[qc] = val_col.take(pa.array(valid_idx[order[j]], pa.int64()))
         if len(missing):
             # first group-row index of each all-null key (stable argsort)
             sidx = np.argsort(kcode, kind="stable")
@@ -443,7 +474,13 @@ def grouped_quantile_disc(ds, key_column: str, value_column: str, qs: list[float
                     {
                         key_column: key_col.take(pa.array(first_idx, pa.int64())),
                         "n": pa.array(np.zeros(len(missing), np.int64)),
-                        **{qc: pa.nulls(len(missing), val_col.type) for qc in qcols},
+                        **{
+                            qc: pa.nulls(
+                                len(missing),
+                                pa.float64() if interpolate else val_col.type,
+                            )
+                            for qc in qcols
+                        },
                     }
                 ),
             ]
