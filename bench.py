@@ -54,6 +54,11 @@ HEADLINE_QUERIES = [
     "setop_union_keys",
     "hopping_window_events",
     "inverted_index_documents",
+    "full_join_customer_orders",
+    "range_window_events",
+    "latest_order_per_customer",
+    "percentile_cont_lineitem",
+    "audio_curation_clips",
 ]
 
 
