@@ -295,6 +295,10 @@ SELECT o_custkey, o_orderdate, o_orderkey, n FROM (
                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
   FROM orders) WHERE rn = 1
 """,
+        "salted_join_lineitem_orders": """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
         "rank_orders_per_customer": """
 SELECT o_orderkey, o_custkey,
        ROW_NUMBER() OVER (PARTITION BY o_custkey

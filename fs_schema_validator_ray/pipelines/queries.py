@@ -437,6 +437,21 @@ def hash_join_lineitem_orders(sf_dir: str):
     )
 
 
+def salted_join_lineitem_orders(sf_dir: str):
+    """The EXPLICIT hot-key skew join path: same lineitem ⋈ orders inner
+    join, but every key's probe rows spread across 4 salt sub-buckets
+    (right side replicated ×4) — results identical to the unsalted join,
+    which is exactly what the oracle checks."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return hash_join(
+        left, right, "l_orderkey", "o_orderkey",
+        ["l_linenumber"], ["o_orderpriority"], salt=4,
+    )
+
+
 def left_join_customer_orders(sf_dir: str):
     """LEFT equi-join: every customer, order columns null when the
     customer has no orders — oracle-checked incl. the null rows."""
@@ -1845,6 +1860,7 @@ QUERIES = {
     "hash_join_lineitem_orders": hash_join_lineitem_orders,
     "left_join_customer_orders": left_join_customer_orders,
     "full_join_customer_orders": full_join_customer_orders,
+    "salted_join_lineitem_orders": salted_join_lineitem_orders,
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,

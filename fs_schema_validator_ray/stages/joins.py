@@ -373,10 +373,20 @@ def hash_join(
     right_value_columns: list[str],
     n_buckets: int | None = None,
     how: str = "inner",
+    salt: int = 1,
 ):
     """Distributed equi-join (``how``: "inner", "left" or "full_outer"),
     both sides large: ``tag → union → groupby(hash(key) % n_buckets) →
     per-bucket vectorized merge``.
+
+    ``salt > 1`` is the EXPLICIT hot-key skew path (inner/left only):
+    each left row lands in one of ``salt`` sub-buckets per key
+    (round-robin within its batch) and every right row replicates to all
+    ``salt`` sub-buckets, so a pathologically hot key's probe work
+    spreads across ``salt`` reducers at the cost of ``salt×`` the (small,
+    pruned) right shuffle volume. Results are identical to the unsalted
+    join — each left row meets each matching right row in exactly one
+    sub-bucket.
 
     Only the pruned join columns shuffle, keyed by a small-int bucket
     (one vectorized ``map_groups`` call per bucket, not one Python call
@@ -404,14 +414,27 @@ def hash_join(
 
     if how not in ("inner", "left", "full_outer"):
         raise ValueError(f"hash_join how must be inner|left|full_outer, got {how!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and how == "full_outer":
+        # a replicated right row would emit `salt` right-only copies
+        raise ValueError("salt > 1 supports how=inner|left only")
     if n_buckets is None:
         n_buckets = default_n_buckets()
     l_types = {c: _target_type(left, c) for c in left_value_columns}
     r_types = {c: _target_type(right, c) for c in right_value_columns}
     key_type = _target_type(left, left_on)
 
-    def bucket_of(col) -> pa.Array:
-        return pa.array(mix_to_buckets(hash64(stable_key_array(col)), n_buckets))
+    def bucket_of(col, salt_idx=None) -> pa.Array:
+        base = mix_to_buckets(hash64(stable_key_array(col)), n_buckets)
+        if salt == 1:
+            return pa.array(base)
+        si = (
+            np.arange(len(base), dtype=np.int64) % salt
+            if salt_idx is None
+            else salt_idx
+        )
+        return pa.array((base.astype(np.int64) * salt + si).astype(np.int32))
 
     def tag_left(t: pa.Table) -> pa.Table:
         if how == "inner":
@@ -434,9 +457,16 @@ def hash_join(
             # a null right key can never match and (inner/left) never
             # emits; full_outer emits it as a right-only row
             t = t.filter(pc.is_valid(t.column(right_on)))
+        if salt > 1:
+            # replicate each right row into every salt sub-bucket
+            rep = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), salt))
+            t = t.take(rep)
+            salt_idx = np.tile(np.arange(salt, dtype=np.int64), t.num_rows // salt)
+        else:
+            salt_idx = None
         out = pa.table(
             {
-                "__bucket": bucket_of(t.column(right_on).combine_chunks()),
+                "__bucket": bucket_of(t.column(right_on).combine_chunks(), salt_idx),
                 "__key": pc.cast(t.column(right_on), key_type),
                 "__side": pa.array(np.ones(t.num_rows, np.int8)),
             }

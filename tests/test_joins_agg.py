@@ -538,3 +538,46 @@ def test_histogram_fixed_width_all_null(ray_session):
     out = histogram_fixed_width(ray.data.from_arrow(t), "v", 10)
     assert out.count() == 0
     assert set(out.schema().names) == {"bin", "n", "min_v", "max_v"}
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    """salt=4 spreads a hot key across sub-buckets; the result set is
+    identical to the unsalted join (duplicates, unmatched-left nulls)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    keys = np.where(rng.random(2000) < 0.8, 1, rng.integers(2, 50, 2000))  # hot key 1
+    left = pa.table(
+        {"k": pa.array(keys, pa.int64()),
+         "lv": pa.array(np.arange(2000, dtype=np.int64))}
+    )
+    right = pa.table(
+        {"k2": pa.array([1, 1, 2, 3, 60], pa.int64()),
+         "rv": pa.array([10, 11, 20, 30, 600], pa.int64())}
+    )
+    for how in ("inner", "left"):
+        base = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                "k", "k2", ["lv"], ["rv"], how=how,
+            ).take_all()
+        )
+        salted = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                "k", "k2", ["lv"], ["rv"], how=how, salt=4,
+            ).take_all()
+        )
+        assert salted == base
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k2", ["lv"], ["rv"], how="full_outer", salt=4,
+        )
