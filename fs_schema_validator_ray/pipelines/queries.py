@@ -530,6 +530,17 @@ def orderkeys_agg_per_customer(sf_dir: str):
     return group_string_agg(ds, "o_custkey", "o_orderkey")
 
 
+def weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sample without replacement (A-Res priority
+    ``u^(1/w)`` from a stable id hash — no RNG state): 100 documents
+    weighted by length (``stages/agg.py::weighted_sample``). Rows-only:
+    the stable hash is not SQL-replicable; determinism is pytest-gated."""
+    from fs_schema_validator_ray.stages.agg import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", 100)
+
+
 def entropy_lang_by_source(sf_dir: str):
     """Shannon entropy (nats) of the language mix per document source —
     integer count combiner + one tiny float pass, ROUND(·,6) protocol
@@ -1864,6 +1875,7 @@ QUERIES = {
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
+    "weighted_sample_documents": weighted_sample_documents,
     "mode_event_type_per_user": mode_event_type_per_user,
     "range_window_events": range_window_events,
     "percentile_cont_lineitem": percentile_cont_lineitem,

@@ -1079,3 +1079,52 @@ def group_string_agg(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def weighted_sample(ds, id_column: str, weight_column: str, k: int):
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-Res): each row's priority is ``u^(1/w)`` with ``u ∈ (0,1]``
+    derived from a STABLE hash of its id — no RNG state, so reruns,
+    resumed partitions and any repartitioning pick the identical sample.
+    Distributed as per-batch partial top-k by priority (≤ k rows leave
+    each block) and one tiny final merge — the same two-phase shape as
+    ``salted_topk_per_key``. Rows with null/non-positive weight or null
+    id are excluded (they have no sampling mass)."""
+    from fs_schema_validator_ray.state.sketches import hash64, stable_key_array
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def priority(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).combine_chunks()
+        w_col = t.column(weight_column).combine_chunks()
+        ok = np.asarray(pc.is_valid(ids)) & np.asarray(pc.is_valid(w_col))
+        w = np.asarray(pc.fill_null(w_col, 0), dtype=np.float64)
+        ok &= w > 0
+        h = hash64(stable_key_array(ids))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0  # (0,1]
+        pr = np.where(ok, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        keep = np.flatnonzero(ok)
+        if len(keep) > k:
+            keep = keep[np.argsort(-pr[keep], kind="stable")[:k]]
+        take = pa.array(keep.astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                id_column: ids.take(take),
+                weight_column: w_col.take(take),
+                "priority": pa.array(pr[keep], pa.float64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t.column("priority"), dtype=np.float64)
+        top = np.argsort(-pr, kind="stable")[:k]
+        return t.take(pa.array(top.astype(np.int64), pa.int64()))
+
+    partials = ds.select_columns([id_column, weight_column]).map_batches(
+        priority, batch_format="pyarrow"
+    )
+    # ≤ k rows per block reach the merge — KBs
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

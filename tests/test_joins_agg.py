@@ -581,3 +581,25 @@ def test_hash_join_salted_matches_unsalted(ray_session):
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             "k", "k2", ["lv"], ["rv"], how="full_outer", salt=4,
         )
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    """Same sample across runs and partitionings; zero/null weights are
+    excluded; heavy items are sampled far more often than light ones."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import weighted_sample
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 100 == 0, 1000.0, 1.0)  # 40 heavy items
+    w[0] = 0.0                                  # excluded
+    t = pa.table({"id": pa.array(ids), "w": pa.array(w)})
+    s1 = sorted(r["id"] for r in weighted_sample(
+        ray.data.from_arrow(t).repartition(4), "id", "w", 50).take_all())
+    s2 = sorted(r["id"] for r in weighted_sample(
+        ray.data.from_arrow(t).repartition(13), "id", "w", 50).take_all())
+    assert s1 == s2 and len(s1) == 50
+    assert 0 not in s1
+    heavy = sum(1 for i in s1 if i % 100 == 0)
+    assert heavy >= 25  # 40 heavy items carry ~91% of the total mass
