@@ -468,3 +468,73 @@ class FrameSampleStage:
                 "frame_bytes": pa.array(frames, pa.binary()),
             }
         )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode → nearest-neighbor resize to
+    ``(target_w, target_h)`` → emit the raw RGB payload + dims — the
+    image-normalization pass of a vision-training pipeline. The RESIZE is
+    real numpy (gather on precomputed source index grids, built once per
+    actor in ``__init__``); only the container DECODE goes through the
+    per-actor ``decoder_factory`` (same clearly-marked stub contract as
+    ``PixelDecodeStage`` — the sandbox has no imaging library; plug
+    PIL/libvips in production). Undecodable / unsniffable payloads drop
+    (the audit pass is ``ImageValidateStage``)."""
+
+    def __init__(
+        self,
+        target_w: int = 32,
+        target_h: int = 32,
+        decoder_factory: Optional[Callable[[], Callable]] = None,
+        bytes_column: str = "bytes",
+        key_column: str = "key",
+    ) -> None:
+        if target_w < 1 or target_h < 1:
+            raise ValueError("target dims must be >= 1")
+        if decoder_factory is None:
+            raise NotImplementedError(
+                "no imaging library in this environment: pass "
+                "decoder_factory=FakePixelDecoder for the deterministic "
+                "stand-in, or a real PIL/libvips-backed factory in production"
+            )
+        self.decoder = decoder_factory()  # once per actor
+        self.target_w = target_w
+        self.target_h = target_h
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        # nearest-neighbor source indices (half-pixel centers)
+        ys = np.minimum(
+            ((np.arange(self.target_h) + 0.5) * h / self.target_h).astype(np.int64),
+            h - 1,
+        )
+        xs = np.minimum(
+            ((np.arange(self.target_w) + 0.5) * w / self.target_w).astype(np.int64),
+            w - 1,
+        )
+        return px[ys[:, None], xs[None, :]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.bytes_column).to_pylist()
+        keys, blobs, ws, hs = [], [], [], []
+        for i, p in enumerate(payloads):
+            fmt = sniff_image_format(p or b"")
+            dims = parse_image_dims(p, fmt) if fmt else None
+            if not fmt or not dims:
+                continue
+            px = self.decoder(p, fmt, dims)
+            out = np.ascontiguousarray(self._resize(px), dtype=np.uint8)
+            keys.append(batch.column(self.key_column)[i].as_py())
+            blobs.append(out.tobytes())
+            ws.append(self.target_w)
+            hs.append(self.target_h)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "rgb": pa.array(blobs, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )

@@ -220,3 +220,31 @@ def test_image_validate_stage_svg_tiff_avif_tristate():
         ("svg_mismatch", "payload is not in svg format (got png)"),
         ("svg_invalid", "file does not contain a valid svg"),
     }
+
+
+def test_image_resize_stage(ray_session):
+    """Nearest-neighbor resize emits a fixed-size raw RGB payload per
+    decodable image; undecodable payloads drop; no factory → stub error."""
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.multimodal import (
+        FakePixelDecoder,
+        ImageResizeStage,
+    )
+    t = pa.table(
+        {
+            "key": pa.array(["a", "b"]),
+            "bytes": pa.array([make_png(10, 7), b"not an image"], pa.binary()),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(
+        ImageResizeStage(8, 6, decoder_factory=FakePixelDecoder),
+        batch_format="pyarrow",
+    ).take_all()
+    assert [r["key"] for r in out] == ["a"]
+    assert out[0]["width"] == 8 and out[0]["height"] == 6
+    assert len(out[0]["rgb"]) == 8 * 6 * 3
+
+    with pytest.raises(NotImplementedError):
+        ImageResizeStage(8, 8)
