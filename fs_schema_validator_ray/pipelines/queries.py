@@ -1491,6 +1491,43 @@ def audio_curation_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def image_validate_corpus(sf_dir: str, n_rows: int = 2000):
+    """Image header validation over the deterministic synthetic image
+    corpus: declared-vs-sniffed format, header parse, dimension bounds —
+    emits one violation row per planted corruption/mismatch
+    (``stages/multimodal.py::ImageValidateStage``; rows-only: payload
+    sniffing is not SQL-expressible)."""
+    import ray.data
+
+    from fs_schema_validator_ray.sources.images import build_images_table
+    from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
+
+    ds = ray.data.from_arrow(build_images_table(n_rows)).repartition(8)
+    return ds.map_batches(ImageValidateStage(), batch_format="pyarrow")
+
+
+def image_resize_corpus(sf_dir: str, n_rows: int = 2000):
+    """Image resize normalization (real numpy nearest-neighbor over the
+    per-actor stubbed decode) over the synthetic corpus — emits fixed
+    32×32 RGB payloads; corrupted headers drop
+    (``stages/multimodal.py::ImageResizeStage``; rows-only)."""
+    import ray.data
+
+    from fs_schema_validator_ray.sources.images import build_images_table
+    from fs_schema_validator_ray.stages.multimodal import (
+        FakePixelDecoder,
+        ImageResizeStage,
+    )
+
+    ds = ray.data.from_arrow(build_images_table(n_rows)).repartition(8)
+    out = ds.map_batches(
+        ImageResizeStage(32, 32, decoder_factory=FakePixelDecoder),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    return out.select_columns(["key", "width", "height"])
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus: bounded
     driver-sample init, per-iteration streaming (count, vector-sum)
@@ -1885,6 +1922,8 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "audio_speed_perturb_clips": audio_speed_perturb_clips,
     "audio_curation_clips": audio_curation_clips,
+    "image_validate_corpus": image_validate_corpus,
+    "image_resize_corpus": image_resize_corpus,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
