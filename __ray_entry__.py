@@ -295,6 +295,14 @@ SELECT o_custkey, o_orderdate, o_orderkey, n FROM (
                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
   FROM orders) WHERE rn = 1
 """,
+        "composite_join_lineitem": """
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS qty_cents,
+       CAST(ROUND(r.l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem l
+JOIN (SELECT * FROM lineitem WHERE l_discount > 0.05) r
+  ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+""",
         "salted_join_lineitem_orders": """
 SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

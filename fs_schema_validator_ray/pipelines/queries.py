@@ -437,6 +437,55 @@ def hash_join_lineitem_orders(sf_dir: str):
     )
 
 
+def composite_join_lineitem(sf_dir: str):
+    """Composite-key equi-join (equality = AND over both key columns):
+    lineitem self-joined on its (orderkey, linenumber) primary key
+    against the discounted subset — within-bucket composite codes via one
+    lexsort + run-length scan — oracle-checked."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    right = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_discount", "l_extendedprice"],
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t.column("l_discount"), 0.05))
+        return pa.table(
+            {
+                "r_orderkey": t.column("l_orderkey"),
+                "r_linenumber": t.column("l_linenumber"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return hash_join(
+        left.map_batches(prep_left, batch_format="pyarrow"),
+        right.map_batches(prep_right, batch_format="pyarrow"),
+        ["l_orderkey", "l_linenumber"], ["r_orderkey", "r_linenumber"],
+        ["qty_cents"], ["price_cents"],
+    )
+
+
 def salted_join_lineitem_orders(sf_dir: str):
     """The EXPLICIT hot-key skew join path: same lineitem ⋈ orders inner
     join, but every key's probe rows spread across 4 salt sub-buckets
@@ -1909,6 +1958,7 @@ QUERIES = {
     "left_join_customer_orders": left_join_customer_orders,
     "full_join_customer_orders": full_join_customer_orders,
     "salted_join_lineitem_orders": salted_join_lineitem_orders,
+    "composite_join_lineitem": composite_join_lineitem,
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,

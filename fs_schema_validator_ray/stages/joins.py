@@ -404,6 +404,13 @@ def hash_join(
     note: one KEY's rows always co-locate; a pathologically hot key
     inflates its bucket — salt it upstream or pre-aggregate, same caveat
     as any hash join.
+
+    ``left_on`` / ``right_on`` may be LISTS for a composite
+    (multi-column) join key: row equality requires every component equal
+    and non-null (SQL AND-of-equalities); inside a bucket the composite
+    collapses to within-group int64 codes via one lexsort + run-length
+    scan, so the probe stays two ``searchsorted`` calls regardless of
+    key arity.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
@@ -421,12 +428,29 @@ def hash_join(
         raise ValueError("salt > 1 supports how=inner|left only")
     if n_buckets is None:
         n_buckets = default_n_buckets()
+    l_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+    r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(l_keys) != len(r_keys) or not l_keys:
+        raise ValueError("left_on and right_on must have the same non-zero arity")
+    m = len(l_keys)
     l_types = {c: _target_type(left, c) for c in left_value_columns}
     r_types = {c: _target_type(right, c) for c in right_value_columns}
-    key_type = _target_type(left, left_on)
+    key_types = [_target_type(left, k) for k in l_keys]
+    kcols = [f"__key{i}" for i in range(m)]
 
-    def bucket_of(col, salt_idx=None) -> pa.Array:
-        base = mix_to_buckets(hash64(stable_key_array(col)), n_buckets)
+    def all_valid(t: pa.Table, names: list[str]):
+        v = pc.is_valid(t.column(names[0]))
+        for k in names[1:]:
+            v = pc.and_(v, pc.is_valid(t.column(k)))
+        return v
+
+    def bucket_of(t: pa.Table, names: list[str], salt_idx=None) -> pa.Array:
+        h = hash64(stable_key_array(t.column(names[0]).combine_chunks()))
+        for k in names[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ hash64(
+                stable_key_array(t.column(k).combine_chunks())
+            )
+        base = mix_to_buckets(h, n_buckets)
         if salt == 1:
             return pa.array(base)
         si = (
@@ -438,14 +462,12 @@ def hash_join(
 
     def tag_left(t: pa.Table) -> pa.Table:
         if how == "inner":
-            t = t.filter(pc.is_valid(t.column(left_on)))
-        out = pa.table(
-            {
-                "__bucket": bucket_of(t.column(left_on).combine_chunks()),
-                "__key": pc.cast(t.column(left_on), key_type),
-                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
-            }
-        )
+            t = t.filter(all_valid(t, l_keys))
+        out = {"__bucket": bucket_of(t, l_keys)}
+        for kc, k, kt in zip(kcols, l_keys, key_types):
+            out[kc] = pc.cast(t.column(k), kt)
+        out["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        out = pa.table(out)
         for c in left_value_columns:
             out = out.append_column(c, t.column(c))
         for c in right_value_columns:
@@ -456,7 +478,7 @@ def hash_join(
         if how != "full_outer":
             # a null right key can never match and (inner/left) never
             # emits; full_outer emits it as a right-only row
-            t = t.filter(pc.is_valid(t.column(right_on)))
+            t = t.filter(all_valid(t, r_keys))
         if salt > 1:
             # replicate each right row into every salt sub-bucket
             rep = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), salt))
@@ -464,21 +486,19 @@ def hash_join(
             salt_idx = np.tile(np.arange(salt, dtype=np.int64), t.num_rows // salt)
         else:
             salt_idx = None
-        out = pa.table(
-            {
-                "__bucket": bucket_of(t.column(right_on).combine_chunks(), salt_idx),
-                "__key": pc.cast(t.column(right_on), key_type),
-                "__side": pa.array(np.ones(t.num_rows, np.int8)),
-            }
-        )
+        out = {"__bucket": bucket_of(t, r_keys, salt_idx)}
+        for kc, k, kt in zip(kcols, r_keys, key_types):
+            out[kc] = pc.cast(t.column(k), kt)
+        out["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        out = pa.table(out)
         for c in left_value_columns:
             out = out.append_column(c, pa.nulls(t.num_rows, l_types[c]))
         for c in right_value_columns:
             out = out.append_column(c, t.column(c))
         return out
 
-    l_cols = list(dict.fromkeys([left_on, *left_value_columns]))
-    r_cols = list(dict.fromkeys([right_on, *right_value_columns]))
+    l_cols = list(dict.fromkeys([*l_keys, *left_value_columns]))
+    r_cols = list(dict.fromkeys([*r_keys, *right_value_columns]))
     tagged = left.select_columns(l_cols).map_batches(
         tag_left, batch_format="pyarrow"
     ).union(
@@ -487,11 +507,34 @@ def hash_join(
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        keys = stable_key_array(group.column("__key"))
-        key_valid = np.asarray(pc.is_valid(group.column("__key").combine_chunks()))
+        kv = pc.is_valid(group.column(kcols[0]).combine_chunks())
+        for kc in kcols[1:]:
+            kv = pc.and_(kv, pc.is_valid(group.column(kc).combine_chunks()))
+        key_valid = np.asarray(kv)
+        if m == 1:
+            keys = stable_key_array(group.column(kcols[0]))
+        else:
+            # composite key → within-group int64 codes: lexsort the valid
+            # rows' key tuples once, run-length over "any column changed"
+            # (codes only need consistency within this group). Invalid
+            # rows code to −1 and are excluded from every match structure
+            # via key_valid below.
+            keys = np.full(group.num_rows, -1, np.int64)
+            vidx = np.flatnonzero(key_valid)
+            if len(vidx):
+                arrs = [stable_key_array(group.column(kc))[vidx] for kc in kcols]
+                o = np.lexsort(tuple(arrs[::-1]))
+                change = np.zeros(len(vidx), bool)
+                change[0] = True
+                for a in arrs:
+                    s = a[o]
+                    change[1:] |= s[1:] != s[:-1]
+                codes = np.empty(len(vidx), np.int64)
+                codes[o] = np.cumsum(change) - 1
+                keys[vidx] = codes
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
-        empty = {left_on: group.column("__key").slice(0, 0)}
+        empty = {lk: group.column(kc).slice(0, 0) for lk, kc in zip(l_keys, kcols)}
         for c in left_value_columns:
             empty[c] = group.column(c).slice(0, 0)
         for c in right_value_columns:
@@ -549,7 +592,7 @@ def hash_join(
             np.where(matched, r_sorted[r_pos] if len(r_sorted) else 0, 0),
             pa.int64(),
         )
-        out = {left_on: group.column("__key").take(l_take)}
+        out = {lk: group.column(kc).take(l_take) for lk, kc in zip(l_keys, kcols)}
         for c in left_value_columns:
             out[c] = group.column(c).take(l_take)
         mmask = pa.array(matched)
@@ -582,7 +625,9 @@ def hash_join(
         if not len(ru):
             return left_tbl
         rtake = pa.array(ru, pa.int64())
-        right_only = {left_on: group.column("__key").take(rtake)}
+        right_only = {
+            lk: group.column(kc).take(rtake) for lk, kc in zip(l_keys, kcols)
+        }
         for c in [*left_value_columns, *right_value_columns]:
             right_only[c] = group.column(c).take(rtake)
         return pa.concat_tables([left_tbl, pa.table(right_only)])

@@ -603,3 +603,63 @@ def test_weighted_sample_deterministic_and_biased(ray_session):
     assert 0 not in s1
     heavy = sum(1 for i in s1 if i % 100 == 0)
     assert heavy >= 25  # 40 heavy items carry ~91% of the total mass
+
+
+def test_hash_join_composite_keys(ray_session):
+    """Multi-column join key: equality = AND over components, a null in
+    ANY component disqualifies the row, inner/left/full_outer all work,
+    output carries every left key column."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {
+            "k1": pa.array([1, 1, 2, 2, None], pa.int64()),
+            "k2": pa.array(["x", "y", "x", None, "x"]),
+            "lv": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "r1": pa.array([1, 1, 2, 3], pa.int64()),
+            "r2": pa.array(["x", "x", "z", "x"]),
+            "rv": pa.array([100, 101, 102, 103], pa.int64()),
+        }
+    )
+    inner = sorted(
+        (r["k1"], r["k2"], r["lv"], r["rv"])
+        for r in hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            ["k1", "k2"], ["r1", "r2"], ["lv"], ["rv"],
+        ).take_all()
+    )
+    assert inner == [(1, "x", 10, 100), (1, "x", 10, 101)]
+
+    left_out = sorted(
+        ((r["k1"], r["k2"], r["lv"], r["rv"]) for r in hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            ["k1", "k2"], ["r1", "r2"], ["lv"], ["rv"], how="left",
+        ).take_all()),
+        key=lambda x: x[2],
+    )
+    assert left_out == [
+        (1, "x", 10, 100), (1, "x", 10, 101),
+        (1, "y", 11, None), (2, "x", 12, None),
+        (2, None, 13, None), (None, "x", 14, None),
+    ]
+
+    full = sorted(
+        ((r["k1"], r["k2"], r["lv"], r["rv"]) for r in hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            ["k1", "k2"], ["r1", "r2"], ["lv"], ["rv"], how="full_outer",
+        ).take_all()),
+        key=lambda x: (x[2] is None, x[2] or 0, x[3] or 0),
+    )
+    # left-driven rows as in `left`, plus right-only (2,z) and (3,x)
+    assert full == [
+        (1, "x", 10, 100), (1, "x", 10, 101),
+        (1, "y", 11, None), (2, "x", 12, None),
+        (2, None, 13, None), (None, "x", 14, None),
+        (2, "z", None, 102), (3, "x", None, 103),
+    ]
