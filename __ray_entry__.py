@@ -209,6 +209,11 @@ SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms
 FROM events e ASOF JOIN orders o
 ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
+        "asof_forward_events_orders": """
+SELECT o.o_orderkey, e.event_id
+FROM orders o ASOF JOIN events e
+ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+""",
         "range_join_events_attribution": """
 SELECT p.event_id AS purchase_id, k.event_id AS click_id,
        epoch_us(k.ts) AS click_ts_us

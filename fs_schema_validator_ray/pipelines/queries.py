@@ -1268,6 +1268,38 @@ def asof_events_orders(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def asof_forward_events_orders(sf_dir: str):
+    """FORWARD as-of join: each order matched to the customer's FIRST
+    event at-or-after order time (``direction="forward"``) —
+    oracle-checked against DuckDB ``ASOF JOIN ... ON o.o_orderdate <=
+    e.ts``."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = asof_join(
+        left, right,
+        key_column="user_id", left_ts="o_orderdate", right_ts="ts",
+        left_value_columns=["o_orderkey"], right_value_columns=["event_id"],
+        direction="forward",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_o_orderkey"),
+                "event_id": t.column("r_event_id"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def range_join_events_attribution(sf_dir: str):
     """Distributed range (interval) join: every purchase event paired
     with every click by the same user in the preceding 60 minutes
@@ -1959,6 +1991,7 @@ QUERIES = {
     "full_join_customer_orders": full_join_customer_orders,
     "salted_join_lineitem_orders": salted_join_lineitem_orders,
     "composite_join_lineitem": composite_join_lineitem,
+    "asof_forward_events_orders": asof_forward_events_orders,
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,

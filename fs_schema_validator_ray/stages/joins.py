@@ -107,10 +107,14 @@ def asof_join(
     right_ts: str,
     left_value_columns: list[str],
     right_value_columns: list[str],
+    direction: str = "backward",
 ):
-    """Distributed as-of (backward) join: for every left row, the right
-    row with the same key and the greatest ``right_ts <= left_ts``.
-    Inner semantics — left rows with no prior right row drop.
+    """Distributed as-of join: for every left row, the right row with
+    the same key and — ``direction="backward"`` (default) the greatest
+    ``right_ts <= left_ts``; ``"forward"`` the smallest ``right_ts >=
+    left_ts``; ``"nearest"`` whichever side is closer (tie → the
+    backward match, deterministic). Inner semantics — left rows with no
+    qualifying right row drop.
 
     ``tag → union → groupby(hash(key) % n_buckets) → per-bucket
     key-segment scan + searchsorted``: one shuffle of only the pruned
@@ -126,6 +130,10 @@ def asof_join(
         stable_key_array,
     )
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     n_buckets = default_n_buckets()
     l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
     r_cols = list(dict.fromkeys([key_column, right_ts, *right_value_columns]))
@@ -192,8 +200,23 @@ def asof_join(
                 continue  # one-sided key
             l_ts = ts_s[s:split]
             r_ts = ts_s[split:e]
-            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
-            ok = pos >= 0
+            if direction == "backward":
+                pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+                ok = pos >= 0
+            elif direction == "forward":
+                pos = np.searchsorted(r_ts, l_ts, side="left")
+                ok = pos < len(r_ts)
+            else:  # nearest: closer of the two, tie → backward
+                pb = np.searchsorted(r_ts, l_ts, side="right") - 1
+                pf = np.searchsorted(r_ts, l_ts, side="left")
+                okb, okf = pb >= 0, pf < len(r_ts)
+                db = np.where(okb, l_ts - r_ts[np.maximum(pb, 0)], np.iinfo(np.int64).max)
+                df = np.where(
+                    okf, r_ts[np.minimum(pf, len(r_ts) - 1)] - l_ts,
+                    np.iinfo(np.int64).max,
+                )
+                pos = np.where(db <= df, pb, pf)
+                ok = okb | okf
             keep_l.append(order[s:split][ok])
             match_r.append(order[split:e][pos[ok]])
         if not keep_l:

@@ -663,3 +663,44 @@ def test_hash_join_composite_keys(ray_session):
         (2, None, 13, None), (None, "x", 14, None),
         (2, "z", None, 102), (3, "x", None, 103),
     ]
+
+
+def test_asof_join_forward_and_nearest(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([5, 12, 30], pa.int64()),
+            "lid": pa.array([100, 101, 102], pa.int64()),
+        }
+    ))
+    right = ray.data.from_arrow(pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "rts": pa.array([10, 20], pa.int64()),
+            "rid": pa.array([7, 8], pa.int64()),
+        }
+    ))
+    fwd = sorted((r["l_lid"], r["r_rid"]) for r in asof_join(
+        left, right, "k", "ts", "rts", ["lid"], ["rid"], direction="forward"
+    ).take_all())
+    # ts=5 → rts 10; ts=12 → rts 20; ts=30 → none (drops)
+    assert fwd == [(100, 7), (101, 8)]
+
+    near = sorted((r["l_lid"], r["r_rid"]) for r in asof_join(
+        left, right, "k", "ts", "rts", ["lid"], ["rid"], direction="nearest"
+    ).take_all())
+    # ts=5 → 10 (d5); ts=12 → 10 (d2 < d8); ts=30 → 20 (only backward)
+    assert near == [(100, 7), (101, 7), (102, 8)]
+
+    # tie: ts=15 equidistant from 10 and 20 → backward (rid 7)
+    tie = asof_join(
+        ray.data.from_arrow(pa.table(
+            {"k": pa.array([1], pa.int64()), "ts": pa.array([15], pa.int64()),
+             "lid": pa.array([1], pa.int64())})),
+        right, "k", "ts", "rts", ["lid"], ["rid"], direction="nearest",
+    ).take_all()
+    assert [(r["l_lid"], r["r_rid"]) for r in tie] == [(1, 7)]
