@@ -31,14 +31,18 @@ def read_table(
     override_num_blocks: Optional[int] = None,
 ):
     """Read a dataset from ``path``: ``.lance`` directories via
-    ``ray.data.read_lance`` (when the package exists), anything else as
-    Parquet with column pruning pushed into the read."""
+    ``ray.data.read_lance`` (when the package exists), ``.csv`` via
+    ``ray.data.read_csv``, ``.json``/``.jsonl`` via ``ray.data.read_json``
+    (column pruning applied right after the read — these formats have no
+    column projection at the storage layer), anything else as Parquet
+    with column pruning pushed INTO the read."""
     import ray.data
 
     kwargs = {}
     if override_num_blocks:
         kwargs["override_num_blocks"] = override_num_blocks
-    if path.rstrip("/").endswith(".lance"):
+    p = path.rstrip("/")
+    if p.endswith(".lance"):
         if not lance_available():
             raise ImportError(
                 "input looks like a Lance table but the `lance` package is "
@@ -46,6 +50,12 @@ def read_table(
                 "convert to parquet"
             )
         return ray.data.read_lance(path, columns=columns, **kwargs)
+    if p.endswith(".csv"):
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if p.endswith((".json", ".jsonl")):
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
