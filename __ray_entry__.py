@@ -308,6 +308,12 @@ FROM lineitem l
 JOIN (SELECT * FROM lineitem WHERE l_discount > 0.05) r
   ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
 """,
+        "prefiltered_join_events_customer": """
+SELECT e.user_id, e.event_id,
+       CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_acctbal > 9000.0
+""",
         "salted_join_lineitem_orders": """
 SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

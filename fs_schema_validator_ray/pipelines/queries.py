@@ -486,6 +486,37 @@ def composite_join_lineitem(sf_dir: str):
     )
 
 
+def prefiltered_join_events_customer(sf_dir: str):
+    """SELECTIVE inner join with a Bloom prefilter: events ⋈ the few
+    high-balance customers — a right-side key-hash pass builds the
+    broadcast filter, left rows that cannot match never enter the
+    shuffle; false negatives impossible so the result is identical to the
+    plain join (which is exactly what the oracle checks)."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id"])
+    right = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t.column("c_acctbal"), 9000.0))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "bal_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("c_acctbal"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return hash_join(
+        left, right.map_batches(rich, batch_format="pyarrow"),
+        "user_id", "c_custkey", ["event_id"], ["bal_cents"],
+        prefilter="bloom",
+    )
+
+
 def salted_join_lineitem_orders(sf_dir: str):
     """The EXPLICIT hot-key skew join path: same lineitem ⋈ orders inner
     join, but every key's probe rows spread across 4 salt sub-buckets
@@ -1992,6 +2023,7 @@ QUERIES = {
     "salted_join_lineitem_orders": salted_join_lineitem_orders,
     "composite_join_lineitem": composite_join_lineitem,
     "asof_forward_events_orders": asof_forward_events_orders,
+    "prefiltered_join_events_customer": prefiltered_join_events_customer,
     "rank_orders_per_customer": rank_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,

@@ -397,6 +397,7 @@ def hash_join(
     n_buckets: int | None = None,
     how: str = "inner",
     salt: int = 1,
+    prefilter: str | None = None,
 ):
     """Distributed equi-join (``how``: "inner", "left" or "full_outer"),
     both sides large: ``tag → union → groupby(hash(key) % n_buckets) →
@@ -434,6 +435,15 @@ def hash_join(
     collapses to within-group int64 codes via one lexsort + run-length
     scan, so the probe stays two ``searchsorted`` calls regardless of
     key arity.
+
+    ``prefilter`` ("exact" or "bloom", inner only) cuts the LEFT shuffle
+    for SELECTIVE joins: one pass over the right side builds a
+    key-hash membership (sorted u64 set, 8 B/distinct key, or a Bloom at
+    ~1.8 B/key) that's broadcast once and probed inside ``tag_left`` —
+    left rows that cannot match never enter the exchange. False
+    positives (hash collision / Bloom fpp) only ship a row that the
+    merge then drops; false negatives are impossible (same hash both
+    sides), so results are identical to the unfiltered join.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
@@ -461,18 +471,60 @@ def hash_join(
     key_types = [_target_type(left, k) for k in l_keys]
     kcols = [f"__key{i}" for i in range(m)]
 
+    if prefilter not in (None, "exact", "bloom"):
+        raise ValueError(f"prefilter must be None|exact|bloom, got {prefilter!r}")
+    if prefilter and how != "inner":
+        # left/full_outer must emit unmatched left rows — nothing to prune
+        raise ValueError("prefilter supports how=inner only")
+
     def all_valid(t: pa.Table, names: list[str]):
         v = pc.is_valid(t.column(names[0]))
         for k in names[1:]:
             v = pc.and_(v, pc.is_valid(t.column(k)))
         return v
 
-    def bucket_of(t: pa.Table, names: list[str], salt_idx=None) -> pa.Array:
-        h = hash64(stable_key_array(t.column(names[0]).combine_chunks()))
+    def chash(t: pa.Table, names: list[str], alt: bool = False) -> np.ndarray:
+        key = "fedcba9876543210" if alt else "0123456789abcdef"
+        h = hash64(stable_key_array(t.column(names[0]).combine_chunks()), key=key)
         for k in names[1:]:
             h = h * np.uint64(0x9E3779B97F4A7C15) ^ hash64(
-                stable_key_array(t.column(k).combine_chunks())
+                stable_key_array(t.column(k).combine_chunks()), key=key
             )
+        return h
+
+    membership_ref = None
+    if prefilter:
+        import ray
+
+        from fs_schema_validator_ray.state.sketches import BloomFilter
+
+        def hash_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(all_valid(t, r_keys))
+            h1 = chash(t, r_keys)
+            h2 = chash(t, r_keys, alt=True)
+            u, ui = np.unique(h1, return_index=True)
+            return pa.table(
+                {
+                    "h1": pa.array(u, pa.uint64()),
+                    "h2": pa.array(h2[ui], pa.uint64()),
+                }
+            )
+
+        parts = (
+            right.select_columns(list(dict.fromkeys(r_keys)))
+            .map_batches(hash_partial, batch_format="pyarrow")
+            .to_pandas()  # per-block DISTINCT hashes only — 16 B each
+        )
+        h1 = parts["h1"].to_numpy(dtype=np.uint64)
+        if prefilter == "exact":
+            membership_ref = ray.put(np.unique(h1))
+        else:
+            bf = BloomFilter(max(len(h1), 1))
+            bf.add_hashes(h1, parts["h2"].to_numpy(dtype=np.uint64))
+            membership_ref = ray.put(bf)
+
+    def bucket_of(t: pa.Table, names: list[str], salt_idx=None) -> pa.Array:
+        h = chash(t, names)
         base = mix_to_buckets(h, n_buckets)
         if salt == 1:
             return pa.array(base)
@@ -486,6 +538,20 @@ def hash_join(
     def tag_left(t: pa.Table) -> pa.Table:
         if how == "inner":
             t = t.filter(all_valid(t, l_keys))
+        if membership_ref is not None:
+            import ray
+
+            memb = ray.get(membership_ref)  # zero-copy from local plasma
+            h1 = chash(t, l_keys)
+            if isinstance(memb, np.ndarray):
+                if len(memb):
+                    idx = np.clip(np.searchsorted(memb, h1), 0, len(memb) - 1)
+                    keep = memb[idx] == h1
+                else:
+                    keep = np.zeros(len(h1), bool)
+            else:
+                keep = memb.contains_hashes(h1, chash(t, l_keys, alt=True))
+            t = t.filter(pa.array(keep))
         out = {"__bucket": bucket_of(t, l_keys)}
         for kc, k, kt in zip(kcols, l_keys, key_types):
             out[kc] = pc.cast(t.column(k), kt)

@@ -185,6 +185,15 @@ class BloomFilter:
                >> (pos & np.uint64(7)).astype(np.uint8)) & 1
         return got.reshape(self.k, -1).all(axis=0)
 
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Probe with precomputed hash pairs (the worker-side mirror of
+        ``add_hashes`` — e.g. composite join keys hashed per component
+        and mixed before they reach the filter)."""
+        pos = self._positions_from(np.asarray(h1, np.uint64), np.asarray(h2, np.uint64))
+        got = (self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return got.reshape(self.k, -1).all(axis=0)
+
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.n_bits == other.n_bits and self.k == other.k
         out = BloomFilter.__new__(BloomFilter)

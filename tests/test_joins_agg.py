@@ -704,3 +704,45 @@ def test_asof_join_forward_and_nearest(ray_session):
         right, "k", "ts", "rts", ["lid"], ["rid"], direction="nearest",
     ).take_all()
     assert [(r["l_lid"], r["r_rid"]) for r in tie] == [(1, 7)]
+
+
+def test_hash_join_prefilter_parity(ray_session):
+    """exact and bloom prefilters produce the identical inner-join result
+    (false negatives impossible); non-inner raises."""
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {"k": pa.array(rng.integers(0, 1000, 3000), pa.int64()),
+         "lv": pa.array(np.arange(3000, dtype=np.int64))}
+    )
+    right = pa.table(
+        {"k2": pa.array([3, 14, 159, 265, 358], pa.int64()),  # selective
+         "rv": pa.array([1, 2, 3, 4, 5], pa.int64())}
+    )
+    base = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k2", ["lv"], ["rv"],
+        ).take_all()
+    )
+    assert base  # sanity: the selective join matches something
+    for mode in ("exact", "bloom"):
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                "k", "k2", ["lv"], ["rv"], prefilter=mode,
+            ).take_all()
+        )
+        assert got == base
+
+    with pytest.raises(ValueError):
+        hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k2", ["lv"], ["rv"], how="left", prefilter="exact",
+        )
