@@ -327,6 +327,17 @@ SELECT o_orderkey, o_custkey,
                           ORDER BY o_orderpriority) AS dense_rank
 FROM orders
 """,
+        "shift_orders_per_customer": """
+SELECT o_orderkey, o_custkey,
+       LEAD(cents, 1) OVER w AS lead_cents,
+       FIRST_VALUE(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS first_cents,
+       LAST_VALUE(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_cents
+FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
         "full_join_customer_orders": """
 SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
        c.c_mktsegment, o.o_orderkey

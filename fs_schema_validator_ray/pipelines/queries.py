@@ -682,6 +682,42 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def shift_orders_per_customer(sf_dir: str):
+    """LEAD / FIRST_VALUE / LAST_VALUE of the order total (cents) per
+    customer ordered by date then key — whole-partition frame, value kept
+    in its native Arrow type via ``take`` with null indices, one
+    coarse-bucket shuffle (``stages/window.py::per_key_shift``) —
+    oracle-checked."""
+    from fs_schema_validator_ray.stages.window import per_key_shift
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return per_key_shift(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "cents",
+        id_columns=["o_orderkey"],
+    )
+
+
 def full_join_customer_orders(sf_dir: str):
     """FULL OUTER equi-join: customers restricted to ``c_custkey % 3 != 0``
     vs all orders, so BOTH sides have unmatched rows — left-only customers
@@ -2025,6 +2061,7 @@ QUERIES = {
     "asof_forward_events_orders": asof_forward_events_orders,
     "prefiltered_join_events_customer": prefiltered_join_events_customer,
     "rank_orders_per_customer": rank_orders_per_customer,
+    "shift_orders_per_customer": shift_orders_per_customer,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "weighted_sample_documents": weighted_sample_documents,

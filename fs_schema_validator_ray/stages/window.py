@@ -244,6 +244,96 @@ def per_key_rank(
     )
 
 
+def per_key_shift(
+    ds,
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    id_columns: list[str] | None = None,
+    lead: int = 1,
+    n_buckets: int | None = None,
+):
+    """``LEAD(value, k)`` / ``FIRST_VALUE`` / ``LAST_VALUE`` over
+    ``(PARTITION BY key ORDER BY order_columns)`` with the whole-partition
+    frame (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``)
+    for first/last — the navigation-function complement of
+    ``per_key_window``'s LAG/sums.
+
+    Same scale shape: ONE coarse-bucket shuffle of the pruned columns,
+    one vectorized lexsort + segment scan per bucket. The value column
+    keeps its native Arrow type (results are produced by ``take`` with
+    null indices, not arithmetic), so strings/timestamps work unchanged.
+
+    Output: ``id_columns + [key_column, lead_<v>, first_<v>, last_<v>]``,
+    one row per input row. LEAD is null past the partition end (and when
+    the led value itself is null); order is ASC NULLS LAST (SQL default).
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    id_columns = id_columns or []
+    cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
+    lead_col = f"lead_{value_column}"
+    first_col = f"first_{value_column}"
+    last_col = f"last_{value_column}"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.select(cols).append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        key_col = group.column(key_column).combine_chunks()
+        val_col = group.column(value_column).combine_chunks()
+        if n == 0:
+            empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
+            for c in (lead_col, first_col, last_col):
+                empty[c] = val_col.slice(0, 0)
+            return pa.table(empty)
+        kcode = key_codes(key_col)
+        sig: list[np.ndarray] = [kcode]
+        for c in order_columns:
+            sig.extend(_order_arrays(group.column(c)))
+        order = np.lexsort(tuple(sig[::-1]))
+        kc = kcode[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg_start_idx = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        row_start = seg_start_idx[seg_id]
+        seg_end = np.concatenate([seg_start_idx[1:], [n]]) - 1
+        row_end = seg_end[seg_id]
+        idx = np.arange(n, dtype=np.int64)
+        lead_idx = idx + int(lead)
+        lead_ok = lead_idx <= row_end
+        take = pa.array(order, pa.int64())
+        vals_sorted = val_col.take(take)
+        out = {c: group.column(c).take(take) for c in id_columns}
+        out[key_column] = key_col.take(take)
+        # Arrow take with a NULL index yields NULL — exactly LEAD-past-end
+        out[lead_col] = vals_sorted.take(
+            pa.array(np.where(lead_ok, lead_idx, 0), pa.int64(), mask=~lead_ok)
+        )
+        out[first_col] = vals_sorted.take(pa.array(row_start, pa.int64()))
+        out[last_col] = vals_sorted.take(pa.array(row_end, pa.int64()))
+        return pa.table(out)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def per_key_range_window_sum(
     ds,
     key_column: str,

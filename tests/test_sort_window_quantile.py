@@ -526,3 +526,84 @@ def test_range_window_peers_nulls(ray_session):
         6: 32,       # other key
         7: None,     # null ts peer group, value null → SQL NULL sum
     }
+
+
+# --- per_key_shift (LEAD / FIRST_VALUE / LAST_VALUE) -------------------------
+
+
+def test_per_key_shift_ground_truth(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_shift
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "ts": pa.array([3, 1, 2, 10, 5, 1], pa.int64()),
+            "rid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "val": pa.array(["x3", "x1", "x2", "y10", "y5", "z"], pa.string()),
+        }
+    )
+    out = (
+        per_key_shift(
+            ray.data.from_arrow(t).repartition(3),
+            key_column="k",
+            order_columns=["ts", "rid"],
+            value_column="val",
+            id_columns=["rid"],
+            n_buckets=4,
+        )
+        .to_pandas()
+        .set_index("rid")
+    )
+    # key a ordered by ts: x1, x2, x3 (rids 1, 2, 0)
+    assert out.loc[1, "lead_val"] == "x2" and out.loc[2, "lead_val"] == "x3"
+    assert out.loc[0, "lead_val"] is None  # last row of partition
+    for rid in (0, 1, 2):
+        assert out.loc[rid, "first_val"] == "x1"
+        assert out.loc[rid, "last_val"] == "x3"
+    # key b ordered by ts: y5 then y10
+    assert out.loc[4, "lead_val"] == "y10" and out.loc[3, "lead_val"] is None
+    assert out.loc[3, "first_val"] == "y5" and out.loc[4, "last_val"] == "y10"
+    # singleton c
+    assert out.loc[5, "lead_val"] is None
+    assert out.loc[5, "first_val"] == "z" and out.loc[5, "last_val"] == "z"
+
+
+def test_per_key_shift_null_values_and_lead2(ray_session):
+    """LEAD(k=2), null led values stay null, null order keys sort last,
+    native value dtype preserved (no int64 coercion)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_shift
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4, pa.string()),
+            "ts": pa.array([1, 2, None, 3], pa.int64()),
+            "rid": pa.array([0, 1, 2, 3], pa.int64()),
+            "val": pa.array([1.5, None, 4.5, 3.5], pa.float64()),
+        }
+    )
+    ds = per_key_shift(
+        ray.data.from_arrow(t),
+        key_column="k",
+        order_columns=["ts", "rid"],
+        value_column="val",
+        id_columns=["rid"],
+        lead=2,
+        n_buckets=2,
+    )
+    tbl = pa.concat_tables(
+        [ray.get(ref) for ref in ds.to_arrow_refs()]
+    ).combine_chunks()
+    assert tbl.column("lead_val").type == pa.float64()
+    rows = {r["rid"]: r for r in tbl.to_pylist()}
+    # order: ts 1,2,3, then null-ts last → rids 0,1,3,2
+    assert rows[0]["lead_val"] == 3.5       # two ahead of rid0 is rid3
+    assert rows[1]["lead_val"] == 4.5       # two ahead of rid1 is rid2
+    assert rows[3]["lead_val"] is None      # past partition end
+    assert rows[2]["lead_val"] is None
+    for rid in range(4):
+        assert rows[rid]["first_val"] == 1.5
+        assert rows[rid]["last_val"] == 4.5
