@@ -327,6 +327,13 @@ SELECT o_orderkey, o_custkey,
                           ORDER BY o_orderpriority) AS dense_rank
 FROM orders
 """,
+        "heavy_hitters_events": """
+SELECT user_id, COUNT(*) AS cnt
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING COUNT(*) >=
+  (SELECT (COUNT(user_id) + 124) // 125 FROM events)
+""",
         "shift_orders_per_customer": """
 SELECT o_orderkey, o_custkey,
        LEAD(cents, 1) OVER w AS lead_cents,

@@ -682,6 +682,17 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def heavy_hitters_events(sf_dir: str):
+    """Exact frequent users (count ≥ 0.8% of events) WITHOUT a full
+    groupby — truncated-counts candidate pass + broadcast verify pass
+    with a Misra-Gries-style error bound
+    (``stages/agg.py::heavy_hitters``) — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
+
+
 def shift_orders_per_customer(sf_dir: str):
     """LEAD / FIRST_VALUE / LAST_VALUE of the order total (cents) per
     customer ordered by date then key — whole-partition frame, value kept
@@ -2062,6 +2073,7 @@ QUERIES = {
     "prefiltered_join_events_customer": prefiltered_join_events_customer,
     "rank_orders_per_customer": rank_orders_per_customer,
     "shift_orders_per_customer": shift_orders_per_customer,
+    "heavy_hitters_events": heavy_hitters_events,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "weighted_sample_documents": weighted_sample_documents,

@@ -95,6 +95,183 @@ def group_sum_bucketed(
     )
 
 
+def heavy_hitters(
+    ds,
+    key_column: str,
+    phi_num: int = 1,
+    phi_den: int = 125,
+    k_per_batch: int = 4096,
+):
+    """EXACT frequent items above a relative threshold without a full
+    groupby — the two-pass sketch + verify pattern for skewed keys at
+    scale (Misra-Gries / SpaceSaving bound).
+
+    Finds every key whose count ≥ ``ceil(n · phi_num / phi_den)`` where
+    ``n`` is the number of non-null key rows (null keys are excluded —
+    SQL ``COUNT(col)`` semantics). Returns ``[key_column, cnt]`` with
+    EXACT counts.
+
+    Shape (why this beats ``group_sum`` on a near-unique key):
+
+    1. **Candidate pass** — per batch, exact Arrow ``value_counts``
+       truncated to the ``k_per_batch`` most frequent keys; a sentinel
+       row carries the batch's row total and the largest DROPPED count
+       (``dmax ≤ batch_n/(k+1)``, the (k+1)-th largest count bound).
+       Partials are materialized: ≤ ``k+1`` narrow rows per batch, so
+       the input is never re-read for the bookkeeping below.
+    2. **Bound** — global ``err = Σ dmax ≤ n/(k+1)``. A key's true count
+       is within ``[cnt_lower, cnt_lower + err]``, so keys with
+       ``cnt_lower ≥ threshold − err`` form a guaranteed SUPERSET of the
+       true heavy hitters (no false negatives). The superset is small —
+       ≤ ``n/(threshold − err)`` keys — because the threshold is
+       relative; requires ``phi > 1/(k_per_batch+1)`` (asserted).
+    3. **Verify pass** — broadcast the candidate keys once (``ray.put``),
+       count ONLY them per batch (vectorized ``pc.is_in``), tiny final
+       groupby, filter ``cnt ≥ threshold``. Exact.
+
+    The input dataset is consumed twice (candidate + verify) — at scale
+    that is two pruned single-column scans, vs. one all-to-all shuffle
+    of every row for the naive groupby. Integer threshold arithmetic
+    (``(n·num + den−1) // den``) keeps the cutoff bit-exact vs a SQL
+    oracle (float ``0.008·n`` would be rounding-dependent at the edge).
+    """
+    import ray
+
+    if not (0 < phi_num < phi_den):
+        raise ValueError("phi must be a fraction in (0, 1)")
+    if phi_num * (k_per_batch + 1) <= phi_den:
+        raise ValueError(
+            "phi must exceed 1/(k_per_batch+1) for the candidate bound "
+            "to hold (raise k_per_batch or the threshold)"
+        )
+
+    def candidate_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).combine_chunks().drop_null()
+        key_type = keys.type
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], key_type),
+                    "cnt": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "dropped": pa.array([], pa.int64()),
+                }
+            )
+        vc = pc.value_counts(keys)
+        vals, counts = vc.field("values"), np.asarray(vc.field("counts"))
+        dmax = 0
+        if len(counts) > k_per_batch:
+            top = np.argpartition(counts, -k_per_batch)[-k_per_batch:]
+            dropped_mask = np.ones(len(counts), dtype=bool)
+            dropped_mask[top] = False
+            dmax = int(counts[dropped_mask].max())
+            take = pa.array(np.sort(top), pa.int64())
+            vals, counts = vals.take(take), counts[top[np.argsort(top)]]
+        k = len(counts)
+        return pa.table(
+            {
+                key_column: pa.concat_arrays(
+                    [vals, pa.array([None], key_type)]
+                ),
+                "cnt": pa.array(
+                    np.concatenate([counts.astype(np.int64), [0]]), pa.int64()
+                ),
+                "total": pa.array([0] * k + [n], pa.int64()),
+                "dropped": pa.array([0] * k + [dmax], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        candidate_partial, batch_format="pyarrow"
+    ).materialize()
+
+    # global scalars from the sentinel rows (KB-sized per-block partials)
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "total": pa.array([int(pc.sum(t.column("total")).as_py() or 0)]),
+                "dropped": pa.array(
+                    [int(pc.sum(t.column("dropped")).as_py() or 0)]
+                ),
+            }
+        )
+
+    sums = partials.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(sums["total"].sum())
+    err = int(sums["dropped"].sum())
+    threshold = (n_total * phi_num + phi_den - 1) // phi_den
+    lower_cut = threshold - err
+
+    merged = group_sum_bucketed(
+        partials.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(key_column))).select(
+                [key_column, "cnt"]
+            ),
+            batch_format="pyarrow",
+        ),
+        key_column,
+        ["cnt"],
+    )
+    # Ray can emit schemaless zero-column empty blocks — drop them before
+    # the concat; the key type is free from the materialized partials.
+    key_type = partials.schema().base_schema.field(key_column).type
+    cand_blocks = [
+        t
+        for t in (
+            ray.get(ref)
+            for ref in merged.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(
+                        t.column("cnt"), pa.scalar(lower_cut, pa.int64())
+                    )
+                ).select([key_column]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if t.num_columns > 0
+    ]
+    if cand_blocks:
+        cands = (
+            pa.concat_tables(cand_blocks).column(key_column).combine_chunks()
+        )
+    else:
+        cands = pa.array([], key_type)
+    cand_ref = ray.put(cands)
+
+    empty_out = pa.table(
+        {key_column: pa.array([], key_type), "cnt": pa.array([], pa.int64())}
+    )
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        if key_column not in batch.column_names:
+            return empty_out
+        cands = ray.get(cand_ref)
+        keys = batch.column(key_column).combine_chunks().drop_null()
+        hits = keys.filter(pc.is_in(keys, value_set=cands))
+        if len(hits) == 0:
+            return empty_out
+        vc = pc.value_counts(hits)
+        return pa.table(
+            {
+                key_column: vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def above_threshold(t: pa.Table) -> pa.Table:
+        if "cnt" not in t.column_names:
+            return empty_out
+        return t.filter(
+            pc.greater_equal(t.column("cnt"), pa.scalar(threshold, pa.int64()))
+        ).select([key_column, "cnt"])
+
+    exact = group_sum_bucketed(
+        ds.map_batches(verify_partial, batch_format="pyarrow"), key_column, ["cnt"]
+    )
+    return exact.map_batches(above_threshold, batch_format="pyarrow")
+
+
 def pivot_wide(
     ds,
     key_column: str,

@@ -746,3 +746,52 @@ def test_hash_join_prefilter_parity(ray_session):
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             "k", "k2", ["lv"], ["rv"], how="left", prefilter="exact",
         )
+
+
+# --- heavy_hitters -----------------------------------------------------------
+
+
+def test_heavy_hitters_exact_with_forced_truncation(ray_session):
+    """k_per_batch far below batch cardinality forces the candidate pass
+    to drop keys (non-zero error bound) — the verify pass must still
+    return exact counts for every key above the threshold and nothing
+    below it."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import heavy_hitters
+
+    # 3 heavy keys (120/90/60 of 600 rows) + 300 near-unique light keys
+    keys = (
+        ["hot_a"] * 120 + ["hot_b"] * 90 + ["hot_c"] * 60
+        + [f"light_{i}" for i in range(300) for _ in (0,)] + ["warm"] * 30
+    )
+    rng = np.random.default_rng(7)
+    keys = [keys[i] for i in rng.permutation(len(keys))]
+    t = pa.table({"k": pa.array(keys, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    # threshold = ceil(600 * 1/12) = 50 → hot_a, hot_b, hot_c qualify;
+    # warm (30) and every light key (1) do not. k_per_batch=16 truncates
+    # every ~100-row batch with ~50+ distinct keys.
+    out = heavy_hitters(ds, "k", phi_num=1, phi_den=12, k_per_batch=16)
+    rows = {r["k"]: r["cnt"] for r in out.take_all()}
+    assert rows == {"hot_a": 120, "hot_b": 90, "hot_c": 60}
+
+
+def test_heavy_hitters_null_keys_and_phi_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import heavy_hitters
+
+    t = pa.table(
+        {"k": pa.array(["a"] * 6 + [None] * 10 + ["b"] * 2, pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    # n = 8 non-null keys; threshold = ceil(8/2) = 4 → only "a"
+    rows = {
+        r["k"]: r["cnt"]
+        for r in heavy_hitters(ds, "k", phi_num=1, phi_den=2).take_all()
+    }
+    assert rows == {"a": 6}
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "k", phi_num=1, phi_den=100, k_per_batch=8)
