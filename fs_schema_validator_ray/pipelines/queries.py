@@ -1596,6 +1596,43 @@ def audio_speed_perturb_clips(sf_dir: str, n_rows: int = 1500):
     return out.select_columns(["clip_id", "factor", "n_samples", "decode_ok"])
 
 
+def audio_noise_mix_clips(sf_dir: str, n_rows: int = 1500):
+    """Additive white-noise augmentation at 20 dB SNR — deterministic
+    splitmix noise keyed by clip id, hard-limited remix, pcm_s16le
+    re-encode (``stages/audio_features.py::NoiseMixStage``; rows-only:
+    payload transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import NoiseMixStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    out = ds.map_batches(
+        NoiseMixStage(snr_db=20.0), batch_format="pyarrow", batch_size=512
+    )
+    return out.select_columns(["clip_id", "decode_ok", "n_samples", "noise_rms_db"])
+
+
+def audio_reverb_clips(sf_dir: str, n_rows: int = 1500):
+    """Synthetic-RIR reverb augmentation (FFT convolution with a 120 ms
+    exponentially decaying noise tail; per-sample-rate RIR memoized on
+    the stage instance — once per actor when run as an actor pool)
+    (``stages/audio_features.py::ReverbStage``; rows-only: payload
+    transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import ReverbStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    out = ds.map_batches(
+        ReverbStage(rt60_ms=120.0, wet=0.6),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    return out.select_columns(["clip_id", "decode_ok", "n_samples", "rt60_ms"])
+
+
 def audio_curation_clips(sf_dir: str, n_rows: int = 1500):
     """END-TO-END audio curation: quality gate (decode-once screen on
     duration/RMS/clipping/silence) → silence trim → resample to 16 kHz →
@@ -2085,6 +2122,8 @@ QUERIES = {
     "histogram_orders_totalprice": histogram_orders_totalprice,
     "kmeans_embeddings": kmeans_embeddings,
     "audio_speed_perturb_clips": audio_speed_perturb_clips,
+    "audio_noise_mix_clips": audio_noise_mix_clips,
+    "audio_reverb_clips": audio_reverb_clips,
     "audio_curation_clips": audio_curation_clips,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,

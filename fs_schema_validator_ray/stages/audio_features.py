@@ -1089,3 +1089,211 @@ class SpeedPerturbStage:
                     }
                 )
         return pa.Table.from_pylist(rows, schema=SPEED_SCHEMA)
+
+
+NOISE_MIX_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("snr_db", pa.float64()),
+        ("noise_rms_db", pa.float64()),
+    ]
+)
+
+
+class NoiseMixStage:
+    """``map_batches`` callable: additive white-noise augmentation at a
+    target SNR (the standard ASR robustness augmentation). Per clip the
+    noise is regenerated from a splitmix counter keyed by a stable hash
+    of ``(clip_id, seed_salt)`` — reruns, resumed partitions, and
+    different block splits produce bit-identical output with zero RNG
+    state on the actor (same discipline as ``SpeedPerturbStage``).
+
+    The noise is scaled so ``10·log10(P_signal / P_noise) = snr_db``;
+    the mix is hard-limited to [-1, 1] before re-encoding (pcm_s16le).
+    All-silent clips (zero signal power — target SNR undefined) pass
+    through unmixed with ``noise_rms_db`` null. Undecodable payloads
+    emit ``decode_ok=false`` with null bytes.
+    """
+
+    def __init__(
+        self,
+        snr_db: float = 20.0,
+        seed_salt: str = "noise-mix-v1",
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        self.snr_db = float(snr_db)
+        self.seed_salt = seed_salt
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.state.sketches import hash64
+
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        seeds = hash64(
+            np.asarray(
+                [f"{self.seed_salt}:{k}" for k in keys], dtype=object
+            )
+        )
+        rows = []
+        for key, view, seed in zip(keys, views, seeds):
+            kid = None if key is None else str(key)
+            decoded = None
+            if view is not None and len(view) > 0:
+                try:
+                    decoded = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    decoded = None
+            if decoded is None:
+                rows.append(
+                    {
+                        "clip_id": kid, "decode_ok": False, "bytes": None,
+                        "sr_hz": None, "n_samples": None,
+                        "snr_db": self.snr_db, "noise_rms_db": None,
+                    }
+                )
+                continue
+            x, sr_hz, _ = decoded
+            p_sig = float(np.mean(np.square(x))) if len(x) else 0.0
+            if p_sig <= 0.0:
+                y, noise_rms_db = x, None
+            else:
+                # uniform [0,1) → zero-mean unit-ish noise, then scale to
+                # the exact power ratio the target SNR demands
+                u = audio._splitmix_uniform(int(seed), len(x))
+                noise = (u - 0.5) * np.sqrt(12.0)  # unit variance
+                p_noise_target = p_sig / (10.0 ** (self.snr_db / 10.0))
+                noise = noise * np.sqrt(p_noise_target)
+                noise_rms_db = 10.0 * np.log10(
+                    max(float(np.mean(np.square(noise))), 1e-30)
+                )
+                y = np.clip(x + noise, -1.0, 1.0)
+            rows.append(
+                {
+                    "clip_id": kid,
+                    "decode_ok": True,
+                    "bytes": audio.encode(y, sr_hz, "pcm_s16le"),
+                    "sr_hz": sr_hz,
+                    "n_samples": len(y),
+                    "snr_db": self.snr_db,
+                    "noise_rms_db": noise_rms_db,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=NOISE_MIX_SCHEMA)
+
+
+REVERB_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("rt60_ms", pa.float64()),
+    ]
+)
+
+
+class ReverbStage:
+    """``map_batches`` callable: synthetic room-impulse-response (RIR)
+    reverb augmentation — FFT convolution with an exponentially decaying
+    noise tail (the standard synthetic-RIR model when no measured RIR
+    corpus is available; decay constant set so the tail falls 60 dB over
+    ``rt60_ms``).
+
+    This is the showcase STATEFUL stage shape: the RIR for each sample
+    rate is built once and memoized on the instance (``self._rirs``), so
+    running it as an actor pool (``map_batches(ReverbStage, concurrency=N)``)
+    pays the construction once per actor, not per batch. The RIR itself
+    is deterministic (splitmix noise keyed by ``seed_salt`` + sr), so
+    every actor builds the identical filter. Output keeps the input
+    length (tail truncated, like torchaudio's ``fftconvolve`` + slice)
+    and is peak-renormalized to the dry peak to avoid clipping.
+    """
+
+    def __init__(
+        self,
+        rt60_ms: float = 120.0,
+        wet: float = 0.6,
+        seed_salt: str = "rir-v1",
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if rt60_ms <= 0 or not (0.0 <= wet <= 1.0):
+            raise ValueError("rt60_ms must be > 0 and wet within [0, 1]")
+        self.rt60_ms = float(rt60_ms)
+        self.wet = float(wet)
+        self.seed_salt = seed_salt
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+        self._rirs: dict[int, np.ndarray] = {}
+
+    def _rir(self, sr_hz: int) -> np.ndarray:
+        rir = self._rirs.get(sr_hz)
+        if rir is None:
+            from fs_schema_validator_ray.state.sketches import hash64
+
+            n = max(1, int(round(sr_hz * self.rt60_ms / 1000.0)))
+            seed = int(hash64(np.asarray([f"{self.seed_salt}:{sr_hz}"], dtype=object))[0])
+            u = audio._splitmix_uniform(seed, n)
+            # -60 dB over the tail: exp decay with ln(1000) ≈ 6.908
+            env = np.exp(-6.908 * np.arange(n) / n)
+            rir = (u - 0.5) * env
+            rir[0] = 1.0  # direct path
+            rir = rir / np.sqrt(np.sum(np.square(rir)))
+            self._rirs[sr_hz] = rir
+        return rir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            kid = None if key is None else str(key)
+            decoded = None
+            if view is not None and len(view) > 0:
+                try:
+                    decoded = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    decoded = None
+            if decoded is None:
+                rows.append(
+                    {
+                        "clip_id": kid, "decode_ok": False, "bytes": None,
+                        "sr_hz": None, "n_samples": None, "rt60_ms": self.rt60_ms,
+                    }
+                )
+                continue
+            x, sr_hz, _ = decoded
+            rir = self._rir(sr_hz)
+            if len(x):
+                m = len(x) + len(rir) - 1
+                nfft = 1 << (m - 1).bit_length()
+                wet_sig = np.fft.irfft(
+                    np.fft.rfft(x, nfft) * np.fft.rfft(rir, nfft), nfft
+                )[: len(x)]
+                y = (1.0 - self.wet) * x + self.wet * wet_sig
+                peak_dry = float(np.max(np.abs(x)))
+                peak_wet = float(np.max(np.abs(y)))
+                if peak_wet > 0 and peak_dry > 0 and peak_wet > peak_dry:
+                    y = y * (peak_dry / peak_wet)
+                y = np.clip(y, -1.0, 1.0)
+            else:
+                y = x
+            rows.append(
+                {
+                    "clip_id": kid,
+                    "decode_ok": True,
+                    "bytes": audio.encode(y, sr_hz, "pcm_s16le"),
+                    "sr_hz": sr_hz,
+                    "n_samples": len(y),
+                    "rt60_ms": self.rt60_ms,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=REVERB_SCHEMA)

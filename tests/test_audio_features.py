@@ -367,3 +367,119 @@ def test_quality_gate_filters(ray_session):
     ).take_all()
     assert [r["clip_id"] for r in out] == ["good"]
     assert out[0]["bytes"] == good  # payload passes through untouched
+
+
+# --- NoiseMixStage / ReverbStage (augmentation) ------------------------------
+
+
+def _clip_batch(x, sr, clip_id="c1", codec="pcm_s16le"):
+    return pa.table(
+        {
+            "clip_id": pa.array([clip_id], pa.string()),
+            "bytes": pa.array([audio.encode(x, sr, codec)], pa.binary()),
+        }
+    )
+
+
+def test_noise_mix_hits_target_snr_and_is_deterministic():
+    from fs_schema_validator_ray.stages.audio_features import NoiseMixStage
+
+    sr = 16000
+    x = tone(440, sr=sr, dur_s=0.5, amp=0.5)
+    batch = _clip_batch(x, sr)
+    stage = NoiseMixStage(snr_db=20.0)
+    out1, out2 = stage(batch), stage(batch)
+    assert out1.column("bytes").to_pylist() == out2.column("bytes").to_pylist()
+    row = out1.to_pylist()[0]
+    assert row["decode_ok"] and row["n_samples"] == len(x)
+    y, sr2, _ = audio.decode(row["bytes"])
+    assert sr2 == sr
+    # achieved SNR within ~0.5 dB of target (pcm16 quantization + limiter)
+    noise = y - x[: len(y)]
+    snr = 10 * np.log10(np.mean(x**2) / np.mean(noise**2))
+    assert snr == pytest.approx(20.0, abs=0.5)
+
+
+def test_noise_mix_different_clips_get_different_noise():
+    from fs_schema_validator_ray.stages.audio_features import NoiseMixStage
+
+    sr = 16000
+    x = tone(300, sr=sr, dur_s=0.2, amp=0.4)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([audio.encode(x, sr, "pcm_s16le")] * 2, pa.binary()),
+        }
+    )
+    out = NoiseMixStage(snr_db=15.0)(batch).to_pylist()
+    assert out[0]["bytes"] != out[1]["bytes"]  # per-clip-id noise
+
+
+def test_noise_mix_silence_passthrough_and_bad_payload():
+    from fs_schema_validator_ray.stages.audio_features import NoiseMixStage
+
+    sr = 8000
+    silent = np.zeros(400)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["s", "bad"], pa.string()),
+            "bytes": pa.array(
+                [audio.encode(silent, sr, "pcm_s16le"), b"\x00garbage"],
+                pa.binary(),
+            ),
+        }
+    )
+    rows = NoiseMixStage(snr_db=10.0)(batch).to_pylist()
+    assert rows[0]["decode_ok"] and rows[0]["noise_rms_db"] is None
+    y, _, _ = audio.decode(rows[0]["bytes"])
+    assert np.all(y == 0.0)  # silence stays silence (SNR undefined)
+    assert rows[1]["decode_ok"] is False and rows[1]["bytes"] is None
+
+
+def test_reverb_preserves_length_and_is_deterministic():
+    from fs_schema_validator_ray.stages.audio_features import ReverbStage
+
+    sr = 16000
+    x = tone(440, sr=sr, dur_s=0.3, amp=0.5)
+    batch = _clip_batch(x, sr)
+    s1, s2 = ReverbStage(rt60_ms=120.0, wet=0.6), ReverbStage(rt60_ms=120.0, wet=0.6)
+    out1, out2 = s1(batch), s2(batch)
+    assert out1.column("bytes").to_pylist() == out2.column("bytes").to_pylist()
+    row = out1.to_pylist()[0]
+    assert row["decode_ok"] and row["n_samples"] == len(x)
+    y, _, _ = audio.decode(row["bytes"])
+    assert len(y) == len(x)
+    # wet signal differs from dry but keeps the dry peak bound
+    assert not np.allclose(y, x, atol=1e-3)
+    assert np.max(np.abs(y)) <= np.max(np.abs(x)) + 1e-3
+    # direct path dominates: strong correlation with the dry signal
+    corr = float(np.dot(y, x) / (np.linalg.norm(y) * np.linalg.norm(x)))
+    assert corr > 0.7
+    # per-sample-rate RIR memoized once on the instance (actor state)
+    assert set(s1._rirs) == {sr}
+
+
+def test_reverb_tail_energy_decays():
+    """An impulse through the RIR must show the exponential tail: energy
+    in the first half of the RT60 window ≫ energy in the second half."""
+    from fs_schema_validator_ray.stages.audio_features import ReverbStage
+
+    sr = 8000
+    x = np.zeros(2400)
+    x[0] = 0.9
+    stage = ReverbStage(rt60_ms=120.0, wet=1.0)
+    row = stage(_clip_batch(x, sr)).to_pylist()[0]
+    y, _, _ = audio.decode(row["bytes"])
+    n = int(sr * 0.120)
+    e1 = float(np.sum(y[: n // 2] ** 2))
+    e2 = float(np.sum(y[n // 2 : n] ** 2))
+    assert e1 > 10 * e2
+
+
+def test_reverb_validates_params():
+    from fs_schema_validator_ray.stages.audio_features import ReverbStage
+
+    with pytest.raises(ValueError):
+        ReverbStage(rt60_ms=0)
+    with pytest.raises(ValueError):
+        ReverbStage(wet=1.5)
