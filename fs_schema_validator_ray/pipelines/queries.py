@@ -682,6 +682,18 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def pca_embeddings(sf_dir: str):
+    """Distributed PCA over the embedding column: one streaming moment
+    pass (per-block ``(n, Σx, XᵀX)`` partials) → driver ``eigh`` →
+    broadcast model → one streaming projection pass to 3 components
+    (``stages/similarity.py::pca_project``; rows-only: eigendecomposition
+    is not SQL-expressible)."""
+    from fs_schema_validator_ray.stages.similarity import pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_project(ds, n_components=3)
+
+
 def heavy_hitters_events(sf_dir: str):
     """Exact frequent users (count ≥ 0.8% of events) WITHOUT a full
     groupby — truncated-counts candidate pass + broadcast verify pass
@@ -2111,6 +2123,7 @@ QUERIES = {
     "rank_orders_per_customer": rank_orders_per_customer,
     "shift_orders_per_customer": shift_orders_per_customer,
     "heavy_hitters_events": heavy_hitters_events,
+    "pca_embeddings": pca_embeddings,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "weighted_sample_documents": weighted_sample_documents,

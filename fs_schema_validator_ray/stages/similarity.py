@@ -470,3 +470,137 @@ def kmeans_cluster(
         lambda t: t.rename_columns([id_column, "cluster_id"]),
         batch_format="pyarrow",
     )
+
+
+class PcaMomentStage:
+    """map_batches callable: per-block second-moment partials for PCA —
+    one row per block carrying ``(n, Σx (d), ΣxᵀX (d×d) flattened)``.
+    KB–MB sized regardless of block row count, mergeable by plain sums,
+    so the covariance reduce is driver-side arithmetic over tiny blobs
+    (the corpus never leaves the workers). For very large d (≳4k) the
+    d² partial is the bottleneck — switch to a randomized range sketch;
+    documented, not implemented (embedding dims here are ≤ 1k)."""
+
+    def __init__(self, vec_column: str = "embedding") -> None:
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.stages.dedup import list_column_to_matrix
+
+        mat = list_column_to_matrix(batch.column(self.vec_column)).astype(
+            np.float64
+        )
+        if not len(mat):
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "vec_sum": pa.array([], pa.list_(pa.float64())),
+                    "outer_sum": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(mat)], pa.int64()),
+                "vec_sum": pa.array([mat.sum(axis=0)]),
+                "outer_sum": pa.array([(mat.T @ mat).ravel()]),
+            }
+        )
+
+
+def pca_fit(ds, n_components: int, vec_column: str = "embedding"):
+    """Distributed PCA fit: ONE streaming pass of moment partials →
+    driver-side covariance + ``eigh``. Returns ``(mean (d,), components
+    (k, d), explained_variance (k,))``, deterministic: ``eigh`` on the
+    exact covariance with a sign convention (each component's
+    largest-|coefficient| entry made positive), so reruns and resumed
+    partitions project identically."""
+    import pandas as pd  # noqa: F401  (partials are KB-sized)
+
+    parts = (
+        ds.select_columns([vec_column])
+        .map_batches(PcaMomentStage(vec_column), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(parts):
+        raise ValueError("pca_fit: empty dataset")
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    vec_sum = np.sum(np.stack(parts["vec_sum"].to_numpy()), axis=0)
+    d = len(vec_sum)
+    outer = np.sum(np.stack(parts["outer_sum"].to_numpy()), axis=0).reshape(d, d)
+    mean = vec_sum / n
+    cov = (outer - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    flip = comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+class PcaProjectStage:
+    """map_batches callable: project each embedding onto the fitted
+    components — ``(X − mean) @ compsᵀ`` (optionally whitened by
+    ``1/√λ``). Broadcast ``(mean, comps, scale)`` resolves once per
+    actor/task instance; per batch it is one matmul."""
+
+    def __init__(self, model_ref, vec_column="embedding", id_column="vec_id") -> None:
+        self.model_ref = model_ref
+        self.vec_column = vec_column
+        self.id_column = id_column
+        self._model = None
+
+    def _resolve(self):
+        if self._model is None:
+            import ray
+
+            obj = self.model_ref
+            self._model = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.stages.dedup import list_column_to_matrix
+
+        mean, comps, scale = self._resolve()
+        k = len(comps)
+        out_cols = [f"pc{i}" for i in range(k)]
+        if batch.num_rows == 0:
+            empty = {self.id_column: batch.column(self.id_column).slice(0, 0)}
+            for c in out_cols:
+                empty[c] = pa.array([], pa.float64())
+            return pa.table(empty)
+        mat = list_column_to_matrix(batch.column(self.vec_column)).astype(np.float64)
+        proj = (mat - mean) @ comps.T
+        if scale is not None:
+            proj = proj * scale
+        out = {self.id_column: batch.column(self.id_column)}
+        for i, c in enumerate(out_cols):
+            out[c] = pa.array(proj[:, i], pa.float64())
+        return pa.table(out)
+
+
+def pca_project(
+    ds,
+    n_components: int = 3,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    whiten: bool = False,
+):
+    """Distributed PCA projection (dimensionality reduction / whitening
+    for embedding pipelines): fit from one streaming moment pass
+    (``pca_fit``), broadcast the tiny ``(mean, components, scale)`` model
+    once, then ONE more streaming pass projects every vector. Two corpus
+    reads total, nothing driver-side except the d×d moments.
+
+    Returns a Dataset ``(id_column, pc0..pc{k-1})``; with ``whiten=True``
+    each component is scaled to unit variance (``1/√λ``)."""
+    import ray
+
+    mean, comps, evals = pca_fit(ds, n_components, vec_column)
+    scale = (1.0 / np.sqrt(np.maximum(evals, 1e-12))) if whiten else None
+    model_ref = ray.put((mean, comps, scale))
+    return ds.select_columns([id_column, vec_column]).map_batches(
+        PcaProjectStage(model_ref, vec_column, id_column), batch_format="pyarrow"
+    )

@@ -285,3 +285,81 @@ def test_kmeans_cluster_separates_blobs(ray_session):
     first = {cl[i] for i in range(60)}
     second = {cl[i] for i in range(60, 120)}
     assert len(first) == 1 and len(second) == 1 and first != second
+
+
+# --- distributed PCA ---------------------------------------------------------
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(42)
+    # anisotropic cloud: dominant axis along a fixed direction
+    base = rng.normal(size=(200, 5))
+    base[:, 0] *= 8.0
+    base[:, 1] *= 3.0
+    rot, _ = np.linalg.qr(rng.normal(size=(5, 5)))
+    x = base @ rot.T + np.array([1.0, -2.0, 0.5, 0.0, 3.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(list(x.astype(np.float32))),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    mean, comps, evals = pca_fit(ds, 2)
+    xf = x.astype(np.float32).astype(np.float64)  # engine sees float32 input
+    # reference: exact covariance eigh with the same sign convention
+    c = np.cov(xf, rowvar=False, ddof=1)
+    ev, evec = np.linalg.eigh(c)
+    order = np.argsort(ev)[::-1][:2]
+    ref = evec[:, order].T
+    flip = ref[np.arange(2), np.abs(ref).argmax(axis=1)] < 0
+    ref[flip] *= -1.0
+    assert np.allclose(mean, xf.mean(axis=0), atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-9)
+    assert np.allclose(evals, ev[order], atol=1e-9)
+    assert evals[0] > 4 * evals[1]  # dominant axis found
+    # distributed projection matches the direct one, row-aligned by id
+    out = pca_project(ds, n_components=2).to_pandas().sort_values("vec_id")
+    proj_ref = (xf - xf.mean(axis=0)) @ ref.T
+    got = out[["pc0", "pc1"]].to_numpy()
+    assert np.allclose(got, proj_ref, atol=1e-9)
+
+
+def test_pca_whiten_unit_variance(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import pca_project
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, 4)) * np.array([10.0, 5.0, 2.0, 1.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300), pa.int64()),
+            "embedding": pa.array(list(x.astype(np.float32))),
+        }
+    )
+    out = (
+        pca_project(ray.data.from_arrow(t).repartition(3), 3, whiten=True)
+        .to_pandas()
+    )
+    for c in ("pc0", "pc1", "pc2"):
+        assert out[c].std(ddof=1) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_pca_fit_rejects_degenerate_inputs(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import pca_fit
+
+    one = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError):
+        pca_fit(ray.data.from_arrow(one), 1)
