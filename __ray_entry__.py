@@ -327,6 +327,22 @@ SELECT o_orderkey, o_custkey,
                           ORDER BY o_orderpriority) AS dense_rank
 FROM orders
 """,
+        "diff_orders_snapshots": """
+WITH old AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+novel AS (
+  SELECT k, CASE WHEN k % 101 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM old WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 1000000000 AS k, cents FROM old WHERE k % 89 = 0)
+SELECT COALESCE(o.k, n.k) AS k,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN novel n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents
+""",
         "heavy_hitters_events": """
 SELECT user_id, COUNT(*) AS cnt
 FROM events WHERE user_id IS NOT NULL

@@ -682,6 +682,51 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def diff_orders_snapshots(sf_dir: str):
+    """CDC snapshot diff: orders vs a derived second snapshot (every
+    97th key removed, every 101st price bumped, every 89th re-keyed as a
+    new row) → (key, added|removed|changed) — one union + coarse-bucket
+    shuffle, vectorized NULL-safe row compare
+    (``stages/setops.py::table_diff``) — oracle-checked."""
+    from fs_schema_validator_ray.stages.setops import table_diff
+
+    def base(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    old = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        base, batch_format="pyarrow"
+    )
+
+    def derive_new(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        keep = k % 97 != 0
+        kk, cc = k[keep], cents[keep]
+        cc = np.where(kk % 101 == 0, cc + 100, cc)
+        add = k % 89 == 0
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([kk, k[add] + 1_000_000_000])),
+                "cents": pa.array(np.concatenate([cc, cents[add]])),
+            }
+        )
+
+    new = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        base, batch_format="pyarrow"
+    ).map_batches(derive_new, batch_format="pyarrow")
+    return table_diff(old, new, ["k"], ["cents"])
+
+
 def pca_embeddings(sf_dir: str):
     """Distributed PCA over the embedding column: one streaming moment
     pass (per-block ``(n, Σx, XᵀX)`` partials) → driver ``eigh`` →
@@ -2124,6 +2169,7 @@ QUERIES = {
     "shift_orders_per_customer": shift_orders_per_customer,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
+    "diff_orders_snapshots": diff_orders_snapshots,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "weighted_sample_documents": weighted_sample_documents,

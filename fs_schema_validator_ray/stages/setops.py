@@ -91,3 +91,112 @@ def set_op_distinct(left, right, columns: list[str], op: str, n_buckets: int | N
         return group.select(columns).take(take)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def table_diff(
+    old,
+    new,
+    key_columns: list[str],
+    value_columns: list[str],
+    n_buckets: int | None = None,
+):
+    """Snapshot diff (CDC shape): classify every key as ``added`` (only
+    in ``new``), ``removed`` (only in ``old``) or ``changed`` (present in
+    both with any value column differing, NULL-safely); unchanged keys
+    are dropped. The reconciliation primitive for incremental runs —
+    which partitions actually need revalidation between two manifest
+    snapshots.
+
+    Plan: tag each side, union, prune to key+value columns, ONE
+    ``groupby(hash(key) % n_buckets)`` coarse-bucket shuffle, then a
+    fully vectorized per-bucket pass (lexsort by key then side; segment
+    length + side classify; per-value-column NULL-safe equality on the
+    paired rows via two ``take``s — no per-key Python).
+
+    Requires each key to be UNIQUE within each snapshot (raises
+    otherwise — a duplicated key has no well-defined row diff).
+
+    Output: ``key_columns + [change]``, one row per differing key
+    (``changed`` rows carry the NEW side's key values)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    cols = list(dict.fromkeys([*key_columns, *value_columns]))
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8))
+            ).append_column(
+                "__bucket", pa.array(_row_buckets(t, key_columns, n_buckets))
+            )
+
+        return fn
+
+    unioned = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            out = {c: group.column(c).slice(0, 0) for c in key_columns}
+            out["change"] = pa.array([], pa.string())
+            return pa.table(out)
+        kcodes = [key_codes(group.column(c).combine_chunks()) for c in key_columns]
+        side = np.asarray(group.column("__side"), dtype=np.int8)
+        order = np.lexsort((side, *kcodes[::-1]))
+        ks = [k[order] for k in kcodes]
+        ss = side[order]
+        seg_first = np.zeros(n, dtype=bool)
+        seg_first[0] = True
+        for k in ks:
+            seg_first[1:] |= k[1:] != k[:-1]
+        seg_start = np.flatnonzero(seg_first)
+        seg_len = np.diff(np.concatenate([seg_start, [n]]))
+        if seg_len.max(initial=0) > 2:
+            raise ValueError(
+                "table_diff: a key appears more than once within one "
+                "snapshot — diff is undefined for duplicated keys"
+            )
+        pair_start = seg_start[seg_len == 2]
+        if len(pair_start) and not (
+            (ss[pair_start] == 0).all() and (ss[pair_start + 1] == 1).all()
+        ):
+            raise ValueError(
+                "table_diff: a key appears twice on the same side — diff "
+                "is undefined for duplicated keys"
+            )
+        single = seg_start[seg_len == 1]
+        added = single[ss[single] == 1]
+        removed = single[ss[single] == 0]
+        # changed: NULL-safe inequality on any value column
+        if len(pair_start):
+            take_old = pa.array(order[pair_start], pa.int64())
+            take_new = pa.array(order[pair_start + 1], pa.int64())
+            unchanged = np.ones(len(pair_start), dtype=bool)
+            for c in value_columns:
+                col = group.column(c).combine_chunks()
+                l, r = col.take(take_old), col.take(take_new)
+                eq = np.asarray(pc.fill_null(pc.equal(l, r), False))
+                both_null = np.asarray(pc.is_null(l)) & np.asarray(pc.is_null(r))
+                unchanged &= eq | both_null
+            changed = pair_start[~unchanged] + 1  # NEW side row
+        else:
+            changed = np.empty(0, np.int64)
+        idx = np.concatenate([added, removed, changed]).astype(np.int64)
+        labels = (
+            ["added"] * len(added)
+            + ["removed"] * len(removed)
+            + ["changed"] * len(changed)
+        )
+        take = pa.array(order[idx], pa.int64())
+        out = {c: group.column(c).combine_chunks().take(take) for c in key_columns}
+        out["change"] = pa.array(labels, pa.string())
+        return pa.table(out)
+
+    return unioned.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -145,3 +145,76 @@ def test_matches_duckdb_oracle(ray_session):
                    _ds(dict(zip(rt.column_names, rt.columns))),
                    ["a", "b"], op)
         assert got == [tuple(w) for w in want], op
+
+
+# --- table_diff (snapshot CDC) -----------------------------------------------
+
+
+def test_table_diff_classifies_and_drops_unchanged(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.setops import table_diff
+
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array(["a", "b", "c", None], pa.string()),
+            }
+        )
+    ).repartition(2)
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 3, 4, 5], pa.int64()),
+                "v": pa.array(["B", "c", None, "e"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = {r["k"]: r["change"] for r in table_diff(old, new, ["k"], ["v"]).take_all()}
+    # k=3 unchanged, k=4 NULL == NULL → unchanged, both dropped
+    assert out == {1: "removed", 2: "changed", 5: "added"}
+
+
+def test_table_diff_null_value_transitions_and_composite_key(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.setops import table_diff
+
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "k1": pa.array(["x", "x", "y"], pa.string()),
+                "k2": pa.array([1, 2, 1], pa.int64()),
+                "v": pa.array([10, None, 30], pa.int64()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "k1": pa.array(["x", "x", "y"], pa.string()),
+                "k2": pa.array([1, 2, 1], pa.int64()),
+                "v": pa.array([None, None, 30], pa.int64()),
+            }
+        )
+    )
+    rows = table_diff(old, new, ["k1", "k2"], ["v"]).take_all()
+    # value → NULL is a change; NULL → NULL and 30 → 30 are not
+    assert [(r["k1"], r["k2"], r["change"]) for r in rows] == [("x", 1, "changed")]
+
+
+def test_table_diff_rejects_duplicate_keys(ray_session):
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.setops import table_diff
+
+    old = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2], pa.int64())})
+    )
+    new = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(Exception):  # ray wraps the ValueError
+        table_diff(old, new, ["k"], ["v"]).take_all()
