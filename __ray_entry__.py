@@ -327,6 +327,16 @@ SELECT o_orderkey, o_custkey,
                           ORDER BY o_orderpriority) AS dense_rank
 FROM orders
 """,
+        "join3_revenue_segment_priority": """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS rev_micros,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+""",
         "diff_orders_snapshots": """
 WITH old AS (
   SELECT o_orderkey AS k,

@@ -682,6 +682,52 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def join3_revenue_segment_priority(sf_dir: str):
+    """Three-table composition: lineitem ⋈ orders (distributed hash
+    join, the two big sides) → ⋈ customer (broadcast, the small side) →
+    combiner group-sum of revenue cents by (market segment, order
+    priority) — the TPC-H-Q3-family plan shape with one shuffle join,
+    one broadcast, one tiny aggregate — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        # micros, not cents: the 4-decimal product lands on exact .5
+        # halves at x100 where Arrow (half-to-even) and SQL (half-away)
+        # disagree; x10000 is integral, so no rounding-mode hazard
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_micros": pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64()),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["rev_micros"], ["o_custkey", "o_orderpriority"],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    enriched = broadcast_join(joined, cust, "o_custkey", ["c_mktsegment"])
+    out = group_sum(enriched, ["c_mktsegment", "o_orderpriority"], ["rev_micros"])
+    return out.map_batches(
+        lambda t: t.select(["c_mktsegment", "o_orderpriority", "rev_micros", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 def diff_orders_snapshots(sf_dir: str):
     """CDC snapshot diff: orders vs a derived second snapshot (every
     97th key removed, every 101st price bumped, every 89th re-keyed as a
@@ -2170,6 +2216,7 @@ QUERIES = {
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,
+    "join3_revenue_segment_priority": join3_revenue_segment_priority,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
     "weighted_sample_documents": weighted_sample_documents,
