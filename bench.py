@@ -59,6 +59,11 @@ HEADLINE_QUERIES = [
     "latest_order_per_customer",
     "percentile_cont_lineitem",
     "audio_curation_clips",
+    "heavy_hitters_events",
+    "shift_orders_per_customer",
+    "diff_orders_snapshots",
+    "join3_revenue_segment_priority",
+    "pca_embeddings",
 ]
 
 

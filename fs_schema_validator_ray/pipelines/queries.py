@@ -1254,6 +1254,17 @@ def window_user_running(sf_dir: str):
     )
 
 
+def grouped_tdigest_events(sf_dir: str):
+    """Per-key approximate p50/p95 of event value via mergeable t-digest
+    blobs — the sketch path for unbounded-cardinality value columns
+    (``stages/unique.py::grouped_tdigest_quantiles``). Rows-only by
+    design (approximate); accuracy gated in tests vs exact quantiles."""
+    from fs_schema_validator_ray.stages.unique import grouped_tdigest_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_tdigest_quantiles(ds, "event_type", "value", qs=(0.5, 0.95))
+
+
 def grouped_median_lineitem(sf_dir: str):
     """EXACT per-group quantiles (p25/p50/p75 of l_quantity per return
     flag) via the (key, value)-count combiner — matches DuckDB
@@ -2256,6 +2267,7 @@ QUERIES = {
     "bm25_contrib_documents": bm25_contrib_documents,
     "iqr_outliers_events": iqr_outliers_events,
     "grouped_hll_users_by_type": grouped_hll_users_by_type,
+    "grouped_tdigest_events": grouped_tdigest_events,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

@@ -146,6 +146,52 @@ def estimate_duplicates(ds, column: str) -> dict:
     }
 
 
+def _null_safe_slots(col) -> tuple:
+    """Dictionary-encode a key column into dense slots with a dedicated
+    slot for null keys (SQL GROUP BY groups nulls together). Returns
+    ``(keys_out, slot_per_row, n_slots)``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    idxs = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
+    n_dict = len(enc.dictionary)
+    has_null = bool((idxs == -1).any())
+    slot = np.where(idxs == -1, n_dict, idxs)
+    n_slots = n_dict + (1 if has_null else 0)
+    keys_out = (
+        pa.concat_arrays([enc.dictionary, pa.nulls(1, enc.dictionary.type)])
+        if has_null
+        else enc.dictionary
+    )
+    return keys_out, slot, n_slots
+
+
+def _grouped_sketch_pipeline(
+    ds, key_column: str, value_column: str, partial, merge_bucket, n_buckets: int = 64
+):
+    """Shared plan for grouped-sketch aggregates: per-batch blob partials
+    → ONE coarse-bucket shuffle of the KB-sized partials → per-bucket
+    merge across all of its keys. The bucket indirection (rather than
+    ``groupby(key)``) exists because Ray's sort-based groupby cannot
+    order null keys against non-null ones, and because it bounds the
+    map_groups Python-call count at ``n_buckets``."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(hash64(stable_key_array(t.column(key_column))), n_buckets)
+        return t.append_column("__bucket", pa.array(bucket))
+
+    return (
+        ds.select_columns([key_column, value_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: merge_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def grouped_hll_distinct(ds, key_column: str, value_column: str, p: int = 12):
     """Per-key approximate distinct counts (``COUNT(DISTINCT value) GROUP
     BY key`` at sketch cost): each batch emits one HLL register blob per
@@ -170,20 +216,7 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str, p: int = 12):
                     "blob": pa.array([], pa.binary()),
                 }
             )
-        key_col = batch.column(key_column)
-        if isinstance(key_col, pa.ChunkedArray):
-            key_col = key_col.combine_chunks()
-        enc = key_col.dictionary_encode()
-        idxs = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
-        n_dict = len(enc.dictionary)
-        has_null = bool((idxs == -1).any())
-        slot = np.where(idxs == -1, n_dict, idxs)
-        n_slots = n_dict + (1 if has_null else 0)
-        keys_out = (
-            pa.concat_arrays([enc.dictionary, pa.nulls(1, enc.dictionary.type)])
-            if has_null
-            else enc.dictionary
-        )
+        keys_out, slot, n_slots = _null_safe_slots(batch.column(key_column))
 
         val_col = batch.column(value_column)
         if isinstance(val_col, pa.ChunkedArray):
@@ -210,26 +243,119 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str, p: int = 12):
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        stacked = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in group.column("blob").to_pylist()]
-        )
-        regs = stacked.max(axis=0)
-        hll = HyperLogLog(p)
-        hll.registers = regs
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # one group = one coarse bucket holding many keys (a direct
+        # groupby(key) breaks on null keys: Ray's sort cannot order
+        # None vs str); slot keys like the partial does
+        keys_out, slot, n_slots = _null_safe_slots(group.column(key_column))
+        n_in = np.asarray(group.column("n_values"), dtype=np.int64)
+        blobs_in = group.column("blob").to_pylist()
+        ests = np.zeros(n_slots, np.float64)
+        n_vals = np.zeros(n_slots, np.int64)
+        for s in range(n_slots):
+            rows = np.flatnonzero(slot == s)
+            regs = np.stack(
+                [np.frombuffer(blobs_in[i], dtype=np.uint8) for i in rows]
+            ).max(axis=0)
+            hll = HyperLogLog(p)
+            hll.registers = regs
+            ests[s] = float(hll.estimate())
+            n_vals[s] = int(n_in[rows].sum())
         return pa.table(
             {
-                key_column: group.column(key_column).slice(0, 1),
-                "n_values": pa.array(
-                    [int(np.sum(np.asarray(group.column("n_values"))))], pa.int64()
-                ),
-                "distinct_estimate": pa.array([float(hll.estimate())], pa.float64()),
+                key_column: keys_out,
+                "n_values": pa.array(n_vals),
+                "distinct_estimate": pa.array(ests, pa.float64()),
             }
         )
 
-    return (
-        ds.select_columns([key_column, value_column])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_column)
-        .map_groups(merge, batch_format="pyarrow")
-    )
+    return _grouped_sketch_pipeline(ds, key_column, value_column, partial, merge_bucket)
+
+
+def grouped_tdigest_quantiles(
+    ds,
+    key_column: str,
+    value_column: str,
+    qs: tuple = (0.5, 0.95),
+    delta: float = 200.0,
+):
+    """Per-key APPROXIMATE quantiles at sketch cost — the scale path the
+    exact ``grouped_quantile_disc`` combiner can't take when the value
+    cardinality is unbounded (its partial is distinct ``(key, value,
+    count)`` rows; a continuous value column makes that ≈ raw rows).
+    Here each batch emits ONE t-digest blob per distinct key (≤ ~2·delta
+    centroids ≈ KBs, independent of row count), and a tiny
+    ``groupby(key)`` merges blobs and reads the quantiles off the merged
+    digest. Same cardinality contract as ``grouped_hll_distinct``: each
+    key costs a blob per batch — for near-unique keys use the exact
+    path. Values are grouped per key with one argsort + split per batch
+    (one Python call per DISTINCT KEY per batch, not per row); null
+    values are excluded (SQL semantics), a null key groups like SQL
+    GROUP BY.
+
+    Output: ``(key, n_values, q50, q95, ...)`` one float column per
+    requested quantile, named ``q<100·q>``."""
+    from fs_schema_validator_ray.state.sketches import TDigest
+
+    q_cols = [f"q{int(round(100 * q))}" for q in qs]
+
+    def empty(key_arr) -> pa.Table:
+        out = {key_column: key_arr, "n_values": pa.array([], pa.int64())}
+        out["blob"] = pa.array([], pa.binary())
+        return pa.table(out)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty(batch.column(key_column))
+        keys_out, slot, n_slots = _null_safe_slots(batch.column(key_column))
+        val_col = batch.column(value_column)
+        if isinstance(val_col, pa.ChunkedArray):
+            val_col = val_col.combine_chunks()
+        valid = np.asarray(val_col.is_valid())
+        vals = np.asarray(val_col.cast(pa.float64()).fill_null(0.0), dtype=np.float64)
+        order = np.argsort(slot[valid], kind="stable")
+        svals, sslot = vals[valid][order], slot[valid][order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], sslot[1:] != sslot[:-1]])
+        )
+        ends = np.concatenate([bounds[1:], [len(sslot)]])
+        n_vals = np.zeros(n_slots, np.int64)
+        blobs: list = [b""] * n_slots
+        for s, e in zip(bounds, ends):
+            td = TDigest(delta)
+            td.add(svals[s:e])
+            td.compress()
+            blobs[int(sslot[s])] = td.to_bytes()
+            n_vals[int(sslot[s])] = e - s
+        return pa.table(
+            {
+                key_column: keys_out,
+                "n_values": pa.array(n_vals),
+                "blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        keys_out, slot, n_slots = _null_safe_slots(group.column(key_column))
+        n_in = np.asarray(group.column("n_values"), dtype=np.int64)
+        blobs_in = group.column("blob").to_pylist()
+        n_vals = np.zeros(n_slots, np.int64)
+        quants = np.full((n_slots, len(qs)), np.nan)
+        for s in range(n_slots):
+            rows = np.flatnonzero(slot == s)
+            td = None
+            for i in rows:
+                if not blobs_in[i]:
+                    continue
+                other = TDigest.from_bytes(blobs_in[i])
+                td = other if td is None else td.merge(other)
+            n_vals[s] = int(n_in[rows].sum())
+            if td is not None:
+                for j, q in enumerate(qs):
+                    quants[s, j] = float(td.quantile(q))
+        out = {key_column: keys_out, "n_values": pa.array(n_vals)}
+        for j, c in enumerate(q_cols):
+            out[c] = pa.array(quants[:, j], pa.float64(), mask=np.isnan(quants[:, j]))
+        return pa.table(out)
+
+    return _grouped_sketch_pipeline(ds, key_column, value_column, partial, merge_bucket)

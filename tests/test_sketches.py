@@ -5,6 +5,7 @@ The merge laws here are the distributed generalization of the reference's
 """
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from fs_schema_validator_ray.state import (
@@ -175,3 +176,62 @@ def test_grouped_hll_distinct_null_values_excluded(ray_session):
     # a key with ONLY null values still emits its group row, estimate 0
     assert out["y"]["n_values"] == 0
     assert out["y"]["distinct_estimate"] == pytest.approx(0.0, abs=1e-9)
+
+
+# --- grouped t-digest quantiles ----------------------------------------------
+
+
+def test_grouped_tdigest_accuracy_vs_exact(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.unique import grouped_tdigest_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    keys = np.repeat(["a", "b", "c"], n)
+    vals = np.concatenate(
+        [
+            rng.normal(100.0, 10.0, n),        # a: gaussian
+            rng.exponential(50.0, n),          # b: skewed
+            rng.uniform(-1.0, 1.0, n),         # c: uniform
+        ]
+    )
+    t = pa.table(
+        {"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.float64())}
+    )
+    out = (
+        grouped_tdigest_quantiles(
+            ray.data.from_arrow(t).repartition(8), "k", "v", qs=(0.5, 0.95)
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for key in ("a", "b", "c"):
+        sub = vals[keys == key]
+        spread = np.quantile(sub, 0.99) - np.quantile(sub, 0.01)
+        assert out.loc[key, "n_values"] == n
+        for q, col in ((0.5, "q50"), (0.95, "q95")):
+            exact = np.quantile(sub, q)
+            assert abs(out.loc[key, col] - exact) < 0.02 * spread, (key, col)
+
+
+def test_grouped_tdigest_nulls_and_all_null_key(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.unique import grouped_tdigest_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", None], pa.string()),
+            "v": pa.array([1.0, None, 3.0, None, None, 7.0], pa.float64()),
+        }
+    )
+    out = grouped_tdigest_quantiles(
+        ray.data.from_arrow(t).repartition(2), "k", "v", qs=(0.5,)
+    ).take_all()
+    rows = {r["k"]: r for r in out}
+    assert rows["a"]["n_values"] == 2 and 1.0 <= rows["a"]["q50"] <= 3.0
+    # all-null value group → SQL-like NULL quantile, zero count
+    assert rows["b"]["n_values"] == 0 and rows["b"]["q50"] is None
+    # null KEY groups like SQL GROUP BY
+    assert rows[None]["n_values"] == 1 and rows[None]["q50"] == 7.0
