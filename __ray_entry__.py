@@ -360,6 +360,17 @@ GROUP BY user_id
 HAVING COUNT(*) >=
   (SELECT (COUNT(user_id) + 124) // 125 FROM events)
 """,
+        "percent_rank_orders": """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderpriority, o_orderkey) AS rn,
+       RANK() OVER w AS "rank",
+       DENSE_RANK() OVER w AS dense_rank,
+       PERCENT_RANK() OVER w AS percent_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+""",
         "shift_orders_per_customer": """
 SELECT o_orderkey, o_custkey,
        LEAD(cents, 1) OVER w AS lead_cents,

@@ -796,6 +796,21 @@ def heavy_hitters_events(sf_dir: str):
     return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
 
 
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST (plus the rank family) per customer over
+    order priority — peers-inclusive distribution ranks from the same
+    single coarse-bucket shuffle
+    (``stages/window.py::per_key_rank(extended=True)``) — oracle-checked
+    incl. exact float division parity."""
+    from fs_schema_validator_ray.stages.window import per_key_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    return per_key_rank(
+        ds, "o_custkey", ["o_orderpriority"], ["o_orderkey"],
+        id_columns=["o_orderkey"], extended=True,
+    )
+
+
 def shift_orders_per_customer(sf_dir: str):
     """LEAD / FIRST_VALUE / LAST_VALUE of the order total (cents) per
     customer ordered by date then key — whole-partition frame, value kept
@@ -2224,6 +2239,7 @@ QUERIES = {
     "prefiltered_join_events_customer": prefiltered_join_events_customer,
     "rank_orders_per_customer": rank_orders_per_customer,
     "shift_orders_per_customer": shift_orders_per_customer,
+    "percent_rank_orders": percent_rank_orders,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,

@@ -164,6 +164,7 @@ def per_key_rank(
     tiebreak_columns: list[str],
     id_columns: list[str] | None = None,
     n_buckets: int | None = None,
+    extended: bool = False,
 ):
     """``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY key
     ORDER BY rank_columns)`` — same coarse-bucket shuffle + one
@@ -176,7 +177,10 @@ def per_key_rank(
     share them. Order is ASC NULLS LAST (SQL default).
 
     Output: ``id_columns + [key_column, rn, rank, dense_rank]`` (int64),
-    one row per input row.
+    one row per input row. With ``extended=True`` two float64 columns are
+    appended: ``percent_rank`` (``(rank−1)/(n−1)``, 0 for a singleton
+    partition) and ``cume_dist`` (peers-inclusive ``#(value ≤ current)/n``)
+    — SQL ``PERCENT_RANK()`` / ``CUME_DIST()``.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
@@ -206,6 +210,9 @@ def per_key_rank(
             empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
             for c in ("rn", "rank", "dense_rank"):
                 empty[c] = pa.array([], pa.int64())
+            if extended:
+                for c in ("percent_rank", "cume_dist"):
+                    empty[c] = pa.array([], pa.float64())
             return pa.table(empty)
         kcode = key_codes(key_col)
         sig: list[np.ndarray] = [kcode]
@@ -232,8 +239,27 @@ def per_key_rank(
         out = {c: group.column(c).take(take) for c in id_columns}
         out[key_column] = key_col.take(take)
         out["rn"] = pa.array(idx - row_start + 1, pa.int64())
-        out["rank"] = pa.array(grp_start - row_start + 1, pa.int64())
+        rank_v = grp_start - row_start + 1
+        out["rank"] = pa.array(rank_v, pa.int64())
         out["dense_rank"] = pa.array(dr - dr[row_start] + 1, pa.int64())
+        if extended:
+            seg_start_idx = np.flatnonzero(seg_first)
+            seg_ends = np.concatenate([seg_start_idx[1:], [n]]) - 1
+            seg_id = np.cumsum(seg_first) - 1
+            row_end = seg_ends[seg_id]
+            n_seg = (row_end - row_start + 1).astype(np.float64)
+            # end index of each row's rank-peer group (last tied row)
+            group_ends = np.concatenate([np.flatnonzero(rchange[1:]), [n - 1]])
+            gid = np.cumsum(rchange) - 1
+            peer_end = group_ends[gid]
+            with np.errstate(invalid="ignore"):
+                prank = np.where(
+                    n_seg > 1, (rank_v - 1) / np.maximum(n_seg - 1, 1), 0.0
+                )
+            out["percent_rank"] = pa.array(prank, pa.float64())
+            out["cume_dist"] = pa.array(
+                (peer_end + 1 - row_start) / n_seg, pa.float64()
+            )
         return pa.table(out)
 
     return (

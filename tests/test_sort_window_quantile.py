@@ -607,3 +607,34 @@ def test_per_key_shift_null_values_and_lead2(ray_session):
     for rid in range(4):
         assert rows[rid]["first_val"] == 1.5
         assert rows[rid]["last_val"] == 4.5
+
+
+def test_per_key_rank_extended_percent_cume(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_rank
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+            "v": pa.array([10, 10, 20, 30, 5], pa.int64()),
+            "rid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        per_key_rank(
+            ray.data.from_arrow(t).repartition(2),
+            "k", ["v"], ["rid"], id_columns=["rid"], extended=True, n_buckets=4,
+        )
+        .to_pandas()
+        .set_index("rid")
+    )
+    # key a: values 10,10,20,30 → ranks 1,1,3,4
+    assert out.loc[0, "percent_rank"] == 0.0 and out.loc[1, "percent_rank"] == 0.0
+    assert out.loc[2, "percent_rank"] == (3 - 1) / 3
+    assert out.loc[3, "percent_rank"] == 1.0
+    # cume_dist counts peers inclusively
+    assert out.loc[0, "cume_dist"] == 0.5 and out.loc[1, "cume_dist"] == 0.5
+    assert out.loc[2, "cume_dist"] == 0.75 and out.loc[3, "cume_dist"] == 1.0
+    # singleton partition: percent_rank 0, cume_dist 1
+    assert out.loc[4, "percent_rank"] == 0.0 and out.loc[4, "cume_dist"] == 1.0
