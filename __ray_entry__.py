@@ -360,6 +360,21 @@ GROUP BY user_id
 HAVING COUNT(*) >=
   (SELECT (COUNT(user_id) + 124) // 125 FROM events)
 """,
+        "sentence_split_documents": r"""
+WITH arr AS (
+  SELECT doc_id,
+         string_split_regex(coalesce(text, ''), '[.!?]+\s+') AS a
+  FROM documents),
+frags AS (
+  SELECT doc_id, unnest(a) AS sentence,
+         generate_subscripts(a, 1) AS orig_idx
+  FROM arr)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY orig_idx) AS sent_idx,
+       sentence,
+       CAST(length(sentence) AS BIGINT) AS nchars
+FROM frags WHERE sentence <> ''
+""",
         "percent_rank_orders": """
 SELECT o_orderkey, o_custkey,
        ROW_NUMBER() OVER (PARTITION BY o_custkey

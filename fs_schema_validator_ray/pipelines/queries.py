@@ -1269,6 +1269,17 @@ def window_user_running(sf_dir: str):
     )
 
 
+def sentence_split_documents(sf_dir: str):
+    """Sentence segmentation flat-map over the documents corpus — one
+    row per non-empty sentence with per-doc renumbered index
+    (``stages/text.py::SentenceSplitStage``; RE2 split rule replicated
+    bit-identically by the SQL oracle) — oracle-checked."""
+    from fs_schema_validator_ray.stages.text import SentenceSplitStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SentenceSplitStage(), batch_format="pyarrow")
+
+
 def grouped_tdigest_events(sf_dir: str):
     """Per-key approximate p50/p95 of event value via mergeable t-digest
     blobs — the sketch path for unbounded-cardinality value columns
@@ -2284,6 +2295,7 @@ QUERIES = {
     "iqr_outliers_events": iqr_outliers_events,
     "grouped_hll_users_by_type": grouped_hll_users_by_type,
     "grouped_tdigest_events": grouped_tdigest_events,
+    "sentence_split_documents": sentence_split_documents,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

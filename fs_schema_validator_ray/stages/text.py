@@ -545,3 +545,72 @@ class RepetitionStage:
         out["n_5grams"] = pa.array(counts)
         out["dup_5gram_n"] = pa.array(dup)
         return pa.table(out)
+
+
+class SentenceSplitStage:
+    """map_batches callable: sentence segmentation flat-map — each doc
+    explodes into one row per sentence with a per-doc 1-based index
+    (corpus prep for sentence-level dedup / alignment / filtering).
+
+    Split rule: ``[.!?]+\\s+`` (terminator run + whitespace, both
+    consumed) — RE2-expressible, so a SQL oracle's
+    ``string_split_regex`` tokenizes bit-identically. Fully vectorized:
+    ONE ``pc.split_pattern_regex`` per batch, then numpy offset/segment
+    arithmetic; empty fragments are dropped and surviving sentences
+    renumbered per doc. Null/empty docs emit no rows.
+
+    Output: ``(id_column, sent_idx, sentence, nchars)``.
+    """
+
+    _PATTERN = r"[.!?]+\s+"
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id") -> None:
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).combine_chunks()
+        txt = pc.fill_null(batch.column(self.text_column).combine_chunks(), "")
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    self.id_column: ids.slice(0, 0),
+                    "sent_idx": pa.array([], pa.int64()),
+                    "sentence": pa.array([], pa.string()),
+                    "nchars": pa.array([], pa.int64()),
+                }
+            )
+        parts = pc.split_pattern_regex(txt, pattern=self._PATTERN)
+        flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        offsets = np.asarray(flat.offsets, dtype=np.int64)
+        values = flat.values  # string array of fragments
+        n_frag = len(values)
+        doc_of = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        keep = np.asarray(pc.not_equal(values, pa.scalar("")))
+        if n_frag == 0 or not keep.any():
+            return pa.table(
+                {
+                    self.id_column: ids.slice(0, 0),
+                    "sent_idx": pa.array([], pa.int64()),
+                    "sentence": pa.array([], pa.string()),
+                    "nchars": pa.array([], pa.int64()),
+                }
+            )
+        kept_doc = doc_of[keep]
+        # renumber per doc AFTER dropping empties: position within the
+        # doc's kept run (kept docs are contiguous in fragment order)
+        first_of_run = np.concatenate([[True], kept_doc[1:] != kept_doc[:-1]])
+        run_start = np.flatnonzero(first_of_run)
+        idx_in_doc = np.arange(len(kept_doc)) - run_start[np.cumsum(first_of_run) - 1] + 1
+        take = pa.array(np.flatnonzero(keep), pa.int64())
+        sentences = values.take(take)
+        return pa.table(
+            {
+                self.id_column: ids.take(pa.array(kept_doc, pa.int64())),
+                "sent_idx": pa.array(idx_in_doc, pa.int64()),
+                "sentence": sentences,
+                "nchars": pc.cast(pc.utf8_length(sentences), pa.int64()),
+            }
+        )

@@ -85,3 +85,53 @@ def test_segment_sums_empty_rows():
     mask = np.array([1.0, 0.0, 1.0])
     offsets = np.array([0, 0, 2, 2, 3])  # rows: empty, 2 toks, empty, 1 tok
     assert _segment_sums(mask, offsets).tolist() == [0.0, 1.0, 0.0, 1.0]
+
+
+# --- SentenceSplitStage ------------------------------------------------------
+
+
+def test_sentence_split_ground_truth():
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.stages.text import SentenceSplitStage
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "One. Two sentences!  Three?? Final no punct",
+                    "Nur ein Satz über München.",
+                    None,
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = SentenceSplitStage()(batch).to_pylist()
+    doc1 = [(r["sent_idx"], r["sentence"]) for r in out if r["doc_id"] == 1]
+    assert doc1 == [
+        (1, "One"),
+        (2, "Two sentences"),
+        (3, "Three"),
+        (4, "Final no punct"),
+    ]
+    doc2 = [r for r in out if r["doc_id"] == 2]
+    # trailing '.' has no following whitespace → stays attached (RE2 rule)
+    assert len(doc2) == 1 and doc2[0]["sentence"] == "Nur ein Satz über München."
+    assert doc2[0]["nchars"] == len("Nur ein Satz über München.")  # char count
+    assert not [r for r in out if r["doc_id"] in (3, 4)]  # null/empty drop
+
+
+def test_sentence_split_empty_batch_schema_stable():
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.stages.text import SentenceSplitStage
+
+    batch = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    out = SentenceSplitStage()(batch)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "sent_idx", "sentence", "nchars"]
