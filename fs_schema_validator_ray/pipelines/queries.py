@@ -796,6 +796,21 @@ def heavy_hitters_events(sf_dir: str):
     return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
 
 
+def ewma_events_per_user(sf_dir: str):
+    """Per-user exponentially weighted moving average of event value
+    over time (α=0.3, zero-initialized) — chunked renormalized-cumsum
+    scan, one coarse-bucket shuffle
+    (``stages/window.py::per_key_ewma``; rows-only: EWMA is not
+    SQL-expressible, ground-truth gated in tests)."""
+    from fs_schema_validator_ray.stages.window import per_key_ewma
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return per_key_ewma(
+        ds, "user_id", ["ts", "event_id"], "value",
+        alpha=0.3, id_columns=["event_id"],
+    )
+
+
 def percent_rank_orders(sf_dir: str):
     """PERCENT_RANK / CUME_DIST (plus the rank family) per customer over
     order priority — peers-inclusive distribution ranks from the same
@@ -2251,6 +2266,7 @@ QUERIES = {
     "rank_orders_per_customer": rank_orders_per_customer,
     "shift_orders_per_customer": shift_orders_per_customer,
     "percent_rank_orders": percent_rank_orders,
+    "ewma_events_per_user": ewma_events_per_user,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,

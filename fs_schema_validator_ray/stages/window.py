@@ -485,3 +485,109 @@ def per_key_range_window_sum(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def per_key_ewma(
+    ds,
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    alpha: float = 0.3,
+    id_columns: list[str] | None = None,
+    n_buckets: int | None = None,
+    _chunk: int = 256,
+):
+    """Per-key exponentially weighted moving average over an ordered
+    value column — the streaming-window decay metric (feature
+    engineering / drift smoothing). ``ewma_i = α·x_i + (1−α)·ewma_{i−1}``
+    with a reset at each key's first row; null values contribute as 0
+    (decay still advances) — documented, not SQL semantics (EWMA is not
+    SQL-expressible; gated by ground-truth tests instead of an oracle).
+
+    Same scale shape as every window op here: ONE coarse-bucket shuffle,
+    then per bucket a lexsort + CHUNKED renormalized-cumsum scan — the
+    naive ``a^{-j}`` prefix trick overflows float64 beyond ~1k rows, so
+    the scan renormalizes every ``_chunk`` rows and carries each
+    still-open segment's tail across the boundary. Python cost is
+    ``rows/_chunk`` iterations per bucket of vectorized work, never
+    per-row or per-key.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    id_columns = id_columns or []
+    cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
+    out_col = f"ewma_{value_column}"
+    decay = 1.0 - alpha
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.select(cols).append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        key_col = group.column(key_column).combine_chunks()
+        if n == 0:
+            empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
+            empty[out_col] = pa.array([], pa.float64())
+            return pa.table(empty)
+        kcode = key_codes(key_col)
+        sig: list[np.ndarray] = [kcode]
+        for c in order_columns:
+            sig.extend(_order_arrays(group.column(c)))
+        order = np.lexsort(tuple(sig[::-1]))
+        kc = kcode[order]
+        val_col = group.column(value_column).combine_chunks()
+        x = np.asarray(
+            pc.fill_null(pc.cast(val_col, pa.float64()), 0.0), dtype=np.float64
+        )[order]
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg_start_idx = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        row_start = seg_start_idx[seg_id]
+        y = np.empty(n, np.float64)
+        if decay == 0.0:  # alpha == 1: ewma is just x
+            y[:] = x
+        else:
+            j = np.arange(_chunk, dtype=np.float64)
+            wneg = decay ** (-j)  # bounded: decay^-(chunk-1)
+            wpos = decay ** j
+            for c0 in range(0, n, _chunk):
+                c1 = min(c0 + _chunk, n)
+                L = c1 - c0
+                xs = x[c0:c1] * alpha * wneg[:L]
+                s = np.cumsum(xs)
+                # each row subtracts the prefix before its segment start
+                # (clipped to the chunk); rows whose segment started in a
+                # previous chunk add the carried tail instead
+                rs = row_start[c0:c1]
+                local_start = np.maximum(rs - c0, 0)
+                s_before = np.where(local_start > 0, s[local_start - 1], 0.0)
+                y[c0:c1] = wpos[:L] * (s - s_before)
+                cont = rs < c0  # segment continues from previous chunk
+                if cont.any():
+                    carry = y[c0 - 1]  # last row's ewma (same segment)
+                    y[c0:c1][cont] += carry * wpos[:L][cont] * decay
+        take = pa.array(order, pa.int64())
+        out = {c: group.column(c).take(take) for c in id_columns}
+        out[key_column] = key_col.take(take)
+        out[out_col] = pa.array(y, pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

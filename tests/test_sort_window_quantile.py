@@ -638,3 +638,73 @@ def test_per_key_rank_extended_percent_cume(ray_session):
     assert out.loc[2, "cume_dist"] == 0.75 and out.loc[3, "cume_dist"] == 1.0
     # singleton partition: percent_rank 0, cume_dist 1
     assert out.loc[4, "percent_rank"] == 0.0 and out.loc[4, "cume_dist"] == 1.0
+
+
+def test_per_key_ewma_matches_reference_recurrence(ray_session):
+    """Chunked renormalized scan == the plain per-row recurrence
+    y_i = α·x_i + (1−α)·y_{i−1} with y reset to 0 at each key's start —
+    _chunk=4 forces several cross-chunk carries within one segment."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_ewma
+
+    rng = np.random.default_rng(9)
+    n = 50
+    keys = np.array(["a"] * 30 + ["b"] * 15 + ["c"] * 5)
+    ts = np.concatenate([np.arange(30), np.arange(15), np.arange(5)])
+    vals = np.round(rng.normal(0, 10, n), 3)
+    vals[7] = np.nan  # null value contributes 0, decay advances
+    va = pa.array([None if np.isnan(v) else float(v) for v in vals], pa.float64())
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "ts": pa.array(ts, pa.int64()),
+            "rid": pa.array(np.arange(n), pa.int64()),
+            "v": va,
+        }
+    )
+    alpha = 0.3
+    out = (
+        per_key_ewma(
+            ray.data.from_arrow(t).repartition(4),
+            "k", ["ts"], "v", alpha=alpha,
+            id_columns=["rid"], n_buckets=4, _chunk=4,
+        )
+        .to_pandas()
+        .set_index("rid")["ewma_v"]
+    )
+    # reference: plain loop per key in ts order
+    for key in ("a", "b", "c"):
+        mask = keys == key
+        rids = np.arange(n)[mask][np.argsort(ts[mask], kind="stable")]
+        y = 0.0
+        for rid in rids:
+            x = 0.0 if np.isnan(vals[rid]) else vals[rid]
+            y = alpha * x + (1 - alpha) * y
+            assert out.loc[rid] == pytest.approx(y, rel=1e-12, abs=1e-12), rid
+
+
+def test_per_key_ewma_alpha_one_and_validation(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_ewma
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a"], pa.string()),
+            "ts": pa.array([1, 2], pa.int64()),
+            "rid": pa.array([0, 1], pa.int64()),
+            "v": pa.array([5.0, 7.0], pa.float64()),
+        }
+    )
+    out = (
+        per_key_ewma(
+            ray.data.from_arrow(t), "k", ["ts"], "v", alpha=1.0,
+            id_columns=["rid"], n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("rid")["ewma_v"]
+    )
+    assert out.loc[0] == 5.0 and out.loc[1] == 7.0
+    with pytest.raises(ValueError):
+        per_key_ewma(ray.data.from_arrow(t), "k", ["ts"], "v", alpha=0.0)
