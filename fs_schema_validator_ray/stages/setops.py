@@ -113,8 +113,12 @@ def table_diff(
     length + side classify; per-value-column NULL-safe equality on the
     paired rows via two ``take``s — no per-key Python).
 
-    Requires each key to be UNIQUE within each snapshot (raises
-    otherwise — a duplicated key has no well-defined row diff).
+    Requires each non-null key to be UNIQUE within each snapshot (raises
+    otherwise — a duplicated key has no well-defined row diff). Rows
+    with a NULL in any key column follow SQL FULL OUTER JOIN semantics:
+    NULL keys never match, so every old-side null-key row reports
+    ``removed`` and every new-side one ``added`` (and they are exempt
+    from the uniqueness requirement).
 
     Output: ``key_columns + [change]``, one row per differing key
     (``changed`` rows carry the NEW side's key values)."""
@@ -149,7 +153,28 @@ def table_diff(
             return pa.table(out)
         kcodes = [key_codes(group.column(c).combine_chunks()) for c in key_columns]
         side = np.asarray(group.column("__side"), dtype=np.int8)
-        order = np.lexsort((side, *kcodes[::-1]))
+        # SQL FULL OUTER JOIN never matches NULL keys: split them off —
+        # old-side null-key rows are 'removed', new-side 'added' — and
+        # run the pairing only over fully-non-null keys
+        null_any = np.zeros(n, dtype=bool)
+        for c in key_columns:
+            null_any |= np.asarray(pc.is_null(group.column(c).combine_chunks()))
+        null_idx = np.flatnonzero(null_any)
+        valid_idx = np.flatnonzero(~null_any)
+        nv = len(valid_idx)
+        if nv == 0:
+            take = pa.array(null_idx, pa.int64())
+            out = {
+                c: group.column(c).combine_chunks().take(take) for c in key_columns
+            }
+            out["change"] = pa.array(
+                np.where(side[null_idx] == 1, "added", "removed"), pa.string()
+            )
+            return pa.table(out)
+        sub_codes = [k[valid_idx] for k in kcodes]
+        sub_side = side[valid_idx]
+        order = valid_idx[np.lexsort((sub_side, *sub_codes[::-1]))]
+        n = nv
         ks = [k[order] for k in kcodes]
         ss = side[order]
         seg_first = np.zeros(n, dtype=bool)
@@ -193,8 +218,9 @@ def table_diff(
             ["added"] * len(added)
             + ["removed"] * len(removed)
             + ["changed"] * len(changed)
+            + ["added" if side[i] == 1 else "removed" for i in null_idx]
         )
-        take = pa.array(order[idx], pa.int64())
+        take = pa.array(np.concatenate([order[idx], null_idx]), pa.int64())
         out = {c: group.column(c).combine_chunks().take(take) for c in key_columns}
         out["change"] = pa.array(labels, pa.string())
         return pa.table(out)

@@ -514,8 +514,6 @@ def pca_fit(ds, n_components: int, vec_column: str = "embedding"):
     exact covariance with a sign convention (each component's
     largest-|coefficient| entry made positive), so reruns and resumed
     partitions project identically."""
-    import pandas as pd  # noqa: F401  (partials are KB-sized)
-
     parts = (
         ds.select_columns([vec_column])
         .map_batches(PcaMomentStage(vec_column), batch_format="pyarrow")
@@ -529,6 +527,11 @@ def pca_fit(ds, n_components: int, vec_column: str = "embedding"):
     vec_sum = np.sum(np.stack(parts["vec_sum"].to_numpy()), axis=0)
     d = len(vec_sum)
     outer = np.sum(np.stack(parts["outer_sum"].to_numpy()), axis=0).reshape(d, d)
+    if n_components > d:
+        raise ValueError(
+            f"pca_fit: n_components={n_components} exceeds the embedding "
+            f"dimension d={d}"
+        )
     mean = vec_sum / n
     cov = (outer - n * np.outer(mean, mean)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending

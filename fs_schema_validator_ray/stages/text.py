@@ -568,18 +568,21 @@ class SentenceSplitStage:
         self.text_column = text_column
         self.id_column = id_column
 
+    def _empty(self, ids) -> pa.Table:
+        return pa.table(
+            {
+                self.id_column: ids.slice(0, 0),
+                "sent_idx": pa.array([], pa.int64()),
+                "sentence": pa.array([], pa.string()),
+                "nchars": pa.array([], pa.int64()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_column).combine_chunks()
         txt = pc.fill_null(batch.column(self.text_column).combine_chunks(), "")
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    self.id_column: ids.slice(0, 0),
-                    "sent_idx": pa.array([], pa.int64()),
-                    "sentence": pa.array([], pa.string()),
-                    "nchars": pa.array([], pa.int64()),
-                }
-            )
+            return self._empty(ids)
         parts = pc.split_pattern_regex(txt, pattern=self._PATTERN)
         flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
         offsets = np.asarray(flat.offsets, dtype=np.int64)
@@ -590,14 +593,7 @@ class SentenceSplitStage:
         )
         keep = np.asarray(pc.not_equal(values, pa.scalar("")))
         if n_frag == 0 or not keep.any():
-            return pa.table(
-                {
-                    self.id_column: ids.slice(0, 0),
-                    "sent_idx": pa.array([], pa.int64()),
-                    "sentence": pa.array([], pa.string()),
-                    "nchars": pa.array([], pa.int64()),
-                }
-            )
+            return self._empty(ids)
         kept_doc = doc_of[keep]
         # renumber per doc AFTER dropping empties: position within the
         # doc's kept run (kept docs are contiguous in fragment order)

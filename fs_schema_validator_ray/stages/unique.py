@@ -192,6 +192,19 @@ def _grouped_sketch_pipeline(
     )
 
 
+def _slot_segments(slot: np.ndarray) -> tuple:
+    """One argsort + boundary scan over a slot array → ``(order, starts,
+    ends)`` segment views — O(n log n), replacing a per-slot
+    ``flatnonzero`` rescan that would be O(n_slots × n)."""
+    order = np.argsort(slot, kind="stable")
+    ss = slot[order]
+    if len(ss) == 0:
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], ss[1:] != ss[:-1]]))
+    ends = np.concatenate([starts[1:], [len(ss)]])
+    return order, starts, ends
+
+
 def grouped_hll_distinct(ds, key_column: str, value_column: str, p: int = 12):
     """Per-key approximate distinct counts (``COUNT(DISTINCT value) GROUP
     BY key`` at sketch cost): each batch emits one HLL register blob per
@@ -252,8 +265,10 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str, p: int = 12):
         blobs_in = group.column("blob").to_pylist()
         ests = np.zeros(n_slots, np.float64)
         n_vals = np.zeros(n_slots, np.int64)
-        for s in range(n_slots):
-            rows = np.flatnonzero(slot == s)
+        order, starts, ends = _slot_segments(slot)
+        for st, en in zip(starts, ends):
+            rows = order[st:en]
+            s = int(slot[rows[0]])
             regs = np.stack(
                 [np.frombuffer(blobs_in[i], dtype=np.uint8) for i in rows]
             ).max(axis=0)
@@ -315,10 +330,13 @@ def grouped_tdigest_quantiles(
         vals = np.asarray(val_col.cast(pa.float64()).fill_null(0.0), dtype=np.float64)
         order = np.argsort(slot[valid], kind="stable")
         svals, sslot = vals[valid][order], slot[valid][order]
-        bounds = np.flatnonzero(
-            np.concatenate([[True], sslot[1:] != sslot[:-1]])
-        )
-        ends = np.concatenate([bounds[1:], [len(sslot)]])
+        if len(sslot):  # all-null value batch → no segments, not [0]
+            bounds = np.flatnonzero(
+                np.concatenate([[True], sslot[1:] != sslot[:-1]])
+            )
+            ends = np.concatenate([bounds[1:], [len(sslot)]])
+        else:
+            bounds = ends = np.empty(0, np.int64)
         n_vals = np.zeros(n_slots, np.int64)
         blobs: list = [b""] * n_slots
         for s, e in zip(bounds, ends):
@@ -341,8 +359,10 @@ def grouped_tdigest_quantiles(
         blobs_in = group.column("blob").to_pylist()
         n_vals = np.zeros(n_slots, np.int64)
         quants = np.full((n_slots, len(qs)), np.nan)
-        for s in range(n_slots):
-            rows = np.flatnonzero(slot == s)
+        order, starts, ends = _slot_segments(slot)
+        for st, en in zip(starts, ends):
+            rows = order[st:en]
+            s = int(slot[rows[0]])
             td = None
             for i in rows:
                 if not blobs_in[i]:

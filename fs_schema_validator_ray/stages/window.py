@@ -302,6 +302,11 @@ def per_key_shift(
         stable_key_array,
     )
 
+    if lead < 1:
+        raise ValueError(
+            "lead must be >= 1 (a negative lead would read across the "
+            "partition start — use per_key_window's LAG instead)"
+        )
     if n_buckets is None:
         n_buckets = default_n_buckets()
     id_columns = id_columns or []
@@ -560,11 +565,18 @@ def per_key_ewma(
         if decay == 0.0:  # alpha == 1: ewma is just x
             y[:] = x
         else:
-            j = np.arange(_chunk, dtype=np.float64)
-            wneg = decay ** (-j)  # bounded: decay^-(chunk-1)
+            import math
+
+            # cap the chunk so decay^-(chunk-1) stays far from float64
+            # overflow: high alpha (small decay) would blow 0.05^-255 to
+            # inf within the default 256-row chunk, turning every row
+            # past ~index 237 into ±inf/NaN
+            chunk = max(1, min(_chunk, int(250.0 / max(-math.log10(decay), 1e-12))))
+            j = np.arange(chunk, dtype=np.float64)
+            wneg = decay ** (-j)  # bounded: decay^-(chunk-1) < 1e250
             wpos = decay ** j
-            for c0 in range(0, n, _chunk):
-                c1 = min(c0 + _chunk, n)
+            for c0 in range(0, n, chunk):
+                c1 = min(c0 + chunk, n)
                 L = c1 - c0
                 xs = x[c0:c1] * alpha * wneg[:L]
                 s = np.cumsum(xs)

@@ -223,3 +223,139 @@ def test_std_zero_for_constant_column(ray_session):
     stats = column_stats(ray.data.from_arrow(t), ["z"])
     assert stats["z"]["std"] == 0.0
     assert stats["z"]["mean"] == 0.0
+
+
+# --- round-2 continuation review findings ------------------------------------
+
+
+def test_grouped_tdigest_all_null_value_batch(ray_session):
+    """Review: a batch whose value column is ENTIRELY null crashed the
+    t-digest partial with IndexError (empty sslot still produced one
+    phantom segment)."""
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.unique import grouped_tdigest_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b"], pa.string()),
+            "v": pa.array([None, None], pa.float64()),
+        }
+    )
+    rows = {
+        r["k"]: r
+        for r in grouped_tdigest_quantiles(
+            ray.data.from_arrow(t), "k", "v", qs=(0.5,)
+        ).take_all()
+    }
+    assert rows["a"]["n_values"] == 0 and rows["a"]["q50"] is None
+    assert rows["b"]["n_values"] == 0 and rows["b"]["q50"] is None
+
+
+def test_per_key_ewma_high_alpha_no_overflow(ray_session):
+    """Review: alpha=0.95 (decay=0.05) overflowed decay**-255 to inf in
+    the default 256-row chunk, emitting ±inf/NaN past local index ~237;
+    the chunk is now capped from the decay."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_ewma
+
+    n = 300
+    vals = np.linspace(-5, 5, n)
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * n, pa.string()),
+            "ts": pa.array(np.arange(n), pa.int64()),
+            "rid": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    alpha = 0.95
+    out = (
+        per_key_ewma(
+            ray.data.from_arrow(t), "k", ["ts"], "v", alpha=alpha,
+            id_columns=["rid"], n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("rid")["ewma_v"]
+    )
+    assert np.isfinite(out.to_numpy()).all()
+    y = 0.0
+    for rid in range(n):
+        y = alpha * vals[rid] + (1 - alpha) * y
+        assert out.loc[rid] == pytest.approx(y, rel=1e-9, abs=1e-12)
+
+
+def test_per_key_shift_rejects_nonpositive_lead(ray_session):
+    """Review: lead=-1 silently read the PREVIOUS partition's value."""
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import per_key_shift
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"], pa.string()),
+            "ts": pa.array([1], pa.int64()),
+            "v": pa.array([1.0], pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError):
+        per_key_shift(ray.data.from_arrow(t), "k", ["ts"], "v", lead=0)
+    with pytest.raises(ValueError):
+        per_key_shift(ray.data.from_arrow(t), "k", ["ts"], "v", lead=-1)
+
+
+def test_table_diff_null_keys_never_match(ray_session):
+    """Review: NULL keys were paired as equal (key_codes -1 == -1),
+    diverging from the SQL FULL OUTER JOIN the oracle encodes — null
+    keys must always emit removed/added, never 'changed', and duplicates
+    among them must not raise."""
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.setops import table_diff
+
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([None, None, 1], pa.int64()),
+                "v": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([None, 1], pa.int64()),
+                "v": pa.array([1, 3], pa.int64()),
+            }
+        )
+    )
+    rows = sorted(
+        (r["k"] is None, r["change"])
+        for r in table_diff(old, new, ["k"], ["v"]).take_all()
+    )
+    # k=1 unchanged → dropped; 2 old nulls removed, 1 new null added
+    assert rows == [(True, "added"), (True, "removed"), (True, "removed")]
+
+
+def test_pca_fit_rejects_too_many_components(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import pca_fit
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [2.0, 1.0], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    with pytest.raises(ValueError):
+        pca_fit(ray.data.from_arrow(t), 3)
