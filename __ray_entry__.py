@@ -360,6 +360,14 @@ GROUP BY user_id
 HAVING COUNT(*) >=
   (SELECT (COUNT(user_id) + 124) // 125 FROM events)
 """,
+        "zscore_lineitem": """
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity - AVG(l_quantity) OVER ())
+             / STDDEV_SAMP(l_quantity) OVER (), 6) AS z_l_quantity,
+       ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())
+             / STDDEV_SAMP(l_extendedprice) OVER (), 6) AS z_l_extendedprice
+FROM lineitem
+""",
         "sentence_split_documents": r"""
 WITH arr AS (
   SELECT doc_id,

@@ -796,6 +796,33 @@ def heavy_hitters_events(sf_dir: str):
     return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
 
 
+def zscore_lineitem(sf_dir: str):
+    """Z-score standardization of two lineitem measures — one streaming
+    moment pass fits per-column mean/std, one transform pass emits the
+    scores (``stages/reshape.py::standardize_columns``) — oracle-checked
+    through the ROUND(·,6) float protocol (cf. ``corr_lineitem``)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.reshape import standardize_columns
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    out = standardize_columns(
+        ds, ["l_quantity", "l_extendedprice"], ["l_orderkey", "l_linenumber"]
+    )
+
+    def round6(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in ["l_orderkey", "l_linenumber"]}
+        for c in ("z_l_quantity", "z_l_extendedprice"):
+            cols[c] = pc.round(t.column(c), ndigits=6)
+        return pa.table(cols)
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
 def ewma_events_per_user(sf_dir: str):
     """Per-user exponentially weighted moving average of event value
     over time (α=0.3, zero-initialized) — chunked renormalized-cumsum
@@ -2267,6 +2294,7 @@ QUERIES = {
     "shift_orders_per_customer": shift_orders_per_customer,
     "percent_rank_orders": percent_rank_orders,
     "ewma_events_per_user": ewma_events_per_user,
+    "zscore_lineitem": zscore_lineitem,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,

@@ -359,3 +359,50 @@ def test_bm25_empty_query_and_no_matches(ray_session):
     )
     out = bm25_contributions(ds, ["absent"]).take_all()
     assert out == []
+
+
+# --- standardize_columns -----------------------------------------------------
+
+
+def test_standardize_matches_numpy_and_handles_nulls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.reshape import standardize_columns
+
+    x = np.array([1.0, 2.0, 3.0, 4.0, np.nan, 10.0])
+    arr = pa.array([None if np.isnan(v) else v for v in x], pa.float64())
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(6), pa.int64()),
+            "x": arr,
+            "const": pa.array([5.0] * 6, pa.float64()),
+        }
+    )
+    out = (
+        standardize_columns(
+            ray.data.from_arrow(t).repartition(3), ["x", "const"], ["rid"]
+        )
+        .to_pandas()
+        .set_index("rid")
+    )
+    v = x[~np.isnan(x)]
+    mean, std = v.mean(), v.std(ddof=1)
+    for rid in (0, 1, 2, 3, 5):
+        assert out.loc[rid, "z_x"] == pytest.approx((x[rid] - mean) / std, rel=1e-12)
+    assert np.isnan(out.loc[4, "z_x"])          # null in → null out
+    assert out["z_const"].isna().all()          # constant column → null
+
+
+def test_standardize_rejects_single_value(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.reshape import standardize_columns
+
+    t = pa.table(
+        {"rid": pa.array([0, 1], pa.int64()), "x": pa.array([1.0, None], pa.float64())}
+    )
+    with pytest.raises(ValueError):
+        standardize_columns(ray.data.from_arrow(t), ["x"], ["rid"])
