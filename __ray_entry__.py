@@ -360,6 +360,21 @@ GROUP BY user_id
 HAVING COUNT(*) >=
   (SELECT (COUNT(user_id) + 124) // 125 FROM events)
 """,
+        "fuzzy_join_part_names": """
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey % 4 = 0),
+pert AS (
+  SELECT p_partkey + 10000000 AS id,
+         substr(p_name, 1, p_partkey % length(p_name)) ||
+         substr(p_name, (p_partkey % length(p_name)) + 2) AS s
+  FROM part WHERE p_partkey % 4 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+SELECT x.id AS a, y.id AS b,
+       CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+FROM u x JOIN u y
+  ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1
+WHERE levenshtein(x.s, y.s) <= 1
+""",
         "zscore_lineitem": """
 SELECT l_orderkey, l_linenumber,
        ROUND((l_quantity - AVG(l_quantity) OVER ())

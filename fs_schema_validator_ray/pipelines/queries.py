@@ -796,6 +796,43 @@ def heavy_hitters_events(sf_dir: str):
     return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
 
 
+def fuzzy_join_part_names(sf_dir: str):
+    """EXACT edit-distance-≤1 fuzzy self-join (SymSpell deletion
+    banding): part names (every 4th key) unioned with deterministically
+    perturbed copies (one char dropped at ``key % len``) — banding
+    finds every pair, broadcast verify makes it exact
+    (``stages/dedup.py::edit_distance_pairs``) — oracle-checked against
+    DuckDB ``levenshtein``."""
+    from fs_schema_validator_ray.stages.dedup import edit_distance_pairs
+
+    base = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("p_partkey"), dtype=np.int64)
+        return t.filter(pa.array(k % 4 == 0))
+
+    base = base.map_batches(keep, batch_format="pyarrow")
+
+    def both(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("p_partkey"), dtype=np.int64)
+        names = t.column("p_name").to_pylist()
+        pert = [
+            s[: int(kk) % len(s)] + s[int(kk) % len(s) + 1 :] if s else s
+            for kk, s in zip(k, names)
+        ]
+        return pa.table(
+            {
+                "id": pa.array(
+                    np.concatenate([k, k + 10_000_000]), pa.int64()
+                ),
+                "s": pa.array(names + pert, pa.string()),
+            }
+        )
+
+    u = base.map_batches(both, batch_format="pyarrow")
+    return edit_distance_pairs(u, "s", "id")
+
+
 def zscore_lineitem(sf_dir: str):
     """Z-score standardization of two lineitem measures — one streaming
     moment pass fits per-column mean/std, one transform pass emits the
@@ -2295,6 +2332,7 @@ QUERIES = {
     "percent_rank_orders": percent_rank_orders,
     "ewma_events_per_user": ewma_events_per_user,
     "zscore_lineitem": zscore_lineitem,
+    "fuzzy_join_part_names": fuzzy_join_part_names,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,

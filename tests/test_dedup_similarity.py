@@ -363,3 +363,66 @@ def test_pca_fit_rejects_degenerate_inputs(ray_session):
     )
     with pytest.raises(ValueError):
         pca_fit(ray.data.from_arrow(one), 1)
+
+
+# --- edit-distance-1 fuzzy join ----------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    d = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev = d.copy()
+        d[0] = i
+        for j, cb in enumerate(b, 1):
+            d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return int(d[len(b)])
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    """Randomized property check: banding + verify == brute-force
+    Levenshtein ≤ 1 over a corpus dense with near-misses (short alphabet
+    → lots of true pairs AND hash-band collisions to filter)."""
+    import itertools
+
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(17)
+    strings = [
+        "".join(rng.choice(list("abc"), size=rng.integers(0, 6)))
+        for _ in range(120)
+    ]
+    strings += ["müller", "muller", "mülle", "日本語", "日本", ""]
+    t = pa.table(
+        {
+            "id": pa.array(range(len(strings)), pa.int64()),
+            "s": pa.array(strings, pa.string()),
+        }
+    )
+    out = edit_distance_pairs(
+        ray.data.from_arrow(t).repartition(5), "s", "id"
+    )
+    got = sorted((r["a"], r["b"], r["dist"]) for r in out.take_all())
+    want = sorted(
+        (i, j, _lev(strings[i], strings[j]))
+        for i, j in itertools.combinations(range(len(strings)), 2)
+        if _lev(strings[i], strings[j]) <= 1
+    )
+    assert got == want
+
+
+def test_edit_distance_pairs_max_len_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import edit_distance_pairs
+
+    t = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "s": pa.array(["x" * 100], pa.string()),
+        }
+    )
+    with pytest.raises(Exception):  # ray wraps the ValueError
+        edit_distance_pairs(ray.data.from_arrow(t), "s", "id", max_len=64).take_all()
