@@ -1852,6 +1852,27 @@ def audio_reverb_clips(sf_dir: str, n_rows: int = 1500):
     return out.select_columns(["clip_id", "decode_ok", "n_samples", "rt60_ms"])
 
 
+def audio_compress_clips(sf_dir: str, n_rows: int = 1500):
+    """Dynamic-range compression (one-pole envelope follower + 4:1
+    feed-forward gain law above −20 dB) over the clips corpus
+    (``stages/audio_features.py::CompressorStage``; rows-only: payload
+    transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import CompressorStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    out = ds.map_batches(
+        CompressorStage(threshold_db=-20.0, ratio=4.0),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    return out.select_columns(
+        ["clip_id", "decode_ok", "n_samples", "gain_reduction_db"]
+    )
+
+
 def audio_curation_clips(sf_dir: str, n_rows: int = 1500):
     """END-TO-END audio curation: quality gate (decode-once screen on
     duration/RMS/clipping/silence) → silence trim → resample to 16 kHz →
@@ -2350,6 +2371,7 @@ QUERIES = {
     "audio_speed_perturb_clips": audio_speed_perturb_clips,
     "audio_noise_mix_clips": audio_noise_mix_clips,
     "audio_reverb_clips": audio_reverb_clips,
+    "audio_compress_clips": audio_compress_clips,
     "audio_curation_clips": audio_curation_clips,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,

@@ -1297,3 +1297,114 @@ class ReverbStage:
                 }
             )
         return pa.Table.from_pylist(rows, schema=REVERB_SCHEMA)
+
+
+COMPRESS_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("gain_reduction_db", pa.float64()),
+    ]
+)
+
+
+def _one_pole_envelope(x_abs: np.ndarray, alpha: float, chunk: int = 256) -> np.ndarray:
+    """Smoothed level detector ``env_i = α·|x_i| + (1−α)·env_{i−1}``
+    (zero-initialized) — the same renormalized-cumsum chunking as
+    ``stages/window.per_key_ewma``, overflow-capped from the decay."""
+    import math
+
+    n = len(x_abs)
+    decay = 1.0 - alpha
+    if n == 0 or decay == 0.0:
+        return x_abs.copy()
+    chunk = max(1, min(chunk, int(250.0 / max(-math.log10(decay), 1e-12))))
+    j = np.arange(chunk, dtype=np.float64)
+    wneg = decay ** (-j)
+    wpos = decay ** j
+    env = np.empty(n, np.float64)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        L = c1 - c0
+        s = np.cumsum(x_abs[c0:c1] * alpha * wneg[:L])
+        env[c0:c1] = wpos[:L] * s
+        if c0:
+            env[c0:c1] += env[c0 - 1] * wpos[:L] * decay
+    return env
+
+
+class CompressorStage:
+    """``map_batches`` callable: dynamic-range compression — the mastering
+    stage a speech-corpus pipeline runs before loudness bucketing. Per
+    clip: one-pole envelope follower (smoothing ``alpha``), then gain
+    ``(env/threshold)^(1/ratio − 1)`` wherever the envelope exceeds the
+    linear threshold (classic feed-forward compressor law), unity gain
+    below it. Fully deterministic, vectorized (envelope via the chunked
+    renormalized scan, gain via one power), pcm_s16le re-encode.
+    Reports the peak gain reduction applied (dB ≤ 0) per clip."""
+
+    def __init__(
+        self,
+        threshold_db: float = -20.0,
+        ratio: float = 4.0,
+        alpha: float = 0.05,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if ratio < 1.0 or not (0.0 < alpha <= 1.0):
+            raise ValueError("ratio must be >= 1 and alpha in (0, 1]")
+        self.threshold = 10.0 ** (threshold_db / 20.0)
+        self.threshold_db = float(threshold_db)
+        self.ratio = float(ratio)
+        self.alpha = float(alpha)
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            kid = None if key is None else str(key)
+            decoded = None
+            if view is not None and len(view) > 0:
+                try:
+                    decoded = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    decoded = None
+            if decoded is None:
+                rows.append(
+                    {
+                        "clip_id": kid, "decode_ok": False, "bytes": None,
+                        "sr_hz": None, "n_samples": None,
+                        "gain_reduction_db": None,
+                    }
+                )
+                continue
+            x, sr_hz, _ = decoded
+            if len(x):
+                env = _one_pole_envelope(np.abs(x), self.alpha)
+                over = env > self.threshold
+                gain = np.ones(len(x))
+                if over.any():
+                    gain[over] = (env[over] / self.threshold) ** (
+                        1.0 / self.ratio - 1.0
+                    )
+                y = np.clip(x * gain, -1.0, 1.0)
+                gr_db = float(20.0 * np.log10(max(gain.min(), 1e-12)))
+            else:
+                y, gr_db = x, 0.0
+            rows.append(
+                {
+                    "clip_id": kid,
+                    "decode_ok": True,
+                    "bytes": audio.encode(y, sr_hz, "pcm_s16le"),
+                    "sr_hz": sr_hz,
+                    "n_samples": len(y),
+                    "gain_reduction_db": gr_db,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=COMPRESS_SCHEMA)

@@ -483,3 +483,50 @@ def test_reverb_validates_params():
         ReverbStage(rt60_ms=0)
     with pytest.raises(ValueError):
         ReverbStage(wet=1.5)
+
+
+def test_compressor_attenuates_loud_preserves_quiet():
+    from fs_schema_validator_ray.stages.audio_features import CompressorStage
+
+    sr = 16000
+    # quiet tone (-32 dB) then loud tone (-4 dB), threshold -20 dB
+    quiet = tone(440, sr=sr, dur_s=0.2, amp=0.025)
+    loud = tone(440, sr=sr, dur_s=0.2, amp=0.63)
+    x = np.concatenate([quiet, loud])
+    stage = CompressorStage(threshold_db=-20.0, ratio=4.0, alpha=0.05)
+    row = stage(_clip_batch(x, sr)).to_pylist()[0]
+    assert row["decode_ok"] and row["n_samples"] == len(x)
+    assert row["gain_reduction_db"] < -5.0  # loud section squeezed
+    y, _, _ = audio.decode(row["bytes"])
+    n = len(quiet)
+    # quiet half ~untouched (envelope below threshold)
+    assert np.max(np.abs(y[: n // 2] - x[: n // 2])) < 0.01
+    # loud half attenuated: peak drops toward threshold^((r-1)/r) law
+    assert np.max(np.abs(y[n + n // 4 :])) < 0.8 * np.max(np.abs(x[n + n // 4 :]))
+    # deterministic
+    row2 = CompressorStage(threshold_db=-20.0, ratio=4.0, alpha=0.05)(
+        _clip_batch(x, sr)
+    ).to_pylist()[0]
+    assert row2["bytes"] == row["bytes"]
+
+
+def test_compressor_envelope_matches_recurrence():
+    from fs_schema_validator_ray.stages.audio_features import _one_pole_envelope
+
+    rng = np.random.default_rng(2)
+    x = np.abs(rng.normal(0, 0.3, 700))
+    alpha = 0.97  # high alpha stresses the overflow-capped chunking
+    env = _one_pole_envelope(x, alpha)
+    y = 0.0
+    for i in range(len(x)):
+        y = alpha * x[i] + (1 - alpha) * y
+        assert env[i] == pytest.approx(y, rel=1e-10, abs=1e-14)
+
+
+def test_compressor_validates_params():
+    from fs_schema_validator_ray.stages.audio_features import CompressorStage
+
+    with pytest.raises(ValueError):
+        CompressorStage(ratio=0.5)
+    with pytest.raises(ValueError):
+        CompressorStage(alpha=0.0)
