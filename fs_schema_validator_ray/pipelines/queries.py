@@ -1927,6 +1927,46 @@ def audio_curation_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def image_phash_dedup(sf_dir: str, n_rows: int = 2000):
+    """Image perceptual-hash near-dup pairs: the synthetic corpus plus
+    re-keyed byte-identical copies of every 8th image — pHash (decode →
+    luma → 32×32 DCT sign bits, per-actor DCT basis) then the SAME
+    4×16-bit banding the audio fingerprints use
+    (``stages/multimodal.py::PHashStage`` +
+    ``stages/dedup.py::fingerprint64_near_dup_pairs``; rows-only:
+    payload decode is not SQL-expressible)."""
+    import ray.data
+
+    from fs_schema_validator_ray.sources.images import build_images_table
+    from fs_schema_validator_ray.stages.dedup import fingerprint64_near_dup_pairs
+    from fs_schema_validator_ray.stages.multimodal import (
+        FakePixelDecoder,
+        PHashStage,
+    )
+
+    t = build_images_table(n_rows)
+
+    def with_copies(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pa.array(np.arange(t.num_rows) % 8 == 0)
+        dup = t.filter(keep)
+        dup = dup.set_column(
+            0, "key", pc.binary_join_element_wise(dup.column("key"), "-copy", "")
+        )
+        return pa.concat_tables([t, dup])
+
+    ds = ray.data.from_arrow(with_copies(t)).repartition(8)
+    fps = ds.map_batches(
+        PHashStage(lambda: FakePixelDecoder(full_payload_hash=True)),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    return fingerprint64_near_dup_pairs(
+        fps, key_column="key", fp_column="fp", max_hamming=3, ok_column="decode_ok"
+    )
+
+
 def image_validate_corpus(sf_dir: str, n_rows: int = 2000):
     """Image header validation over the deterministic synthetic image
     corpus: declared-vs-sniffed format, header parse, dimension bounds —
@@ -2374,6 +2414,7 @@ QUERIES = {
     "audio_compress_clips": audio_compress_clips,
     "audio_curation_clips": audio_curation_clips,
     "image_validate_corpus": image_validate_corpus,
+    "image_phash_dedup": image_phash_dedup,
     "image_resize_corpus": image_resize_corpus,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,

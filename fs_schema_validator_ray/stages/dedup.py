@@ -1526,3 +1526,114 @@ def edit_distance_pairs(
     lookup = build_string_lookup(ds, text_column, id_column, cand_ids)
     lookup_ref = ray.put(lookup)
     return cands.map_batches(EditDistanceVerifyStage(lookup_ref), batch_format="pyarrow")
+
+
+def fingerprint64_near_dup_pairs(
+    fps,
+    key_column: str,
+    fp_column: str = "fp",
+    max_hamming: int = 3,
+    ok_column: str | None = None,
+):
+    """Generic 64-bit-fingerprint near-dup pairs ``(a, b, hamming)``
+    (``a < b``, distinct keys) for ANY modality that reduces an item to
+    a 64-bit perceptual hash (audio fingerprints, image pHash, text
+    SimHash): band-expand into 4×16-bit LSH blocks (hamming ≤ 3 ⇒ a
+    shared block by pigeonhole), ONE coarse-bucketed groupby shuffle of
+    ``(key, fp, band, band_key)`` rows, in-bucket sorted segment scan
+    with capped+star-linked pair expansion, vectorized XOR popcount
+    verify, global pair dedup. Extracted from the audio path
+    (``stages/audio_features.py::audio_near_dup_pairs``) so image/audio/
+    text fingerprints share one implementation."""
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        if ok_column is not None and ok_column in batch.column_names:
+            batch = batch.filter(batch.column(ok_column))
+        fp = np.asarray(batch.column(fp_column), dtype=np.int64).view(np.uint64)
+        ids = batch.column(key_column).combine_chunks()
+        n = len(fp)
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        keys = np.empty(4 * n, dtype=np.int32)
+        for blk in range(4):
+            keys[blk * n : (blk + 1) * n] = (
+                (fp >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
+        with np.errstate(over="ignore"):
+            bucket = mix_to_buckets(
+                (bands.astype(np.uint64) << np.uint64(16))
+                ^ keys.view(np.uint32).astype(np.uint64),
+                256,
+            )
+        return pa.table(
+            {
+                key_column: pa.concat_arrays([ids] * 4) if n else ids,
+                "sid": pa.array(
+                    np.tile(hash64(stable_key_array(ids)), 4).view(np.int64)
+                ),
+                "fp": pa.array(np.tile(fp, 4).view(np.int64)),
+                "bucket": pa.array(bucket),
+                "band": pa.array(bands),
+                "band_key": pa.array(keys),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int64())]
+    )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        band = np.asarray(group.column("band"), dtype=np.int64)
+        bkey = np.asarray(group.column("band_key"), dtype=np.int64)
+        sid = np.asarray(group.column("sid"), dtype=np.int64)
+        fp = np.asarray(group.column("fp"), dtype=np.int64).view(np.uint64)
+        order = np.lexsort((sid, bkey, band))
+        band_s, bkey_s, sid_s, fp_s = band[order], bkey[order], sid[order], fp[order]
+        seg_first = np.concatenate(
+            [[True], (band_s[1:] != band_s[:-1]) | (bkey_s[1:] != bkey_s[:-1])]
+        )
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [len(sid_s)]])
+        multi = ends - starts >= 2
+        out_ai, out_bi, out_x = [], [], []
+        cap = 256
+        for s, e in zip(starts[multi], ends[multi]):
+            keepm = np.concatenate([[True], sid_s[s + 1 : e] != sid_s[s : e - 1]])
+            pos = np.flatnonzero(keepm) + s
+            if len(pos) < 2:
+                continue
+            h = pos[:cap]
+            ai, bi = np.triu_indices(len(h), k=1)
+            a_pos, b_pos = h[ai], h[bi]
+            if len(pos) > cap:  # star-link overflow to the block min
+                t = pos[cap:]
+                a_pos = np.concatenate([a_pos, np.full(len(t), pos[0], np.int64)])
+                b_pos = np.concatenate([b_pos, t])
+            out_ai.append(a_pos)
+            out_bi.append(b_pos)
+            out_x.append(fp_s[a_pos] ^ fp_s[b_pos])
+        if not out_ai:
+            return pair_schema.empty_table()
+        a_pos = np.concatenate(out_ai)
+        b_pos = np.concatenate(out_bi)
+        ham = popcount64(np.concatenate(out_x))
+        ok = ham <= max_hamming
+        a_pos, b_pos, ham = a_pos[ok], b_pos[ok], ham[ok]
+        ids_col = group.column(key_column).combine_chunks().take(pa.array(order))
+        a_ids = ids_col.take(pa.array(a_pos, pa.int64()))
+        b_ids = ids_col.take(pa.array(b_pos, pa.int64()))
+        flip = pc.greater(a_ids, b_ids)
+        lo = pc.if_else(flip, b_ids, a_ids)
+        hi = pc.if_else(flip, a_ids, b_ids)
+        return pa.table({"a": lo, "b": hi, "hamming": pa.array(ham)})
+
+    allp = (
+        fps.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(block_pairs, batch_format="pyarrow")
+    )
+    return dedup_pairs_distinct(allp, agg=[("hamming", "min")])

@@ -363,12 +363,28 @@ class ImageValidateStage:
 class FakePixelDecoder:
     """Deterministic stand-in decoder: pixels derived from a hash of the
     payload — makes the full pipeline (schema, batch flow, feature
-    extraction) testable without an imaging library."""
+    extraction) testable without an imaging library.
+
+    ``full_payload_hash=True`` seeds from a digest of the WHOLE payload
+    (default keeps the original first-8-bytes seed for output
+    stability): identical payloads decode to identical pixels while any
+    byte difference yields independent content — the property the
+    perceptual-hash dedup plumbing needs."""
+
+    def __init__(self, full_payload_hash: bool = False) -> None:
+        self.full_payload_hash = full_payload_hash
 
     def __call__(self, payload: bytes, fmt: str, dims: tuple[int, int]) -> np.ndarray:
         w, h = dims
         w, h = min(w, 64), min(h, 64)  # bounded fake raster
-        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+        if self.full_payload_hash:
+            import hashlib
+
+            seed = int.from_bytes(
+                hashlib.blake2b(payload, digest_size=8).digest(), "little"
+            )
+        else:
+            seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
         rng = np.random.Generator(np.random.PCG64(seed))
         return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
@@ -536,5 +552,93 @@ class ImageResizeStage:
                 "rgb": pa.array(blobs, pa.binary()),
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+PHASH_SCHEMA = pa.schema(
+    [("key", pa.string()), ("fp", pa.int64()), ("decode_ok", pa.bool_())]
+)
+
+
+class PHashStage:
+    """Actor-pool stage: 64-bit perceptual hash (pHash) per image —
+    decode → luma → 32×32 resample → 2-D DCT-II → sign bits of the 8×8
+    low-frequency block vs their median. Small geometric/quality edits
+    move few bits, so near-dup detection is a hamming-≤k pair search —
+    feed the output to ``stages/dedup.py::fingerprint64_near_dup_pairs``
+    (the same banding the audio fingerprints use).
+
+    Actor state: the decoder AND the 32×32 DCT basis matrix are built
+    once per actor in ``__init__``, not per batch. Decode is per-image
+    (variable payloads); the hash math is one ``D @ A @ Dᵀ`` per image.
+    Like ``PixelDecodeStage``, raises without a ``decoder_factory``
+    (no imaging library in this sandbox — pass ``FakePixelDecoder`` /
+    a PIL-backed factory in production). Undecodable/unsniffable
+    payloads emit ``decode_ok=false`` with a null hash."""
+
+    _N = 32
+
+    def __init__(
+        self,
+        decoder_factory: Optional[Callable[[], Callable]] = None,
+        bytes_column: str = "bytes",
+        key_column: str = "key",
+    ) -> None:
+        if decoder_factory is None:
+            raise NotImplementedError(
+                "no imaging library in this environment: pass "
+                "decoder_factory=FakePixelDecoder for the deterministic "
+                "stand-in, or a real PIL/libvips-backed factory in production"
+            )
+        self.decoder = decoder_factory()  # once per actor
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+        n = self._N
+        k = np.arange(n)
+        # orthonormal DCT-II basis (scipy.fft.dct(norm="ortho") parity)
+        self._dct = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+        )
+        self._dct[0] /= np.sqrt(2.0)
+
+    def phash64(self, px: np.ndarray) -> int:
+        gray = (
+            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        ).astype(np.float64)
+        h, w = gray.shape
+        n = self._N
+        ri = np.minimum((np.arange(n) * h) // n, h - 1)
+        ci = np.minimum((np.arange(n) * w) // n, w - 1)
+        small = gray[ri][:, ci]
+        coeffs = self._dct @ small @ self._dct.T
+        block = coeffs[:8, :8].ravel()[1:]  # drop the DC term
+        bits = block > np.median(block)
+        return int(
+            np.bitwise_or.reduce(
+                bits.astype(np.uint64) << np.arange(63, dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.bytes_column).to_pylist()
+        keys = batch.column(self.key_column).to_pylist()
+        out_k, out_fp, out_ok = [], [], []
+        for key, p in zip(keys, payloads):
+            out_k.append(None if key is None else str(key))
+            fmt = sniff_image_format(p or b"")
+            dims = parse_image_dims(p, fmt) if fmt else None
+            if not fmt or not dims or dims[0] < 1 or dims[1] < 1:
+                out_fp.append(None)
+                out_ok.append(False)
+                continue
+            px = self.decoder(p, fmt, dims)
+            out_fp.append(np.int64(np.uint64(self.phash64(px))))
+            out_ok.append(True)
+        return pa.table(
+            {
+                "key": pa.array(out_k, pa.string()),
+                "fp": pa.array(out_fp, pa.int64()),
+                "decode_ok": pa.array(out_ok, pa.bool_()),
             }
         )

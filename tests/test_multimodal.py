@@ -248,3 +248,91 @@ def test_image_resize_stage(ray_session):
 
     with pytest.raises(NotImplementedError):
         ImageResizeStage(8, 8)
+
+
+# --- PHashStage --------------------------------------------------------------
+
+
+def test_phash_properties():
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.multimodal import (
+        FakePixelDecoder,
+        PHashStage,
+    )
+
+    stage = PHashStage(lambda: FakePixelDecoder(full_payload_hash=True))
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    h1 = stage.phash64(px)
+    assert stage.phash64(px.copy()) == h1  # deterministic
+    # small local edit moves few bits
+    edited = px.copy()
+    edited[:4, :4] = 255 - edited[:4, :4]
+    d_small = bin(h1 ^ stage.phash64(edited)).count("1")
+    assert d_small <= 10
+    # unrelated image is far
+    other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    d_far = bin(h1 ^ stage.phash64(other)).count("1")
+    assert d_far > 15
+
+
+def test_phash_stage_batch_and_corrupt_payloads():
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.sources.images import png_bytes
+    from fs_schema_validator_ray.stages.multimodal import (
+        FakePixelDecoder,
+        PHashStage,
+    )
+
+    good = png_bytes(20, 12, salt=7)
+    batch = pa.table(
+        {
+            "key": pa.array(["a", "a-copy", "bad"], pa.string()),
+            "bytes": pa.array([good, good, b"\x00junk"], pa.binary()),
+        }
+    )
+    out = PHashStage(lambda: FakePixelDecoder(full_payload_hash=True))(batch)
+    rows = {r["key"]: r for r in out.to_pylist()}
+    assert rows["a"]["decode_ok"] and rows["a-copy"]["decode_ok"]
+    assert rows["a"]["fp"] == rows["a-copy"]["fp"]  # identical bytes
+    assert rows["bad"]["decode_ok"] is False and rows["bad"]["fp"] is None
+
+
+def test_phash_near_dup_pairs_finds_planted_copies(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.sources.images import build_images_table
+    from fs_schema_validator_ray.stages.dedup import fingerprint64_near_dup_pairs
+    from fs_schema_validator_ray.stages.multimodal import (
+        FakePixelDecoder,
+        PHashStage,
+    )
+
+    t = build_images_table(200)
+    keep = pa.array(np.arange(200) % 8 == 0)
+    dup = t.filter(keep)
+    import pyarrow.compute as pc
+
+    dup = dup.set_column(
+        0, "key", pc.binary_join_element_wise(dup.column("key"), "-copy", "")
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup])).repartition(4)
+    fps = ds.map_batches(
+        PHashStage(lambda: FakePixelDecoder(full_payload_hash=True)),
+        batch_format="pyarrow",
+    )
+    pairs = fingerprint64_near_dup_pairs(
+        fps, key_column="key", fp_column="fp", ok_column="decode_ok"
+    ).take_all()
+    got = {(r["a"], r["b"]) for r in pairs if r["hamming"] == 0}
+    # every planted copy except the corrupted index 0 (0 % 97 == 0)
+    want = {
+        (f"img-{i:06d}", f"img-{i:06d}-copy")
+        for i in range(0, 200, 8)
+        if i % 97 != 0
+    }
+    assert want <= got
