@@ -360,6 +360,10 @@ GROUP BY user_id
 HAVING COUNT(*) >=
   (SELECT (COUNT(user_id) + 124) // 125 FROM events)
 """,
+        "cross_join_nation_region": """
+SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+FROM nation n CROSS JOIN region r
+""",
         "fuzzy_join_part_names": """
 WITH base AS (
   SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey % 4 = 0),

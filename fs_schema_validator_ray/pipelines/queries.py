@@ -796,6 +796,17 @@ def heavy_hitters_events(sf_dir: str):
     return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
 
 
+def cross_join_nation_region(sf_dir: str):
+    """CROSS JOIN nation × region (25 × 5) — broadcast expansion, no
+    shuffle (``stages/joins.py::broadcast_cross_join``) —
+    oracle-checked."""
+    from fs_schema_validator_ray.stages.joins import broadcast_cross_join
+
+    left = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    small = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    return broadcast_cross_join(left, small, ["r_regionkey", "r_name"])
+
+
 def fuzzy_join_part_names(sf_dir: str):
     """EXACT edit-distance-≤1 fuzzy self-join (SymSpell deletion
     banding): part names (every 4th key) unioned with deterministically
@@ -2394,6 +2405,7 @@ QUERIES = {
     "ewma_events_per_user": ewma_events_per_user,
     "zscore_lineitem": zscore_lineitem,
     "fuzzy_join_part_names": fuzzy_join_part_names,
+    "cross_join_nation_region": cross_join_nation_region,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,

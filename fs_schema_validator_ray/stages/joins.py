@@ -835,3 +835,51 @@ def _empty_out(group: pa.Table, l_vals, r_vals) -> pa.Table:
     for c in r_vals:
         cols[f"r_{c}"] = group.column(f"r_{c}").slice(0, 0)
     return pa.table(cols)
+
+
+def broadcast_cross_join(ds, small_ds, small_columns: list[str]):
+    """``CROSS JOIN`` against a broadcast small side: every left row ×
+    every small-side row, no shuffle — the small table ships once via
+    ``ray.put`` and each batch expands with one ``np.repeat``/``take``
+    pair. Output = left columns + ``small_columns``. The small side must
+    be driver-sized (parameter grids, dimension tables); a big×big cross
+    product has no scale-correct form and is intentionally unsupported.
+    """
+    import ray
+
+    batches = list(
+        small_ds.select_columns(small_columns).iter_batches(batch_format="pyarrow")
+    )
+    small = (
+        pa.concat_tables(batches).combine_chunks()
+        if batches
+        else None
+    )
+    if small is None:
+        schema = small_ds.schema()
+        schema = schema.base_schema if hasattr(schema, "base_schema") else schema
+        small = pa.schema(
+            [(n, schema.field(n).type) for n in small_columns]
+        ).empty_table()
+    ref = ray.put(small)
+
+    class CrossStage:
+        def __init__(self) -> None:
+            self._small = None
+
+        def _resolve(self) -> pa.Table:
+            if self._small is None:
+                self._small = ray.get(ref) if hasattr(ref, "hex") else ref
+            return self._small
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = self._resolve()
+            n, m = batch.num_rows, s.num_rows
+            left_take = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+            right_take = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+            out = {c: batch.column(c).take(left_take) for c in batch.column_names}
+            for c in small_columns:
+                out[c] = s.column(c).take(right_take)
+            return pa.table(out)
+
+    return ds.map_batches(CrossStage(), batch_format="pyarrow")

@@ -795,3 +795,25 @@ def test_heavy_hitters_null_keys_and_phi_guard(ray_session):
     assert rows == {"a": 6}
     with pytest.raises(ValueError):
         heavy_hitters(ds, "k", phi_num=1, phi_den=100, k_per_batch=8)
+
+
+def test_broadcast_cross_join_expansion_and_empty_small(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import broadcast_cross_join
+
+    left = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    ).repartition(2)
+    small = ray.data.from_arrow(
+        pa.table({"x": pa.array(["p", "q"], pa.string())})
+    )
+    rows = sorted(
+        (r["a"], r["x"])
+        for r in broadcast_cross_join(left, small, ["x"]).take_all()
+    )
+    assert rows == [(1, "p"), (1, "q"), (2, "p"), (2, "q"), (3, "p"), (3, "q")]
+    # empty small side → empty product, schema intact
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.string())}))
+    out = broadcast_cross_join(left, empty, ["x"])
+    assert out.count() == 0
