@@ -387,6 +387,20 @@ SELECT l_orderkey, l_linenumber,
              / STDDEV_SAMP(l_extendedprice) OVER (), 6) AS z_l_extendedprice
 FROM lineitem
 """,
+        "unigram_logprob_documents": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT tok.doc_id,
+       ROUND(SUM(ln(CAST(c AS DOUBLE) / n)) / COUNT(*), 6) AS logprob
+FROM tok JOIN cnt USING (t) CROSS JOIN tot
+GROUP BY tok.doc_id
+""",
         "sentence_split_documents": r"""
 WITH arr AS (
   SELECT doc_id,

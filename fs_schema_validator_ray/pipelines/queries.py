@@ -1359,6 +1359,28 @@ def window_user_running(sf_dir: str):
     )
 
 
+def unigram_logprob_documents(sf_dir: str):
+    """Unigram language-model quality scoring: fit token frequencies
+    from one corpus pass, broadcast the vocab, score each doc's mean
+    token log-probability (``stages/textindex.py::unigram_logprob``) —
+    oracle-checked through the ROUND(·,6) float protocol."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.textindex import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_logprob(ds, "text", "doc_id")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "logprob": pc.round(t.column("logprob"), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sentence_split_documents(sf_dir: str):
     """Sentence segmentation flat-map over the documents corpus — one
     row per non-empty sentence with per-doc renumbered index
@@ -2453,6 +2475,7 @@ QUERIES = {
     "grouped_hll_users_by_type": grouped_hll_users_by_type,
     "grouped_tdigest_events": grouped_tdigest_events,
     "sentence_split_documents": sentence_split_documents,
+    "unigram_logprob_documents": unigram_logprob_documents,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

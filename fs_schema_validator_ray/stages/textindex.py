@@ -452,3 +452,116 @@ def bm25_contributions(
         Bm25ContribStage(stats, k1, b, text_column, id_column),
         batch_format="pyarrow",
     )
+
+
+def corpus_token_counts(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Global term-frequency table ``(token, cnt)`` — per-batch Arrow
+    ``value_counts`` partials, token-bucketed merge
+    (``group_sum_bucketed``). The unigram-LM fit pass."""
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch.column(text_column))
+        if not len(flat):
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(pa.array(flat, pa.string()))
+        return pa.table(
+            {"token": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    return group_sum_bucketed(
+        ds.select_columns([text_column]).map_batches(partial, batch_format="pyarrow"),
+        "token",
+        ["cnt"],
+    )
+
+
+class UnigramScoreStage:
+    """map_batches callable: mean token log-probability per document
+    under the broadcast unigram model — ``pc.index_in`` against the
+    vocab (one vectorized kernel, resolved once per actor), segment
+    sums over the flat token stream. Docs with zero tokens emit no row
+    (SQL inner-join semantics vs the token CTE)."""
+
+    def __init__(self, model_ref, text_column="text", id_column="doc_id") -> None:
+        self.model_ref = model_ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self._model = None
+
+    def _resolve(self):
+        if self._model is None:
+            import ray
+
+            obj = self.model_ref
+            self._model = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vocab, counts, total = self._resolve()
+        ids = batch.column(self.id_column).combine_chunks()
+        flat, rows = _flat_tokens(batch.column(self.text_column))
+        if not len(flat):
+            return pa.table(
+                {
+                    self.id_column: ids.slice(0, 0),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        pos = pc.index_in(pa.array(flat, pa.string()), value_set=vocab)
+        # self-trained vocab: every corpus token is present; OOV (scoring
+        # NEW text against a fitted model) falls back to add-one mass
+        pos_np = np.asarray(pos.fill_null(-1), dtype=np.int64)
+        cnt = np.where(pos_np >= 0, counts[np.clip(pos_np, 0, None)], 0)
+        logp = np.where(
+            cnt > 0, np.log(cnt / total), np.log(1.0 / (total + 1.0))
+        )
+        n_docs = batch.num_rows
+        sums = np.zeros(n_docs, np.float64)
+        np.add.at(sums, rows, logp)
+        ntok = np.bincount(rows, minlength=n_docs)
+        keep = ntok > 0
+        return pa.table(
+            {
+                self.id_column: ids.take(
+                    pa.array(np.flatnonzero(keep), pa.int64())
+                ),
+                "logprob": pa.array(sums[keep] / ntok[keep], pa.float64()),
+            }
+        )
+
+
+def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Corpus-statistics language-model scoring (the cheap perplexity
+    proxy a quality-filter pipeline runs): FIT a unigram model from one
+    token-count pass over the corpus, broadcast the vocab once
+    (``ray.put``; ~10⁷ entries at real-corpus scale, same budget as the
+    TF-IDF vocab), then score every document's mean token
+    log-probability in one more streaming pass. Two corpus reads total;
+    nothing driver-side except the vocab table."""
+    import ray
+
+    cnt_blocks = [
+        b
+        for b in corpus_token_counts(ds, text_column, id_column).iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_columns
+    ]
+    if cnt_blocks:
+        tbl = pa.concat_tables(
+            [b.select(["token", "cnt"]) for b in cnt_blocks]
+        ).combine_chunks()
+        vocab = tbl.column("token").combine_chunks()
+        counts = np.asarray(tbl.column("cnt"), dtype=np.float64)
+        total = float(counts.sum())
+    else:
+        vocab = pa.array([], pa.string())
+        counts, total = np.zeros(0), 0.0
+    model_ref = ray.put((vocab, counts, total))
+    return ds.select_columns([id_column, text_column]).map_batches(
+        UnigramScoreStage(model_ref, text_column, id_column),
+        batch_format="pyarrow",
+    )

@@ -406,3 +406,37 @@ def test_standardize_rejects_single_value(ray_session):
     )
     with pytest.raises(ValueError):
         standardize_columns(ray.data.from_arrow(t), ["x"], ["rid"])
+
+
+# --- unigram LM scoring ------------------------------------------------------
+
+
+def test_unigram_logprob_ground_truth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import unigram_logprob
+
+    # corpus: 6 tokens total — "the"×3, "cat"×2, "sat"×1
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["the cat sat", "THE cat", "the", ""], pa.string()
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob(
+            ray.data.from_arrow(t).repartition(2), "text", "doc_id"
+        ).take_all()
+    }
+    p = {"the": 3 / 6, "cat": 2 / 6, "sat": 1 / 6}
+    assert out[1] == pytest.approx(
+        (np.log(p["the"]) + np.log(p["cat"]) + np.log(p["sat"])) / 3
+    )
+    assert out[2] == pytest.approx((np.log(p["the"]) + np.log(p["cat"])) / 2)
+    assert out[3] == pytest.approx(np.log(p["the"]))
+    assert 4 not in out  # zero-token docs emit no row
