@@ -1223,27 +1223,11 @@ COMPRESS_SCHEMA = pa.schema(
 
 def _one_pole_envelope(x_abs: np.ndarray, alpha: float, chunk: int = 256) -> np.ndarray:
     """Smoothed level detector ``env_i = α·|x_i| + (1−α)·env_{i−1}``
-    (zero-initialized) — the same renormalized-cumsum chunking as
-    ``stages/window.per_key_ewma``, overflow-capped from the decay."""
-    import math
+    (zero-initialized) — delegates to the single shared implementation
+    of the chunked renormalized scan (``stages/window.ewma_scan``)."""
+    from fs_schema_validator_ray.stages.window import ewma_scan
 
-    n = len(x_abs)
-    decay = 1.0 - alpha
-    if n == 0 or decay == 0.0:
-        return x_abs.copy()
-    chunk = max(1, min(chunk, int(250.0 / max(-math.log10(decay), 1e-12))))
-    j = np.arange(chunk, dtype=np.float64)
-    wneg = decay ** (-j)
-    wpos = decay ** j
-    env = np.empty(n, np.float64)
-    for c0 in range(0, n, chunk):
-        c1 = min(c0 + chunk, n)
-        L = c1 - c0
-        s = np.cumsum(x_abs[c0:c1] * alpha * wneg[:L])
-        env[c0:c1] = wpos[:L] * s
-        if c0:
-            env[c0:c1] += env[c0 - 1] * wpos[:L] * decay
-    return env
+    return ewma_scan(np.asarray(x_abs, dtype=np.float64), alpha, chunk=chunk)
 
 
 class CompressorStage:

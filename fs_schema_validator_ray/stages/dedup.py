@@ -1552,7 +1552,13 @@ def fingerprint64_near_dup_pairs(
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        if ok_column is not None and ok_column in batch.column_names:
+        if ok_column is not None:
+            if ok_column not in batch.column_names:
+                raise KeyError(
+                    f"fingerprint64_near_dup_pairs: ok_column {ok_column!r} "
+                    f"not in batch columns {batch.column_names} — a typo "
+                    "here would silently admit failed-decode fingerprints"
+                )
             batch = batch.filter(batch.column(ok_column))
         fp = np.asarray(batch.column(fp_column), dtype=np.int64).view(np.uint64)
         ids = batch.column(key_column).combine_chunks()

@@ -874,6 +874,13 @@ def broadcast_cross_join(ds, small_ds, small_columns: list[str]):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             s = self._resolve()
+            clash = set(small_columns) & set(batch.column_names)
+            if clash:
+                raise ValueError(
+                    f"broadcast_cross_join: column name collision {sorted(clash)}"
+                    " — rename one side before the join (SQL would require"
+                    " disambiguation too)"
+                )
             n, m = batch.num_rows, s.num_rows
             left_take = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
             right_take = pa.array(np.tile(np.arange(m, dtype=np.int64), n))

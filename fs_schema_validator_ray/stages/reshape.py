@@ -83,6 +83,10 @@ def standardize_columns(ds, columns: list[str], id_columns: list[str]):
     cols = list(dict.fromkeys([*id_columns, *columns]))
 
     def moments(t: pa.Table) -> pa.Table:
+        # CENTERED per-block partials (n, mean, M2), not raw (Σx, Σx²):
+        # the naive ss − n·mean² cancels catastrophically when
+        # |mean| ≫ std (e.g. values ~1e8 ± 1), silently zeroing the std
+        # while a numerically-stable SQL STDDEV_SAMP oracle does not
         out = {}
         for c in columns:
             col = t.column(c)
@@ -91,9 +95,12 @@ def standardize_columns(ds, columns: list[str], id_columns: list[str]):
             )
             valid = np.asarray(pc.is_valid(col))
             v = arr[valid]
-            out[f"n_{c}"] = pa.array([len(v)], pa.int64())
-            out[f"s_{c}"] = pa.array([float(v.sum())], pa.float64())
-            out[f"ss_{c}"] = pa.array([float(np.square(v).sum())], pa.float64())
+            n = len(v)
+            mean = float(v.mean()) if n else 0.0
+            m2 = float(np.square(v - mean).sum()) if n else 0.0
+            out[f"n_{c}"] = pa.array([n], pa.int64())
+            out[f"mean_{c}"] = pa.array([mean], pa.float64())
+            out[f"m2_{c}"] = pa.array([m2], pa.float64())
         return pa.table(out)
 
     parts = (
@@ -103,14 +110,25 @@ def standardize_columns(ds, columns: list[str], id_columns: list[str]):
     )
     model = {}
     for c in columns:
-        n = int(parts[f"n_{c}"].sum())
-        s = float(parts[f"s_{c}"].sum())
-        ss = float(parts[f"ss_{c}"].sum())
-        if n < 2:
+        # Chan et al. pairwise merge of (n, mean, M2) partials
+        n_tot, mean_tot, m2_tot = 0, 0.0, 0.0
+        for nb, mb, m2b in zip(
+            parts[f"n_{c}"], parts[f"mean_{c}"], parts[f"m2_{c}"]
+        ):
+            nb = int(nb)
+            if nb == 0:
+                continue
+            if n_tot == 0:
+                n_tot, mean_tot, m2_tot = nb, float(mb), float(m2b)
+                continue
+            delta = float(mb) - mean_tot
+            tot = n_tot + nb
+            m2_tot += float(m2b) + delta * delta * (n_tot * nb / tot)
+            mean_tot += delta * nb / tot
+            n_tot = tot
+        if n_tot < 2:
             raise ValueError(f"standardize_columns: column {c!r} has <2 values")
-        mean = s / n
-        var = max(ss - n * mean * mean, 0.0) / (n - 1)
-        model[c] = (mean, float(np.sqrt(var)))
+        model[c] = (mean_tot, float(np.sqrt(m2_tot / (n_tot - 1))))
 
     def transform(t: pa.Table) -> pa.Table:
         out = {c: t.column(c) for c in id_columns}

@@ -218,7 +218,7 @@ def table_diff(
             ["added"] * len(added)
             + ["removed"] * len(removed)
             + ["changed"] * len(changed)
-            + ["added" if side[i] == 1 else "removed" for i in null_idx]
+            + np.where(side[null_idx] == 1, "added", "removed").tolist()
         )
         take = pa.array(np.concatenate([order[idx], null_idx]), pa.int64())
         out = {c: group.column(c).combine_chunks().take(take) for c in key_columns}

@@ -512,12 +512,16 @@ class UnigramScoreStage:
             )
         pos = pc.index_in(pa.array(flat, pa.string()), value_set=vocab)
         # self-trained vocab: every corpus token is present; OOV (scoring
-        # NEW text against a fitted model) falls back to add-one mass
+        # NEW text against a fitted model, or an empty model) falls back
+        # to add-one mass
         pos_np = np.asarray(pos.fill_null(-1), dtype=np.int64)
-        cnt = np.where(pos_np >= 0, counts[np.clip(pos_np, 0, None)], 0)
-        logp = np.where(
-            cnt > 0, np.log(cnt / total), np.log(1.0 / (total + 1.0))
-        )
+        if len(counts):
+            cnt = np.where(pos_np >= 0, counts[np.clip(pos_np, 0, None)], 0.0)
+        else:
+            cnt = np.zeros(len(pos_np))
+        logp = np.full(len(cnt), np.log(1.0 / (total + 1.0)))
+        hit = cnt > 0
+        logp[hit] = np.log(cnt[hit] / total)
         n_docs = batch.num_rows
         sums = np.zeros(n_docs, np.float64)
         np.add.at(sums, rows, logp)

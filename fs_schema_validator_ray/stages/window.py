@@ -492,6 +492,57 @@ def per_key_range_window_sum(
     )
 
 
+def ewma_scan(
+    x: np.ndarray,
+    alpha: float,
+    row_start: np.ndarray | None = None,
+    chunk: int = 256,
+) -> np.ndarray:
+    """Zero-initialized EWMA ``y_i = α·x_i + (1−α)·y_{i−1}`` over a flat
+    float64 array, vectorized via the chunked renormalized-cumsum trick.
+    ``row_start[i]`` (optional) is the index where row i's segment
+    begins — the recurrence resets there (``per_key_ewma``'s PARTITION
+    BY); ``None`` means one unbroken segment (the audio envelope
+    follower). The chunk is capped from the decay so ``decay^-(chunk−1)``
+    stays far from float64 overflow — high α (small decay) would blow
+    ``0.05^-255`` to inf within the default 256-row chunk. The SINGLE
+    copy of these numerics (``audio_features._one_pole_envelope``
+    delegates here)."""
+    import math
+
+    n = len(x)
+    y = np.empty(n, np.float64)
+    decay = 1.0 - alpha
+    if n == 0:
+        return y
+    if decay == 0.0:  # alpha == 1: ewma is just x
+        y[:] = x
+        return y
+    if row_start is None:
+        row_start = np.zeros(n, np.int64)
+    chunk = max(1, min(chunk, int(250.0 / max(-math.log10(decay), 1e-12))))
+    j = np.arange(chunk, dtype=np.float64)
+    wneg = decay ** (-j)  # bounded: decay^-(chunk-1) < 1e250
+    wpos = decay ** j
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        L = c1 - c0
+        xs = x[c0:c1] * alpha * wneg[:L]
+        s = np.cumsum(xs)
+        # each row subtracts the prefix before its segment start
+        # (clipped to the chunk); rows whose segment started in a
+        # previous chunk add the carried tail instead
+        rs = row_start[c0:c1]
+        local_start = np.maximum(rs - c0, 0)
+        s_before = np.where(local_start > 0, s[local_start - 1], 0.0)
+        y[c0:c1] = wpos[:L] * (s - s_before)
+        cont = rs < c0  # segment continues from previous chunk
+        if cont.any():
+            carry = y[c0 - 1]  # last row's ewma (same segment)
+            y[c0:c1][cont] += carry * wpos[:L][cont] * decay
+    return y
+
+
 def per_key_ewma(
     ds,
     key_column: str,
@@ -561,36 +612,7 @@ def per_key_ewma(
         seg_start_idx = np.flatnonzero(seg_first)
         seg_id = np.cumsum(seg_first) - 1
         row_start = seg_start_idx[seg_id]
-        y = np.empty(n, np.float64)
-        if decay == 0.0:  # alpha == 1: ewma is just x
-            y[:] = x
-        else:
-            import math
-
-            # cap the chunk so decay^-(chunk-1) stays far from float64
-            # overflow: high alpha (small decay) would blow 0.05^-255 to
-            # inf within the default 256-row chunk, turning every row
-            # past ~index 237 into ±inf/NaN
-            chunk = max(1, min(_chunk, int(250.0 / max(-math.log10(decay), 1e-12))))
-            j = np.arange(chunk, dtype=np.float64)
-            wneg = decay ** (-j)  # bounded: decay^-(chunk-1) < 1e250
-            wpos = decay ** j
-            for c0 in range(0, n, chunk):
-                c1 = min(c0 + chunk, n)
-                L = c1 - c0
-                xs = x[c0:c1] * alpha * wneg[:L]
-                s = np.cumsum(xs)
-                # each row subtracts the prefix before its segment start
-                # (clipped to the chunk); rows whose segment started in a
-                # previous chunk add the carried tail instead
-                rs = row_start[c0:c1]
-                local_start = np.maximum(rs - c0, 0)
-                s_before = np.where(local_start > 0, s[local_start - 1], 0.0)
-                y[c0:c1] = wpos[:L] * (s - s_before)
-                cont = rs < c0  # segment continues from previous chunk
-                if cont.any():
-                    carry = y[c0 - 1]  # last row's ewma (same segment)
-                    y[c0:c1][cont] += carry * wpos[:L][cont] * decay
+        y = ewma_scan(x, alpha, row_start=row_start, chunk=_chunk)
         take = pa.array(order, pa.int64())
         out = {c: group.column(c).take(take) for c in id_columns}
         out[key_column] = key_col.take(take)

@@ -359,3 +359,95 @@ def test_pca_fit_rejects_too_many_components(ray_session):
     )
     with pytest.raises(ValueError):
         pca_fit(ray.data.from_arrow(t), 3)
+
+
+def test_standardize_large_offset_numerically_stable(ray_session):
+    """Review: ss − n·mean² cancels catastrophically at |mean| ≫ std
+    (values ~1e8 ± 1 → std clamped to 0, all-null z-scores); centered
+    (n, mean, M2) partials with Chan merge must track the oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.reshape import standardize_columns
+
+    rng = np.random.default_rng(11)
+    x = 1.0e8 + rng.uniform(0.0, 1.0, 4000)
+    t = pa.table(
+        {"rid": pa.array(np.arange(4000), pa.int64()), "x": pa.array(x, pa.float64())}
+    )
+    out = (
+        standardize_columns(ray.data.from_arrow(t).repartition(8), ["x"], ["rid"])
+        .to_pandas()
+        .sort_values("rid")["z_x"]
+        .to_numpy()
+    )
+    ref = (x - x.mean()) / x.std(ddof=1)
+    assert np.isfinite(out).all()
+    assert np.allclose(out, ref, atol=1e-6)
+
+
+def test_cross_join_rejects_column_collision(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import broadcast_cross_join
+
+    left = ray.data.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+    small = ray.data.from_arrow(pa.table({"x": pa.array(["a"], pa.string())}))
+    with pytest.raises(Exception):  # ray wraps the ValueError
+        broadcast_cross_join(left, small, ["x"]).take_all()
+
+
+def test_unigram_score_empty_model_and_oov():
+    """Review: scoring tokens against an empty/foreign model crashed
+    with IndexError (counts[pos] on a length-0 array); OOV must take the
+    add-one fallback without RuntimeWarnings."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.stages.textindex import UnigramScoreStage
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["hello world"], pa.string()),
+        }
+    )
+    # empty model: total 0 → add-one mass log(1/1) = 0 per token
+    stage = UnigramScoreStage((pa.array([], pa.string()), np.zeros(0), 0.0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = stage(batch).to_pylist()
+    assert rows[0]["logprob"] == 0.0
+    # foreign model: "hello" known, "world" OOV → add-one fallback
+    model = (pa.array(["hello"], pa.string()), np.array([3.0]), 4.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = UnigramScoreStage(model)(batch).to_pylist()
+    want = (np.log(3.0 / 4.0) + np.log(1.0 / 5.0)) / 2.0
+    assert rows[0]["logprob"] == pytest.approx(want)
+
+
+def test_fingerprint_pairs_missing_ok_column_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import fingerprint64_near_dup_pairs
+
+    fps = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(["a"], pa.string()),
+                "fp": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception):  # ray wraps the KeyError
+        fingerprint64_near_dup_pairs(
+            fps, key_column="key", fp_column="fp", ok_column="decode_OK"
+        ).take_all()
