@@ -360,6 +360,16 @@ GROUP BY user_id
 HAVING COUNT(*) >=
   (SELECT (COUNT(user_id) + 124) // 125 FROM events)
 """,
+        "weighted_avg_discount_by_flag": """
+SELECT l_returnflag,
+       ROUND(
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0, 6) AS wavg_discount,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
         "cross_join_nation_region": """
 SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
 FROM nation n CROSS JOIN region r

@@ -796,6 +796,47 @@ def heavy_hitters_events(sf_dir: str):
     return heavy_hitters(ds, "user_id", phi_num=1, phi_den=125)
 
 
+def weighted_avg_discount_by_flag(sf_dir: str):
+    """Quantity-weighted average discount per return flag — integer
+    numerator/denominator accumulators (order-insensitive, bit-exact
+    distributed sums) with ONE final float division, composed from the
+    ``group_sum`` combiner — oracle-checked."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "num": pc.multiply(q, d),
+                "den": q,
+            }
+        )
+
+    agg = group_sum(ds.map_batches(parts, batch_format="pyarrow"),
+                    ["l_returnflag"], ["num", "den"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = np.asarray(t.column("num"), dtype=np.float64)
+        den = np.asarray(t.column("den"), dtype=np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "wavg_discount": pa.array(
+                    np.round(num / den / 100.0, 6), pa.float64()
+                ),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def cross_join_nation_region(sf_dir: str):
     """CROSS JOIN nation × region (25 × 5) — broadcast expansion, no
     shuffle (``stages/joins.py::broadcast_cross_join``) —
@@ -2428,6 +2469,7 @@ QUERIES = {
     "zscore_lineitem": zscore_lineitem,
     "fuzzy_join_part_names": fuzzy_join_part_names,
     "cross_join_nation_region": cross_join_nation_region,
+    "weighted_avg_discount_by_flag": weighted_avg_discount_by_flag,
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,
