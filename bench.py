@@ -64,6 +64,9 @@ HEADLINE_QUERIES = [
     "diff_orders_snapshots",
     "join3_revenue_segment_priority",
     "pca_embeddings",
+    "fuzzy_join_part_names",
+    "unigram_logprob_documents",
+    "zscore_lineitem",
 ]
 
 

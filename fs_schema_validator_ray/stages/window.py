@@ -583,7 +583,6 @@ def per_key_ewma(
     id_columns = id_columns or []
     cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
     out_col = f"ewma_{value_column}"
-    decay = 1.0 - alpha
 
     def add_bucket(t: pa.Table) -> pa.Table:
         bucket = mix_to_buckets(
