@@ -758,6 +758,25 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
+        "regr_slope_price_by_flag": """
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(x*y) AS BIGINT) AS sum_xy
+      FROM c GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)),
+             6) AS slope6
+FROM s
+""",
         "corr_lineitem_qty_discount": """
 WITH c AS (SELECT l_returnflag,
                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

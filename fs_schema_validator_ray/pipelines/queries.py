@@ -1206,6 +1206,45 @@ def cube_lineitem_status(sf_dir: str):
     return cube_sum(ds, ["l_returnflag", "l_linestatus"], ["qty_cents"])
 
 
+def regr_slope_price_by_flag(sf_dir: str):
+    """Per-key OLS regression slope (SQL ``REGR_SLOPE``) of extended
+    price on quantity (cents), from the same exact-integer second-moment
+    combiner as the correlation query
+    (``stages/agg.py::group_moments(include_slope=True)``) —
+    oracle-checked through the identical explicit-sums expression."""
+    from fs_schema_validator_ray.stages.agg import group_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    # cents keep the sums exact; the slope numerator runs in float64 on
+    # BOTH engines (identical IEEE expression over identical int64 sums)
+    # because n·Σxy exceeds int64 with cents at sf0.1+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = group_moments(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag"], "qty_cents", "price_cents", include_slope=True,
+    )
+    return out.map_batches(
+        lambda t: t.select(["l_returnflag", "n", "slope6"]),
+        batch_format="pyarrow",
+    )
+
+
 def corr_lineitem_qty_discount(sf_dir: str):
     """Grouped Pearson correlation / covariance of quantity vs discount
     (cents) by return flag — distributed exact-integer second-moment
@@ -2510,6 +2549,7 @@ QUERIES = {
     "rollup_lineitem_status": rollup_lineitem_status,
     "cube_lineitem_status": cube_lineitem_status,
     "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
+    "regr_slope_price_by_flag": regr_slope_price_by_flag,
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
     "bm25_contrib_documents": bm25_contrib_documents,

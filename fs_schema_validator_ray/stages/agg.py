@@ -866,7 +866,7 @@ def grouping_sets_sum(ds, keys: list[str], sets: list[list[str]], sum_cols: list
     return out
 
 
-def group_moments(ds, keys: list[str], x_col: str, y_col: str):
+def group_moments(ds, keys: list[str], x_col: str, y_col: str, include_slope=False):
     """Grouped second-moment statistics (covariance / correlation) via the
     exact-integer combiner: per-batch Arrow group-by sums of ``x, y, x²,
     y², x·y`` (inputs must already be int64, e.g. cents), one tiny
@@ -925,17 +925,29 @@ def group_moments(ds, keys: list[str], x_col: str, y_col: str):
         denom = np.sqrt(vx * vy)
         with np.errstate(divide="ignore", invalid="ignore"):
             corr = np.where(denom > 0, cov_num / denom, np.nan)
-        return pa.table(
-            {
-                **{k: t.column(k) for k in keys},
-                "n": pa.array(n),
-                "sum_x": pa.array(sx),
-                "sum_y": pa.array(sy),
-                "sum_xy": pa.array(sxy),
-                "cov_num": pa.array(cov_num),
-                "corr6": pa.array(np.round(corr, 6)),
-            }
-        )
+        out = {
+            **{k: t.column(k) for k in keys},
+            "n": pa.array(n),
+            "sum_x": pa.array(sx),
+            "sum_y": pa.array(sy),
+            "sum_xy": pa.array(sxy),
+            "cov_num": pa.array(cov_num),
+            "corr6": pa.array(np.round(corr, 6)),
+        }
+        if include_slope:
+            # OLS slope of y on x (SQL REGR_SLOPE) — numerator in FLOAT64
+            # (n·Σxy − Σx·Σy can exceed int64 when y is cents at scale;
+            # both engines convert the identical exact int64 sums and run
+            # the identical IEEE expression, so the result stays
+            # hash-exact); opt-in so existing callers keep their schema
+            num = (
+                n.astype(np.float64) * sxy.astype(np.float64)
+                - sx.astype(np.float64) * sy.astype(np.float64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                slope = np.where(vx > 0, num / vx, np.nan)
+            out["slope6"] = pa.array(np.round(slope, 6))
+        return pa.table(out)
 
     return merged.map_batches(finish, batch_format="pyarrow")
 
