@@ -1216,9 +1216,11 @@ def regr_slope_price_by_flag(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
 
-    # cents keep the sums exact; the slope numerator runs in float64 on
-    # BOTH engines (identical IEEE expression over identical int64 sums)
-    # because n·Σxy exceeds int64 with cents at sf0.1+
+    # cents keep the sums exact; slope mode skips y² and computes the
+    # numerator in float64 on BOTH engines (identical IEEE expression
+    # over identical int64 sums) because n·Σxy exceeds int64 with cents
+    # at sf0.1+. Headroom of the remaining accumulators: per-flag
+    # Σxy ≈ 1.5e16 at sf0.1 → safe to ~sf50 per group; Σx² ≪ that.
     def cents(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 

@@ -867,34 +867,47 @@ def grouping_sets_sum(ds, keys: list[str], sets: list[list[str]], sum_cols: list
 
 
 def group_moments(ds, keys: list[str], x_col: str, y_col: str, include_slope=False):
-    """Grouped second-moment statistics (covariance / correlation) via the
-    exact-integer combiner: per-batch Arrow group-by sums of ``x, y, x²,
-    y², x·y`` (inputs must already be int64, e.g. cents), one tiny
-    groupby-Sum over the partials, then the population covariance
-    numerator ``n·Σxy − Σx·Σy`` emitted as EXACT int64 (order-insensitive,
-    hash-exact vs SQL) plus Pearson ``corr`` computed from the same exact
-    sums in float64 and rounded to 6 (both engines evaluate the identical
-    expression over identical integers).
+    """Grouped second-moment statistics via the exact-integer combiner:
+    per-batch Arrow group-by sums of ``x, y, x², (y²,) x·y`` (inputs must
+    already be int64, e.g. cents), one tiny groupby-Sum over the
+    partials, then the finals computed from the exact sums with the
+    identical expression a SQL oracle spells out (hash-exact).
 
-    Output columns: ``keys + [n, sum_x, sum_y, sum_xy, cov_num, corr6]``.
-    Caller owns overflow headroom: |x|,|y| small enough that per-group
-    Σx², Σy², Σxy and n·Σxy fit int64 (document per use)."""
+    ``include_slope=False`` (default — covariance/correlation): output
+    ``keys + [n, sum_x, sum_y, sum_xy, cov_num, corr6]`` where
+    ``cov_num = n·Σxy − Σx·Σy`` is EXACT int64 and Pearson ``corr6`` is
+    the float64 expression over the exact sums rounded to 6.
+
+    ``include_slope=True`` (OLS slope of y on x, SQL ``REGR_SLOPE``):
+    output ``keys + [n, sum_x, sum_y, sum_xy, slope6]``. This mode skips
+    ``y²`` entirely (no per-row multiply, no extra shuffle column) and
+    computes the numerator in FLOAT64 — ``n·Σxy`` routinely exceeds
+    int64 when y is cents at scale, which is also why cov_num/corr6 are
+    NOT emitted in this mode (they would silently wrap; both engines run
+    the identical IEEE expression over identical exact int64 sums, so
+    slope6 stays hash-exact).
+
+    Caller owns overflow headroom for the SUMS themselves: |x|,|y| small
+    enough that per-group Σx², Σxy (and Σy², n·Σxy in corr mode) fit
+    int64 — document per use."""
     from ray.data.aggregate import Sum
+
+    sq_cols = ["sxx", "sum_xy"] if include_slope else ["sxx", "syy", "sum_xy"]
 
     def partial(batch: pa.Table) -> pa.Table:
         x = pc.cast(batch.column(x_col), pa.int64())
         y = pc.cast(batch.column(y_col), pa.int64())
-        tbl = pa.table(
-            {
-                **{k: batch.column(k) for k in keys},
-                "sum_x": x,
-                "sum_y": y,
-                "sxx": pc.multiply_checked(x, x),
-                "syy": pc.multiply_checked(y, y),
-                "sum_xy": pc.multiply_checked(x, y),
-            }
-        )
-        cols = ["sum_x", "sum_y", "sxx", "syy", "sum_xy"]
+        data = {
+            **{k: batch.column(k) for k in keys},
+            "sum_x": x,
+            "sum_y": y,
+            "sxx": pc.multiply_checked(x, x),
+            "sum_xy": pc.multiply_checked(x, y),
+        }
+        if not include_slope:
+            data["syy"] = pc.multiply_checked(y, y)
+        tbl = pa.table(data)
+        cols = ["sum_x", "sum_y", *sq_cols]
         aggs = [(c, "sum") for c in cols] + [([], "count_all")]
         g = pa.TableGroupBy(tbl, keys).aggregate(aggs)
         out = {k: g.column(k) for k in keys}
@@ -903,7 +916,7 @@ def group_moments(ds, keys: list[str], x_col: str, y_col: str, include_slope=Fal
         out["n"] = pc.cast(g.column("count_all"), pa.int64())
         return pa.table(out)
 
-    cols = ["sum_x", "sum_y", "sxx", "syy", "sum_xy", "n"]
+    cols = ["sum_x", "sum_y", *sq_cols, "n"]
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
@@ -915,31 +928,18 @@ def group_moments(ds, keys: list[str], x_col: str, y_col: str, include_slope=Fal
         sx = np.asarray(t.column("sum_x"), dtype=np.int64)
         sy = np.asarray(t.column("sum_y"), dtype=np.int64)
         sxx = np.asarray(t.column("sxx"), dtype=np.int64)
-        syy = np.asarray(t.column("syy"), dtype=np.int64)
         sxy = np.asarray(t.column("sum_xy"), dtype=np.int64)
-        cov_num = n * sxy - sx * sy  # exact int64 (caller-guaranteed headroom)
         # identical float64 expression to the SQL oracle: every operand is
         # an exactly-converted int64 → deterministic IEEE result
         vx = n.astype(np.float64) * sxx - sx.astype(np.float64) * sx
-        vy = n.astype(np.float64) * syy - sy.astype(np.float64) * sy
-        denom = np.sqrt(vx * vy)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            corr = np.where(denom > 0, cov_num / denom, np.nan)
         out = {
             **{k: t.column(k) for k in keys},
             "n": pa.array(n),
             "sum_x": pa.array(sx),
             "sum_y": pa.array(sy),
             "sum_xy": pa.array(sxy),
-            "cov_num": pa.array(cov_num),
-            "corr6": pa.array(np.round(corr, 6)),
         }
         if include_slope:
-            # OLS slope of y on x (SQL REGR_SLOPE) — numerator in FLOAT64
-            # (n·Σxy − Σx·Σy can exceed int64 when y is cents at scale;
-            # both engines convert the identical exact int64 sums and run
-            # the identical IEEE expression, so the result stays
-            # hash-exact); opt-in so existing callers keep their schema
             num = (
                 n.astype(np.float64) * sxy.astype(np.float64)
                 - sx.astype(np.float64) * sy.astype(np.float64)
@@ -947,6 +947,15 @@ def group_moments(ds, keys: list[str], x_col: str, y_col: str, include_slope=Fal
             with np.errstate(divide="ignore", invalid="ignore"):
                 slope = np.where(vx > 0, num / vx, np.nan)
             out["slope6"] = pa.array(np.round(slope, 6))
+        else:
+            syy = np.asarray(t.column("syy"), dtype=np.int64)
+            cov_num = n * sxy - sx * sy  # exact int64 (caller headroom)
+            vy = n.astype(np.float64) * syy - sy.astype(np.float64) * sy
+            denom = np.sqrt(vx * vy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                corr = np.where(denom > 0, cov_num / denom, np.nan)
+            out["cov_num"] = pa.array(cov_num)
+            out["corr6"] = pa.array(np.round(corr, 6))
         return pa.table(out)
 
     return merged.map_batches(finish, batch_format="pyarrow")

@@ -200,3 +200,38 @@ def test_iqr_outlier_filter_matches_duckdb(ray_session):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_group_moments_slope_mode(ray_session):
+    """include_slope=True: REGR_SLOPE(y, x) per key, float-exact over
+    the int sums; no cov_num/corr6 in the schema (they would silently
+    overflow at cents scale); zero-variance x → NaN slope."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_moments
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(1, 100, 400)
+    y = 3 * x + rng.integers(-5, 6, 400)
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 400 + ["const"] * 3, pa.string()),
+            "x": pa.array(np.concatenate([x, [7, 7, 7]]), pa.int64()),
+            "y": pa.array(np.concatenate([y, [1, 2, 3]]), pa.int64()),
+        }
+    )
+    out = group_moments(
+        ray.data.from_arrow(t).repartition(4), ["k"], "x", "y", include_slope=True
+    ).to_pandas().set_index("k")
+    assert "cov_num" not in out.columns and "corr6" not in out.columns
+    ref = np.polyfit(x.astype(float), y.astype(float), 1)[0]
+    assert out.loc["a", "slope6"] == pytest.approx(ref, abs=1e-6)
+    assert np.isnan(out.loc["const", "slope6"])  # zero x-variance
+    # default mode schema unchanged (regression guard for corr callers)
+    out2 = group_moments(
+        ray.data.from_arrow(t).repartition(2), ["k"], "x", "y"
+    ).to_pandas()
+    assert {"cov_num", "corr6"} <= set(out2.columns)
+    assert "slope6" not in out2.columns
