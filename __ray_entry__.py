@@ -186,6 +186,12 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
+        "windowed_events_monthly": """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS "window", event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
         "sessionize_events": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
      flagged AS (

@@ -424,6 +424,18 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def windowed_events_monthly(sf_dir: str):
+    """Tumbling-window (MONTHLY) aggregate per event type — the month
+    granularity of ``stages/agg.py::tumbling_window`` (calendar
+    ``floor_temporal``, not fixed-width) — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    ds = tumbling_window(ds, "ts", "month")
+    return group_sum(ds, ["window", "event_type"], ["value_cents"])
+
+
 def hash_join_lineitem_orders(sf_dir: str):
     """Large-large inner equi-join (bucketed co-partitioned merge):
     lineitem ⋈ orders on order key — oracle-checked."""
@@ -2489,6 +2501,7 @@ QUERIES = {
     "topk_per_event_type": topk_per_event_type,
     "revenue_by_segment": revenue_by_segment,
     "windowed_events_daily": windowed_events_daily,
+    "windowed_events_monthly": windowed_events_monthly,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
     "range_join_events_attribution": range_join_events_attribution,
