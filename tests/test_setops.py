@@ -1,6 +1,7 @@
 """Distributed set operations (INTERSECT / EXCEPT / UNION, SQL distinct
 semantics with NULL = NULL row equality) — stages/setops.py."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -218,3 +219,68 @@ def test_table_diff_rejects_duplicate_keys(ray_session):
     )
     with pytest.raises(Exception):  # ray wraps the ValueError
         table_diff(old, new, ["k"], ["v"]).take_all()
+
+
+def test_table_diff_randomized_vs_reference(ray_session):
+    """Property check: table_diff == a dict-based reference diff over
+    random snapshot pairs with null keys, null values, and string keys —
+    many trials in one ray session."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.setops import table_diff
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        keys = [f"k{i}" for i in range(40)]
+        rng.shuffle(keys)
+        old_keys = keys[:30]
+        new_keys = keys[10:40]
+
+        def vals(ks):
+            return {
+                k: (None if rng.random() < 0.2 else int(rng.integers(0, 3)))
+                for k in ks
+            }
+
+        old_v, new_v = vals(old_keys), vals(new_keys)
+        n_null_old, n_null_new = int(rng.integers(0, 3)), int(rng.integers(0, 3))
+        old_t = pa.table(
+            {
+                "k": pa.array(old_keys + [None] * n_null_old, pa.string()),
+                "v": pa.array(
+                    [old_v[k] for k in old_keys] + [7] * n_null_old, pa.int64()
+                ),
+            }
+        )
+        new_t = pa.table(
+            {
+                "k": pa.array(new_keys + [None] * n_null_new, pa.string()),
+                "v": pa.array(
+                    [new_v[k] for k in new_keys] + [8] * n_null_new, pa.int64()
+                ),
+            }
+        )
+        skey = lambda x: (x[0] is None, x[0] or "", x[1])  # noqa: E731
+        got = sorted(
+            (
+                (r["k"], r["change"])
+                for r in table_diff(
+                    ray.data.from_arrow(old_t).repartition(3),
+                    ray.data.from_arrow(new_t).repartition(2),
+                    ["k"],
+                    ["v"],
+                ).take_all()
+            ),
+            key=skey,
+        )
+        want = []
+        for k in old_keys:
+            if k not in new_v:
+                want.append((k, "removed"))
+            elif old_v[k] != new_v[k]:
+                want.append((k, "changed"))
+        for k in new_keys:
+            if k not in old_v:
+                want.append((k, "added"))
+        want += [(None, "removed")] * n_null_old + [(None, "added")] * n_null_new
+        assert got == sorted(want, key=skey), trial
