@@ -186,6 +186,11 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
+        "pushdown_filter_lineitem": """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents
+FROM lineitem WHERE l_quantity > 45
+""",
         "windowed_events_monthly": """
 SELECT strftime(date_trunc('month', ts), '%Y-%m') AS "window", event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

@@ -424,6 +424,38 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def pushdown_filter_lineitem(sf_dir: str):
+    """Predicate pushdown INTO the parquet read: the row filter is a
+    pyarrow dataset expression handed to ``read_parquet`` so row groups
+    that cannot match are skipped at the storage layer (zone-map
+    pruning) and non-matching rows never enter the object store — the
+    prune-at-the-read discipline, distinct from a post-read
+    ``map_batches`` filter — oracle-checked."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filter=(pds.field("l_quantity") > 45),
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def windowed_events_monthly(sf_dir: str):
     """Tumbling-window (MONTHLY) aggregate per event type — the month
     granularity of ``stages/agg.py::tumbling_window`` (calendar
@@ -2502,6 +2534,7 @@ QUERIES = {
     "revenue_by_segment": revenue_by_segment,
     "windowed_events_daily": windowed_events_daily,
     "windowed_events_monthly": windowed_events_monthly,
+    "pushdown_filter_lineitem": pushdown_filter_lineitem,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
     "range_join_events_attribution": range_join_events_attribution,
