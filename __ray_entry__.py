@@ -186,6 +186,17 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
+        "orders_above_customer_avg": """
+WITH c AS (SELECT o_orderkey, o_custkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+a AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             COUNT(*) AS n
+      FROM c GROUP BY o_custkey)
+SELECT c.o_orderkey, c.o_custkey, c.cents
+FROM c JOIN a USING (o_custkey)
+WHERE c.cents * a.n > a.sum_cents
+""",
         "pushdown_filter_lineitem": """
 SELECT l_orderkey, l_linenumber,
        CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents

@@ -424,6 +424,68 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-aggregate pattern: each order kept when its total
+    exceeds ITS customer's average — per-customer (Σcents, n) from the
+    combiner group-sum, broadcast once, then a vectorized integer-exact
+    compare ``cents·n > Σcents`` (no division → no float hazard) in one
+    filter pass. Two reads of orders (agg + filter), both pruned —
+    oracle-checked."""
+    import ray
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    agg = group_sum(
+        base.map_batches(cents, batch_format="pyarrow"), ["o_custkey"], ["cents"]
+    )
+    blocks = [
+        b
+        for b in agg.iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    keys = np.asarray(tbl.column("o_custkey"), dtype=np.int64)
+    order = np.argsort(keys)
+    side_ref = ray.put(
+        (
+            keys[order],
+            np.asarray(tbl.column("cents"), dtype=np.int64)[order],
+            np.asarray(tbl.column("n"), dtype=np.int64)[order],
+        )
+    )
+
+    def keep_above(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ks, sums, ns = _ray.get(side_ref)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        pos = np.searchsorted(ks, ck)
+        mask = c * ns[pos] > sums[pos]  # price > avg, integer-exact
+        return t.filter(pa.array(mask)).select(["o_orderkey", "o_custkey", "cents"])
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .map_batches(keep_above, batch_format="pyarrow")
+    )
+
+
 def pushdown_filter_lineitem(sf_dir: str):
     """Predicate pushdown INTO the parquet read: the row filter is a
     pyarrow dataset expression handed to ``read_parquet`` so row groups
@@ -2535,6 +2597,7 @@ QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "windowed_events_monthly": windowed_events_monthly,
     "pushdown_filter_lineitem": pushdown_filter_lineitem,
+    "orders_above_customer_avg": orders_above_customer_avg,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
     "range_join_events_attribution": range_join_events_attribution,
