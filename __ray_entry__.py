@@ -186,6 +186,10 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window", event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
+        "count_distinct_user_type": """
+SELECT COUNT(*) AS n_distinct
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""",
         "orders_above_customer_avg": """
 WITH c AS (SELECT o_orderkey, o_custkey,
                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents

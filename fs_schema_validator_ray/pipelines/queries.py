@@ -424,6 +424,28 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def count_distinct_user_type(sf_dir: str):
+    """Global ``COUNT(DISTINCT user_id, event_type)`` scalar: per-batch
+    composite dedup (Arrow group_by) → one distinct shuffle → per-block
+    counts → driver sum of a handful of int64 partials — the composite
+    row never leaves as raw data — oracle-checked."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(
+        lambda t: pa.TableGroupBy(
+            t.select(["user_id", "event_type"]), ["user_id", "event_type"]
+        ).aggregate([]),
+        batch_format="pyarrow",
+    )
+    distinct = partials.groupby(["user_id", "event_type"]).count()
+    counts = distinct.map_batches(
+        lambda t: pa.table({"c": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return pa.table({"n_distinct": pa.array([int(counts["c"].sum())], pa.int64())})
+
+
 def orders_above_customer_avg(sf_dir: str):
     """Correlated-aggregate pattern: each order kept when its total
     exceeds ITS customer's average — per-customer (Σcents, n) from the
@@ -2598,6 +2620,7 @@ QUERIES = {
     "windowed_events_monthly": windowed_events_monthly,
     "pushdown_filter_lineitem": pushdown_filter_lineitem,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "count_distinct_user_type": count_distinct_user_type,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
     "range_join_events_attribution": range_join_events_attribution,
