@@ -35,7 +35,7 @@ from fs_schema_validator_ray.stages.scalar import ScalarRuleStage
 from fs_schema_validator_ray.stages.unique import uniqueness_violations
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None, filter=None):
     import ray
     import ray.data
 
@@ -46,10 +46,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
         cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:  # noqa: BLE001
         cpus = 8
+    kwargs = {}
+    if filter is not None:  # pyarrow dataset expression → row-group pruning
+        kwargs["filter"] = filter
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"),
         columns=columns,
         override_num_blocks=cpus,
+        **kwargs,
     )
 
 
@@ -449,13 +453,14 @@ def count_distinct_user_type(sf_dir: str):
 def orders_above_customer_avg(sf_dir: str):
     """Correlated-aggregate pattern: each order kept when its total
     exceeds ITS customer's average — per-customer (Σcents, n) from the
-    combiner group-sum, broadcast once, then a vectorized integer-exact
-    compare ``cents·n > Σcents`` (no division → no float hazard) in one
-    filter pass. Two reads of orders (agg + filter), both pruned —
-    oracle-checked."""
-    import ray
-
+    combiner group-sum (tiny: one row per customer), then a bucketed
+    co-partitioned hash join back onto orders (the agg side can be
+    arbitrarily many customers — a driver broadcast would be O(|keys|)
+    driver memory) and a vectorized integer-exact compare
+    ``cents·n > Σcents`` (no division → no float hazard). Two pruned
+    reads of orders (agg + probe) — oracle-checked."""
     from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import hash_join
 
     def cents(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -474,38 +479,28 @@ def orders_above_customer_avg(sf_dir: str):
     base = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     agg = group_sum(
         base.map_batches(cents, batch_format="pyarrow"), ["o_custkey"], ["cents"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "sum_cents", "n_orders"]),
+        batch_format="pyarrow",
     )
-    blocks = [
-        b
-        for b in agg.iter_batches(batch_format="pyarrow")
-        if b.num_columns
-    ]
-    tbl = pa.concat_tables(blocks).combine_chunks()
-    keys = np.asarray(tbl.column("o_custkey"), dtype=np.int64)
-    order = np.argsort(keys)
-    side_ref = ray.put(
-        (
-            keys[order],
-            np.asarray(tbl.column("cents"), dtype=np.int64)[order],
-            np.asarray(tbl.column("n"), dtype=np.int64)[order],
-        )
+    joined = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow"),
+        agg,
+        "o_custkey",
+        "o_custkey",
+        ["o_orderkey", "cents"],
+        ["sum_cents", "n_orders"],
     )
 
     def keep_above(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        ks, sums, ns = _ray.get(side_ref)
-        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
         c = np.asarray(t.column("cents"), dtype=np.int64)
-        pos = np.searchsorted(ks, ck)
-        mask = c * ns[pos] > sums[pos]  # price > avg, integer-exact
+        n = np.asarray(t.column("n_orders"), dtype=np.int64)
+        sc = np.asarray(t.column("sum_cents"), dtype=np.int64)
+        mask = c * n > sc  # price > avg, integer-exact (no division)
         return t.filter(pa.array(mask)).select(["o_orderkey", "o_custkey", "cents"])
 
-    return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(cents, batch_format="pyarrow")
-        .map_batches(keep_above, batch_format="pyarrow")
-    )
+    return joined.map_batches(keep_above, batch_format="pyarrow")
 
 
 def pushdown_filter_lineitem(sf_dir: str):
@@ -516,11 +511,11 @@ def pushdown_filter_lineitem(sf_dir: str):
     prune-at-the-read discipline, distinct from a post-read
     ``map_batches`` filter — oracle-checked."""
     import pyarrow.dataset as pds
-    import ray.data
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity"],
         filter=(pds.field("l_quantity") > 45),
     )
 
