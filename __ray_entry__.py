@@ -893,6 +893,12 @@ SELECT o_orderkey, o_totalprice,
        NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
 FROM orders
 """,
+        "ntile_orders_desc": """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       NTILE(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS tile
+FROM orders
+""",
         "window_user_running": """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                   CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events)

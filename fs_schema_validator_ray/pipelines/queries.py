@@ -1547,6 +1547,19 @@ def ntile_orders(sf_dir: str):
     return global_sort_rank(ds, "o_totalprice", ["o_orderkey"], n_tiles=8)
 
 
+def ntile_orders_desc(sf_dir: str):
+    """DESCENDING global ROW_NUMBER + NTILE(8) (highest price first,
+    ascending orderkey tiebreak) — exercises the dtype-agnostic
+    descending range partitioner (``global_sort_rank(descending=True)``)
+    — oracle-checked against ``ORDER BY o_totalprice DESC``."""
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return global_sort_rank(
+        ds, "o_totalprice", ["o_orderkey"], n_tiles=8, descending=True
+    )
+
+
 def window_user_running(sf_dir: str):
     """Per-user ordered window functions (LAG / running sum / rolling-3
     sum of value cents, ordered by event time then id) — ONE bucketed
@@ -2699,6 +2712,7 @@ QUERIES = {
     "setop_intersect_user_type": setop_intersect_user_type,
     "setop_union_keys": setop_union_keys,
     "ntile_orders": ntile_orders,
+    "ntile_orders_desc": ntile_orders_desc,
     "window_user_running": window_user_running,
     "grouped_median_lineitem": grouped_median_lineitem,
     "semi_join_orders_lineitem": semi_join_orders_lineitem,

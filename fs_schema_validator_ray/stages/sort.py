@@ -16,11 +16,18 @@ Classic two-phase distributed rank:
    and total count (DuckDB/ANSI semantics: the first ``n % k`` tiles get
    the extra row).
 
-The pruned projection is ``materialize()``-d once so the count pass and
-the emit pass don't re-execute the upstream read (Ray Data branches
-re-run their input) — the pinned payload is exactly the columns being
-sorted, i.e. the same bytes the sort shuffle itself must move; Ray
-spills it to the object store at scale.
+The pruned projection is consumed three times (sample, count, emit) but
+is **never materialized**: Ray Data lineage re-executes the pruned scan
+per pass, so nothing larger than the ``n_parts``-long count vector ever
+sits in the object store between passes — at 100 TB the alternative
+(pinning every sort key) is spill pressure on every node. The cost is
+re-reading the (column-pruned, predicate-pushed) source three times,
+which is the same trade the near-dup verify path makes and the cheaper
+side of it whenever the sort key is a narrow column. **The input must be
+deterministic across re-executions** (same rows, any order): a pipeline
+containing non-deterministic sampling or an unstable UDF upstream would
+let the passes disagree — pass ``pin=True`` there to pin the projection
+in the object store (the old behavior) instead.
 
 Partitioning assumptions (documented, standard for any range sort):
 rows with EQUAL sort-column values land in one partition (assignment
@@ -71,30 +78,36 @@ def sample_split_points(
     return np.unique(vals[pos])
 
 
-def _assign_pid(splits: np.ndarray, column: str):
-    def fn(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t.column(column))
-        pid = (
-            np.searchsorted(splits, keys, side="right").astype(np.int64)
-            if len(splits)
-            else np.zeros(len(keys), np.int64)
+def _pid_of(splits: np.ndarray, keys: np.ndarray, descending: bool) -> np.ndarray:
+    """Range-partition id per key. Ascending: pid grows with the key.
+    Descending: pid shrinks with the key (partition 0 holds the largest
+    keys) so rank offsets accumulate in output order either way. Equal
+    keys always share one pid (side= choice keeps ties together)."""
+    if not len(splits):
+        return np.zeros(len(keys), np.int64)
+    if descending:
+        return (len(splits) - np.searchsorted(splits, keys, side="left")).astype(
+            np.int64
         )
+    return np.searchsorted(splits, keys, side="right").astype(np.int64)
+
+
+def _assign_pid(splits: np.ndarray, column: str, descending: bool = False):
+    def fn(t: pa.Table) -> pa.Table:
+        pid = _pid_of(splits, np.asarray(t.column(column)), descending)
         return t.append_column("__pid", pa.array(pid))
 
     return fn
 
 
-def _partition_counts(proj, splits: np.ndarray, column: str, n_parts: int):
+def _partition_counts(
+    proj, splits: np.ndarray, column: str, n_parts: int, descending: bool = False
+):
     """Row count per range partition (per-batch bincount partials, driver
     sums one small vector)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t.column(column))
-        pid = (
-            np.searchsorted(splits, keys, side="right")
-            if len(splits)
-            else np.zeros(len(keys), np.int64)
-        )
+        pid = _pid_of(splits, np.asarray(t.column(column)), descending)
         c = np.bincount(pid, minlength=n_parts).astype(np.int64)
         return pa.table(
             {"pid": pa.array(np.arange(n_parts, dtype=np.int64)), "c": pa.array(c)}
@@ -112,6 +125,24 @@ def _partition_counts(proj, splits: np.ndarray, column: str, n_parts: int):
     return counts
 
 
+def _lexsort_order(
+    group: pa.Table,
+    sort_column: str,
+    tiebreak_columns: list[str],
+    descending: bool,
+) -> np.ndarray:
+    """Stable order indices for ``ORDER BY sort [DESC], *tiebreaks ASC``.
+    Descending on an arbitrary dtype (strings included) via per-partition
+    unique-code negation — no numeric negate needed."""
+    primary = np.asarray(group.column(sort_column))
+    if descending:
+        # np.unique returns sorted uniques; inverse codes are ascending
+        # ranks, so negating them is a dtype-agnostic descending key.
+        primary = -np.unique(primary, return_inverse=True)[1]
+    keys = [primary, *[np.asarray(group.column(c)) for c in tiebreak_columns]]
+    return np.lexsort(keys[::-1])  # lexsort: LAST key is primary
+
+
 def global_sort_rank(
     ds,
     sort_column: str,
@@ -119,14 +150,18 @@ def global_sort_rank(
     n_tiles: int | None = None,
     n_parts: int | None = None,
     descending: bool = False,
+    pin: bool = False,
 ):
     """Globally ranked Dataset: input columns + ``rnk`` (1-based
-    ``ROW_NUMBER() OVER (ORDER BY sort, *tiebreaks)``) and, when
+    ``ROW_NUMBER() OVER (ORDER BY sort [DESC], *tiebreaks)``) and, when
     ``n_tiles`` is set, ``tile`` (``NTILE(n_tiles)``, DuckDB/ANSI
     remainder-first sizing). ``(sort, *tiebreaks)`` must be a total order
-    for a deterministic result (SQL has the same caveat)."""
-    if descending:
-        raise NotImplementedError("descending global rank: negate the key upstream")
+    for a deterministic result (SQL has the same caveat). ``descending``
+    applies to the sort column only; tiebreaks stay ascending.
+
+    ``pin=True`` materializes the pruned projection before the three
+    passes — only needed when upstream is non-deterministic or expensive
+    to re-execute (see module docstring)."""
     if n_parts is None:
         try:
             import ray
@@ -136,17 +171,17 @@ def global_sort_rank(
             n_parts = 8
 
     cols = list(dict.fromkeys([sort_column, *tiebreak_columns]))
-    proj = ds.select_columns(cols).materialize()
+    proj = ds.select_columns(cols)
+    if pin:
+        proj = proj.materialize()
     splits = sample_split_points(proj, sort_column, n_parts)
-    counts = _partition_counts(proj, splits, sort_column, n_parts)
+    counts = _partition_counts(proj, splits, sort_column, n_parts, descending)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     total = int(counts.sum())
 
     def rank_partition(group: pa.Table) -> pa.Table:
         pid = int(group.column("__pid")[0].as_py()) if group.num_rows else 0
-        arrays = [np.asarray(group.column(c)) for c in [sort_column, *tiebreak_columns]]
-        # lexsort: last key is primary
-        order = np.lexsort(arrays[::-1])
+        order = _lexsort_order(group, sort_column, tiebreak_columns, descending)
         out = group.drop_columns(["__pid"]).take(pa.array(order, pa.int64()))
         rnk = offsets[pid] + np.arange(1, group.num_rows + 1, dtype=np.int64)
         out = out.append_column("rnk", pa.array(rnk))
@@ -155,7 +190,7 @@ def global_sort_rank(
         return out
 
     return (
-        proj.map_batches(_assign_pid(splits, sort_column), batch_format="pyarrow")
+        proj.map_batches(_assign_pid(splits, sort_column, descending), batch_format="pyarrow")
         .groupby("__pid")
         .map_groups(rank_partition, batch_format="pyarrow")
     )
@@ -167,6 +202,7 @@ def global_running_sum(
     tiebreak_columns: list[str],
     weight_column: str,
     n_parts: int | None = None,
+    pin: bool = False,
 ):
     """Distributed global prefix sum: input columns + ``running_<w>`` =
     ``SUM(w) OVER (ORDER BY sort, *tiebreaks ROWS UNBOUNDED PRECEDING)``
@@ -175,7 +211,9 @@ def global_running_sum(
     each partition starts its local cumsum from an exact global offset.
     This is the training-data packing primitive: with ``running`` in
     hand, ``(running - w) // budget`` assigns every row its
-    concat-and-slice sequence id with zero extra passes."""
+    concat-and-slice sequence id with zero extra passes. Streaming like
+    :func:`global_sort_rank`: the pruned projection is re-executed per
+    pass (deterministic-input requirement; ``pin=True`` to materialize)."""
     if n_parts is None:
         try:
             import ray
@@ -185,16 +223,13 @@ def global_running_sum(
             n_parts = 8
 
     cols = list(dict.fromkeys([sort_column, *tiebreak_columns, weight_column]))
-    proj = ds.select_columns(cols).materialize()
+    proj = ds.select_columns(cols)
+    if pin:
+        proj = proj.materialize()
     splits = sample_split_points(proj, sort_column, n_parts)
 
     def weight_partial(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t.column(sort_column))
-        pid = (
-            np.searchsorted(splits, keys, side="right")
-            if len(splits)
-            else np.zeros(len(keys), np.int64)
-        )
+        pid = _pid_of(splits, np.asarray(t.column(sort_column)), False)
         w = np.asarray(pc.cast(t.column(weight_column), pa.int64()))
         sums = np.zeros(n_parts, dtype=np.int64)
         np.add.at(sums, pid, w)
@@ -214,8 +249,7 @@ def global_running_sum(
 
     def sum_partition(group: pa.Table) -> pa.Table:
         pid = int(group.column("__pid")[0].as_py()) if group.num_rows else 0
-        arrays = [np.asarray(group.column(c)) for c in [sort_column, *tiebreak_columns]]
-        order = np.lexsort(arrays[::-1])
+        order = _lexsort_order(group, sort_column, tiebreak_columns, False)
         out = group.drop_columns(["__pid"]).take(pa.array(order, pa.int64()))
         w = np.asarray(pc.cast(out.column(weight_column), pa.int64()))
         running = offsets[pid] + np.cumsum(w)

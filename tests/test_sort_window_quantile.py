@@ -68,6 +68,83 @@ def test_global_sort_rank_ties_and_remainder_tiles(ray_session):
     assert list(sizes) == [3, 3, 2, 2]
 
 
+def test_global_sort_rank_descending(ray_session):
+    """DESC rank on a float column with ties + on a STRING column (the
+    unique-code negation path — no numeric negate available)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    t = pa.table(
+        {
+            "v": pa.array([5.0, 1.0, 5.0, 1.0, 5.0, 3.0, 3.0, 2.0, 4.0, 0.0]),
+            "id": pa.array(list(range(10)), pa.int64()),
+        }
+    )
+    out = (
+        global_sort_rank(
+            ray.data.from_arrow(t).repartition(3), "v", ["id"], descending=True
+        )
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    expect = sorted(zip(t["v"].to_pylist(), t["id"].to_pylist()), key=lambda p: (-p[0], p[1]))
+    assert list(out["rnk"]) == list(range(1, 11))
+    assert list(zip(out["v"], out["id"])) == expect
+
+    s = pa.table(
+        {
+            "name": pa.array(["pear", "apple", "fig", "apple", "kiwi", "fig"]),
+            "id": pa.array(list(range(6)), pa.int64()),
+        }
+    )
+    out = (
+        global_sort_rank(
+            ray.data.from_arrow(s).repartition(2), "name", ["id"], descending=True, n_parts=3
+        )
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    # ORDER BY name DESC, id ASC: stable sort ascending on id, then
+    # stable descending on name
+    expect = sorted(zip(s["name"].to_pylist(), s["id"].to_pylist()), key=lambda p: p[1])
+    expect.sort(key=lambda p: p[0], reverse=True)
+    assert list(zip(out["name"], out["id"])) == expect
+
+
+def test_global_sort_rank_not_materialized(ray_session):
+    """The pruned projection must NOT be pinned by default: upstream is
+    consumed lazily per pass (lineage re-execution). We assert the
+    upstream map runs more than once — proof there is no materialize."""
+    import ray
+    import ray.data
+
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    counter = ray.remote(
+        type("C", (), {
+            "__init__": lambda self: setattr(self, "n", 0),
+            "bump": lambda self: setattr(self, "n", self.n + 1),
+            "get": lambda self: self.n,
+        })
+    ).remote()
+
+    t = pa.table(
+        {"v": pa.array(np.arange(100, dtype=np.int64)), "id": pa.array(np.arange(100, dtype=np.int64))}
+    )
+
+    def bump(batch: pa.Table) -> pa.Table:
+        ray.get(counter.bump.remote())
+        return batch
+
+    ds = ray.data.from_arrow(t).repartition(4).map_batches(bump, batch_format="pyarrow")
+    out = global_sort_rank(ds, "v", ["id"], n_parts=4).to_pandas()
+    assert sorted(out["rnk"]) == list(range(1, 101))
+    # 3 passes × 4 blocks = 12 upstream executions when streaming; a
+    # pinned projection would show exactly 4
+    assert ray.get(counter.get.remote()) > 4
+
+
 def test_global_running_sum_many_blocks(ray_session):
     """Exact global prefix sum over a range-partitioned order, with the
     input arriving as many small blocks (same duplicate-pid partial
