@@ -2190,10 +2190,7 @@ def image_phash_dedup(sf_dir: str, n_rows: int = 2000):
 
     from fs_schema_validator_ray.sources.images import build_images_table
     from fs_schema_validator_ray.stages.dedup import fingerprint64_near_dup_pairs
-    from fs_schema_validator_ray.stages.multimodal import (
-        FakePixelDecoder,
-        PHashStage,
-    )
+    from fs_schema_validator_ray.stages.multimodal import PHashStage
 
     t = build_images_table(n_rows)
 
@@ -2208,8 +2205,9 @@ def image_phash_dedup(sf_dir: str, n_rows: int = 2000):
         return pa.concat_tables([t, dup])
 
     ds = ray.data.from_arrow(with_copies(t)).repartition(8)
+    # default HybridPixelDecoder: REAL png decode, deterministic fake gif
     fps = ds.map_batches(
-        PHashStage(lambda: FakePixelDecoder(full_payload_hash=True)),
+        PHashStage(),
         batch_format="pyarrow",
         batch_size=256,
     )
@@ -2241,14 +2239,12 @@ def image_resize_corpus(sf_dir: str, n_rows: int = 2000):
     import ray.data
 
     from fs_schema_validator_ray.sources.images import build_images_table
-    from fs_schema_validator_ray.stages.multimodal import (
-        FakePixelDecoder,
-        ImageResizeStage,
-    )
+    from fs_schema_validator_ray.stages.multimodal import ImageResizeStage
 
     ds = ray.data.from_arrow(build_images_table(n_rows)).repartition(8)
+    # default HybridPixelDecoder: REAL png decode, deterministic fake gif
     out = ds.map_batches(
-        ImageResizeStage(32, 32, decoder_factory=FakePixelDecoder),
+        ImageResizeStage(32, 32),
         batch_format="pyarrow",
         batch_size=256,
     )

@@ -10,13 +10,17 @@ Ray-side plumbing for image/video columns:
   numbers + dimension extraction for PNG/JPEG/GIF/BMP/WEBP — no
   imaging library needed), so declared-vs-actual format mismatch and
   corrupt-header violations work end-to-end,
-* **pixel decode / resize / frame-sampling are stubbed**: the sandbox
-  has no PIL/ffmpeg, so ``PixelDecodeStage`` raises
-  ``NotImplementedError`` unless given a decoder callable, and
-  ``FakePixelDecoder`` provides a deterministic stand-in so the actor
-  signature, batch sizing, schema and output layout are real and
-  tested. Swap in a real decoder per worker via ``decoder_factory``
-  (loaded once per actor in ``__init__`` — the stateful-stage shape).
+* **PNG pixel decode is real**: ``functions/png.py`` is a from-scratch
+  PNG codec (stdlib ``zlib`` inflate + vectorized scanline unfilter,
+  all color types/depths/filters, Adam7), so the default
+  ``decoder_factory`` decodes PNG payloads for real — validate, resize
+  and pHash run on actual pixels, like the reference's PIL raster path.
+* **non-PNG pixel decode stays stubbed**: no libjpeg/ffmpeg in the
+  sandbox, so the default :class:`HybridPixelDecoder` falls back to the
+  deterministic ``FakePixelDecoder`` for jpeg/gif/webp/… (clearly
+  marked; swap a real PIL/libvips-backed ``decoder_factory`` per worker
+  in production — loaded once per actor in ``__init__``, the
+  stateful-stage shape).
 
 Violation reason strings mirror the reference:
 ``"payload is not in {fmt} format (got {actual})"`` (``image.py:64-69``)
@@ -273,7 +277,16 @@ def _svg_dims(payload: bytes) -> Optional[tuple[int, int]]:
 class ImageValidateStage:
     """Actor-pool/map_batches callable: declared-format vs sniffed-format
     + header parse + optional dimension bounds → violation rows
-    (reference ``_validate_raster``, ``image.py:54-74``)."""
+    (reference ``_validate_raster``, ``image.py:54-74``).
+
+    ``deep_decode=True`` (default) additionally runs the REAL
+    from-scratch PNG decoder (``functions/png.py``) on png payloads —
+    the equivalent of the reference's ``PIL.Image.open`` raster
+    validation: a payload with a valid header but corrupt pixel data
+    (bad CRC, truncated/garbage zlib stream, wrong scanline count)
+    emits ``"file does not contain a valid image"`` exactly like the
+    reference's ``UnidentifiedImageError`` path (``image.py:70-74``).
+    Non-PNG formats stay header-only (no codec in this sandbox)."""
 
     def __init__(
         self,
@@ -285,12 +298,14 @@ class ImageValidateStage:
         min_height: int = 1,
         max_width: int = 1 << 20,
         max_height: int = 1 << 20,
+        deep_decode: bool = True,
     ) -> None:
         self.rule_id = rule_id
         self.bytes_column = bytes_column
         self.format_column = format_column
         self.key_column = key_column
         self.bounds = (min_width, min_height, max_width, max_height)
+        self.deep_decode = deep_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = batch.column_names
@@ -345,6 +360,14 @@ class ImageValidateStage:
             w, h = dims
             if not (min_w <= w <= max_w and min_h <= h <= max_h):
                 emit(i, f"image dimensions {w}x{h} outside bounds")
+                continue
+            if self.deep_decode and actual == "png":
+                from fs_schema_validator_ray.functions.png import PngError, decode_png
+
+                try:
+                    decode_png(p)
+                except PngError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -389,14 +412,49 @@ class FakePixelDecoder:
         return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+class HybridPixelDecoder:
+    """Default per-actor decoder: REAL from-scratch PNG decode
+    (``functions/png.py``); every other container falls back to the
+    deterministic :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — no
+    jpeg/gif/webp codec in this sandbox; swap a PIL/libvips-backed
+    factory in production). Decode failures raise ``png.PngError``,
+    which the stages turn into a skipped row / ``decode_ok=false``."""
+
+    def __init__(self) -> None:
+        self._fake = FakePixelDecoder(full_payload_hash=True)
+
+    def __call__(self, payload: bytes, fmt: str, dims: tuple[int, int]) -> np.ndarray:
+        if fmt == "png":
+            from fs_schema_validator_ray.functions.png import decode_png
+
+            return decode_png(payload)
+        return self._fake(payload, fmt, dims)
+
+
+def default_decoder_factory() -> HybridPixelDecoder:
+    return HybridPixelDecoder()
+
+
+def _decode_or_none(decoder, payload, fmt, dims):
+    """Per-row decode guard: a malformed payload must yield a skipped
+    row / violation, never a failed batch (reference catches decode
+    exceptions per file the same way, ``image.py:70-74``)."""
+    from fs_schema_validator_ray.functions.png import PngError
+
+    try:
+        return decoder(payload, fmt, dims)
+    except (PngError, NotImplementedError):
+        return None
+
+
 class PixelDecodeStage:
     """Actor-pool stage: decode → per-image features
     ``(key, width, height, mean_luma, entropy8)``.
 
     ``decoder_factory`` is called ONCE per actor in ``__init__`` (model/
-    codec load happens per worker, not per batch). Without a factory the
-    stage raises ``NotImplementedError`` — the sandbox has no imaging
-    library (CLEARLY-MARKED STUB; plug PIL/libvips here in production).
+    codec load happens per worker, not per batch); the default is
+    :class:`HybridPixelDecoder` (real PNG, deterministic fake others).
+    Undecodable payloads drop (the audit pass is ``ImageValidateStage``).
     """
 
     def __init__(
@@ -405,13 +463,7 @@ class PixelDecodeStage:
         bytes_column: str = "bytes",
         key_column: str = "key",
     ) -> None:
-        if decoder_factory is None:
-            raise NotImplementedError(
-                "no imaging library in this environment: pass "
-                "decoder_factory=FakePixelDecoder for the deterministic "
-                "stand-in, or a real PIL/libvips-backed factory in production"
-            )
-        self.decoder = decoder_factory()  # once per actor
+        self.decoder = (decoder_factory or default_decoder_factory)()  # once per actor
         self.bytes_column = bytes_column
         self.key_column = key_column
 
@@ -423,7 +475,9 @@ class PixelDecodeStage:
             dims = parse_image_dims(p, fmt) if fmt else None
             if not fmt or not dims:
                 continue
-            px = self.decoder(p, fmt, dims)
+            px = _decode_or_none(self.decoder, p, fmt, dims)
+            if px is None:
+                continue
             keys.append(batch.column(self.key_column)[i].as_py())
             widths.append(dims[0])
             heights.append(dims[1])
@@ -491,11 +545,11 @@ class ImageResizeStage:
     ``(target_w, target_h)`` → emit the raw RGB payload + dims — the
     image-normalization pass of a vision-training pipeline. The RESIZE is
     real numpy (gather on precomputed source index grids, built once per
-    actor in ``__init__``); only the container DECODE goes through the
-    per-actor ``decoder_factory`` (same clearly-marked stub contract as
-    ``PixelDecodeStage`` — the sandbox has no imaging library; plug
-    PIL/libvips in production). Undecodable / unsniffable payloads drop
-    (the audit pass is ``ImageValidateStage``)."""
+    actor in ``__init__``); the container DECODE goes through the
+    per-actor ``decoder_factory`` (default :class:`HybridPixelDecoder` —
+    real PNG, deterministic fake for other containers; plug PIL/libvips
+    in production). Undecodable / unsniffable payloads drop (the audit
+    pass is ``ImageValidateStage``)."""
 
     def __init__(
         self,
@@ -507,13 +561,7 @@ class ImageResizeStage:
     ) -> None:
         if target_w < 1 or target_h < 1:
             raise ValueError("target dims must be >= 1")
-        if decoder_factory is None:
-            raise NotImplementedError(
-                "no imaging library in this environment: pass "
-                "decoder_factory=FakePixelDecoder for the deterministic "
-                "stand-in, or a real PIL/libvips-backed factory in production"
-            )
-        self.decoder = decoder_factory()  # once per actor
+        self.decoder = (decoder_factory or default_decoder_factory)()  # once per actor
         self.target_w = target_w
         self.target_h = target_h
         self.bytes_column = bytes_column
@@ -540,7 +588,9 @@ class ImageResizeStage:
             dims = parse_image_dims(p, fmt) if fmt else None
             if not fmt or not dims:
                 continue
-            px = self.decoder(p, fmt, dims)
+            px = _decode_or_none(self.decoder, p, fmt, dims)
+            if px is None:
+                continue
             out = np.ascontiguousarray(self._resize(px), dtype=np.uint8)
             keys.append(batch.column(self.key_column)[i].as_py())
             blobs.append(out.tobytes())
@@ -572,9 +622,8 @@ class PHashStage:
     Actor state: the decoder AND the 32×32 DCT basis matrix are built
     once per actor in ``__init__``, not per batch. Decode is per-image
     (variable payloads); the hash math is one ``D @ A @ Dᵀ`` per image.
-    Like ``PixelDecodeStage``, raises without a ``decoder_factory``
-    (no imaging library in this sandbox — pass ``FakePixelDecoder`` /
-    a PIL-backed factory in production). Undecodable/unsniffable
+    Default decoder is :class:`HybridPixelDecoder` (real PNG pixels,
+    deterministic fake for other containers). Undecodable/unsniffable
     payloads emit ``decode_ok=false`` with a null hash."""
 
     _N = 32
@@ -585,13 +634,7 @@ class PHashStage:
         bytes_column: str = "bytes",
         key_column: str = "key",
     ) -> None:
-        if decoder_factory is None:
-            raise NotImplementedError(
-                "no imaging library in this environment: pass "
-                "decoder_factory=FakePixelDecoder for the deterministic "
-                "stand-in, or a real PIL/libvips-backed factory in production"
-            )
-        self.decoder = decoder_factory()  # once per actor
+        self.decoder = (decoder_factory or default_decoder_factory)()  # once per actor
         self.bytes_column = bytes_column
         self.key_column = key_column
         n = self._N
@@ -632,7 +675,11 @@ class PHashStage:
                 out_fp.append(None)
                 out_ok.append(False)
                 continue
-            px = self.decoder(p, fmt, dims)
+            px = _decode_or_none(self.decoder, p, fmt, dims)
+            if px is None:
+                out_fp.append(None)
+                out_ok.append(False)
+                continue
             out_fp.append(np.int64(np.uint64(self.phash64(px))))
             out_ok.append(True)
         return pa.table(

@@ -8,6 +8,17 @@ import pytest
 
 
 def make_png(w=4, h=3):
+    # REAL raster via the from-scratch codec (deep decode must pass)
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.png import encode_png
+
+    rng = np.random.default_rng(w * 100 + h)
+    return encode_png(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+def make_header_only_png(w=4, h=3):
+    # valid IHDR, no IDAT — sniffs + parses dims but fails deep decode
     ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
     chunk = b"IHDR" + ihdr
     return (
@@ -67,11 +78,58 @@ def test_image_validate_stage_golden():
     }
 
 
-def test_pixel_decode_requires_decoder():
+def test_image_validate_deep_decode():
+    """Reference PIL-parity: valid header + corrupt pixel data emits
+    "file does not contain a valid image" ONLY via the real decode."""
+    from fs_schema_validator_ray.sources.images import corrupt_idat
+    from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
+
+    batch = pa.table(
+        {
+            "key": pa.array(["good", "no_idat", "bad_idat"]),
+            "bytes": pa.array(
+                [make_png(6, 5), make_header_only_png(6, 5), corrupt_idat(make_png(6, 5))],
+                pa.binary(),
+            ),
+            "format": pa.array(["png", "png", "png"]),
+        }
+    )
+    got = {(r["key"], r["reason"]) for r in ImageValidateStage()(batch).to_pylist()}
+    assert got == {
+        ("no_idat", "file does not contain a valid image"),
+        ("bad_idat", "file does not contain a valid image"),
+    }
+    # header-only mode (deep_decode=False) sees nothing wrong
+    shallow = ImageValidateStage(deep_decode=False)(batch).to_pylist()
+    assert shallow == []
+
+
+def test_pixel_decode_default_hybrid():
+    """Default decoder: REAL pixels for png (decode_png parity), fake
+    for gif; corrupt png payloads drop instead of failing the batch."""
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.png import decode_png, encode_png
+    from fs_schema_validator_ray.sources.images import corrupt_idat
     from fs_schema_validator_ray.stages.multimodal import PixelDecodeStage
 
-    with pytest.raises(NotImplementedError):
-        PixelDecodeStage()
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "key": pa.array(["png", "gif", "bad"]),
+            "bytes": pa.array(
+                [encode_png(px), make_gif(4, 4), corrupt_idat(encode_png(px))],
+                pa.binary(),
+            ),
+        }
+    )
+    out = PixelDecodeStage()(t)
+    rows = {r["key"]: r for r in out.to_pylist()}
+    assert set(rows) == {"png", "gif"}  # corrupt png dropped
+    assert rows["png"]["mean_luma"] == pytest.approx(
+        float(decode_png(encode_png(px)).mean())
+    )
 
 
 def test_pixel_decode_with_fake(ray_session):
@@ -246,8 +304,21 @@ def test_image_resize_stage(ray_session):
     assert out[0]["width"] == 8 and out[0]["height"] == 6
     assert len(out[0]["rgb"]) == 8 * 6 * 3
 
-    with pytest.raises(NotImplementedError):
-        ImageResizeStage(8, 8)
+    # default factory decodes real png pixels: resizing a constant-color
+    # png must produce that exact color (nearest-neighbor invariant)
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.png import encode_png
+
+    flat = np.full((10, 10, 3), (7, 99, 201), dtype=np.uint8)
+    t2 = pa.table(
+        {"key": pa.array(["c"]), "bytes": pa.array([encode_png(flat)], pa.binary())}
+    )
+    r = ImageResizeStage(4, 4)(t2).to_pylist()[0]
+    assert np.array_equal(
+        np.frombuffer(r["rgb"], np.uint8).reshape(4, 4, 3),
+        np.full((4, 4, 3), (7, 99, 201), dtype=np.uint8),
+    )
 
 
 # --- PHashStage --------------------------------------------------------------
@@ -307,10 +378,7 @@ def test_phash_near_dup_pairs_finds_planted_copies(ray_session):
 
     from fs_schema_validator_ray.sources.images import build_images_table
     from fs_schema_validator_ray.stages.dedup import fingerprint64_near_dup_pairs
-    from fs_schema_validator_ray.stages.multimodal import (
-        FakePixelDecoder,
-        PHashStage,
-    )
+    from fs_schema_validator_ray.stages.multimodal import PHashStage
 
     t = build_images_table(200)
     keep = pa.array(np.arange(200) % 8 == 0)
@@ -321,10 +389,8 @@ def test_phash_near_dup_pairs_finds_planted_copies(ray_session):
         0, "key", pc.binary_join_element_wise(dup.column("key"), "-copy", "")
     )
     ds = ray.data.from_arrow(pa.concat_tables([t, dup])).repartition(4)
-    fps = ds.map_batches(
-        PHashStage(lambda: FakePixelDecoder(full_payload_hash=True)),
-        batch_format="pyarrow",
-    )
+    # default decoder: REAL png pixels, deterministic fake gif pixels
+    fps = ds.map_batches(PHashStage(), batch_format="pyarrow")
     pairs = fingerprint64_near_dup_pairs(
         fps, key_column="key", fp_column="fp", ok_column="decode_ok"
     ).take_all()
