@@ -134,7 +134,14 @@ def heavy_hitters(
     of every row for the naive groupby. Integer threshold arithmetic
     (``(n·num + den−1) // den``) keeps the cutoff bit-exact vs a SQL
     oracle (float ``0.008·n`` would be rounding-dependent at the edge).
-    """
+
+    **Deterministic-input requirement**: because the two scans re-execute
+    upstream lineage, the input pipeline must yield the same rows on
+    every execution (any order). A non-deterministic upstream stage
+    (random sampling, an unstable UDF) can make the passes disagree and
+    silently void the exactness guarantee — ``.materialize()`` such an
+    input first (or restructure it to be deterministic, e.g. hash-based
+    sampling) before calling this."""
     import ray
 
     if not (0 < phi_num < phi_den):
@@ -371,34 +378,78 @@ def salted_topk_per_key(
     salt: int = 16,
 ):
     """Per-key top-k with **salted keys** for hot-key skew (north_star):
-    phase 1 groups by ``(key, salt)`` — a key with 10^9 rows lands in
-    ``salt`` groups of manageable size, each reduced to its local top-k —
-    phase 2 groups the ≤ ``salt × k`` survivors by ``key`` for the final
-    top-k. Order: ``value desc, tiebreak asc`` (deterministic).
+    phase 1 shuffles on ``hash(key, salt) % n_buckets`` — a key with
+    10^9 rows lands in ``salt`` buckets of manageable size — and each
+    bucket reduces EVERY (key, salt) group it holds to its local top-k
+    in ONE vectorized segment scan (lexsort + per-segment cumcount; one
+    Python call per bucket, not per (key, salt) group — the same
+    bucketed-merge pattern as ``unique.py``). Phase 2 shuffles the
+    ≤ ``salt × k`` survivors per key on ``hash(key)`` and repeats the
+    scan for the final top-k. Order: ``value desc, tiebreak asc``
+    (deterministic). Scale-safe at high key cardinality: work per
+    Python call is bucket-sized, never group-count-sized.
     """
-    def add_salt(batch: pa.Table) -> pa.Table:
-        tb = np.asarray(batch.column(tiebreak_column))
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets()
+
+    def add_salted_bucket(batch: pa.Table) -> pa.Table:
+        kh = hash64(stable_key_array(batch.column(key_column)))
+        sv = (np.asarray(batch.column(tiebreak_column)) % salt).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            combined = kh + sv * np.uint64(0x9E3779B97F4A7C15)
+        batch = batch.append_column(
+            "__salt", pa.array(sv.astype(np.int32))
+        )
         return batch.append_column(
-            "__salt", pa.array((tb % salt).astype(np.int32))
+            "__bucket", pa.array(mix_to_buckets(combined, n_buckets))
         )
 
-    def local_topk(group: pa.Table) -> pa.Table:
-        vals = np.asarray(group.column(value_column))
-        tb = np.asarray(group.column(tiebreak_column))
-        order = np.lexsort((tb, -vals))[:k]
-        return group.take(pa.array(order))
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
+        kh = hash64(stable_key_array(batch.column(key_column)))
+        return batch.append_column(
+            "__bucket", pa.array(mix_to_buckets(kh, n_buckets))
+        )
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        out = local_topk(group)
-        if "__salt" in out.column_names:
-            out = out.drop_columns(["__salt"])
-        return out
+    def bucket_topk(seg_cols: list[str]):
+        """One vectorized pass: top-k rows per (seg_cols) segment inside
+        the bucket group."""
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
-    phase1 = salted.groupby([key_column, "__salt"]).map_groups(
-        local_topk, batch_format="pyarrow"
+        def fn(group: pa.Table) -> pa.Table:
+            drop = [c for c in ("__bucket", "__salt") if c in group.column_names]
+            if group.num_rows == 0:
+                return group.drop_columns(drop)
+            vals = np.asarray(group.column(value_column))
+            tb = np.asarray(group.column(tiebreak_column))
+            seg = key_codes(group.column(key_column)).astype(np.int64)
+            if "__salt" in seg_cols:
+                seg = seg * salt + np.asarray(group.column("__salt"), dtype=np.int64)
+            order = np.lexsort((tb, -vals, seg))
+            seg_s = seg[order]
+            first = np.flatnonzero(np.concatenate([[True], seg_s[1:] != seg_s[:-1]]))
+            lengths = np.diff(np.concatenate([first, [len(seg_s)]]))
+            pos = np.arange(len(seg_s)) - np.repeat(first, lengths)
+            keep = order[pos < k]
+            return group.take(pa.array(np.sort(keep), pa.int64())).drop_columns(drop)
+
+        return fn
+
+    phase1 = (
+        ds.map_batches(add_salted_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_topk([key_column, "__salt"]), batch_format="pyarrow")
     )
-    return phase1.groupby(key_column).map_groups(final_topk, batch_format="pyarrow")
+    return (
+        phase1.map_batches(add_key_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_topk([key_column]), batch_format="pyarrow")
+    )
 
 
 def sessionize(
@@ -693,58 +744,95 @@ def iqr_outlier_filter(
     by ``k_den`` — ``k_den·v < k_den·q1 − k_num·(q3−q1)`` — so no float
     ever appears. Null values and keys with no non-null values are never
     outliers (SQL WHERE semantics). Emits the outlier rows with
-    ``passthrough`` columns plus ``key, value, q_25, q_75``."""
-    cols = [key_column, value_column, *(passthrough or [])]
-    bounds_tbl = grouped_quantile_disc(
-        ds.select_columns([key_column, value_column]), key_column, value_column,
-        [0.25, 0.75],
-    )
-    bounds: dict = {}
-    raw_q: dict = {}
-    for r in bounds_tbl.iter_rows():  # one pass — iter_rows re-executes per call
-        q1, q3 = r["q_25"], r["q_75"]
-        if q1 is None or q3 is None:
-            continue
-        iqr = int(q3) - int(q1)
-        bounds[r[key_column]] = (
-            k_den * int(q1) - k_num * iqr,
-            k_den * int(q3) + k_num * iqr,
-        )
-        raw_q[r[key_column]] = (int(q1), int(q3))
+    ``passthrough`` columns plus ``key, value, q_25, q_75``.
 
-    def flag(t: pa.Table) -> pa.Table:
+    Scale: the bounds table (one row per key) is shipped ONCE via
+    ``ray.put`` and each worker process builds a vectorized hash index
+    from it once (cached per ObjectRef) — no driver-side Python dict
+    probed per row, no per-batch re-ship. Works at millions of keys:
+    the per-batch lookup is one ``pd.Index.get_indexer`` C call."""
+    import ray
+
+    import pandas as pd
+
+    cols = [key_column, value_column, *(passthrough or [])]
+    parts = list(
+        grouped_quantile_disc(
+            ds.select_columns([key_column, value_column]), key_column,
+            value_column, [0.25, 0.75],
+        ).iter_batches(batch_format="pyarrow")  # one row per key: KB-MB sized
+    )
+    if parts:
+        bounds_tbl = pa.concat_tables(parts)
+        ok = pc.and_(
+            pc.is_valid(bounds_tbl.column("q_25")),
+            pc.is_valid(bounds_tbl.column("q_75")),
+        )
+        bounds_tbl = bounds_tbl.filter(ok)
+        keys_pd = bounds_tbl.column(key_column).to_pandas()
+        q1 = np.asarray(bounds_tbl.column("q_25"), dtype=np.int64)
+        q3 = np.asarray(bounds_tbl.column("q_75"), dtype=np.int64)
+    else:
+        keys_pd = pd.Series([], dtype=object)
+        q1 = q3 = np.empty(0, dtype=np.int64)
+    iqr = q3 - q1
+    bounds_ref = ray.put(
+        {
+            "keys": keys_pd,
+            "lo": k_den * q1 - k_num * iqr,
+            "hi": k_den * q3 + k_num * iqr,
+            "q1": q1,
+            "q3": q3,
+        }
+    )
+
+    def flag_with_q(t: pa.Table) -> pa.Table:
+        state = _iqr_bounds_index(bounds_ref)  # built once per worker process
         t = t.select(cols)
-        key = t.column(key_column)
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        enc = key.dictionary_encode()
-        dict_vals = enc.dictionary.to_pylist()
-        lo = np.array(
-            [bounds.get(k, (0, 0))[0] for k in dict_vals], dtype=np.int64
-        )
-        hi = np.array(
-            [bounds.get(k, (0, 0))[1] for k in dict_vals], dtype=np.int64
-        )
-        known = np.array([k in bounds for k in dict_vals], dtype=bool)
-        idx = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
+        idx = state["index"].get_indexer(t.column(key_column).to_pandas())
         v = t.column(value_column)
         valid = np.asarray(pc.is_valid(v)) & (idx >= 0)
         vv = np.asarray(pc.fill_null(pc.cast(v, pa.int64()), 0), dtype=np.int64)
         ok_idx = np.maximum(idx, 0)
         scaled = k_den * vv
-        out = valid & known[ok_idx] & (
-            (scaled < lo[ok_idx]) | (scaled > hi[ok_idx])
+        out = valid & (
+            (scaled < state["lo"][ok_idx]) | (scaled > state["hi"][ok_idx])
         )
-        return t.filter(pa.array(out))
-
-    def flag_with_q(t: pa.Table) -> pa.Table:
-        kept = flag(t)
-        keys = kept.column(key_column).to_pylist()
-        q1 = pa.array([raw_q[k][0] for k in keys], pa.int64())
-        q3 = pa.array([raw_q[k][1] for k in keys], pa.int64())
-        return kept.append_column("q_25", q1).append_column("q_75", q3)
+        kept = t.filter(pa.array(out))
+        kidx = idx[out]
+        return kept.append_column(
+            "q_25", pa.array(state["q1"][kidx], pa.int64())
+        ).append_column("q_75", pa.array(state["q3"][kidx], pa.int64()))
 
     return ds.map_batches(flag_with_q, batch_format="pyarrow")
+
+
+_IQR_INDEX_CACHE: dict = {}
+
+
+def _iqr_bounds_index(bounds_ref):
+    """Per-worker-process cache: ObjectRef → vectorized lookup state
+    (pandas hash Index over the bounds keys + numpy bound arrays). The
+    ``ray.put`` payload is fetched zero-copy from the local object store
+    once per process, not per batch."""
+    import pandas as pd
+    import ray
+
+    key = bounds_ref.hex()
+    state = _IQR_INDEX_CACHE.get(key)
+    if state is None:
+        raw = ray.get(bounds_ref)
+        state = {
+            "index": pd.Index(raw["keys"]),
+            "lo": raw["lo"],
+            "hi": raw["hi"],
+            "q1": raw["q1"],
+            "q3": raw["q3"],
+        }
+        if len(_IQR_INDEX_CACHE) >= 4:  # bound memory; keep concurrent filters warm
+            _IQR_INDEX_CACHE.pop(next(iter(_IQR_INDEX_CACHE)))
+        _IQR_INDEX_CACHE[key] = state
+    return state
 
 
 def rollup_sum(ds, keys: list[str], sum_cols: list[str]):
@@ -1287,11 +1375,23 @@ def weighted_sample(ds, id_column: str, weight_column: str, k: int):
     Distributed as per-batch partial top-k by priority (≤ k rows leave
     each block) and one tiny final merge — the same two-phase shape as
     ``salted_topk_per_key``. Rows with null/non-positive weight or null
-    id are excluded (they have no sampling mass)."""
+    id are excluded (they have no sampling mass).
+
+    Ties (including DUPLICATE ids, which hash to identical priorities)
+    break on ascending id at every stage, so the selected multiset is
+    independent of block arrival order / repartitioning. Duplicate ids
+    therefore enter or leave the sample together as adjacent ranks —
+    each duplicate row carries its own priority (same u, its own
+    weight); dedup ids upstream if the sample must be id-unique."""
     from fs_schema_validator_ray.state.sketches import hash64, stable_key_array
 
     if k < 1:
         raise ValueError("k must be >= 1")
+
+    def _id_order(pr: np.ndarray, ids_np: np.ndarray) -> np.ndarray:
+        # (-priority, id asc): dtype-agnostic id tiebreak via unique codes
+        codes = np.unique(ids_np, return_inverse=True)[1]
+        return np.lexsort((codes, -pr))
 
     def priority(t: pa.Table) -> pa.Table:
         ids = t.column(id_column).combine_chunks()
@@ -1304,7 +1404,8 @@ def weighted_sample(ds, id_column: str, weight_column: str, k: int):
         pr = np.where(ok, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
         keep = np.flatnonzero(ok)
         if len(keep) > k:
-            keep = keep[np.argsort(-pr[keep], kind="stable")[:k]]
+            ids_np = np.asarray(ids, dtype=object)[keep]
+            keep = keep[_id_order(pr[keep], ids_np)[:k]]
         take = pa.array(keep.astype(np.int64), pa.int64())
         return pa.table(
             {
@@ -1316,7 +1417,8 @@ def weighted_sample(ds, id_column: str, weight_column: str, k: int):
 
     def final(t: pa.Table) -> pa.Table:
         pr = np.asarray(t.column("priority"), dtype=np.float64)
-        top = np.argsort(-pr, kind="stable")[:k]
+        ids_np = np.asarray(t.column(id_column).combine_chunks(), dtype=object)
+        top = _id_order(pr, ids_np)[:k]
         return t.take(pa.array(top.astype(np.int64), pa.int64()))
 
     partials = ds.select_columns([id_column, weight_column]).map_batches(

@@ -1534,6 +1534,7 @@ def fingerprint64_near_dup_pairs(
     fp_column: str = "fp",
     max_hamming: int = 3,
     ok_column: str | None = None,
+    block_cap: int = 256,
 ):
     """Generic 64-bit-fingerprint near-dup pairs ``(a, b, hamming)``
     (``a < b``, distinct keys) for ANY modality that reduces an item to
@@ -1544,7 +1545,20 @@ def fingerprint64_near_dup_pairs(
     with capped+star-linked pair expansion, vectorized XOR popcount
     verify, global pair dedup. Extracted from the audio path
     (``stages/audio_features.py::audio_near_dup_pairs``) so image/audio/
-    text fingerprints share one implementation."""
+    text fingerprints share one implementation.
+
+    **Recall cap (documented, not silent)**: an LSH block with more than
+    ``block_cap`` distinct keys does all-pairs on the first ``block_cap``
+    members only and STAR-LINKS the overflow to the block minimum — a
+    pair of two overflow members whose ONLY shared block is the capped
+    one is missed unless it is transitively reachable (the downstream
+    connected-components clustering recovers exactly the star-reachable
+    ones). Oversized blocks mean a degenerate band value (e.g. constant
+    fingerprint region across the corpus), where all-pairs would be
+    O(block²) and is precisely what LSH banding exists to avoid; raise
+    ``block_cap`` if full pair recall inside hot blocks matters more
+    than bounded work. Truncated blocks are counted per bucket group and
+    logged at WARNING level (no-silent-caps convention)."""
     from fs_schema_validator_ray.state.sketches import (
         hash64,
         mix_to_buckets,
@@ -1606,7 +1620,8 @@ def fingerprint64_near_dup_pairs(
         ends = np.concatenate([starts[1:], [len(sid_s)]])
         multi = ends - starts >= 2
         out_ai, out_bi, out_x = [], [], []
-        cap = 256
+        cap = block_cap
+        n_truncated = 0
         for s, e in zip(starts[multi], ends[multi]):
             keepm = np.concatenate([[True], sid_s[s + 1 : e] != sid_s[s : e - 1]])
             pos = np.flatnonzero(keepm) + s
@@ -1616,12 +1631,24 @@ def fingerprint64_near_dup_pairs(
             ai, bi = np.triu_indices(len(h), k=1)
             a_pos, b_pos = h[ai], h[bi]
             if len(pos) > cap:  # star-link overflow to the block min
+                n_truncated += 1
                 t = pos[cap:]
                 a_pos = np.concatenate([a_pos, np.full(len(t), pos[0], np.int64)])
                 b_pos = np.concatenate([b_pos, t])
             out_ai.append(a_pos)
             out_bi.append(b_pos)
             out_x.append(fp_s[a_pos] ^ fp_s[b_pos])
+        if n_truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fingerprint64_near_dup_pairs: %d LSH block(s) exceeded "
+                "block_cap=%d in this bucket; overflow members star-linked "
+                "to the block min (pairs among overflow members may be "
+                "missed — see docstring)",
+                n_truncated,
+                cap,
+            )
         if not out_ai:
             return pair_schema.empty_table()
         a_pos = np.concatenate(out_ai)
