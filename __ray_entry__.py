@@ -273,6 +273,10 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
+        "right_join_orders_customer": """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
         "range_window_events": """
 SELECT event_id, user_id,
        CAST(SUM(value_cents) OVER (

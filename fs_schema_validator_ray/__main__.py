@@ -32,6 +32,36 @@ def _parse_binding(text: str):
     return name, value
 
 
+_RENDER_SORT = [("key", "ascending"), ("rule_id", "ascending"), ("reason", "ascending")]
+
+
+def _violations_head(ds, cap: int):
+    """Globally-first ``cap`` violation rows by (key, rule_id, reason)
+    WITHOUT an all-to-all sort: per-block vectorized local head (each
+    block ships ≤ cap narrow rows) + one tiny driver merge. Output is
+    identical to ``sort(...).limit(cap)`` — the global head must be a
+    subset of the union of local heads."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+
+    def local_head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=_RENDER_SORT)
+        return t.take(idx.slice(0, cap))
+
+    parts = list(
+        ds.map_batches(local_head, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return VIOLATION_SCHEMA.empty_table()
+    merged = pa.concat_tables(parts)
+    idx = pc.sort_indices(merged, sort_keys=_RENDER_SORT)
+    return merged.take(idx.slice(0, cap)).cast(VIOLATION_SCHEMA)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m fs_schema_validator_ray",
@@ -119,24 +149,15 @@ def main(argv: list[str] | None = None) -> int:
     try:
         res = run_validation(cfg)
         if args.verbose:
-            import pyarrow as pa
+            from fs_schema_validator_ray.report import ViolationReport
 
-            from fs_schema_validator_ray.report import (
-                VIOLATION_SCHEMA,
-                ViolationReport,
-            )
-
-            # bounded render: sort (deterministic grouping) then take only
-            # the first --max-render rows to the driver — a run with 10^9
-            # violations renders its head, never materializes
+            # bounded render without an all-to-all sort: each block keeps
+            # its LOCAL first --max-render rows (vectorized sort_indices),
+            # the driver merges the ≤ cap-per-block heads and slices the
+            # global head — a run with 10^9 violations ships KBs per
+            # block instead of shuffling every violation row to rank 100
             cap = max(args.max_render, 0)
-            rows = (
-                res.violations_dataset()
-                .sort(["key", "rule_id", "reason"])
-                .limit(cap)
-                .take_all()
-            )
-            vt = pa.Table.from_pylist(rows, schema=VIOLATION_SCHEMA)
+            vt = _violations_head(res.violations_dataset(), cap)
             print(ViolationReport.from_arrow(vt).render())
             if res.total_violations > cap:
                 print(

@@ -668,6 +668,21 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+def right_join_orders_customer(sf_dir: str):
+    """RIGHT equi-join: every customer preserved from the right side,
+    order columns null for customers with no orders — the mirrored
+    left-join plan (``hash_join(how="right")``), oracle-checked incl.
+    the null rows."""
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    left = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(
+        left, right, "o_custkey", "c_custkey",
+        ["o_orderkey", "o_totalprice"], ["c_mktsegment"], how="right",
+    )
+
+
 def range_window_events(sf_dir: str):
     """Time-interval rolling sum: each event's 7-day trailing value total
     per user (``RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW``,
@@ -2264,13 +2279,15 @@ def kmeans_embeddings(sf_dir: str):
 
 
 def ann_topk_ivf(sf_dir: str):
-    """IVF-pruned ANN (approximate — rows-only check)."""
+    """IVF-pruned ANN (approximate — rows-only check). Cluster count and
+    probe width auto-scale with the corpus (``n_clusters ≈ √n``,
+    ``n_probe = n_clusters/4``); the recall-vs-exact gate lives in
+    ``ann_ivf_recall`` (pytest asserts ≥ 0.9, bench logs it)."""
     from fs_schema_validator_ray.stages.similarity import topk_cosine_ivf
 
     q_ids, q_mat = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = topk_cosine_ivf(ds, q_ids, q_mat, k=_TOPK, n_clusters=8, n_probe=4,
-                          exclude_self=True)
+    out = topk_cosine_ivf(ds, q_ids, q_mat, k=_TOPK, exclude_self=True)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
@@ -2656,6 +2673,7 @@ QUERIES = {
     "weighted_sample_documents": weighted_sample_documents,
     "mode_event_type_per_user": mode_event_type_per_user,
     "range_window_events": range_window_events,
+    "right_join_orders_customer": right_join_orders_customer,
     "percentile_cont_lineitem": percentile_cont_lineitem,
     "distinct_users_by_type": distinct_users_by_type,
     "orderkeys_agg_per_customer": orderkeys_agg_per_customer,

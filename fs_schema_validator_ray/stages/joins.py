@@ -399,9 +399,15 @@ def hash_join(
     salt: int = 1,
     prefilter: str | None = None,
 ):
-    """Distributed equi-join (``how``: "inner", "left" or "full_outer"),
-    both sides large: ``tag → union → groupby(hash(key) % n_buckets) →
-    per-bucket vectorized merge``.
+    """Distributed equi-join (``how``: "inner", "left", "right" or
+    "full_outer"), both sides large: ``tag → union →
+    groupby(hash(key) % n_buckets) → per-bucket vectorized merge``.
+
+    ``how="right"`` delegates to the mirrored ``how="left"`` plan (the
+    sides swap; a right join IS a left join read from the other side),
+    so it inherits every left-join property. Its output key column is
+    named ``right_on`` (the preserved side) and columns emit as
+    ``[right_on, *right_value_columns, *left_value_columns]``.
 
     ``salt > 1`` is the EXPLICIT hot-key skew path (inner/left only):
     each left row lands in one of ``salt`` sub-buckets per key
@@ -452,8 +458,24 @@ def hash_join(
         stable_key_array,
     )
 
+    if how == "right":
+        if prefilter:
+            raise ValueError("prefilter supports how=inner only")
+        return hash_join(
+            right,
+            left,
+            right_on,
+            left_on,
+            right_value_columns,
+            left_value_columns,
+            n_buckets=n_buckets,
+            how="left",
+            salt=salt,
+        )
     if how not in ("inner", "left", "full_outer"):
-        raise ValueError(f"hash_join how must be inner|left|full_outer, got {how!r}")
+        raise ValueError(
+            f"hash_join how must be inner|left|right|full_outer, got {how!r}"
+        )
     if salt < 1:
         raise ValueError("salt must be >= 1")
     if salt > 1 and how == "full_outer":

@@ -76,6 +76,45 @@ def test_verbose_render_is_capped(cli_corpus, tmp_path):
     assert rendered_keys == sorted(rendered_keys)
 
 
+def test_violations_head_no_global_sort(ray_session, monkeypatch):
+    """VERDICT r2 item 6: the verbose render must use per-block local
+    top-N + driver merge, never an all-to-all Dataset.sort — and produce
+    byte-identical output to sort().limit()."""
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.__main__ import _violations_head
+    from fs_schema_validator_ray.report import VIOLATION_SCHEMA
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.Table.from_arrays(
+        [
+            pa.array(rng.integers(0, 8, n).astype(np.int32)),
+            pa.array([f"clip-{i:05d}" for i in rng.integers(0, 2000, n)]),
+            pa.array([f"rule_{i}" for i in rng.integers(0, 5, n)]),
+            pa.array([f"reason {i}" for i in rng.integers(0, 3, n)]),
+        ],
+        schema=VIOLATION_SCHEMA,
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+    expect = (
+        t.to_pandas()
+        .sort_values(["key", "rule_id", "reason"], kind="stable")
+        .head(100)
+        .reset_index(drop=True)[["key", "rule_id", "reason"]]
+    )
+
+    def no_sort(self, *a, **k):  # any global sort in the render path fails
+        raise AssertionError("render path must not call Dataset.sort")
+
+    monkeypatch.setattr(ray.data.Dataset, "sort", no_sort)
+    got = _violations_head(ds, 100).to_pandas().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[["key", "rule_id", "reason"]], expect)
+
+
 def test_invalid_ruleset_exit_127(cli_corpus, tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text("rules:\n  - rule: x\n    type: nosuchtype\n    column: c\n")
