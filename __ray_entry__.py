@@ -897,6 +897,14 @@ SELECT o_orderkey, o_totalprice,
        NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
 FROM orders
 """,
+        "setop_except_all_custkeys": """
+SELECT o_custkey FROM orders EXCEPT ALL SELECT user_id FROM events
+""",
+        "setop_intersect_all_user_type": """
+SELECT user_id, event_type FROM events WHERE value > 50
+INTERSECT ALL
+SELECT user_id, event_type FROM events WHERE value <= 50
+""",
         "ntile_orders_desc": """
 SELECT o_orderkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,

@@ -1551,6 +1551,46 @@ def setop_union_keys(sf_dir: str):
     return set_op_distinct(left, right, ["o_custkey"], "union")
 
 
+def setop_except_all_custkeys(sf_dir: str):
+    """BAG ``EXCEPT ALL``: order custkeys minus event user-ids with
+    MULTIPLICITY (a customer with 5 orders and 2 events keeps 3 rows) —
+    the (row, count) combiner ships one int64 per distinct row per
+    batch, never the duplicates (``stages/setops.py::set_op_bag``) —
+    oracle-checked against DuckDB ``EXCEPT ALL``."""
+    from fs_schema_validator_ray.stages.setops import set_op_bag
+
+    left = _read(sf_dir, "orders", ["o_custkey"])
+    right = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    return set_op_bag(left, right, ["o_custkey"], "except_all")
+
+
+def setop_intersect_all_user_type(sf_dir: str):
+    """BAG ``INTERSECT ALL`` on a composite row: (user_id, event_type)
+    pairs kept ``min(high_count, low_count)`` times across the value
+    split — multiset semantics over the multi-column row-equality path —
+    oracle-checked against DuckDB ``INTERSECT ALL``."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.setops import set_op_bag
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), 50.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("value"), 50.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return set_op_bag(left, right, ["user_id", "event_type"], "intersect_all")
+
+
 def ntile_orders(sf_dir: str):
     """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey):
     distributed range-partitioned sort with two-phase rank offsets
@@ -2725,6 +2765,8 @@ QUERIES = {
     "setop_except_customers": setop_except_customers,
     "setop_intersect_user_type": setop_intersect_user_type,
     "setop_union_keys": setop_union_keys,
+    "setop_except_all_custkeys": setop_except_all_custkeys,
+    "setop_intersect_all_user_type": setop_intersect_all_user_type,
     "ntile_orders": ntile_orders,
     "ntile_orders_desc": ntile_orders_desc,
     "window_user_running": window_user_running,

@@ -113,6 +113,22 @@ def _sniff_svg(payload: bytes) -> bool:
     return False
 
 
+def validate_svg(payload: bytes) -> bool:
+    """REAL SVG validation: full XML parse (stdlib ElementTree) + root
+    element check — the stdlib equivalent of the reference's svglib load
+    (``image.py:47-52``). The structural sniff only looks at the first
+    4 KB; this catches malformed XML (unclosed tags, bad entities)
+    anywhere in the document."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(payload.decode("utf-8"))
+    except (ET.ParseError, UnicodeDecodeError, ValueError):
+        return False
+    tag = root.tag
+    return tag == "svg" or tag.endswith("}svg")
+
+
 def parse_image_dims(payload: bytes, fmt: str) -> Optional[tuple[int, int]]:
     """(width, height) from the container header; None if unparseable."""
     try:
@@ -351,12 +367,20 @@ class ImageValidateStage:
             if declared[i] is not None and actual != declared[i]:
                 emit(i, f"payload is not in {declared[i]} format (got {actual})")
                 continue
-            dims = parse_image_dims(p, actual)
-            if dims is None:
-                if actual == "svg":
-                    continue  # vector format: intrinsic dims are optional
-                emit(i, f"failed to parse {actual} header")
-                continue
+            if actual == "svg":
+                # full XML parse (reference svglib parity, image.py:47-52);
+                # intrinsic dims are optional for the vector format
+                if self.deep_decode and not validate_svg(p):
+                    emit(i, "file does not contain a valid svg")
+                    continue
+                dims = parse_image_dims(p, actual)
+                if dims is None:
+                    continue
+            else:
+                dims = parse_image_dims(p, actual)
+                if dims is None:
+                    emit(i, f"failed to parse {actual} header")
+                    continue
             w, h = dims
             if not (min_w <= w <= max_w and min_h <= h <= max_h):
                 emit(i, f"image dimensions {w}x{h} outside bounds")

@@ -93,6 +93,79 @@ def set_op_distinct(left, right, columns: list[str], op: str, n_buckets: int | N
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def set_op_bag(left, right, columns: list[str], op: str, n_buckets: int | None = None):
+    """BAG (multiset) set operations — ``INTERSECT ALL`` / ``EXCEPT
+    ALL`` / ``UNION ALL`` over the given row columns, ANSI semantics:
+    with a row appearing ``l`` times on the left and ``r`` on the right,
+    it emits ``min(l, r)`` / ``max(0, l − r)`` / ``l + r`` times. NULL
+    equals NULL for row equality (same as the DISTINCT variants and
+    DuckDB).
+
+    Same single-shuffle discipline as :func:`set_op_distinct`, with the
+    per-batch combiner reduced to ``(row, count)`` partials (an Arrow
+    ``group_by`` count — duplicate rows ship one int64, not N copies),
+    ONE hash-bucket shuffle of the partials, then a vectorized
+    per-bucket segment scan summing per-side counts and ``np.repeat``-ing
+    each row its output multiplicity. ``union_all`` needs no shuffle at
+    all and short-circuits to ``Dataset.union``."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+
+    if op not in ("intersect_all", "except_all", "union_all"):
+        raise ValueError(
+            f"set_op_bag op must be intersect_all|except_all|union_all, got {op!r}"
+        )
+    if op == "union_all":
+        return left.select_columns(columns).union(right.select_columns(columns))
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(t.select(columns), columns).aggregate(
+                [([], "count_all")]
+            )
+            g = g.rename_columns([*columns, "__cnt"])
+            return g.append_column(
+                "__side", pa.array(np.full(g.num_rows, side, np.int8))
+            ).append_column("__bucket", pa.array(_row_buckets(g, columns, n_buckets)))
+
+        return fn
+
+    tagged = left.select_columns(columns).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(right.select_columns(columns).map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        cnt = np.asarray(group.column("__cnt"), dtype=np.int64)
+        codes = [key_codes(group.column(c)) for c in columns]
+        order = np.lexsort(codes[::-1])
+        sorted_codes = [c[order] for c in codes]
+        boundary = np.zeros(len(order), bool)
+        if len(order):
+            boundary[0] = True
+            for c in sorted_codes:
+                boundary[1:] |= c[1:] != c[:-1]
+        seg_id = np.cumsum(boundary) - 1
+        n_seg = int(seg_id[-1]) + 1 if len(order) else 0
+        side_s, cnt_s = side[order], cnt[order]
+        l_cnt = np.bincount(
+            seg_id, weights=cnt_s * (side_s == 0), minlength=n_seg
+        ).astype(np.int64)
+        r_cnt = np.bincount(
+            seg_id, weights=cnt_s * (side_s == 1), minlength=n_seg
+        ).astype(np.int64)
+        if op == "intersect_all":
+            k = np.minimum(l_cnt, r_cnt)
+        else:  # except_all
+            k = np.maximum(l_cnt - r_cnt, 0)
+        starts = np.flatnonzero(boundary)
+        take = pa.array(np.repeat(order[starts], k), pa.int64())
+        return group.select(columns).take(take)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def table_diff(
     old,
     new,

@@ -104,6 +104,32 @@ def test_image_validate_deep_decode():
     assert shallow == []
 
 
+def test_svg_deep_validate():
+    """Full XML parse (reference svglib parity): well-formed svg passes,
+    sniffable-but-malformed XML emits the reference's svg reason."""
+    from fs_schema_validator_ray.stages.multimodal import (
+        ImageValidateStage,
+        validate_svg,
+    )
+
+    good = b'<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg" width="4" height="3"><rect/></svg>'
+    bad = b'<svg xmlns="http://www.w3.org/2000/svg"><rect></svg>'  # mismatched tag
+    not_svg_root = b"<html><body>x</body></html>"
+    assert validate_svg(good)
+    assert not validate_svg(bad)
+    assert not validate_svg(not_svg_root)
+
+    batch = pa.table(
+        {
+            "key": pa.array(["good", "bad"]),
+            "bytes": pa.array([good, bad], pa.binary()),
+            "format": pa.array(["svg", "svg"]),
+        }
+    )
+    got = {(r["key"], r["reason"]) for r in ImageValidateStage()(batch).to_pylist()}
+    assert got == {("bad", "file does not contain a valid svg")}
+
+
 def test_pixel_decode_default_hybrid():
     """Default decoder: REAL pixels for png (decode_png parity), fake
     for gif; corrupt png payloads drop instead of failing the batch."""

@@ -148,6 +148,77 @@ def test_matches_duckdb_oracle(ray_session):
         assert got == [tuple(w) for w in want], op
 
 
+# --- set_op_bag (INTERSECT ALL / EXCEPT ALL / UNION ALL) ---------------------
+
+
+def _run_bag(left, right, columns, op, **kw):
+    from fs_schema_validator_ray.stages.setops import set_op_bag
+
+    out = set_op_bag(left, right, columns, op, **kw).take_all()
+    return sorted((tuple(r[c] for c in columns) for r in out), key=_null_last)
+
+
+def test_bag_multiplicities(ray_session):
+    left = _ds({"k": pa.array([1, 1, 1, 2, 2, 3, None, None], pa.int64())})
+    right = _ds({"k": pa.array([1, 2, 2, 2, 4, None], pa.int64())})
+    # INTERSECT ALL: min(l, r) per row — 1×1, 2×2, null×1
+    assert _run_bag(left, right, ["k"], "intersect_all") == [
+        (1,), (2,), (2,), (None,),
+    ]
+    # EXCEPT ALL: max(0, l - r) — 1×2, 3×1, null×1
+    assert _run_bag(left, right, ["k"], "except_all") == [
+        (1,), (1,), (3,), (None,),
+    ]
+    # UNION ALL: plain concat, every copy kept
+    assert len(_run_bag(left, right, ["k"], "union_all")) == 14
+
+
+def test_bag_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    lt = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 6, 200)),
+            "b": pa.array([["x", "y", None][i] for i in rng.integers(0, 3, 200)]),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 6, 150)),
+            "b": pa.array([["x", "y", None][i] for i in rng.integers(0, 3, 150)]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    for op, sql_op in [
+        ("intersect_all", "INTERSECT ALL"),
+        ("except_all", "EXCEPT ALL"),
+        ("union_all", "UNION ALL"),
+    ]:
+        want = sorted(
+            (tuple(row)
+             for row in con.execute(
+                 f"SELECT a, b FROM lt {sql_op} SELECT a, b FROM rt"
+             ).fetchall()),
+            key=_null_last,
+        )
+        got = _run_bag(
+            _ds(dict(zip(lt.column_names, lt.columns))).repartition(5),
+            _ds(dict(zip(rt.column_names, rt.columns))).repartition(3),
+            ["a", "b"], op,
+        )
+        assert got == [tuple(w) for w in want], op
+
+
+def test_bag_bad_op_rejected(ray_session):
+    from fs_schema_validator_ray.stages.setops import set_op_bag
+
+    with pytest.raises(ValueError, match="intersect_all"):
+        set_op_bag(_ds({"k": pa.array([1])}), _ds({"k": pa.array([1])}), ["k"], "minus")
+
+
 # --- table_diff (snapshot CDC) -----------------------------------------------
 
 
