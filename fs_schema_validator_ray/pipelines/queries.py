@@ -2502,6 +2502,25 @@ def audio_features_clips(sf_dir: str, n_rows: int = 1500):
     return audio_feature_dataset(ds)
 
 
+def audio_mfcc_clips(sf_dir: str, n_rows: int = 1500):
+    """Per-clip mean MFCCs (decode → mel filterbank → log → DCT-II) —
+    the bounded speech-embedding row a curation pipeline clusters and
+    stratifies on. Actor-pool stage: DCT basis built once per actor, mel
+    filterbank memoized per sample rate
+    (``stages/audio_features.py::MfccStage``; rows-only: payload DSP is
+    not SQL-expressible — amplitude-invariance of c1..c12 is
+    pytest-gated)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import MfccStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        MfccStage, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    )
+
+
 def dedup_audio_fingerprint_clips(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
     """Cross-codec audio dedup: every ``plant_mod``-th clean clip is
     re-emitted under a ``-re`` id, decoded and re-encoded through a
@@ -2778,6 +2797,7 @@ QUERIES = {
     "pack_documents": pack_documents,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
+    "audio_mfcc_clips": audio_mfcc_clips,
     "audio_resample_clips": audio_resample_clips,
     "audio_spectrogram_clips": audio_spectrogram_clips,
     "audio_vad_clips": audio_vad_clips,

@@ -1302,3 +1302,161 @@ class CompressorStage:
                 }
             )
         return pa.Table.from_pylist(rows, schema=COMPRESS_SCHEMA)
+
+
+# --- MFCC features (mel filterbank + DCT cepstrum) ---------------------------
+
+_MFCC_N = 13
+_MFCC_N_MELS = 26
+
+MFCC_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("sr_hz", pa.int32()),
+        ("n_frames", pa.int64()),
+        *[(f"mfcc{i}", pa.float64()) for i in range(_MFCC_N)],
+    ]
+)
+
+
+def mel_filterbank(
+    sr_hz: int, n_fft: int, n_mels: int = _MFCC_N_MELS, fmin: float = 20.0
+) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular mel filterbank (HTK mel scale,
+    ``mel = 2595·log10(1 + f/700)``), peak-normalized triangles on the
+    rfft bin grid — the standard speech-feature front end, numpy-only."""
+    fmax = sr_hz / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_pts = from_mel(mel_pts)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr_hz)
+    fb = np.zeros((n_mels, len(freqs)))
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-12)
+        down = (hi - freqs) / max(hi - ctr, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, 1.0)
+    return fb
+
+
+def mfcc_features(
+    x: np.ndarray,
+    sr_hz: int,
+    fb: np.ndarray,
+    dct_basis: np.ndarray,
+    frame: int,
+    hop: int,
+) -> tuple[int, np.ndarray]:
+    """(n_frames, per-clip MEAN of the first ``n_mfcc`` cepstral
+    coefficients): framed Hamming power spectrum → mel filterbank → log
+    → orthonormal DCT-II. One batched ``rfft`` over all frames.
+
+    DCT-orthonormality invariant (tested): scaling the waveform by a
+    constant shifts every log-mel bin equally, which moves ONLY the
+    c0 coefficient — c1..c12 are amplitude-invariant timbre features."""
+    frames = _frame_signal(np.ascontiguousarray(x), frame, hop)
+    if frames.shape[0] == 0:
+        return 0, np.zeros(dct_basis.shape[0])
+    win = np.hamming(frame)
+    power = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2 / frame
+    mel_e = power @ fb.T  # (n_frames, n_mels)
+    logm = np.log(np.maximum(mel_e, 1e-10))
+    mfcc = logm @ dct_basis.T  # (n_frames, n_mfcc)
+    return frames.shape[0], mfcc.mean(axis=0)
+
+
+class MfccStage:
+    """``map_batches`` actor-pool callable: (clip_id, bytes) → one row of
+    per-clip mean MFCCs (``MFCC_SCHEMA``) — the classic bounded-size
+    speech embedding a curation pipeline clusters / dedups / stratifies
+    on without shipping per-frame matrices through any shuffle.
+
+    Actor state (once per actor, NOT per batch): the orthonormal DCT-II
+    basis in ``__init__``; the mel filterbank + frame geometry memoized
+    per sample rate on first sight (clips arrive mixed-rate). Undecodable
+    payloads emit ``decode_ok=false`` rows, never drop."""
+
+    def __init__(
+        self,
+        n_mfcc: int = _MFCC_N,
+        n_mels: int = _MFCC_N_MELS,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if not (1 <= n_mfcc <= n_mels):
+            raise ValueError("need 1 <= n_mfcc <= n_mels")
+        self.n_mfcc = n_mfcc
+        self.n_mels = n_mels
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+        k = np.arange(n_mels)
+        basis = np.sqrt(2.0 / n_mels) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * np.arange(n_mfcc)[:, None] / (2 * n_mels)
+        )
+        basis[0] /= np.sqrt(2.0)
+        self._dct = basis
+        self._per_sr: dict[int, tuple[np.ndarray, int, int]] = {}
+        self._schema = (
+            MFCC_SCHEMA
+            if n_mfcc == _MFCC_N
+            else pa.schema(
+                [
+                    *list(MFCC_SCHEMA)[:4],
+                    *[(f"mfcc{i}", pa.float64()) for i in range(n_mfcc)],
+                ]
+            )
+        )
+
+    def _geometry(self, sr_hz: int) -> tuple[np.ndarray, int, int]:
+        got = self._per_sr.get(sr_hz)
+        if got is None:
+            frame = max(16, int(0.025 * sr_hz))  # 25 ms / 10 ms hop
+            hop = max(8, int(0.010 * sr_hz))
+            got = (mel_filterbank(sr_hz, frame, self.n_mels), frame, hop)
+            if len(self._per_sr) >= 16:
+                self._per_sr.clear()  # corpora carry a handful of rates
+            self._per_sr[sr_hz] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        rows = []
+        for key, view in zip(keys, views):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "decode_ok": False,
+                "sr_hz": None,
+                "n_frames": None,
+                **{f"mfcc{i}": None for i in range(self.n_mfcc)},
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    fb, frame, hop = self._geometry(sr_hz)
+                    n_frames, coeffs = mfcc_features(
+                        x, sr_hz, fb, self._dct, frame, hop
+                    )
+                    row.update(
+                        {
+                            "decode_ok": True,
+                            "sr_hz": sr_hz,
+                            "n_frames": n_frames,
+                            **{
+                                f"mfcc{i}": float(coeffs[i])
+                                for i in range(self.n_mfcc)
+                            },
+                        }
+                    )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=self._schema)

@@ -530,3 +530,72 @@ def test_compressor_validates_params():
         CompressorStage(ratio=0.5)
     with pytest.raises(ValueError):
         CompressorStage(alpha=0.0)
+
+
+# --- MFCC --------------------------------------------------------------------
+
+
+def test_mel_filterbank_geometry():
+    from fs_schema_validator_ray.stages.audio_features import mel_filterbank
+
+    sr, n_fft = 16000, 400
+    fb = mel_filterbank(sr, n_fft, n_mels=26)
+    assert fb.shape == (26, n_fft // 2 + 1)
+    # every filter has mass; peaks move monotonically up in frequency
+    assert (fb.max(axis=1) > 0).all()
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all() and peaks[-1] > peaks[0]
+    # a pure tone's energy lands in the filter whose center is nearest
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    f0 = 1000.0
+    bin_idx = int(np.argmin(np.abs(freqs - f0)))
+    resp = fb[:, bin_idx]
+    centers = freqs[peaks]
+    assert abs(centers[int(resp.argmax())] - f0) < 200.0
+
+
+def test_mfcc_amplitude_invariance_and_discrimination():
+    """DCT-orthonormality closed form: scaling the waveform moves ONLY
+    c0 (constant shift of every log-mel bin); different timbres separate
+    in c1..c12."""
+    from fs_schema_validator_ray.stages.audio_features import MfccStage, mfcc_features
+
+    stage = MfccStage()
+    sr = 16000
+    fb, frame, hop = stage._geometry(sr)
+
+    # broadband noise keeps every mel bin above the log floor — the
+    # constant-shift property is exact only when no bin is floored
+    rng = np.random.default_rng(4)
+    x = 0.4 * rng.standard_normal(sr) + 0.3 * tone(880, sr=sr)
+    _, c_full = mfcc_features(x, sr, fb, stage._dct, frame, hop)
+    _, c_quiet = mfcc_features(0.25 * x, sr, fb, stage._dct, frame, hop)
+    # c0 shifts by exactly n_mels-normalized log-power delta; c1.. equal
+    assert abs(c_full[0] - c_quiet[0]) > 1.0
+    np.testing.assert_allclose(c_full[1:], c_quiet[1:], atol=1e-8)
+
+    _, c_other = mfcc_features(
+        0.4 * rng.standard_normal(sr // 2) + tone(3000, sr=sr, dur_s=0.5),
+        sr, fb, stage._dct, frame, hop,
+    )
+    assert np.linalg.norm(c_full[1:] - c_other[1:]) > 1.0
+
+
+def test_mfcc_stage_batch(ray_session):
+    from fs_schema_validator_ray.stages.audio_features import MfccStage
+
+    sr = 16000
+    good = audio.encode(tone(440, sr=sr), sr, "pcm_s16le")
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "bad", "b"]),
+            "bytes": pa.array([good, b"notaudio", good], pa.binary()),
+        }
+    )
+    out = MfccStage()(batch).to_pylist()
+    by_id = {r["clip_id"]: r for r in out}
+    assert by_id["bad"]["decode_ok"] is False and by_id["bad"]["mfcc0"] is None
+    assert by_id["a"]["decode_ok"] and by_id["a"]["n_frames"] > 90
+    # determinism: identical payloads → identical coefficients
+    for i in range(13):
+        assert by_id["a"][f"mfcc{i}"] == by_id["b"][f"mfcc{i}"]
