@@ -254,26 +254,27 @@ class TDigest:
         means, weights = means[order], weights[order]
         total = weights.sum()
 
-        out_means: list[float] = []
-        out_weights: list[float] = []
-        cur_mean, cur_w = float(means[0]), float(weights[0])
-        q0 = 0.0
-        k_limit = self._k(np.array([q0]))[0] + 1.0
-        for mean, w in zip(means[1:], weights[1:]):
-            q_new = q0 + (cur_w + w) / total
-            if self._k(np.array([q_new]))[0] <= k_limit:
-                cur_mean += (mean - cur_mean) * w / (cur_w + w)
-                cur_w += w
-            else:
-                out_means.append(cur_mean)
-                out_weights.append(cur_w)
-                q0 += cur_w / total
-                k_limit = self._k(np.array([q0]))[0] + 1.0
-                cur_mean, cur_w = float(mean), float(w)
-        out_means.append(cur_mean)
-        out_weights.append(cur_w)
-        self.means = np.asarray(out_means)
-        self.weights = np.asarray(out_weights)
+        # VECTORIZED k-bin clustering (no Python loop over points): each
+        # sorted point's mid-quantile maps through the k1 scale function;
+        # points sharing a half-width k-bin merge into one centroid. The
+        # k-size of every cluster is ≤ 0.5 — tighter than the sequential
+        # greedy merge's ≤ 1 bound, with the same ≤ delta cluster count —
+        # and the arcsin scale makes edge bins tiny, preserving tail
+        # resolution. O(n log n) sort + O(n) bincounts vs the old O(n)
+        # PYTHON loop (the former stats-pass hot spot at millions of rows
+        # per block).
+        cumw = np.cumsum(weights)
+        q_mid = (cumw - weights / 2.0) / total
+        kq = self._k(q_mid)
+        k0 = self._k(np.array([0.0]))[0]
+        ids = np.floor(2.0 * (kq - k0)).astype(np.int64)
+        ids = np.maximum.accumulate(ids)  # guard fp non-monotonicity
+        nb = int(ids[-1]) + 1
+        w_c = np.bincount(ids, weights=weights, minlength=nb)
+        mw_c = np.bincount(ids, weights=weights * means, minlength=nb)
+        nz = w_c > 0
+        self.weights = w_c[nz]
+        self.means = mw_c[nz] / self.weights
 
     def quantile(self, q: float) -> float:
         self.compress()
