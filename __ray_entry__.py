@@ -897,6 +897,14 @@ SELECT o_orderkey, o_totalprice,
        NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
 FROM orders
 """,
+        "interval_overlap_events": """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS s FROM events),
+l AS (SELECT event_id, s, s + 90000000 AS e FROM e WHERE event_type = 'click'),
+r AS (SELECT event_id, s, s + 60000000 AS e FROM e WHERE event_type = 'purchase')
+SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+       GREATEST(l.s, r.s) AS overlap_lo, LEAST(l.e, r.e) AS overlap_hi
+FROM l JOIN r ON l.s < r.e AND r.s < l.e
+""",
         "setop_except_all_custkeys": """
 SELECT o_custkey FROM orders EXCEPT ALL SELECT user_id FROM events
 """,

@@ -1591,6 +1591,43 @@ def setop_intersect_all_user_type(sf_dir: str):
     return set_op_bag(left, right, ["user_id", "event_type"], "intersect_all")
 
 
+def interval_overlap_events(sf_dir: str):
+    """Interval×interval OVERLAP join on one global timeline (no
+    equi-key): 90 s click attention windows × 60 s purchase windows,
+    one row per intersecting pair with the overlap bounds — banded
+    sweep with exact once-per-pair band ownership, no dedup shuffle
+    (``stages/joins.py::interval_overlap_join``) — oracle-checked
+    against the DuckDB range-predicate join."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import interval_overlap_join
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def spans(kind: str, width_us: int, id_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            s = pc.cast(t.column("ts"), pa.int64())
+            return pa.table(
+                {
+                    id_name: t.column("event_id"),
+                    "lo": s,
+                    "hi": pc.add(s, width_us),
+                }
+            )
+
+        return fn
+
+    left = ds.map_batches(spans("click", 90_000_000, "click_id"), batch_format="pyarrow")
+    right = ds.map_batches(
+        spans("purchase", 60_000_000, "purchase_id"), batch_format="pyarrow"
+    )
+    return interval_overlap_join(
+        left, right, "click_id", "lo", "hi", "purchase_id", "lo", "hi",
+        band_width=90_000_000,
+    )
+
+
 def ntile_orders(sf_dir: str):
     """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey):
     distributed range-partitioned sort with two-phase rank offsets
@@ -2784,6 +2821,7 @@ QUERIES = {
     "setop_except_customers": setop_except_customers,
     "setop_intersect_user_type": setop_intersect_user_type,
     "setop_union_keys": setop_union_keys,
+    "interval_overlap_events": interval_overlap_events,
     "setop_except_all_custkeys": setop_except_all_custkeys,
     "setop_intersect_all_user_type": setop_intersect_all_user_type,
     "ntile_orders": ntile_orders,

@@ -234,6 +234,158 @@ def asof_join(
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def interval_overlap_join(
+    left,
+    right,
+    left_id: str,
+    left_lo: str,
+    left_hi: str,
+    right_id: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: int,
+    n_buckets: int | None = None,
+):
+    """Distributed interval×interval OVERLAP join over one global
+    timeline (no equi-key): every (left, right) pair whose HALF-OPEN
+    int64 intervals intersect — ``l_lo < r_hi AND r_lo < l_hi`` — emits
+    one row ``(left_id, right_id, overlap_lo, overlap_hi)``. The
+    alignment primitive for span data (VAD speech segments × transcript
+    word spans, ad impressions × sessions, sensor outages × jobs).
+
+    Plan — banded sweep with EXACT once-per-pair ownership, no pair
+    dedup shuffle: each interval band-expands to the time bands it
+    spans (``floor(lo/W) .. floor((hi-1)/W)``), ONE
+    ``groupby(band-bucket)`` shuffle, and inside a band the rights are
+    lo-sorted so every left's candidates come from one ``searchsorted``
+    prefix, filtered by ``r_hi > l_lo``. A pair is emitted ONLY by the
+    band containing ``max(l_lo, r_lo)`` — both intervals provably span
+    that band (the overlap contains the max start), so the result is
+    complete and duplicate-free by construction.
+
+    Partitioning assumptions (documented): ``band_width`` should sit
+    near the TYPICAL interval length — expansion factor is
+    ``len/W + 1`` bands per row, while candidate count per left is the
+    band's occupancy. Intervals with ``hi <= lo`` or null fields drop
+    (no overlap is possible). Many intervals crossing one band (a hot
+    time window) co-locate — shrink ``band_width`` or pre-split hot
+    windows upstream, the usual hot-key caveat."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import mix_to_buckets
+
+    if band_width < 1:
+        raise ValueError("band_width must be >= 1")
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+    w = int(band_width)
+    l_id_type = _target_type(left, left_id)
+    r_id_type = _target_type(right, right_id)
+
+    def tag(side: int, id_col: str, lo_col: str, hi_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.and_(pc.is_valid(t.column(id_col)), pc.is_valid(t.column(lo_col))),
+                pc.is_valid(t.column(hi_col)),
+            )
+            t = t.filter(mask)
+            lo = np.asarray(pc.cast(t.column(lo_col), pa.int64()))
+            hi = np.asarray(pc.cast(t.column(hi_col), pa.int64()))
+            keep = hi > lo  # empty intervals cannot overlap
+            t, lo, hi = t.filter(pa.array(keep)), lo[keep], hi[keep]
+            b_lo = lo // w
+            b_hi = (hi - 1) // w
+            reps = (b_hi - b_lo + 1).astype(np.int64)
+            row = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+            # band id per expanded row: b_lo[row] + within-row offset
+            offs = np.concatenate([[0], np.cumsum(reps)])
+            band = b_lo[row] + (np.arange(int(offs[-1]), dtype=np.int64)
+                                - np.repeat(offs[:-1], reps))
+            take = pa.array(row, pa.int64())
+            ids = t.column(id_col).combine_chunks().take(take)
+            return pa.table(
+                {
+                    "__bucket": pa.array(
+                        mix_to_buckets(band.view(np.uint64), n_buckets)
+                    ),
+                    "__band": pa.array(band),
+                    "__side": pa.array(np.full(len(band), side, np.int8)),
+                    "__id_l": ids if side == 0 else pa.nulls(len(band), l_id_type),
+                    "__id_r": ids if side == 1 else pa.nulls(len(band), r_id_type),
+                    "__lo": pa.array(lo[row]),
+                    "__hi": pa.array(hi[row]),
+                }
+            )
+
+        return fn
+
+    tagged = left.select_columns(
+        list(dict.fromkeys([left_id, left_lo, left_hi]))
+    ).map_batches(tag(0, left_id, left_lo, left_hi), batch_format="pyarrow").union(
+        right.select_columns(
+            list(dict.fromkeys([right_id, right_lo, right_hi]))
+        ).map_batches(tag(1, right_id, right_lo, right_hi), batch_format="pyarrow")
+    )
+
+    empty_schema = pa.schema(
+        [
+            (left_id, l_id_type),
+            (right_id, r_id_type),
+            ("overlap_lo", pa.int64()),
+            ("overlap_hi", pa.int64()),
+        ]
+    )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        band = np.asarray(group.column("__band"))
+        side = np.asarray(group.column("__side"))
+        lo = np.asarray(group.column("__lo"))
+        hi = np.asarray(group.column("__hi"))
+        # several bands can share a coarse bucket: sort by (band, side,
+        # lo) and sweep each band's segment independently
+        order = np.lexsort((lo, side, band))
+        band_s, side_s, lo_s, hi_s = band[order], side[order], lo[order], hi[order]
+        out_l, out_r = [], []
+        seg_first = np.concatenate([[True], band_s[1:] != band_s[:-1]])
+        starts = np.flatnonzero(seg_first)
+        ends = np.concatenate([starts[1:], [len(band_s)]])
+        for s, e in zip(starts, ends):
+            b = band_s[s]
+            mid = s + int(np.searchsorted(side_s[s:e], 1))
+            ln = mid - s  # lefts [s, mid), rights [mid, e) — both lo-sorted
+            rn = e - mid
+            if not ln or not rn:
+                continue
+            l_lo, l_hi = lo_s[s:mid], hi_s[s:mid]
+            r_lo, r_hi = lo_s[mid:e], hi_s[mid:e]
+            ub = np.searchsorted(r_lo, l_hi, side="left")  # r_lo < l_hi
+            total = int(ub.sum())
+            if not total:
+                continue
+            li = np.repeat(np.arange(ln), ub)
+            poffs = np.concatenate([[0], np.cumsum(ub)])
+            ri = np.arange(total, dtype=np.int64) - np.repeat(poffs[:-1], ub)
+            maxs = np.maximum(l_lo[li], r_lo[ri])
+            ok = (r_hi[ri] > l_lo[li]) & (maxs // w == b)
+            out_l.append(order[s + li[ok]])
+            out_r.append(order[mid + ri[ok]])
+        if not out_l:
+            return empty_schema.empty_table()
+        l_take = pa.array(np.concatenate(out_l), pa.int64())
+        r_take = pa.array(np.concatenate(out_r), pa.int64())
+        o_lo = np.maximum(lo[np.asarray(l_take)], lo[np.asarray(r_take)])
+        o_hi = np.minimum(hi[np.asarray(l_take)], hi[np.asarray(r_take)])
+        return pa.table(
+            {
+                left_id: group.column("__id_l").combine_chunks().take(l_take),
+                right_id: group.column("__id_r").combine_chunks().take(r_take),
+                "overlap_lo": pa.array(o_lo),
+                "overlap_hi": pa.array(o_hi),
+            }
+        )
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def range_join(
     left,
     right,

@@ -817,3 +817,106 @@ def test_broadcast_cross_join_expansion_and_empty_small(ray_session):
     empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.string())}))
     out = broadcast_cross_join(left, empty, ["x"])
     assert out.count() == 0
+
+
+# --- interval_overlap_join ---------------------------------------------------
+
+
+def test_interval_overlap_randomized_vs_bruteforce(ray_session):
+    """Banded sweep with once-per-pair ownership == exact brute force,
+    across band widths smaller/equal/larger than interval lengths."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 400, 300
+    l_lo = rng.integers(0, 100_000, nl)
+    l_hi = l_lo + rng.integers(1, 5_000, nl)
+    r_lo = rng.integers(0, 100_000, nr)
+    r_hi = r_lo + rng.integers(1, 8_000, nr)
+    lt = pa.table({"lid": pa.array(np.arange(nl)), "lo": pa.array(l_lo), "hi": pa.array(l_hi)})
+    rt = pa.table({"rid": pa.array(np.arange(nr)), "lo": pa.array(r_lo), "hi": pa.array(r_hi)})
+
+    expect = set()
+    for i in range(nl):
+        ov = (l_lo[i] < r_hi) & (r_lo < l_hi[i])
+        for j in np.flatnonzero(ov):
+            expect.add((i, int(j)))
+
+    for w in (500, 4_000, 50_000):
+        out = interval_overlap_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            "lid", "lo", "hi", "rid", "lo", "hi", band_width=w,
+        ).take_all()
+        got = {(r["lid"], r["rid"]) for r in out}
+        assert got == expect, f"band_width={w}"
+        assert len(out) == len(got)  # exactly once per pair
+        for r in out:
+            assert r["overlap_lo"] == max(l_lo[r["lid"]], r_lo[r["rid"]])
+            assert r["overlap_hi"] == min(l_hi[r["lid"]], r_hi[r["rid"]])
+
+
+def test_interval_overlap_edges(ray_session):
+    """Half-open semantics: touching intervals don't overlap; empty and
+    null intervals drop; a long interval spanning many bands pairs once."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import interval_overlap_join
+
+    lt = pa.table(
+        {
+            "lid": pa.array(["a", "b", "c", "d"]),
+            "lo": pa.array([0, 100, 50, None], pa.int64()),
+            "hi": pa.array([10, 100, 5_000, 20], pa.int64()),  # b is empty
+        }
+    )
+    rt = pa.table(
+        {
+            "rid": pa.array(["x", "y", "z"]),
+            "lo": pa.array([10, 95, 4_999], pa.int64()),
+            "hi": pa.array([20, 105, 9_000], pa.int64()),
+        }
+    )
+    out = interval_overlap_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        "lid", "lo", "hi", "rid", "lo", "hi", band_width=7,
+    ).take_all()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    # a-[0,10) vs x-[10,20): touching, NO overlap (half-open)
+    # c-[50,5000) spans hundreds of 7-wide bands; pairs y and z exactly once
+    assert got == [("c", "y"), ("c", "z")]
+
+
+def test_interval_overlap_vad_vs_transcript_spans(ray_session):
+    """Audio alignment shape: energy-VAD speech segments joined to
+    word-level transcript spans — every word span that intersects a
+    speech segment aligns to it."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import interval_overlap_join
+
+    # speech segments (ms): two utterances with a silence gap
+    vad = pa.table(
+        {
+            "seg": pa.array(["s0", "s1"]),
+            "start_ms": pa.array([250, 2_000], pa.int64()),
+            "end_ms": pa.array([1_200, 3_100], pa.int64()),
+        }
+    )
+    words = pa.table(
+        {
+            "word": pa.array(["w0", "w1", "w2", "w3", "w4"]),
+            "start_ms": pa.array([300, 900, 1_400, 2_050, 3_050], pa.int64()),
+            "end_ms": pa.array([600, 1_250, 1_900, 2_600, 3_400], pa.int64()),
+        }
+    )
+    out = interval_overlap_join(
+        ray.data.from_arrow(vad), ray.data.from_arrow(words),
+        "seg", "start_ms", "end_ms", "word", "start_ms", "end_ms",
+        band_width=1_000,
+    ).take_all()
+    got = sorted((r["seg"], r["word"]) for r in out)
+    # w2 sits fully in the silence gap; w1/w4 straddle segment edges
+    assert got == [("s0", "w0"), ("s0", "w1"), ("s1", "w3"), ("s1", "w4")]
