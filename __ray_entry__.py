@@ -441,6 +441,23 @@ SELECT tok.doc_id,
 FROM tok JOIN cnt USING (t) CROSS JOIN tot
 GROUP BY tok.doc_id
 """,
+        "bigram_logprob_documents": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS i FROM arr),
+big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+cnt AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c) AS n FROM cnt GROUP BY w1)
+SELECT big.doc_id,
+       ROUND(SUM(ln(CAST(c AS DOUBLE) / n)) / COUNT(*), 6) AS logprob
+FROM big JOIN cnt USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY big.doc_id
+""",
         "sentence_split_documents": r"""
 WITH arr AS (
   SELECT doc_id,

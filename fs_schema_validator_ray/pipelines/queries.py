@@ -1691,6 +1691,29 @@ def unigram_logprob_documents(sf_dir: str):
     )
 
 
+def bigram_logprob_documents(sf_dir: str):
+    """Bigram LM quality scoring: fit conditional bigram frequencies in
+    one combiner pass, broadcast the model, score each doc's mean
+    ``ln P(w_i | w_{i-1})`` (``stages/textindex.py::bigram_logprob``) —
+    oracle-checked through the ROUND(·,6) float protocol; docs with <2
+    tokens emit no row (SQL inner-join parity)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.textindex import bigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_logprob(ds, "text", "doc_id")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "logprob": pc.round(t.column("logprob"), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sentence_split_documents(sf_dir: str):
     """Sentence segmentation flat-map over the documents corpus — one
     row per non-empty sentence with per-doc renumbered index
@@ -2810,6 +2833,7 @@ QUERIES = {
     "grouped_tdigest_events": grouped_tdigest_events,
     "sentence_split_documents": sentence_split_documents,
     "unigram_logprob_documents": unigram_logprob_documents,
+    "bigram_logprob_documents": bigram_logprob_documents,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "hopping_window_events": hopping_window_events,
     "inverted_index_documents": inverted_index_documents,

@@ -569,3 +569,144 @@ def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id"):
         UnigramScoreStage(model_ref, text_column, id_column),
         batch_format="pyarrow",
     )
+
+
+# --- bigram language model ---------------------------------------------------
+
+_BIGRAM_SEP = "\x1f"
+
+
+def corpus_bigram_counts(ds, text_column: str = "text"):
+    """Global bigram-frequency table ``(bigram, cnt)`` with the two
+    tokens packed as ``w1\\x1fw2`` — per-batch ``value_counts`` partials
+    over ADJACENT same-document token pairs, token-bucketed merge
+    (the same combiner discipline as :func:`corpus_token_counts`)."""
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, rows = _flat_tokens(batch.column(text_column))
+        if len(flat) >= 2:
+            same = rows[1:] == rows[:-1]
+        else:
+            same = np.zeros(0, bool)
+        if not same.any():
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        packed = pc.binary_join_element_wise(
+            pa.array(flat[:-1][same], pa.string()),
+            pa.array(flat[1:][same], pa.string()),
+            _BIGRAM_SEP,
+        )
+        vc = pc.value_counts(packed)
+        return pa.table(
+            {"bigram": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    return group_sum_bucketed(
+        ds.select_columns([text_column]).map_batches(partial, batch_format="pyarrow"),
+        "bigram",
+        ["cnt"],
+    )
+
+
+class BigramScoreStage:
+    """map_batches callable: mean conditional log-probability
+    ``ln P(w_i | w_{i-1})`` per document under the broadcast bigram
+    model — two ``pc.index_in`` kernels (bigram table + context table,
+    resolved once per actor), segment sums over the flat bigram stream.
+    Documents with fewer than two tokens emit no row (no bigram exists —
+    SQL inner-join semantics vs the bigram CTE)."""
+
+    def __init__(self, model_ref, text_column="text", id_column="doc_id") -> None:
+        self.model_ref = model_ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self._model = None
+
+    def _resolve(self):
+        if self._model is None:
+            import ray
+
+            obj = self.model_ref
+            self._model = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bigrams, b_counts, ctx_vocab, ctx_counts = self._resolve()
+        ids = batch.column(self.id_column).combine_chunks()
+        flat, rows = _flat_tokens(batch.column(self.text_column))
+        empty = pa.table(
+            {self.id_column: ids.slice(0, 0), "logprob": pa.array([], pa.float64())}
+        )
+        if len(flat) < 2:
+            return empty
+        same = rows[1:] == rows[:-1]
+        if not same.any():
+            return empty
+        w1 = pa.array(flat[:-1][same], pa.string())
+        packed = pc.binary_join_element_wise(
+            w1, pa.array(flat[1:][same], pa.string()), _BIGRAM_SEP
+        )
+        brows = rows[:-1][same]
+        bpos = np.asarray(pc.index_in(packed, value_set=bigrams).fill_null(-1),
+                          dtype=np.int64)
+        cpos = np.asarray(pc.index_in(w1, value_set=ctx_vocab).fill_null(-1),
+                          dtype=np.int64)
+        c = np.where(bpos >= 0, b_counts[np.clip(bpos, 0, None)], 0.0)
+        nctx = np.where(cpos >= 0, ctx_counts[np.clip(cpos, 0, None)], 0.0)
+        # self-trained: every in-corpus bigram hits; OOV (scoring new
+        # text) falls back to add-one mass over the context
+        logp = np.log(np.where(c > 0, c, 1.0) / np.where(nctx > 0, nctx + (c <= 0), 1.0))
+        n_docs = batch.num_rows
+        sums = np.zeros(n_docs, np.float64)
+        np.add.at(sums, brows, logp)
+        nbig = np.bincount(brows, minlength=n_docs)
+        keep = nbig > 0
+        return pa.table(
+            {
+                self.id_column: ids.take(pa.array(np.flatnonzero(keep), pa.int64())),
+                "logprob": pa.array(sums[keep] / nbig[keep], pa.float64()),
+            }
+        )
+
+
+def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Bigram language-model scoring: FIT conditional bigram frequencies
+    ``P(w2 | w1) = c(w1,w2) / c(w1,·)`` in one combiner pass, broadcast
+    the model once (``ray.put``; the context table derives from the
+    bigram table on the driver — no extra corpus pass), score every
+    document's mean conditional log-probability in one more streaming
+    pass. Two corpus reads total, same shape/budget as
+    :func:`unigram_logprob` (at ~10⁸-bigram corpora, co-partition the
+    score pass with the count table on token buckets instead of
+    broadcasting — the documented TF-IDF switchover)."""
+    import ray
+
+    blocks = [
+        b
+        for b in corpus_bigram_counts(ds, text_column).iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_columns
+    ]
+    if blocks:
+        tbl = pa.concat_tables([b.select(["bigram", "cnt"]) for b in blocks])
+        bigrams = tbl.column("bigram").combine_chunks()
+        b_counts = np.asarray(tbl.column("cnt"), dtype=np.float64)
+        # context counts c(w1,·): split the packed key once, driver-side
+        w1 = pc.list_element(pc.split_pattern(bigrams, _BIGRAM_SEP), 0)
+        ctx_vocab, codes = np.unique(np.asarray(w1, dtype=object), return_inverse=True)
+        ctx_counts = np.zeros(len(ctx_vocab))
+        np.add.at(ctx_counts, codes, b_counts)
+        ctx_vocab = pa.array(ctx_vocab, pa.string())
+    else:
+        bigrams = pa.array([], pa.string())
+        b_counts = np.zeros(0)
+        ctx_vocab = pa.array([], pa.string())
+        ctx_counts = np.zeros(0)
+    model_ref = ray.put((bigrams, b_counts, ctx_vocab, ctx_counts))
+    return ds.select_columns([id_column, text_column]).map_batches(
+        BigramScoreStage(model_ref, text_column, id_column),
+        batch_format="pyarrow",
+    )

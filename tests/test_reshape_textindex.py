@@ -440,3 +440,33 @@ def test_unigram_logprob_ground_truth(ray_session):
     assert out[2] == pytest.approx((np.log(p["the"]) + np.log(p["cat"])) / 2)
     assert out[3] == pytest.approx(np.log(p["the"]))
     assert 4 not in out  # zero-token docs emit no row
+
+
+def test_bigram_logprob_ground_truth(ray_session):
+    """Hand-computed conditional bigram probabilities on a 3-doc corpus;
+    a single-token doc emits no row (no bigram exists)."""
+    import math
+
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import bigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "a b c", "solo"]),
+        }
+    )
+    out = {
+        r["doc_id"]: r["logprob"]
+        for r in bigram_logprob(
+            ray.data.from_arrow(t).repartition(2), "text", "doc_id"
+        ).take_all()
+    }
+    # corpus bigrams: (a,b)x3 (b,a)x1 (b,c)x1 → ctx a=3, b=2
+    p_ab, p_ba, p_bc = 3 / 3, 1 / 2, 1 / 2
+    want1 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    want2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1] == pytest.approx(want1, abs=1e-12)
+    assert out[2] == pytest.approx(want2, abs=1e-12)
+    assert 3 not in out  # single token → no bigram → no row
