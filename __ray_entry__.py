@@ -925,6 +925,30 @@ FROM l JOIN r ON l.s < r.e AND r.s < l.e
         "setop_except_all_custkeys": """
 SELECT o_custkey FROM orders EXCEPT ALL SELECT user_id FROM events
 """,
+        "spearman_lineitem": """
+WITH r AS (
+  SELECT l_returnflag,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+SELECT l_returnflag, COUNT(*) AS n, ROUND(corr(rx, ry), 6) AS spearman
+FROM r GROUP BY l_returnflag
+""",
+        "mad_lineitem_quantity": """
+WITH med AS (
+  SELECT l_returnflag, CAST(ROUND(2 * median(l_quantity)) AS BIGINT) AS m2
+  FROM lineitem GROUP BY l_returnflag),
+d AS (
+  SELECT l.l_returnflag, abs(2 * l.l_quantity - m.m2) AS dev2
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  WHERE l.l_quantity IS NOT NULL)
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(median(dev2) / 2.0, 6) AS mad
+FROM d GROUP BY l_returnflag
+""",
         "setop_intersect_all_user_type": """
 SELECT user_id, event_type FROM events WHERE value > 50
 INTERSECT ALL

@@ -1747,6 +1747,29 @@ def grouped_median_lineitem(sf_dir: str):
     return grouped_quantile_disc(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
 
 
+def spearman_lineitem(sf_dir: str):
+    """Per-key Spearman rank correlation of quantity vs extended price
+    — ONE bucketed shuffle, vectorized fractional ranks + exact rank
+    moments (``stages/agg.py::grouped_spearman``) — oracle-checked
+    against DuckDB ``corr`` over window-function average ranks
+    (ROUND(·,6) protocol)."""
+    from fs_schema_validator_ray.stages.agg import grouped_spearman
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_spearman(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def mad_lineitem_quantity(sf_dir: str):
+    """Exact grouped median absolute deviation of l_quantity per return
+    flag — two quantile combiner shuffles + one KB median broadcast,
+    integer-exact via the 2× trick (``stages/agg.py::grouped_mad``) —
+    oracle-checked against the DuckDB two-level median CTE."""
+    from fs_schema_validator_ray.stages.agg import grouped_mad
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, "l_returnflag", "l_quantity")
+
+
 def percentile_cont_lineitem(sf_dir: str):
     """Interpolated per-group percentiles (SQL ``PERCENTILE_CONT`` at
     p25/p50/p75 of extended price per return flag) — same (key, value)-
@@ -2794,6 +2817,8 @@ QUERIES = {
     "range_window_events": range_window_events,
     "right_join_orders_customer": right_join_orders_customer,
     "percentile_cont_lineitem": percentile_cont_lineitem,
+    "mad_lineitem_quantity": mad_lineitem_quantity,
+    "spearman_lineitem": spearman_lineitem,
     "distinct_users_by_type": distinct_users_by_type,
     "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
     "histogram_orders_totalprice": histogram_orders_totalprice,

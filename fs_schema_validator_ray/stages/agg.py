@@ -1428,3 +1428,183 @@ def weighted_sample(ds, id_column: str, weight_column: str, k: int):
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_mad(ds, key_column: str, value_column: str):
+    """EXACT grouped median absolute deviation —
+    ``median(|v − median(v)|)`` per key (SQL ``mad()``) — as two
+    (key, value)-count quantile combiner shuffles plus one broadcast:
+
+    1. per-key interpolated median (``grouped_quantile_disc`` with
+       PERCENTILE_CONT semantics),
+    2. medians ship once via ``ray.put`` (KB — one row per key) with a
+       per-worker vectorized hash index (the ``iqr_outlier_filter``
+       pattern),
+    3. absolute deviations re-quantile through the same combiner.
+
+    Integer-exact protocol: the interpolated median of ints is always a
+    multiple of 0.5, so deviations are computed as the INTEGER
+    ``dev2 = |2·v − 2·median|`` and the final ``mad = median(dev2)/2``
+    (ROUND(·,6)) — no float ever enters a shuffle. Output:
+    ``(key, n, mad)`` with ``n`` = non-null deviation count. Keys whose
+    values are ALL null drop (their median is undefined; re-union
+    upstream if SQL GROUP BY presence for such keys matters)."""
+    import pandas as pd
+    import ray
+
+    med_parts = list(
+        grouped_quantile_disc(
+            ds.select_columns([key_column, value_column]),
+            key_column, value_column, [0.5], interpolate=True,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if med_parts:
+        med_tbl = pa.concat_tables(med_parts)
+        med_tbl = med_tbl.filter(pc.is_valid(med_tbl.column("p_50")))
+        keys_pd = med_tbl.column(key_column).to_pandas()
+        med2 = np.rint(2.0 * np.asarray(med_tbl.column("p_50"))).astype(np.int64)
+    else:
+        keys_pd = pd.Series([], dtype=object)
+        med2 = np.zeros(0, dtype=np.int64)
+    ref = ray.put({"keys": keys_pd, "lo": med2, "hi": med2, "q1": med2, "q3": med2})
+
+    def deviations(t: pa.Table) -> pa.Table:
+        state = _iqr_bounds_index(ref)  # same per-process cached index
+        t = t.select([key_column, value_column])
+        idx = state["index"].get_indexer(t.column(key_column).to_pandas())
+        v = t.column(value_column)
+        valid = np.asarray(pc.is_valid(v)) & (idx >= 0)
+        vv = np.asarray(pc.fill_null(pc.cast(v, pa.int64()), 0), dtype=np.int64)
+        dev2 = np.abs(2 * vv - state["lo"][np.maximum(idx, 0)])
+        out = pa.table(
+            {
+                key_column: t.column(key_column),
+                "dev2": pa.array(dev2, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(valid))
+
+    devs = ds.select_columns([key_column, value_column]).map_batches(
+        deviations, batch_format="pyarrow"
+    )
+    out = grouped_quantile_disc(devs, key_column, "dev2", [0.5], interpolate=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_column: t.column(key_column),
+                "n": t.column("n"),
+                "mad": pc.round(
+                    pc.divide(t.column("p_50"), 2.0), ndigits=6
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_spearman(ds, key_column: str, x_column: str, y_column: str):
+    """Per-key Spearman rank correlation — Pearson correlation of
+    AVERAGE ranks (ties share the mean of their positions, the standard
+    fractional ranking) — in ONE bucketed key shuffle: both columns are
+    rank-transformed per key with vectorized tie-run means inside each
+    bucket, then the correlation comes from exact rank-moment sums.
+
+    Float-exactness argument (oracle protocol): average ranks are
+    multiples of 0.5, so every product is a multiple of 0.25 and all
+    moment sums stay below 2^53·0.25 at any realistic group size —
+    the sums are EXACT doubles regardless of summation order, and only
+    the final closed-form division needs the ROUND(·,6) protocol.
+
+    SQL semantics: rows with a null in either column are excluded
+    (``corr`` pair semantics); keys with fewer than 2 pairs or zero
+    variance in either rank emit NULL. Output ``(key, n, spearman)``."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(x_column)), pc.is_valid(t.column(y_column)))
+        t = t.select([key_column, x_column, y_column]).filter(mask)
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def avg_ranks(seg: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        """1-based fractional ranks of ``vals`` within each ``seg``
+        segment id (vectorized: one lexsort + tie-run mean positions)."""
+        n = len(vals)
+        order = np.lexsort((vals, seg))
+        seg_s, val_s = seg[order], vals[order]
+        seg_first = np.concatenate([[True], seg_s[1:] != seg_s[:-1]])
+        seg_start = np.flatnonzero(seg_first)
+        seg_lens = np.diff(np.concatenate([seg_start, [n]]))
+        pos = np.arange(n) - np.repeat(seg_start, seg_lens)  # 0-based in segment
+        run_first = seg_first | np.concatenate([[True], val_s[1:] != val_s[:-1]])
+        run_start = np.flatnonzero(run_first)
+        run_lens = np.diff(np.concatenate([run_start, [n]]))
+        # average 0-based position of each tie run + 1 → fractional rank
+        avg = pos[run_start] + (run_lens - 1) / 2.0 + 1.0
+        ranks = np.empty(n)
+        ranks[order] = np.repeat(avg, run_lens)
+        return ranks
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        key_col = group.column(key_column).combine_chunks()
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_column: key_col.slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                    "spearman": pa.array([], pa.float64()),
+                }
+            )
+        seg = key_codes(key_col)
+        x = np.asarray(pc.cast(group.column(x_column), pa.float64()))
+        y = np.asarray(pc.cast(group.column(y_column), pa.float64()))
+        rx = avg_ranks(seg, x)
+        ry = avg_ranks(seg, y)
+        # one representative row index per segment, deterministic
+        order = np.argsort(seg, kind="stable")
+        seg_s = seg[order]
+        first = np.flatnonzero(np.concatenate([[True], seg_s[1:] != seg_s[:-1]]))
+        rep = order[first]
+        k = len(rep)
+        comp = np.searchsorted(seg_s[first], seg)  # dense 0..k-1 per row
+        n_arr = np.bincount(comp, minlength=k).astype(np.float64)
+        sx = np.bincount(comp, weights=rx, minlength=k)
+        sy = np.bincount(comp, weights=ry, minlength=k)
+        sxx = np.bincount(comp, weights=rx * rx, minlength=k)
+        syy = np.bincount(comp, weights=ry * ry, minlength=k)
+        sxy = np.bincount(comp, weights=rx * ry, minlength=k)
+        num = n_arr * sxy - sx * sy
+        vx = n_arr * sxx - sx * sx
+        vy = n_arr * syy - sy * sy
+        ok = (n_arr >= 2) & (vx > 0) & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rho = np.where(ok, num / np.sqrt(vx * vy), np.nan)
+        rho = np.round(rho, 6)
+        return pa.table(
+            {
+                key_column: key_col.take(pa.array(rep, pa.int64())),
+                "n": pa.array(n_arr.astype(np.int64)),
+                "spearman": pa.array(
+                    [None if not o else float(v) for o, v in zip(ok, rho)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key_column, x_column, y_column])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -5,6 +5,7 @@ determinism with duplicate ids (VERDICT r2 items 3-4 + ADVICE)."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 
 def test_iqr_outlier_filter_100k_keys(ray_session):
@@ -103,3 +104,65 @@ def test_weighted_sample_duplicate_ids_deterministic(ray_session):
     # the duplicate id's rows are interchangeable: identical (id, w,
     # priority) rows — the selected multiset is what must be stable
     assert len(results[0]) == 25
+
+
+def test_grouped_mad_and_spearman_ground_truth(ray_session):
+    """MAD vs hand-computed medians (incl. nulls dropped); Spearman vs a
+    direct numpy fractional-rank Pearson on each group, incl. ties, a
+    perfectly monotone group (rho=1) and an n=1 group (NULL)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import grouped_mad, grouped_spearman
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 7 + ["b"] * 5 + ["c"]),
+            "x": pa.array([1, 2, 2, 3, 10, None, 4, 1, 2, 3, 4, 5, 9], pa.int64()),
+            "y": pa.array([5, 1, 1, 8, 9, 7, 2, 2, 4, 6, 8, 10, 3], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    mad = {
+        r["k"]: (r["n"], r["mad"])
+        for r in grouped_mad(ds, "k", "x").take_all()
+    }
+    # a: non-null x = [1,2,2,3,10,4] → median 2.5, |dev| = [1.5,.5,.5,.5,7.5,1.5] → median 1.0
+    assert mad["a"] == (6, 1.0)
+    # b: [1..5] → median 3, devs [2,1,0,1,2] → median 1
+    assert mad["b"] == (5, 1.0)
+    assert mad["c"] == (1, 0.0)
+
+    def frac_ranks(v):
+        v = np.asarray(v, float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2.0 + 1.0
+            i = j
+        return ranks
+
+    got = {r["k"]: (r["n"], r["spearman"])
+           for r in grouped_spearman(ds, "k", "x", "y").take_all()}
+    df = t.to_pandas().dropna(subset=["x", "y"])
+    for k, sub in df.groupby("k"):
+        rx, ry = frac_ranks(sub["x"]), frac_ranks(sub["y"])
+        n = len(sub)
+        if n < 2 or rx.std() == 0 or ry.std() == 0:
+            assert got[k] == (n, None)
+            continue
+        num = n * (rx * ry).sum() - rx.sum() * ry.sum()
+        den = np.sqrt(
+            (n * (rx * rx).sum() - rx.sum() ** 2)
+            * (n * (ry * ry).sum() - ry.sum() ** 2)
+        )
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(round(num / den, 6), abs=1e-9)
+    # b is strictly monotone in both → rho exactly 1
+    assert got["b"] == (5, 1.0)
+    assert got["c"] == (1, None)
