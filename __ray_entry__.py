@@ -925,6 +925,27 @@ FROM l JOIN r ON l.s < r.e AND r.s < l.e
         "setop_except_all_custkeys": """
 SELECT o_custkey FROM orders EXCEPT ALL SELECT user_id FROM events
 """,
+        "throttle_events_per_user": """
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, user_id FROM w WHERE p IS NULL OR t - p > 600000000
+""",
+        "top_bigrams_documents": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS i FROM arr),
+big AS (SELECT a.t || chr(31) || b.t AS bigram
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+SELECT bigram, COUNT(*) AS cnt FROM big GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 25
+""",
         "spearman_lineitem": """
 WITH r AS (
   SELECT l_returnflag,

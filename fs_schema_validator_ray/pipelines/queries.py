@@ -1747,6 +1747,52 @@ def grouped_median_lineitem(sf_dir: str):
     return grouped_quantile_disc(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
 
 
+def throttle_events_per_user(sf_dir: str):
+    """Per-user burst throttling: keep events whose gap from the
+    previous SAME-USER event exceeds 10 minutes (LAG semantics; first
+    event always kept) — one bucketed shuffle + vectorized segment diff
+    (``stages/window.py::throttle_per_key``) — oracle-checked against
+    the SQL LAG window."""
+    from fs_schema_validator_ray.stages.window import throttle_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = throttle_per_key(
+        ds, "user_id", "ts", "event_id", min_gap=600_000_000
+    )
+    return out.select_columns(["event_id", "user_id"])
+
+
+def top_bigrams_documents(sf_dir: str, k: int = 25):
+    """Global top-k most frequent bigrams across the corpus — the
+    combiner bigram count pass (``corpus_bigram_counts``) followed by a
+    per-block partial top-k + tiny driver-side final merge (the same
+    local-head discipline as the CLI render; no global sort) —
+    oracle-checked with a deterministic (count DESC, bigram ASC) order."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.textindex import corpus_bigram_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = corpus_bigram_counts(ds, "text")
+    sort_keys = [("cnt", "descending"), ("bigram", "ascending")]
+
+    def local_head(t: pa.Table) -> pa.Table:
+        t = t.select(["bigram", "cnt"])
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx.slice(0, k))
+
+    parts = list(
+        counts.map_batches(local_head, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
+    return merged.take(pc.sort_indices(merged, sort_keys=sort_keys).slice(0, k))
+
+
 def spearman_lineitem(sf_dir: str):
     """Per-key Spearman rank correlation of quantity vs extended price
     — ONE bucketed shuffle, vectorized fractional ranks + exact rank
@@ -2819,6 +2865,8 @@ QUERIES = {
     "percentile_cont_lineitem": percentile_cont_lineitem,
     "mad_lineitem_quantity": mad_lineitem_quantity,
     "spearman_lineitem": spearman_lineitem,
+    "throttle_events_per_user": throttle_events_per_user,
+    "top_bigrams_documents": top_bigrams_documents,
     "distinct_users_by_type": distinct_users_by_type,
     "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
     "histogram_orders_totalprice": histogram_orders_totalprice,

@@ -624,3 +624,74 @@ def per_key_ewma(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def throttle_per_key(
+    ds,
+    key_column: str,
+    ts_column: str,
+    id_column: str,
+    min_gap: int,
+    keep_columns: list[str] | None = None,
+):
+    """Per-key rate limiting / burst dedup: keep a row iff its timestamp
+    is more than ``min_gap`` after the PREVIOUS row of the same key in
+    ``(ts, id)`` order (first row of a key always survives) — SQL
+    ``LAG``-gap semantics, NOT the greedy chain (a dropped row still
+    anchors the next gap; the greedy variant is order-recursive and not
+    SQL-expressible). The training-data shape: collapse duplicate
+    telemetry bursts / retry storms before aggregation.
+
+    ONE bucketed key shuffle of the pruned columns, per-bucket lexsort +
+    one ``diff`` for every key segment (no per-key Python). ``min_gap``
+    is in the timestamp's native int64 unit. Null key/ts rows drop
+    (their gap is undefined — SQL LAG over a null partition/order yields
+    no comparison)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets()
+    cols = list(dict.fromkeys([key_column, ts_column, id_column, *(keep_columns or [])]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        mask = pc.and_(pc.is_valid(t.column(key_column)), pc.is_valid(t.column(ts_column)))
+        t = t.filter(mask)
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        t = t.set_column(
+            t.schema.get_field_index(ts_column),
+            ts_column,
+            pc.cast(t.column(ts_column), pa.int64()),
+        )
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        drop = ["__bucket"]
+        if group.num_rows == 0:
+            return group.drop_columns(drop)
+        seg = key_codes(group.column(key_column).combine_chunks())
+        ts = np.asarray(group.column(ts_column), dtype=np.int64)
+        ids = stable_key_array(group.column(id_column).combine_chunks())
+        order = np.lexsort((ids, ts, seg))
+        seg_s, ts_s = seg[order], ts[order]
+        first = np.concatenate([[True], seg_s[1:] != seg_s[:-1]])
+        gap_ok = np.concatenate([[True], (ts_s[1:] - ts_s[:-1]) > min_gap])
+        keep = first | gap_ok
+        return group.take(pa.array(np.sort(order[keep]), pa.int64())).drop_columns(drop)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

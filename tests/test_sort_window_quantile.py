@@ -785,3 +785,27 @@ def test_per_key_ewma_alpha_one_and_validation(ray_session):
     assert out.loc[0] == 5.0 and out.loc[1] == 7.0
     with pytest.raises(ValueError):
         per_key_ewma(ray.data.from_arrow(t), "k", ["ts"], "v", alpha=0.0)
+
+
+def test_throttle_per_key_lag_semantics(ray_session):
+    """LAG-gap (not greedy-chain) semantics: a dropped row still anchors
+    the next row's gap; first row of each key survives; null key/ts drop."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.window import throttle_per_key
+
+    t = pa.table(
+        {
+            "k": pa.array(["u", "u", "u", "u", "v", None, "w"]),
+            "ts": pa.array([0, 50, 120, 300, 10, 5, None], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        }
+    )
+    out = throttle_per_key(
+        ray.data.from_arrow(t).repartition(3), "k", "ts", "id", min_gap=100
+    ).take_all()
+    got = sorted(r["id"] for r in out)
+    # u: 0 keep; 50 drop (gap 50); 120 KEEP (gap from 50 is 70? no — LAG
+    # anchors on the PREVIOUS ROW (kept or not): 120-50=70 ≤ 100 → drop;
+    # 300-120=180 > 100 → keep. v: first keeps. null rows drop.
+    assert got == [1, 4, 5]
