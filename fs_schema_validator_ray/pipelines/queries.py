@@ -2650,6 +2650,22 @@ def audio_mfcc_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def audio_pitch_clips(sf_dir: str, n_rows: int = 1500):
+    """Per-clip pitch tracking (40 ms autocorrelation frames via batched
+    Wiener-Khinchin FFT, parabolic peak interpolation, voicing gate) —
+    median f0 + voiced ratio per clip, the prosody screen of a speech
+    curation pipeline (``stages/audio_features.py::PitchStage``;
+    rows-only: payload DSP is not SQL-expressible — pure-tone accuracy
+    is pytest-gated to 1%)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import PitchStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(PitchStage(), batch_format="pyarrow", batch_size=256)
+
+
 def dedup_audio_fingerprint_clips(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
     """Cross-codec audio dedup: every ``plant_mod``-th clean clip is
     re-emitted under a ``-re`` id, decoded and re-encoded through a
@@ -2933,6 +2949,7 @@ QUERIES = {
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
     "audio_mfcc_clips": audio_mfcc_clips,
+    "audio_pitch_clips": audio_pitch_clips,
     "audio_resample_clips": audio_resample_clips,
     "audio_spectrogram_clips": audio_spectrogram_clips,
     "audio_vad_clips": audio_vad_clips,

@@ -599,3 +599,42 @@ def test_mfcc_stage_batch(ray_session):
     # determinism: identical payloads → identical coefficients
     for i in range(13):
         assert by_id["a"][f"mfcc{i}"] == by_id["b"][f"mfcc{i}"]
+
+
+# --- pitch -------------------------------------------------------------------
+
+
+def test_pitch_f0_pure_tones():
+    from fs_schema_validator_ray.stages.audio_features import pitch_f0
+
+    sr = 16000
+    for f in (110.0, 220.0, 440.0):
+        n_frames, ratio, f0 = pitch_f0(tone(f, sr=sr), sr)
+        assert n_frames > 40 and ratio > 0.9
+        assert f0 == pytest.approx(f, rel=0.01), f
+
+    # white noise: autocorrelation peak stays below the voicing threshold
+    rng = np.random.default_rng(2)
+    n_frames, ratio, f0 = pitch_f0(0.3 * rng.standard_normal(sr), sr)
+    assert ratio < 0.2
+    # silence: energy gate rejects every frame
+    n_frames, ratio, f0 = pitch_f0(np.zeros(sr), sr)
+    assert ratio == 0.0 and f0 is None
+
+
+def test_pitch_stage_batch(ray_session):
+    from fs_schema_validator_ray.stages.audio_features import PitchStage
+
+    sr = 16000
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["tone", "bad"]),
+            "bytes": pa.array(
+                [audio.encode(tone(220, sr=sr), sr, "pcm_s16le"), b"junk"],
+                pa.binary(),
+            ),
+        }
+    )
+    rows = {r["clip_id"]: r for r in PitchStage()(batch).to_pylist()}
+    assert rows["bad"]["decode_ok"] is False and rows["bad"]["f0_hz"] is None
+    assert rows["tone"]["decode_ok"] and abs(rows["tone"]["f0_hz"] - 220) < 3
