@@ -67,6 +67,18 @@ HEADLINE_QUERIES = [
     "fuzzy_join_part_names",
     "unigram_logprob_documents",
     "zscore_lineitem",
+    # round-3 additions
+    "ntile_orders_desc",
+    "right_join_orders_customer",
+    "setop_except_all_custkeys",
+    "interval_overlap_events",
+    "bigram_logprob_documents",
+    "mad_lineitem_quantity",
+    "spearman_lineitem",
+    "throttle_events_per_user",
+    "audio_mfcc_clips",
+    "audio_pitch_clips",
+    "image_phash_dedup",
 ]
 
 

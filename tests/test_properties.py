@@ -189,3 +189,43 @@ def test_pairwise_jaccard_matches_setops(pairs, threshold):
         j = len(sa & sb) / union
         assert sim[i] == j
         assert keep[i] == (j >= threshold)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_png_decoder_total(payload):
+    """Arbitrary bytes either decode or raise the typed PngError — never
+    an arbitrary exception (the validate stage turns PngError into a
+    violation row; anything else would kill the batch)."""
+    from fs_schema_validator_ray.functions.png import PngError, decode_png
+
+    try:
+        decode_png(payload)
+    except PngError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_png_decoder_total_with_signature(payload):
+    from fs_schema_validator_ray.functions.png import PngError, decode_png
+
+    try:
+        decode_png(b"\x89PNG\r\n\x1a\n" + payload)
+    except PngError:
+        pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.floats(-1e9, 1e9, allow_nan=False), min_size=1, max_size=2000))
+def test_tdigest_compress_invariants(vals):
+    """Vectorized k-bin compression: total weight is conserved exactly,
+    cluster count stays <= delta+1, and centroids remain sorted and
+    inside the data range."""
+    td = TDigest()
+    td.add(np.asarray(vals))
+    td.compress()
+    assert td.count() == float(len(vals))
+    assert len(td.means) <= td.delta + 1
+    assert np.all(np.diff(td.means) >= 0)
+    assert min(vals) - 1e-9 <= td.means[0] and td.means[-1] <= max(vals) + 1e-9
