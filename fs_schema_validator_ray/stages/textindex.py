@@ -537,21 +537,40 @@ class UnigramScoreStage:
         )
 
 
-def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id"):
+def unigram_logprob(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_broadcast_vocab: int | None = None,
+):
     """Corpus-statistics language-model scoring (the cheap perplexity
     proxy a quality-filter pipeline runs): FIT a unigram model from one
     token-count pass over the corpus, broadcast the vocab once
     (``ray.put``; ~10⁷ entries at real-corpus scale, same budget as the
     TF-IDF vocab), then score every document's mean token
     log-probability in one more streaming pass. Two corpus reads total;
-    nothing driver-side except the vocab table."""
+    nothing driver-side except the vocab table.
+
+    ``max_broadcast_vocab``: when set and the fitted vocabulary exceeds
+    it, the scorer SWITCHES to the fully distributed co-partitioned path
+    (:func:`unigram_logprob_copartitioned`) — the count table stays in
+    the object store and per-doc token counts hash-join it on token
+    buckets; no vocab ever lands on the driver or in one broadcast blob.
+    Parity between the two paths is pytest-gated."""
     import ray
 
+    if max_broadcast_vocab is not None:
+        counts_ds = corpus_token_counts(ds, text_column, id_column).materialize()
+        if counts_ds.count() > max_broadcast_vocab:
+            return unigram_logprob_copartitioned(
+                ds, counts_ds, text_column, id_column
+            )
+        cnt_source = counts_ds
+    else:
+        cnt_source = corpus_token_counts(ds, text_column, id_column)
     cnt_blocks = [
         b
-        for b in corpus_token_counts(ds, text_column, id_column).iter_batches(
-            batch_format="pyarrow"
-        )
+        for b in cnt_source.iter_batches(batch_format="pyarrow")
         if b.num_columns
     ]
     if cnt_blocks:
@@ -568,6 +587,126 @@ def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id"):
     return ds.select_columns([id_column, text_column]).map_batches(
         UnigramScoreStage(model_ref, text_column, id_column),
         batch_format="pyarrow",
+    )
+
+
+def unigram_logprob_copartitioned(
+    ds,
+    counts_ds=None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+):
+    """Fully distributed unigram scoring — the documented at-scale
+    switchover when the vocabulary is too large to broadcast (mirrors
+    the MinHash verify join's broadcast→co-partition switch):
+
+    1. the fitted ``(token, cnt)`` table stays a MATERIALIZED Dataset in
+       the object store (vocab-sized — bounded, ≪ corpus; pass
+       ``counts_ds`` to reuse an existing fit),
+    2. corpus total = one tiny partial-sum pass over that table,
+    3. per-doc distinct ``(doc_id, token, k)`` count rows hash-join the
+       count table ON TOKEN (both sides large — ``hash_join``'s bucketed
+       exchange), so each row picks up its corpus frequency without any
+       driver or broadcast state,
+    4. per-doc ``Σ k·ln(cnt/total) / Σ k`` via per-batch float partials
+       + one bucketed doc-id merge.
+
+    Same result as the broadcast path (pytest parity gate; float sums
+    may differ in the last ulp — compare with tolerance, or through the
+    ROUND(·,6) oracle protocol)."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.stages.joins import hash_join
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if counts_ds is None:
+        counts_ds = corpus_token_counts(ds, text_column, id_column).materialize()
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        s = pc.sum(t.column("cnt")).as_py() or 0
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    total = float(
+        sum(
+            int(b.column("s")[i].as_py())
+            for b in counts_ds.select_columns(["cnt"])
+            .map_batches(total_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for i in range(b.num_rows)
+        )
+    )
+
+    def doc_token_counts(batch: pa.Table) -> pa.Table:
+        flat, rows = _flat_tokens(batch.column(text_column))
+        ids_col = batch.column(id_column).combine_chunks()
+        if not len(flat):
+            return pa.table(
+                {
+                    id_column: ids_col.slice(0, 0),
+                    "token": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        uniq, codes = np.unique(flat, return_inverse=True)
+        order = np.lexsort((codes, rows))
+        r_s, c_s = rows[order], codes[order]
+        first = np.concatenate([[True], (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])])
+        starts = np.flatnonzero(first)
+        k = np.diff(np.concatenate([starts, [len(r_s)]]))
+        return pa.table(
+            {
+                id_column: ids_col.take(pa.array(r_s[starts], pa.int64())),
+                "token": pa.array(uniq[c_s[starts]], pa.string()),
+                "k": pa.array(k, pa.int64()),
+            }
+        )
+
+    tok = ds.select_columns([id_column, text_column]).map_batches(
+        doc_token_counts, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        tok, counts_ds.select_columns(["token", "cnt"]),
+        "token", "token", [id_column, "k"], ["cnt"],
+    )
+
+    n_buckets = default_n_buckets()
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).combine_chunks()
+        k = np.asarray(t.column("k"), dtype=np.float64)
+        cnt = np.asarray(t.column("cnt"), dtype=np.float64)
+        w = k * np.log(cnt / total)
+        g = pa.table(
+            {id_column: ids, "sw": pa.array(w), "sk": pa.array(k)}
+        )
+        agg = pa.TableGroupBy(g, [id_column]).aggregate([("sw", "sum"), ("sk", "sum")])
+        agg = agg.rename_columns([id_column, "sw", "sk"])
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(agg.column(id_column))), n_buckets
+        )
+        return agg.append_column("__bucket", pa.array(bucket))
+
+    def merge_docs(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns(["__bucket"])
+        agg = pa.TableGroupBy(tbl, [id_column]).aggregate(
+            [("sw", "sum"), ("sk", "sum")]
+        )
+        sw = np.asarray(agg.column("sw_sum"), dtype=np.float64)
+        sk = np.asarray(agg.column("sk_sum"), dtype=np.float64)
+        return pa.table(
+            {
+                id_column: agg.column(id_column),
+                "logprob": pa.array(sw / np.maximum(sk, 1.0)),
+            }
+        )
+
+    return (
+        joined.map_batches(score_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_docs, batch_format="pyarrow")
     )
 
 

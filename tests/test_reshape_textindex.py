@@ -470,3 +470,46 @@ def test_bigram_logprob_ground_truth(ray_session):
     assert out[1] == pytest.approx(want1, abs=1e-12)
     assert out[2] == pytest.approx(want2, abs=1e-12)
     assert 3 not in out  # single token → no bigram → no row
+
+
+def test_unigram_copartitioned_parity(ray_session):
+    """The at-scale co-partitioned scorer (no vocab broadcast) must match
+    the broadcast path on the same corpus (float tolerance: sums may
+    associate differently)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import (
+        unigram_logprob,
+        unigram_logprob_copartitioned,
+    )
+
+    rng = np.random.default_rng(6)
+    words = [f"w{i}" for i in range(40)]
+    docs = [
+        " ".join(words[j] for j in rng.integers(0, 40, rng.integers(1, 30)))
+        for _ in range(120)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(120, dtype=np.int64)), "text": pa.array(docs)}
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    broadcast = {
+        r["doc_id"]: r["logprob"] for r in unigram_logprob(ds).take_all()
+    }
+    copart = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob_copartitioned(ds).take_all()
+    }
+    assert set(broadcast) == set(copart)
+    for k in broadcast:
+        assert copart[k] == pytest.approx(broadcast[k], abs=1e-10)
+
+    # the auto-switch: a tiny max_broadcast_vocab forces the co-partition
+    # path through the public entry point
+    forced = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob(ds, max_broadcast_vocab=5).take_all()
+    }
+    for k in broadcast:
+        assert forced[k] == pytest.approx(broadcast[k], abs=1e-10)
