@@ -1,20 +1,20 @@
 """Deterministic synthetic image corpus — the image analogue of
-``sources/clips.py``. PNG rows are REAL full rasters encoded by the
-from-scratch codec (``functions/png.py``) with deterministic
-hash-seeded pixel content, cycling color types (RGB / gray / palette),
-filters 0-4 and Adam7 interlace so the decoder's every path runs in the
-pipeline, not just in unit tests. GIF rows stay header-only (sniffable
-+ dimension-parseable; no gif decoder in this sandbox — the
-deterministic fake supplies their pixels downstream). Mirrors the
-reference's image fixture styles (/root/reference/tests/test_image.py
-uses tiny real rasters + corrupted variants).
+``sources/clips.py``. BOTH formats carry REAL full rasters encoded by
+the from-scratch codecs with deterministic hash-seeded pixel content:
+PNG rows (``functions/png.py``) cycle color types (RGB / gray /
+palette), filters 0-4 and Adam7 interlace; GIF rows
+(``functions/gif.py``) cycle palette sizes and 4-pass interlace — so
+every decoder path runs in the pipeline, not just in unit tests.
+Mirrors the reference's image fixture styles
+(/root/reference/tests/test_image.py uses tiny real rasters +
+corrupted variants).
 
 Planted violations:
 * every 97th payload truncated (fails sniff),
 * every 89th declared with the WRONG format,
-* every 101st png given a corrupt zlib stream — valid header, broken
-  pixels: caught ONLY by the real deep decode
-  (``ImageValidateStage(deep_decode=True)``)."""
+* every 101st png given a corrupt zlib stream, and every 103rd gif a
+  corrupt LZW stream — valid headers, broken pixels: caught ONLY by the
+  real deep decode (``ImageValidateStage(deep_decode=True)``)."""
 
 from __future__ import annotations
 
@@ -24,6 +24,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from fs_schema_validator_ray.functions.gif import encode_gif
 from fs_schema_validator_ray.functions.png import encode_png
 
 
@@ -62,7 +63,26 @@ def corrupt_idat(payload: bytes) -> bytes:
 
 
 def gif_bytes(w: int, h: int, salt: int = 0) -> bytes:
-    return b"GIF89a" + struct.pack("<HH", w, h) + salt.to_bytes(8, "little")
+    """Real GIF frame with deterministic palette content; palette size /
+    interlace cycle with ``salt`` for decoder-path coverage."""
+    rng = np.random.Generator(np.random.PCG64(salt ^ 0x6766))
+    n_colors = (16, 64, 256, 4)[salt % 4]
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    return encode_gif(idx, palette, interlace=salt % 11 == 0)
+
+
+def corrupt_gif_lzw(payload: bytes) -> bytes:
+    """Flip bytes inside the LZW data sub-blocks — header and dims stay
+    parseable, pixels don't (the gif deep-decode planted violation)."""
+    # image descriptor follows header + global color table
+    pal_bits = (payload[10] & 0x07) + 1
+    img_off = payload.index(0x2C, 13 + 3 * (1 << pal_bits))
+    lzw_start = img_off + 9 + 1 + 1
+    out = bytearray(payload)
+    for i in range(lzw_start, min(lzw_start + 12, len(out) - 2)):
+        out[i] ^= 0xA5
+    return bytes(out)
 
 
 def build_images_table(n_rows: int, seed: int = 5) -> pa.Table:
@@ -81,6 +101,8 @@ def build_images_table(n_rows: int, seed: int = 5) -> pa.Table:
             fmt = "gif" if is_png else "png"  # declared-format mismatch
         elif is_png and i % 101 == 0:
             payload = corrupt_idat(payload)  # deep-decode-only violation
+        elif not is_png and i % 103 == 0:
+            payload = corrupt_gif_lzw(payload)  # gif deep-decode violation
         keys.append(f"img-{i:06d}")
         fmts.append(fmt)
         blobs.append(payload)

@@ -10,16 +10,18 @@ Ray-side plumbing for image/video columns:
   numbers + dimension extraction for PNG/JPEG/GIF/BMP/WEBP — no
   imaging library needed), so declared-vs-actual format mismatch and
   corrupt-header violations work end-to-end,
-* **PNG pixel decode is real**: ``functions/png.py`` is a from-scratch
-  PNG codec (stdlib ``zlib`` inflate + vectorized scanline unfilter,
-  all color types/depths/filters, Adam7), so the default
-  ``decoder_factory`` decodes PNG payloads for real — validate, resize
-  and pHash run on actual pixels, like the reference's PIL raster path.
-* **non-PNG pixel decode stays stubbed**: no libjpeg/ffmpeg in the
-  sandbox, so the default :class:`HybridPixelDecoder` falls back to the
-  deterministic ``FakePixelDecoder`` for jpeg/gif/webp/… (clearly
-  marked; swap a real PIL/libvips-backed ``decoder_factory`` per worker
-  in production — loaded once per actor in ``__init__``, the
+* **PNG and GIF pixel decode are real**: ``functions/png.py`` (stdlib
+  ``zlib`` inflate + vectorized scanline unfilter, all color
+  types/depths/filters, Adam7) and ``functions/gif.py`` (variable-width
+  LZW, palettes, 4-pass interlace) are from-scratch codecs, so the
+  default ``decoder_factory`` decodes both corpus formats for real —
+  validate, resize and pHash run on actual pixels, like the reference's
+  PIL raster path.
+* **jpeg/webp/tiff/avif pixel decode stays stubbed**: no libjpeg/ffmpeg
+  in the sandbox, so the default :class:`HybridPixelDecoder` falls back
+  to the deterministic ``FakePixelDecoder`` there (clearly marked; swap
+  a real PIL/libvips-backed ``decoder_factory`` per worker in
+  production — loaded once per actor in ``__init__``, the
   stateful-stage shape).
 
 Violation reason strings mirror the reference:
@@ -392,6 +394,13 @@ class ImageValidateStage:
                     decode_png(p)
                 except PngError:
                     emit(i, "file does not contain a valid image")
+            elif self.deep_decode and actual == "gif":
+                from fs_schema_validator_ray.functions.gif import GifError, decode_gif
+
+                try:
+                    decode_gif(p)
+                except GifError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -437,12 +446,13 @@ class FakePixelDecoder:
 
 
 class HybridPixelDecoder:
-    """Default per-actor decoder: REAL from-scratch PNG decode
-    (``functions/png.py``); every other container falls back to the
-    deterministic :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — no
-    jpeg/gif/webp codec in this sandbox; swap a PIL/libvips-backed
-    factory in production). Decode failures raise ``png.PngError``,
-    which the stages turn into a skipped row / ``decode_ok=false``."""
+    """Default per-actor decoder: REAL from-scratch decode for PNG
+    (``functions/png.py``) and GIF (``functions/gif.py`` — LZW); every
+    other container falls back to the deterministic
+    :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — no jpeg/webp codec
+    in this sandbox; swap a PIL/libvips-backed factory in production).
+    Decode failures raise the codec's typed error, which the stages turn
+    into a skipped row / ``decode_ok=false``."""
 
     def __init__(self) -> None:
         self._fake = FakePixelDecoder(full_payload_hash=True)
@@ -452,6 +462,10 @@ class HybridPixelDecoder:
             from fs_schema_validator_ray.functions.png import decode_png
 
             return decode_png(payload)
+        if fmt == "gif":
+            from fs_schema_validator_ray.functions.gif import decode_gif
+
+            return decode_gif(payload)
         return self._fake(payload, fmt, dims)
 
 
@@ -463,11 +477,12 @@ def _decode_or_none(decoder, payload, fmt, dims):
     """Per-row decode guard: a malformed payload must yield a skipped
     row / violation, never a failed batch (reference catches decode
     exceptions per file the same way, ``image.py:70-74``)."""
+    from fs_schema_validator_ray.functions.gif import GifError
     from fs_schema_validator_ray.functions.png import PngError
 
     try:
         return decoder(payload, fmt, dims)
-    except (PngError, NotImplementedError):
+    except (PngError, GifError, NotImplementedError):
         return None
 
 

@@ -131,31 +131,42 @@ def test_svg_deep_validate():
 
 
 def test_pixel_decode_default_hybrid():
-    """Default decoder: REAL pixels for png (decode_png parity), fake
-    for gif; corrupt png payloads drop instead of failing the batch."""
+    """Default decoder: REAL pixels for png AND gif (codec parity);
+    corrupt payloads drop instead of failing the batch."""
     import numpy as np
 
+    from fs_schema_validator_ray.functions.gif import encode_gif
     from fs_schema_validator_ray.functions.png import decode_png, encode_png
     from fs_schema_validator_ray.sources.images import corrupt_idat
     from fs_schema_validator_ray.stages.multimodal import PixelDecodeStage
 
     rng = np.random.default_rng(3)
     px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    gidx = rng.integers(0, 16, size=(4, 4), dtype=np.uint8)
+    gpal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
     t = pa.table(
         {
-            "key": pa.array(["png", "gif", "bad"]),
+            "key": pa.array(["png", "gif", "gif_hdr_only", "bad"]),
             "bytes": pa.array(
-                [encode_png(px), make_gif(4, 4), corrupt_idat(encode_png(px))],
+                [
+                    encode_png(px),
+                    encode_gif(gidx, gpal),
+                    make_gif(4, 4),  # header-only: fails real gif decode
+                    corrupt_idat(encode_png(px)),
+                ],
                 pa.binary(),
             ),
         }
     )
     out = PixelDecodeStage()(t)
     rows = {r["key"]: r for r in out.to_pylist()}
-    assert set(rows) == {"png", "gif"}  # corrupt png dropped
+    assert set(rows) == {"png", "gif"}  # corrupt png + header-only gif drop
     assert rows["png"]["mean_luma"] == pytest.approx(
         float(decode_png(encode_png(px)).mean())
     )
+    assert rows["gif"]["mean_luma"] == pytest.approx(
+        float(gpal[gidx].astype(np.float64).mean())
+    )  # exact: the stage reports the channel mean of the REAL gif pixels
 
 
 def test_pixel_decode_with_fake(ray_session):

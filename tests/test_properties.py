@@ -229,3 +229,25 @@ def test_tdigest_compress_invariants(vals):
     assert len(td.means) <= td.delta + 1
     assert np.all(np.diff(td.means) >= 0)
     assert min(vals) - 1e-9 <= td.means[0] and td.means[-1] <= max(vals) + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_gif_decoder_total(payload):
+    from fs_schema_validator_ray.functions.gif import GifError, decode_gif
+
+    try:
+        decode_gif(payload)
+    except GifError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_gif_decoder_total_with_signature(payload):
+    from fs_schema_validator_ray.functions.gif import GifError, decode_gif
+
+    try:
+        decode_gif(b"GIF89a" + payload)
+    except GifError:
+        pass
