@@ -1,20 +1,20 @@
 """Deterministic synthetic image corpus — the image analogue of
-``sources/clips.py``. BOTH formats carry REAL full rasters encoded by
-the from-scratch codecs with deterministic hash-seeded pixel content:
+``sources/clips.py``. ALL THREE formats carry REAL rasters encoded by
+the from-scratch codecs with deterministic hash-seeded content:
 PNG rows (``functions/png.py``) cycle color types (RGB / gray /
 palette), filters 0-4 and Adam7 interlace; GIF rows
-(``functions/gif.py``) cycle palette sizes and 4-pass interlace — so
-every decoder path runs in the pipeline, not just in unit tests.
-Mirrors the reference's image fixture styles
-(/root/reference/tests/test_image.py uses tiny real rasters +
-corrupted variants).
+(``functions/gif.py``) cycle palette sizes and 4-pass interlace; JPEG
+rows (``functions/jpeg.py``) cycle quality and 4:2:0/4:4:4 — so every
+decoder path runs in the pipeline, not just in unit tests. Mirrors the
+reference's image fixture styles (/root/reference/tests/test_image.py
+uses tiny real rasters + corrupted variants).
 
 Planted violations:
-* every 97th payload truncated (fails sniff),
+* every 97th payload truncated (fails sniff or header parse),
 * every 89th declared with the WRONG format,
-* every 101st png given a corrupt zlib stream, and every 103rd gif a
-  corrupt LZW stream — valid headers, broken pixels: caught ONLY by the
-  real deep decode (``ImageValidateStage(deep_decode=True)``)."""
+* every 101st given broken pixel data under a valid header (corrupt
+  zlib stream / corrupt LZW / truncated entropy scan) — caught ONLY by
+  the real deep decode (``ImageValidateStage(deep_decode=True)``)."""
 
 from __future__ import annotations
 
@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from fs_schema_validator_ray.functions.gif import encode_gif
+from fs_schema_validator_ray.functions.jpeg import encode_jpeg
 from fs_schema_validator_ray.functions.png import encode_png
 
 
@@ -72,6 +73,34 @@ def gif_bytes(w: int, h: int, salt: int = 0) -> bytes:
     return encode_gif(idx, palette, interlace=salt % 11 == 0)
 
 
+def jpeg_bytes(w: int, h: int, salt: int = 0) -> bytes:
+    """Real baseline JPEG with deterministic smooth content (gradients
+    compress honestly); 4:2:0 / 4:4:4 and quality cycle with ``salt``."""
+    rng = np.random.Generator(np.random.PCG64(salt ^ 0x4A50))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = rng.integers(0, 128, size=3)
+    px = np.stack(
+        [
+            base[0] + xx * (200 - base[0]) / max(w, 1),
+            base[1] + yy * (200 - base[1]) / max(h, 1),
+            base[2] + (xx + yy) * (200 - base[2]) / max(h + w, 1),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_jpeg(px, quality=(95, 85)[salt % 2], subsample=salt % 3 == 0)
+
+
+def corrupt_jpeg_entropy(payload: bytes) -> bytes:
+    """Drop half the entropy-coded scan (EOI kept) — markers and dims
+    stay parseable, the Huffman stream runs dry mid-MCU: a GUARANTEED
+    deep-decode failure (bit flips may still decode structurally with
+    wrong pixels, which a planted-count corpus cannot rely on)."""
+    sos = payload.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    keep = scan_start + max(2, (len(payload) - 2 - scan_start) // 2)
+    return payload[:keep] + b"\xff\xd9"
+
+
 def corrupt_gif_lzw(payload: bytes) -> bytes:
     """Flip bytes inside the LZW data sub-blocks — header and dims stay
     parseable, pixels don't (the gif deep-decode planted violation)."""
@@ -86,23 +115,27 @@ def corrupt_gif_lzw(payload: bytes) -> bytes:
 
 
 def build_images_table(n_rows: int, seed: int = 5) -> pa.Table:
-    """n_rows deterministic images: alternating png/gif, dims derived
-    from the index, planted corruption per the module docstring."""
+    """n_rows deterministic images cycling png / gif / jpeg, dims
+    derived from the index, planted corruption per the module
+    docstring."""
     keys, fmts, blobs = [], [], []
+    makers = (
+        ("png", png_bytes, corrupt_idat),
+        ("gif", gif_bytes, corrupt_gif_lzw),
+        ("jpeg", jpeg_bytes, corrupt_jpeg_entropy),
+    )
     for i in range(n_rows):
         w = int(4 + (i * 7) % 60)
         h = int(3 + (i * 5) % 40)
-        is_png = i % 2 == 0
-        payload = png_bytes(w, h, i) if is_png else gif_bytes(w, h, i)
-        fmt = "png" if is_png else "gif"
+        fmt, make, corrupt = makers[i % 3]
+        payload = make(w, h, i)
         if i % 97 == 0:
-            payload = payload[:6]  # corrupt: too short to sniff
+            payload = payload[:6]  # corrupt: too short to parse
         elif i % 89 == 0:
-            fmt = "gif" if is_png else "png"  # declared-format mismatch
-        elif is_png and i % 101 == 0:
-            payload = corrupt_idat(payload)  # deep-decode-only violation
-        elif not is_png and i % 103 == 0:
-            payload = corrupt_gif_lzw(payload)  # gif deep-decode violation
+            # declared-format mismatch (cycle to the NEXT format's name)
+            fmt = makers[(i + 1) % 3][0]
+        elif i % 101 == 0:
+            payload = corrupt(payload)  # deep-decode-only violation
         keys.append(f"img-{i:06d}")
         fmts.append(fmt)
         blobs.append(payload)

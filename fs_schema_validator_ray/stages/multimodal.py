@@ -401,6 +401,16 @@ class ImageValidateStage:
                     decode_gif(p)
                 except GifError:
                     emit(i, "file does not contain a valid image")
+            elif self.deep_decode and actual == "jpeg":
+                from fs_schema_validator_ray.functions.jpeg import (
+                    JpegError,
+                    decode_jpeg,
+                )
+
+                try:
+                    decode_jpeg(p)
+                except JpegError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -466,6 +476,10 @@ class HybridPixelDecoder:
             from fs_schema_validator_ray.functions.gif import decode_gif
 
             return decode_gif(payload)
+        if fmt == "jpeg":
+            from fs_schema_validator_ray.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         return self._fake(payload, fmt, dims)
 
 
@@ -478,11 +492,12 @@ def _decode_or_none(decoder, payload, fmt, dims):
     row / violation, never a failed batch (reference catches decode
     exceptions per file the same way, ``image.py:70-74``)."""
     from fs_schema_validator_ray.functions.gif import GifError
+    from fs_schema_validator_ray.functions.jpeg import JpegError
     from fs_schema_validator_ray.functions.png import PngError
 
     try:
         return decoder(payload, fmt, dims)
-    except (PngError, GifError, NotImplementedError):
+    except (PngError, GifError, JpegError, NotImplementedError):
         return None
 
 

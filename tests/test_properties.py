@@ -251,3 +251,25 @@ def test_gif_decoder_total_with_signature(payload):
         decode_gif(b"GIF89a" + payload)
     except GifError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_jpeg_decoder_total(payload):
+    from fs_schema_validator_ray.functions.jpeg import JpegError, decode_jpeg
+
+    try:
+        decode_jpeg(payload)
+    except JpegError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_jpeg_decoder_total_with_signature(payload):
+    from fs_schema_validator_ray.functions.jpeg import JpegError, decode_jpeg
+
+    try:
+        decode_jpeg(b"\xff\xd8" + payload)
+    except JpegError:
+        pass
