@@ -411,6 +411,13 @@ class ImageValidateStage:
                     decode_jpeg(p)
                 except JpegError:
                     emit(i, "file does not contain a valid image")
+            elif self.deep_decode and actual == "bmp":
+                from fs_schema_validator_ray.functions.bmp import BmpError, decode_bmp
+
+                try:
+                    decode_bmp(p)
+                except BmpError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -480,6 +487,10 @@ class HybridPixelDecoder:
             from fs_schema_validator_ray.functions.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if fmt == "bmp":
+            from fs_schema_validator_ray.functions.bmp import decode_bmp
+
+            return decode_bmp(payload)
         return self._fake(payload, fmt, dims)
 
 
@@ -491,13 +502,14 @@ def _decode_or_none(decoder, payload, fmt, dims):
     """Per-row decode guard: a malformed payload must yield a skipped
     row / violation, never a failed batch (reference catches decode
     exceptions per file the same way, ``image.py:70-74``)."""
+    from fs_schema_validator_ray.functions.bmp import BmpError
     from fs_schema_validator_ray.functions.gif import GifError
     from fs_schema_validator_ray.functions.jpeg import JpegError
     from fs_schema_validator_ray.functions.png import PngError
 
     try:
         return decoder(payload, fmt, dims)
-    except (PngError, GifError, JpegError, NotImplementedError):
+    except (PngError, GifError, JpegError, BmpError, NotImplementedError):
         return None
 
 

@@ -439,3 +439,40 @@ def test_phash_near_dup_pairs_finds_planted_copies(ray_session):
         if i % 97 != 0
     }
     assert want <= got
+
+
+def test_corpus_golden_violation_counts():
+    """Hard gate on the deterministic 3-format corpus at n=2000: exact
+    per-class violation counts from ImageValidateStage (sniff failures,
+    declared mismatches, deep-decode-only broken pixels)."""
+    from collections import Counter
+
+    from fs_schema_validator_ray.sources.images import build_images_table
+    from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
+
+    t = build_images_table(2000)
+    out = ImageValidateStage()(t).to_pylist()
+    kinds = Counter()
+    for r in out:
+        if "failed to parse" in r["reason"]:
+            kinds["parse"] += 1
+        elif "not in" in r["reason"]:
+            kinds["mismatch"] += 1
+        elif "does not contain" in r["reason"]:
+            kinds["broken_pixels_or_sniff"] += 1
+        else:
+            kinds["other"] += 1
+
+    n = 2000
+    n_trunc = len([i for i in range(0, n, 97)])
+    n_mismatch = len([i for i in range(0, n, 89) if i % 97 != 0])
+    n_deep = len([i for i in range(0, n, 101) if i % 97 != 0 and i % 89 != 0])
+    # truncated png fails SNIFF (8-byte magic cut short) → invalid-image;
+    # truncated gif/jpeg still sniff but fail the header parse
+    n_trunc_parse = len([i for i in range(0, n, 97) if i % 3 != 0])
+    n_trunc_sniff = n_trunc - n_trunc_parse
+    assert kinds["other"] == 0
+    assert kinds["mismatch"] == n_mismatch
+    assert kinds["parse"] == n_trunc_parse
+    assert kinds["broken_pixels_or_sniff"] == n_deep + n_trunc_sniff
+    assert len(out) == n_trunc + n_mismatch + n_deep

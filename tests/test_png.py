@@ -206,3 +206,35 @@ def test_pixel_decoder_callable():
     assert np.array_equal(dec(encode_png(px), "png", (5, 5)), px)
     with pytest.raises(NotImplementedError):
         dec(b"GIF89a", "gif", (1, 1))
+
+
+# --- BMP codec (shares the raster-trio test file) ----------------------------
+
+
+def test_bmp_roundtrip_and_orders():
+    from fs_schema_validator_ray.functions.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(8)
+    for h, w in [(1, 1), (5, 7), (13, 16), (9, 3)]:  # odd widths hit padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        assert np.array_equal(decode_bmp(encode_bmp(px, top_down=True)), px)
+
+
+def test_bmp_malformed():
+    from fs_schema_validator_ray.functions.bmp import BmpError, decode_bmp, encode_bmp
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    good = encode_bmp(px)
+    with pytest.raises(BmpError, match="signature"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(BmpError):
+        decode_bmp(good[: len(good) - 10])
+    bad = bytearray(good)
+    bad[30] = 1  # RLE8 compression flag
+    with pytest.raises(BmpError, match="compression"):
+        decode_bmp(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[28] = 16  # 16 bpp
+    with pytest.raises(BmpError, match="bit depth"):
+        decode_bmp(bytes(bad2))

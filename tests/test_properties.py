@@ -273,3 +273,14 @@ def test_jpeg_decoder_total_with_signature(payload):
         decode_jpeg(b"\xff\xd8" + payload)
     except JpegError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_bmp_decoder_total(payload):
+    from fs_schema_validator_ray.functions.bmp import BmpError, decode_bmp
+
+    try:
+        decode_bmp(b"BM" + payload)
+    except BmpError:
+        pass
