@@ -491,6 +491,10 @@ class HybridPixelDecoder:
             from fs_schema_validator_ray.functions.bmp import decode_bmp
 
             return decode_bmp(payload)
+        if fmt == "tiff":
+            from fs_schema_validator_ray.functions.bmp import decode_tiff
+
+            return decode_tiff(payload)
         return self._fake(payload, fmt, dims)
 
 
@@ -502,14 +506,14 @@ def _decode_or_none(decoder, payload, fmt, dims):
     """Per-row decode guard: a malformed payload must yield a skipped
     row / violation, never a failed batch (reference catches decode
     exceptions per file the same way, ``image.py:70-74``)."""
-    from fs_schema_validator_ray.functions.bmp import BmpError
+    from fs_schema_validator_ray.functions.bmp import BmpError, TiffError
     from fs_schema_validator_ray.functions.gif import GifError
     from fs_schema_validator_ray.functions.jpeg import JpegError
     from fs_schema_validator_ray.functions.png import PngError
 
     try:
         return decoder(payload, fmt, dims)
-    except (PngError, GifError, JpegError, BmpError, NotImplementedError):
+    except (PngError, GifError, JpegError, BmpError, TiffError, NotImplementedError):
         return None
 
 

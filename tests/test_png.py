@@ -238,3 +238,31 @@ def test_bmp_malformed():
     bad2[28] = 16  # 16 bpp
     with pytest.raises(BmpError, match="bit depth"):
         decode_bmp(bytes(bad2))
+
+
+def test_tiff_roundtrip_and_real_fixture():
+    import os
+
+    from fs_schema_validator_ray.functions.bmp import (
+        TiffError,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(4)
+    for h, w in [(1, 1), (6, 9), (13, 5)]:
+        for be in (False, True):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_tiff(encode_tiff(px, big_endian=be)), px)
+
+    good = encode_tiff(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    with pytest.raises(TiffError, match="signature"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(TiffError):
+        decode_tiff(good[:20])
+
+    # real-world interop: the reference's deflate-compressed fixture
+    ref = "/root/reference/tests/fixtures/image.tif"
+    if os.path.exists(ref):
+        out = decode_tiff(open(ref, "rb").read())
+        assert out.shape == (10, 10, 3)
