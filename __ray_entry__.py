@@ -805,6 +805,77 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
+        "image_validate_corpus": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1999) t(x))
+SELECT CAST(-1 AS INTEGER) AS partition_id,
+       'img-' || lpad(CAST(i AS VARCHAR), 6, '0') AS "key",
+       'image_decode' AS rule_id,
+       CASE
+         WHEN i % 97 = 0 AND i % 3 = 0 THEN 'file does not contain a valid image'
+         WHEN i % 97 = 0 AND i % 3 = 1 THEN 'failed to parse gif header'
+         WHEN i % 97 = 0 THEN 'failed to parse jpeg header'
+         WHEN i % 89 = 0 THEN 'payload is not in '
+              || CASE (i + 1) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+              || ' format (got '
+              || CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+              || ')'
+         ELSE 'file does not contain a valid image'
+       END AS reason
+FROM idx
+WHERE i % 97 = 0 OR i % 89 = 0 OR i % 101 = 0
+""",
+        "image_resize_corpus": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1999) t(x))
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 6, '0') AS "key",
+       32 AS width, 32 AS height
+FROM idx
+WHERE i % 97 <> 0 AND (i % 89 = 0 OR i % 101 <> 0)
+""",
+        "regr_intercept_price_by_flag": """
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(x*y) AS BIGINT) AS sum_xy
+      FROM c GROUP BY l_returnflag),
+sl AS (SELECT l_returnflag, n, sum_x, sum_y,
+              ROUND((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)),
+                    6) AS slope6
+       FROM s)
+SELECT l_returnflag, n, slope6,
+       ROUND((CAST(sum_y AS DOUBLE) - slope6 * CAST(sum_x AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept6
+FROM sl
+""",
+        "regr_r2_qty_discount": """
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sum_xy
+      FROM c GROUP BY l_returnflag),
+r AS (SELECT l_returnflag, n,
+             ROUND(CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))),
+                   6) AS corr6
+      FROM s)
+SELECT l_returnflag, n, ROUND(corr6 * corr6, 6) AS r2_6 FROM r
+""",
         "regr_slope_price_by_flag": """
 WITH c AS (SELECT l_returnflag,
                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

@@ -1344,6 +1344,96 @@ def cube_lineitem_status(sf_dir: str):
     return cube_sum(ds, ["l_returnflag", "l_linestatus"], ["qty_cents"])
 
 
+def regr_intercept_price_by_flag(sf_dir: str):
+    """SQL ``REGR_INTERCEPT`` companion to the slope query: intercept =
+    (Σy − slope·Σx)/n computed from the ROUNDED slope6 so both engines
+    evaluate the identical expression over identical exact sums —
+    oracle-checked (ROUND(·,6))."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = group_moments(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag"], "qty_cents", "price_cents", include_slope=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.float64())
+        sx = pc.cast(t.column("sum_x"), pa.float64())
+        sy = pc.cast(t.column("sum_y"), pa.float64())
+        slope = t.column("slope6")
+        intercept = pc.round(
+            pc.divide(pc.subtract(sy, pc.multiply(slope, sx)), n), ndigits=6
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": t.column("n"),
+                "slope6": slope,
+                "intercept6": intercept,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def regr_r2_qty_discount(sf_dir: str):
+    """SQL ``REGR_R2`` (= corr²) of discount on quantity per return flag
+    — the corr-mode exact-integer moments squared through the ROUND(·,6)
+    protocol on BOTH engines — oracle-checked."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "x": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+                "y": pc.cast(
+                    pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    out = group_moments(
+        ds.map_batches(cents, batch_format="pyarrow"), ["l_returnflag"], "x", "y"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("corr6")
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": t.column("n"),
+                "r2_6": pc.round(pc.multiply(c, c), ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def regr_slope_price_by_flag(sf_dir: str):
     """Per-key OLS regression slope (SQL ``REGR_SLOPE``) of extended
     price on quantity (cents), from the same exact-integer second-moment
@@ -2401,11 +2491,14 @@ def image_phash_dedup(sf_dir: str, n_rows: int = 2000):
 
 
 def image_validate_corpus(sf_dir: str, n_rows: int = 2000):
-    """Image header validation over the deterministic synthetic image
-    corpus: declared-vs-sniffed format, header parse, dimension bounds —
-    emits one violation row per planted corruption/mismatch
-    (``stages/multimodal.py::ImageValidateStage``; rows-only: payload
-    sniffing is not SQL-expressible)."""
+    """Image validation over the deterministic synthetic corpus:
+    declared-vs-sniffed format, header parse, dimension bounds AND real
+    pixel deep-decode (png/gif/jpeg from-scratch codecs) — one violation
+    row per planted corruption/mismatch
+    (``stages/multimodal.py::ImageValidateStage``). ORACLE-CHECKED: the
+    SQL side re-derives the planted-violation contract from the corpus
+    index function (FIXTURES-style), so the real decoders' pass/fail
+    behavior is hash-gated, not just counted."""
     import ray.data
 
     from fs_schema_validator_ray.sources.images import build_images_table
@@ -2416,10 +2509,12 @@ def image_validate_corpus(sf_dir: str, n_rows: int = 2000):
 
 
 def image_resize_corpus(sf_dir: str, n_rows: int = 2000):
-    """Image resize normalization (real numpy nearest-neighbor over the
-    per-actor stubbed decode) over the synthetic corpus — emits fixed
-    32×32 RGB payloads; corrupted headers drop
-    (``stages/multimodal.py::ImageResizeStage``; rows-only)."""
+    """Image resize normalization (real pixel decode via the
+    from-scratch codecs + numpy nearest-neighbor) over the synthetic
+    corpus — emits fixed 32×32 RGB payloads; corrupted payloads drop
+    (``stages/multimodal.py::ImageResizeStage``). ORACLE-CHECKED via the
+    corpus-contract derivation (which rows survive decode is an index
+    function of the planted classes)."""
     import ray.data
 
     from fs_schema_validator_ray.sources.images import build_images_table
@@ -2914,6 +3009,8 @@ QUERIES = {
     "cube_lineitem_status": cube_lineitem_status,
     "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
     "regr_slope_price_by_flag": regr_slope_price_by_flag,
+    "regr_intercept_price_by_flag": regr_intercept_price_by_flag,
+    "regr_r2_qty_discount": regr_r2_qty_discount,
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
     "bm25_contrib_documents": bm25_contrib_documents,
