@@ -1229,6 +1229,23 @@ def audio_gain_normalize_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def audio_decode_contract(sf_dir: str, n_rows: int = 1500):
+    """Per-clip decode verdict (clip_id, decode_ok) from the REAL audio
+    decoder over the planted clips corpus — ORACLE-CHECKED via the
+    corpus contract: which rows decode is an index function of the
+    planted classes (truncated/empty payloads fail, every other class —
+    incl. the duplicate-id copies and zero-duration encodes — decodes),
+    so the decoder's pass/fail behavior is value-hash-gated by the
+    driver. The audio analogue of the image corpus-contract oracles."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import audio_feature_dataset
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return audio_feature_dataset(ds).select_columns(["clip_id", "decode_ok"])
+
+
 def audio_transcode_clips(sf_dir: str, n_rows: int = 1500):
     """Transcode every decodable clip to µ-law (decode → compand →
     re-encode) with a per-clip round-trip SNR audit — the mixed-codec →
@@ -3045,6 +3062,7 @@ QUERIES = {
     "pack_documents": pack_documents,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
+    "audio_decode_contract": audio_decode_contract,
     "audio_mfcc_clips": audio_mfcc_clips,
     "audio_pitch_clips": audio_pitch_clips,
     "audio_resample_clips": audio_resample_clips,
