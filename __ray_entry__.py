@@ -212,6 +212,15 @@ SELECT strftime(date_trunc('month', ts), '%Y-%m') AS "window", event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
+        "windowed_events_weekly": """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS "window", event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+        "setop_union_all_keys": """
+SELECT o_custkey FROM orders UNION ALL SELECT user_id FROM events
+""",
         "sessionize_events": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
      flagged AS (

@@ -547,6 +547,31 @@ def windowed_events_monthly(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def windowed_events_weekly(sf_dir: str):
+    """Tumbling-window (WEEKLY, Monday-start calendar weeks) aggregate
+    per event type — ``floor_temporal(unit="week")`` parity with SQL
+    ``date_trunc('week', ts)`` — oracle-checked."""
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    ds = tumbling_window(ds, "ts", "week")
+    return group_sum(ds, ["window", "event_type"], ["value_cents"])
+
+
+def setop_union_all_keys(sf_dir: str):
+    """BAG ``UNION ALL`` of order custkeys and event user ids — the
+    shuffle-free short-circuit of ``set_op_bag`` (a plain
+    ``Dataset.union``) — oracle-checked with every duplicate kept."""
+    from fs_schema_validator_ray.stages.setops import set_op_bag
+
+    left = _read(sf_dir, "orders", ["o_custkey"])
+    right = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    return set_op_bag(left, right, ["o_custkey"], "union_all")
+
+
 def hash_join_lineitem_orders(sf_dir: str):
     """Large-large inner equi-join (bucketed co-partitioned merge):
     lineitem ⋈ orders on order key — oracle-checked."""
@@ -2955,6 +2980,8 @@ QUERIES = {
     "revenue_by_segment": revenue_by_segment,
     "windowed_events_daily": windowed_events_daily,
     "windowed_events_monthly": windowed_events_monthly,
+    "windowed_events_weekly": windowed_events_weekly,
+    "setop_union_all_keys": setop_union_all_keys,
     "pushdown_filter_lineitem": pushdown_filter_lineitem,
     "orders_above_customer_avg": orders_above_customer_avg,
     "count_distinct_user_type": count_distinct_user_type,

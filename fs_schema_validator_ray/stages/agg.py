@@ -1105,8 +1105,13 @@ def hopping_window(
 def tumbling_window(ds, ts_column: str, every: str = "day", out_column: str = "window"):
     """Attach a tumbling-window key derived from a timestamp column
     (vectorized ``floor_temporal`` + ``strftime`` → stable string key)."""
-    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00", "month": "%Y-%m"}[every]
-    unit = {"day": "day", "hour": "hour", "month": "month"}[every]
+    fmt = {
+        "day": "%Y-%m-%d",
+        "hour": "%Y-%m-%d %H:00",
+        "week": "%Y-%m-%d",  # week-start (Monday) date, date_trunc parity
+        "month": "%Y-%m",
+    }[every]
+    unit = {"day": "day", "hour": "hour", "week": "week", "month": "month"}[every]
 
     def attach(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_column)
