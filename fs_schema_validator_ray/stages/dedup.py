@@ -826,40 +826,65 @@ class PrefixRowsStage:
                 "tok": pa.array(tk.view(np.int64), pa.int64()),
                 "id": pa.array(np.repeat(ids, sizes)[keep]),
                 "size": pa.array(np.repeat(sizes, sizes)[keep]),
+                # token's rank in the doc's ordered set — feeds the PPJoin
+                # positional filter in the pair stage
+                "pos": pa.array(pos[keep]),
             }
         )
 
 
 def _token_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    """(a<b) pairs sharing a prefix token, size-filtered
-    (J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|)), over one BUCKET of
-    tokens: sort by token, loop only over tokens with ≥2 docs (shared
-    shingles — the rare case), numpy triu inside. UNCAPPED — the output
-    feeds an exact join, so dropping candidates would drop true pairs;
-    hot common tokens are kept out of prefixes by the global token order
-    (frequency re-ranking at production scale)."""
+    """(a<b) pairs sharing a prefix token, size- AND position-filtered,
+    over one BUCKET of tokens: sort by token, loop only over tokens with
+    ≥2 docs (shared shingles — the rare case), numpy triu inside.
+
+    Filters (both exactness-preserving — each is a valid upper bound on
+    the true overlap, so a qualifying pair can never fail at ANY of its
+    shared prefix tokens):
+
+    * size: ``J ≥ t`` requires ``min(|A|,|B|) ≥ t·max(|A|,|B|)``;
+    * positional (PPJoin, Xiao et al.): with the shared token at ranks
+      ``(p_a, p_b)`` of the docs' globally-ordered sets, overlap ≤
+      ``min(p_a, p_b) + 1 + min(|A|−p_a−1, |B|−p_b−1)``, which must
+      reach ``α = t/(1+t)·(|A|+|B|)`` (the overlap form of ``J ≥ t``).
+      On template corpora (many same-size docs sharing prefix tokens at
+      different ranks) this prunes the candidate set the size filter
+      cannot touch.
+
+    UNCAPPED — the output feeds an exact join, so dropping candidates
+    would drop true pairs; hot common tokens are kept out of prefixes by
+    the global token order (frequency re-ranking at production scale)."""
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     if group.num_rows < 2:
         return empty
     tok = np.asarray(group.column("tok"), dtype=np.int64)
     ids = np.asarray(group.column("id"), dtype=np.int64)
     sizes = np.asarray(group.column("size"), dtype=np.int64)
+    poss = np.asarray(group.column("pos"), dtype=np.int64)
     order = np.lexsort((ids, tok))
-    tok, ids, sizes = tok[order], ids[order], sizes[order]
+    tok, ids, sizes, poss = tok[order], ids[order], sizes[order], poss[order]
     first = np.concatenate([[True], tok[1:] != tok[:-1]])
     starts = np.flatnonzero(first)
     ends = np.concatenate([starts[1:], [len(tok)]])
     multi = ends - starts >= 2
     out_a, out_b = [], []
     for s, e in zip(starts[multi], ends[multi]):
-        g_ids, g_sz = ids[s:e], sizes[s:e]
+        g_ids, g_sz, g_pos = ids[s:e], sizes[s:e], poss[s:e]
         ai, bi = np.triu_indices(e - s, k=1)
         lo = np.minimum(g_sz[ai], g_sz[bi])
         hi = np.maximum(g_sz[ai], g_sz[bi])
-        # epsilon keeps the size filter conservative under float rounding
+        # epsilon keeps the filters conservative under float rounding
         # (t*hi can land one ulp above the exact rational) — the verify
         # stage applies the exact predicate
         keep = lo >= threshold * hi - 1e-9
+        # positional upper bound vs required overlap α
+        ubound = (
+            np.minimum(g_pos[ai], g_pos[bi])
+            + 1
+            + np.minimum(g_sz[ai] - g_pos[ai] - 1, g_sz[bi] - g_pos[bi] - 1)
+        )
+        alpha = threshold / (1.0 + threshold) * (g_sz[ai] + g_sz[bi])
+        keep &= ubound >= alpha - 1e-9
         out_a.append(g_ids[ai[keep]])
         out_b.append(g_ids[bi[keep]])
     if not out_a:
