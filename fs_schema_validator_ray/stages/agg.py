@@ -750,7 +750,12 @@ def iqr_outlier_filter(
     ``ray.put`` and each worker process builds a vectorized hash index
     from it once (cached per ObjectRef) — no driver-side Python dict
     probed per row, no per-batch re-ship. Works at millions of keys:
-    the per-batch lookup is one ``pd.Index.get_indexer`` C call."""
+    the per-batch lookup is one ``pd.Index.get_indexer`` C call.
+
+    Deterministic-input requirement (same as ``heavy_hitters``): the
+    input is consumed twice (quantile pass + filter pass) via lineage
+    re-execution — a non-deterministic upstream stage would let the
+    passes disagree; ``.materialize()`` such an input first."""
     import ray
 
     import pandas as pd
@@ -1453,7 +1458,10 @@ def grouped_mad(ds, key_column: str, value_column: str):
     (ROUND(·,6)) — no float ever enters a shuffle. Output:
     ``(key, n, mad)`` with ``n`` = non-null deviation count. Keys whose
     values are ALL null drop (their median is undefined; re-union
-    upstream if SQL GROUP BY presence for such keys matters)."""
+    upstream if SQL GROUP BY presence for such keys matters).
+    Deterministic-input requirement: the input is consumed twice
+    (median pass + deviation pass) via lineage re-execution —
+    ``.materialize()`` non-deterministic upstreams first."""
     import pandas as pd
     import ray
 
