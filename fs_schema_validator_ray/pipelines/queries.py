@@ -2106,6 +2106,35 @@ def dedup_clusters_documents(sf_dir: str):
     )
 
 
+def asof_tolerance_events_orders(sf_dir: str):
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof`` parity):
+    each event matched to the customer's most recent order only when it
+    falls within the trailing 8,500 days (the corpus's order→event gaps span ~8,200-8,800 days, so the bound splits real matches) — the best match farther away drops
+    (``asof_join(tolerance=...)``) — oracle-checked by distance-filtering
+    the SQL ASOF result."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left, right,
+        key_column="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_value_columns=["event_id"], right_value_columns=["o_orderdate"],
+        tolerance=8500 * 24 * 3600 * 1_000_000,  # 8,500 days in µs
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ms = pc.cast(pc.cast(t.column("r_o_orderdate"), pa.timestamp("ms")), pa.int64())
+        return pa.table({"event_id": t.column("l_event_id"), "order_ts_ms": ms})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def asof_events_orders(sf_dir: str):
     """Distributed as-of join: each event matched to the customer's most
     recent order at event time (co-partitioned groupby + per-group
@@ -2987,6 +3016,7 @@ QUERIES = {
     "count_distinct_user_type": count_distinct_user_type,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
+    "asof_tolerance_events_orders": asof_tolerance_events_orders,
     "range_join_events_attribution": range_join_events_attribution,
     "broadcast_join_events_customer": broadcast_join_events_customer,
     "distinct_part_brands": distinct_part_brands,

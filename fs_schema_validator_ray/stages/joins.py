@@ -108,6 +108,7 @@ def asof_join(
     left_value_columns: list[str],
     right_value_columns: list[str],
     direction: str = "backward",
+    tolerance: int | None = None,
 ):
     """Distributed as-of join: for every left row, the right row with
     the same key and — ``direction="backward"`` (default) the greatest
@@ -115,6 +116,11 @@ def asof_join(
     left_ts``; ``"nearest"`` whichever side is closer (tie → the
     backward match, deterministic). Inner semantics — left rows with no
     qualifying right row drop.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): when set, the matched
+    row must additionally satisfy ``|left_ts − right_ts| ≤ tolerance``
+    (int64 native timestamp units) — left rows whose best match is
+    farther away drop like unmatched rows.
 
     ``tag → union → groupby(hash(key) % n_buckets) → per-bucket
     key-segment scan + searchsorted``: one shuffle of only the pruned
@@ -203,9 +209,13 @@ def asof_join(
             if direction == "backward":
                 pos = np.searchsorted(r_ts, l_ts, side="right") - 1
                 ok = pos >= 0
+                if tolerance is not None:
+                    ok &= (l_ts - r_ts[np.maximum(pos, 0)]) <= tolerance
             elif direction == "forward":
                 pos = np.searchsorted(r_ts, l_ts, side="left")
                 ok = pos < len(r_ts)
+                if tolerance is not None:
+                    ok &= (r_ts[np.minimum(pos, len(r_ts) - 1)] - l_ts) <= tolerance
             else:  # nearest: closer of the two, tie → backward
                 pb = np.searchsorted(r_ts, l_ts, side="right") - 1
                 pf = np.searchsorted(r_ts, l_ts, side="left")
@@ -217,6 +227,8 @@ def asof_join(
                 )
                 pos = np.where(db <= df, pb, pf)
                 ok = okb | okf
+                if tolerance is not None:
+                    ok &= np.minimum(db, df) <= tolerance
             keep_l.append(order[s:split][ok])
             match_r.append(order[split:e][pos[ok]])
         if not keep_l:

@@ -920,3 +920,49 @@ def test_interval_overlap_vad_vs_transcript_spans(ray_session):
     got = sorted((r["seg"], r["word"]) for r in out)
     # w2 sits fully in the silence gap; w1/w4 straddle segment edges
     assert got == [("s0", "w0"), ("s0", "w1"), ("s1", "w3"), ("s1", "w4")]
+
+
+def test_asof_join_tolerance(ray_session):
+    """pandas merge_asof parity: the BEST match must fall within
+    tolerance or the left row drops (no fallback to farther matches),
+    in all three directions."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b"]),
+            "lts": pa.array([100, 205, 390, 50], pa.int64()),
+            "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "rts": pa.array([90, 200, 500], pa.int64()),
+            "rid": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right)
+
+    def run(direction, tol):
+        out = asof_join(
+            lds, rds, "k", "lts", "rts", ["lid"], ["rid"],
+            direction=direction, tolerance=tol,
+        ).take_all()
+        return sorted((r["l_lid"], r["r_rid"]) for r in out)
+
+    # backward, tol 20: lid1→rid10 (d=10 ok), lid2→rid20 (d=5 ok),
+    # lid3→rid20 (d=190 DROPS), b-key has no backward match
+    assert run("backward", 20) == [(1, 10), (2, 20)]
+    # forward, tol 460: lid4→rid30 (d=450 ok); a-key lids 1,2 match
+    # forward within tolerance too (d=100, d=... lid1→rid20 d=100,
+    # lid2→rid? none ≥205 → drop; lid3 none)
+    assert run("forward", 460) == [(1, 20), (4, 30)]
+    # nearest, tol 12: lid1 nearest rid10 d=10 ok; lid2 nearest rid20
+    # d=5 ok; lid3 nearest rid20 d=190 drop; lid4 d=450 drop
+    assert run("nearest", 12) == [(1, 10), (2, 20)]
+    # no tolerance: previous behavior intact
+    assert run("backward", None) == [(1, 10), (2, 20), (3, 20)]
