@@ -2832,6 +2832,33 @@ def audio_pitch_clips(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(PitchStage(), batch_format="pyarrow", batch_size=256)
 
 
+def audio_dedup_clusters(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
+    """End-to-end audio duplicate-CLUSTER resolution: perceptual
+    fingerprint near-dup pairs (the planted cross-codec corpus of
+    ``dedup_audio_fingerprint_clips``) → connected components
+    (min-label propagation over STRING clip ids) → one row per
+    multi-member cluster with its representative and size — the full
+    keep-one-per-cluster decision a curation pipeline applies
+    (rows-only: payload fingerprints are not SQL-expressible; planted
+    cluster membership is asserted in tests)."""
+    from fs_schema_validator_ray.stages.graph import connected_components
+
+    pairs = dedup_audio_fingerprint_clips(sf_dir, n_rows, plant_mod)
+    labels = connected_components(
+        pairs, "a", "b", node_column="clip_id", cluster_column="rep"
+    )
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    sizes = group_sum(
+        labels.map_batches(
+            lambda t: pa.table({"rep": t.column("rep")}), batch_format="pyarrow"
+        ),
+        ["rep"],
+        [],
+    )
+    return sizes
+
+
 def dedup_audio_fingerprint_clips(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
     """Cross-codec audio dedup: every ``plant_mod``-th clean clip is
     re-emitted under a ``-re`` id, decoded and re-encoded through a
@@ -3120,6 +3147,7 @@ QUERIES = {
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
     "audio_decode_contract": audio_decode_contract,
+    "audio_dedup_clusters": audio_dedup_clusters,
     "audio_mfcc_clips": audio_mfcc_clips,
     "audio_pitch_clips": audio_pitch_clips,
     "audio_resample_clips": audio_resample_clips,

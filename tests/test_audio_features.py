@@ -638,3 +638,23 @@ def test_pitch_stage_batch(ray_session):
     rows = {r["clip_id"]: r for r in PitchStage()(batch).to_pylist()}
     assert rows["bad"]["decode_ok"] is False and rows["bad"]["f0_hz"] is None
     assert rows["tone"]["decode_ok"] and abs(rows["tone"]["f0_hz"] - 220) < 3
+
+
+def test_audio_dedup_clusters_recovers_plants(ray_session):
+    """End-to-end cluster resolution: every planted cross-codec re-encode
+    lands in a multi-member cluster keyed by a representative id (string
+    node labels through connected components)."""
+    from fs_schema_validator_ray.pipelines.queries import audio_dedup_clusters
+
+    df = audio_dedup_clusters("/unused", n_rows=400, plant_mod=20).to_pandas()
+    assert len(df) >= 10  # at least the planted clusters
+    assert (df["n"] >= 2).all()  # singletons never emit
+    # planted originals are the lexicographic minima of their clusters,
+    # so each planted id appears as a representative
+    reps = set(df["rep"])
+    planted = 0
+    for idx in range(0, 400, 20):
+        cid = f"clip-{idx // 100:04d}-{idx % 100:06d}"
+        if cid in reps:
+            planted += 1
+    assert planted >= 10
