@@ -244,6 +244,14 @@ SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms
 FROM events e ASOF JOIN orders o
 ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
+        "semi_join_composite_events": """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.value > 50 AND EXISTS (
+  SELECT 1 FROM events l
+  WHERE l.value <= 50 AND l.user_id = e.user_id
+    AND l.event_type = e.event_type)
+""",
         "asof_tolerance_events_orders": """
 WITH m AS (
   SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms,

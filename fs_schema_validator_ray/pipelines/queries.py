@@ -1997,6 +1997,34 @@ def semi_join_orders_lineitem(sf_dir: str):
     )
 
 
+def semi_join_composite_events(sf_dir: str):
+    """COMPOSITE-key SEMI join (EXISTS on two columns): high-value
+    events whose (user_id, event_type) pair also occurs among low-value
+    events — AND-of-equalities over the within-bucket composite codes
+    (``semi_anti_join`` with list keys) — oracle-checked."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), 50.0)).select(
+            ["event_id", "user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("value"), 50.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return semi_anti_join(
+        left, right, ["user_id", "event_type"], ["user_id", "event_type"],
+        ["event_id"], how="semi",
+    )
+
+
 def anti_join_customer_orders(sf_dir: str):
     """Distributed ANTI join (SQL NOT EXISTS): customers with no
     big-ticket order (> 450k) — the filter keeps the result non-empty
@@ -3140,6 +3168,7 @@ QUERIES = {
     "window_user_running": window_user_running,
     "grouped_median_lineitem": grouped_median_lineitem,
     "semi_join_orders_lineitem": semi_join_orders_lineitem,
+    "semi_join_composite_events": semi_join_composite_events,
     "anti_join_customer_orders": anti_join_customer_orders,
     "chunk_documents": chunk_documents,
     "dedup_clusters_documents": dedup_clusters_documents,

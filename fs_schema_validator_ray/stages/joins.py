@@ -929,7 +929,9 @@ def semi_anti_join(
 
     Semantics match SQL ``EXISTS``/``NOT EXISTS`` (not ``NOT IN``): a
     null left key matches nothing — it drops from a semi join and is
-    KEPT by an anti join. Output columns: ``[left_on,
+    KEPT by an anti join. ``left_on`` / ``right_on`` may be LISTS for a
+    composite key (AND-of-equalities; a null in ANY component means no
+    match, like ``hash_join``). Output columns: ``[*left_on,
     *left_value_columns]``. Skew: same caveat as ``hash_join`` — one
     key's rows co-locate; salting is the caller's lever, though the
     right side is already reduced to distinct keys so only left-side
@@ -946,50 +948,85 @@ def semi_anti_join(
         raise ValueError(f"semi_anti_join how must be semi|anti, got {how!r}")
     if n_buckets is None:
         n_buckets = default_n_buckets()
-    key_type = _target_type(left, left_on)
+    l_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+    r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(l_keys) != len(r_keys) or not l_keys:
+        raise ValueError("left_on and right_on must have the same non-zero arity")
+    m = len(l_keys)
+    key_types = [_target_type(left, k) for k in l_keys]
+    kcols = [f"__key{i}" for i in range(m)]
 
-    def bucket_of(col) -> pa.Array:
-        return pa.array(mix_to_buckets(hash64(stable_key_array(col)), n_buckets))
+    def all_valid(t: pa.Table, names: list[str]):
+        v = pc.is_valid(t.column(names[0]))
+        for k in names[1:]:
+            v = pc.and_(v, pc.is_valid(t.column(k)))
+        return v
+
+    def chash(t: pa.Table, names: list[str]) -> np.ndarray:
+        h = hash64(stable_key_array(t.column(names[0]).combine_chunks()))
+        for k in names[1:]:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x9E3779B97F4A7C15) ^ hash64(
+                    stable_key_array(t.column(k).combine_chunks())
+                )
+        return h
 
     def tag_left(t: pa.Table) -> pa.Table:
-        if how == "semi":  # a null key can never match — drop early
-            t = t.filter(pc.is_valid(t.column(left_on)))
-        out = pa.table(
-            {
-                "__bucket": bucket_of(t.column(left_on).combine_chunks()),
-                "__key": pc.cast(t.column(left_on), key_type),
-                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
-            }
-        )
+        if how == "semi":  # a null key component can never match — drop early
+            t = t.filter(all_valid(t, l_keys))
+        out = {"__bucket": pa.array(mix_to_buckets(chash(t, l_keys), n_buckets))}
+        for kc, k, kt in zip(kcols, l_keys, key_types):
+            out[kc] = pc.cast(t.column(k), kt)
+        out["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        tbl = pa.table(out)
         for c in left_value_columns:
-            out = out.append_column(c, t.column(c))
-        return out
+            tbl = tbl.append_column(c, t.column(c))
+        return tbl
 
     def tag_right(t: pa.Table) -> pa.Table:
-        keys = pc.unique(t.column(right_on).combine_chunks())
-        keys = keys.filter(pc.is_valid(keys))
-        keys = pc.cast(keys, key_type)
-        out = pa.table(
-            {
-                "__bucket": bucket_of(keys),
-                "__key": keys,
-                "__side": pa.array(np.ones(len(keys), np.int8)),
-            }
-        )
+        t = t.filter(all_valid(t, r_keys))
+        g = pa.TableGroupBy(t.select(r_keys), r_keys).aggregate([])
+        out = {"__bucket": pa.array(mix_to_buckets(chash(g, r_keys), n_buckets))}
+        for kc, k, kt in zip(kcols, r_keys, key_types):
+            out[kc] = pc.cast(g.column(k), kt)
+        out["__side"] = pa.array(np.ones(g.num_rows, np.int8))
+        tbl = pa.table(out)
         for c in left_value_columns:
-            out = out.append_column(c, pa.nulls(len(keys), _target_type(left, c)))
-        return out
+            tbl = tbl.append_column(c, pa.nulls(g.num_rows, _target_type(left, c)))
+        return tbl
 
     tagged = left.select_columns(
-        list(dict.fromkeys([left_on, *left_value_columns]))
+        list(dict.fromkeys([*l_keys, *left_value_columns]))
     ).map_batches(tag_left, batch_format="pyarrow").union(
-        right.select_columns([right_on]).map_batches(tag_right, batch_format="pyarrow")
+        right.select_columns(list(dict.fromkeys(r_keys))).map_batches(
+            tag_right, batch_format="pyarrow"
+        )
     )
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        keys = stable_key_array(group.column("__key"))
-        key_valid = np.asarray(pc.is_valid(group.column("__key").combine_chunks()))
+        kv = pc.is_valid(group.column(kcols[0]).combine_chunks())
+        for kc in kcols[1:]:
+            kv = pc.and_(kv, pc.is_valid(group.column(kc).combine_chunks()))
+        key_valid = np.asarray(kv)
+        if m == 1:
+            keys = stable_key_array(group.column(kcols[0]))
+        else:
+            # composite → within-group int64 codes (same run-length trick
+            # as hash_join); invalid rows code −1 and never match
+            keys = np.full(group.num_rows, -1, np.int64)
+            vidx = np.flatnonzero(key_valid)
+            if len(vidx):
+                arrs = [stable_key_array(group.column(kc))[vidx] for kc in kcols]
+                o = np.lexsort(tuple(arrs[::-1]))
+                change = np.zeros(len(vidx), bool)
+                change[0] = True
+                for a in arrs:
+                    s = a[o]
+                    change[1:] |= s[1:] != s[:-1]
+                codes = np.empty(len(vidx), np.int64)
+                codes[o] = np.cumsum(change) - 1
+                keys[vidx] = codes
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
         hit = np.zeros(len(l_idx), bool)
@@ -997,11 +1034,12 @@ def semi_anti_join(
             rk = np.sort(keys[r_idx], kind="stable")
             valid_l = key_valid[l_idx]
             lk_valid = keys[l_idx[valid_l]]
-            pos = np.clip(np.searchsorted(rk, lk_valid), 0, len(rk) - 1)
-            hit[valid_l] = rk[pos] == lk_valid
+            if len(lk_valid):
+                pos = np.clip(np.searchsorted(rk, lk_valid), 0, len(rk) - 1)
+                hit[valid_l] = rk[pos] == lk_valid
         keep = l_idx[hit] if how == "semi" else l_idx[~hit]
         take = pa.array(keep, pa.int64())
-        out = {left_on: group.column("__key").take(take)}
+        out = {lk: group.column(kc).take(take) for lk, kc in zip(l_keys, kcols)}
         for c in left_value_columns:
             out[c] = group.column(c).take(take)
         return pa.table(out)
