@@ -255,11 +255,12 @@ WHERE e.value > 50 AND EXISTS (
         "asof_tolerance_events_orders": """
 WITH m AS (
   SELECT e.event_id, epoch_ms(o.o_orderdate) AS order_ts_ms,
-         epoch_ms(e.ts) AS ts_ms
+         epoch_us(o.o_orderdate) AS order_ts_us,
+         epoch_us(e.ts) AS ts_us
   FROM events e ASOF JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
 SELECT event_id, order_ts_ms FROM m
-WHERE ts_ms - order_ts_ms <= CAST(8500 AS BIGINT) * 24 * 3600 * 1000
+WHERE ts_us - order_ts_us <= CAST(8500 AS BIGINT) * 24 * 3600 * 1000000
 """,
         "asof_forward_events_orders": """
 SELECT o.o_orderkey, e.event_id

@@ -64,7 +64,10 @@ def _lzw_decode(blob: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
     """Variable-width LZW (GIF flavor): codes start at
     ``min_code_size + 1`` bits, table grows to 4096 entries, CLEAR
     resets, EOI terminates. Returns palette indices."""
-    if not (2 <= min_code_size <= 11):
+    # GIF palette indices are at most 8-bit, so the spec caps the LZW
+    # minimum code size at 8; 9-11 would need >256 base entries and
+    # cannot occur in a valid stream.
+    if not (2 <= min_code_size <= 8):
         raise GifError(f"invalid LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1

@@ -154,6 +154,18 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    """Totality guarantee: any malformed payload raises JpegError, never a
+    bare IndexError/ValueError/struct.error — validation stages catch
+    JpegError only, and one bad row must not kill a map_batches task."""
+    try:
+        return _decode_jpeg_impl(data)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise JpegError(f"malformed jpeg ({type(exc).__name__}): {exc}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("bad jpeg signature (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -199,11 +211,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     i += 128
                 qt[tid] = tbl
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            if len(seg) < 6:
+                raise JpegError("truncated SOF header")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
             if h < 1 or w < 1:
                 raise JpegError("zero image dimension")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("truncated SOF component list")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -214,6 +230,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise JpegError("truncated DHT header")
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
@@ -223,6 +241,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             break
@@ -231,7 +251,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None:
         raise JpegError("missing SOF0 frame header")
     h, w, comps = frame
+    if len(seg) < 1:
+        raise JpegError("truncated SOS header")
     ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise JpegError("truncated SOS component list")
     scan_sel = []
     for c in range(ns):
         cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -10,18 +10,19 @@ Ray-side plumbing for image/video columns:
   numbers + dimension extraction for PNG/JPEG/GIF/BMP/WEBP — no
   imaging library needed), so declared-vs-actual format mismatch and
   corrupt-header violations work end-to-end,
-* **PNG and GIF pixel decode are real**: ``functions/png.py`` (stdlib
-  ``zlib`` inflate + vectorized scanline unfilter, all color
-  types/depths/filters, Adam7) and ``functions/gif.py`` (variable-width
-  LZW, palettes, 4-pass interlace) are from-scratch codecs, so the
-  default ``decoder_factory`` decodes both corpus formats for real —
-  validate, resize and pHash run on actual pixels, like the reference's
-  PIL raster path.
-* **jpeg/webp/tiff/avif pixel decode stays stubbed**: no libjpeg/ffmpeg
-  in the sandbox, so the default :class:`HybridPixelDecoder` falls back
-  to the deterministic ``FakePixelDecoder`` there (clearly marked; swap
-  a real PIL/libvips-backed ``decoder_factory`` per worker in
-  production — loaded once per actor in ``__init__``, the
+* **PNG/GIF/JPEG/BMP/TIFF pixel decode is real**: from-scratch codecs
+  ``functions/png.py`` (stdlib ``zlib`` inflate + vectorized scanline
+  unfilter, all color types/depths/filters, Adam7), ``functions/gif.py``
+  (variable-width LZW, palettes, 4-pass interlace), ``functions/jpeg.py``
+  (baseline Huffman + batched IDCT, interop-proven vs libjpeg output),
+  and ``functions/bmp.py`` (BMP 24-bit/paletted + TIFF uncompressed/
+  deflate strips with predictor-2) — validate, resize and pHash run on
+  actual pixels, like the reference's PIL raster path.
+* **webp/avif pixel decode stays stubbed**: no VP8/AV1 codec from
+  scratch is reasonable here, so the default :class:`HybridPixelDecoder`
+  falls back to the deterministic ``FakePixelDecoder`` for those two
+  (clearly marked; swap a real PIL/libvips-backed ``decoder_factory``
+  per worker in production — loaded once per actor in ``__init__``, the
   stateful-stage shape).
 
 Violation reason strings mirror the reference:
@@ -418,6 +419,16 @@ class ImageValidateStage:
                     decode_bmp(p)
                 except BmpError:
                     emit(i, "file does not contain a valid image")
+            elif self.deep_decode and actual == "tiff":
+                from fs_schema_validator_ray.functions.bmp import (
+                    TiffError,
+                    decode_tiff,
+                )
+
+                try:
+                    decode_tiff(p)
+                except TiffError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -463,13 +474,13 @@ class FakePixelDecoder:
 
 
 class HybridPixelDecoder:
-    """Default per-actor decoder: REAL from-scratch decode for PNG
-    (``functions/png.py``) and GIF (``functions/gif.py`` — LZW); every
-    other container falls back to the deterministic
-    :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — no jpeg/webp codec
-    in this sandbox; swap a PIL/libvips-backed factory in production).
-    Decode failures raise the codec's typed error, which the stages turn
-    into a skipped row / ``decode_ok=false``."""
+    """Default per-actor decoder: REAL from-scratch decode for
+    png/gif/jpeg/bmp/tiff (``functions/png.py``, ``gif.py``, ``jpeg.py``,
+    ``bmp.py``); only webp/avif fall back to the deterministic
+    :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — a from-scratch
+    VP8/AV1 decoder is out of scope; swap a PIL/libvips-backed factory
+    in production). Decode failures raise the codec's typed error, which
+    the stages turn into a skipped row / ``decode_ok=false``."""
 
     def __init__(self) -> None:
         self._fake = FakePixelDecoder(full_payload_hash=True)
@@ -523,7 +534,8 @@ class PixelDecodeStage:
 
     ``decoder_factory`` is called ONCE per actor in ``__init__`` (model/
     codec load happens per worker, not per batch); the default is
-    :class:`HybridPixelDecoder` (real PNG, deterministic fake others).
+    :class:`HybridPixelDecoder` (real png/gif/jpeg/bmp/tiff,
+    deterministic fake for webp/avif).
     Undecodable payloads drop (the audit pass is ``ImageValidateStage``).
     """
 

@@ -282,8 +282,14 @@ def test_sniff_svg_tiff_avif():
 def test_image_validate_stage_svg_tiff_avif_tristate():
     """Tri-state per new format: ok / declared-mismatch / corrupt — with
     the reference's exact reason strings (image.py:47-52, 64-69)."""
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.bmp import encode_tiff
     from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
 
+    # tiff_ok must carry real pixel data: deep_decode now gates tiff strips
+    # like every other raster (round-4 ADVICE fix)
+    real_tiff = encode_tiff(np.zeros((20, 10, 3), dtype=np.uint8))
     batch = pa.table(
         {
             "key": pa.array(
@@ -295,7 +301,7 @@ def test_image_validate_stage_svg_tiff_avif_tristate():
             ),
             "bytes": pa.array(
                 [
-                    make_tiff(), make_png(), b"II*\x00\xff\xff\xff\xff",
+                    real_tiff, make_png(), b"II*\x00\xff\xff\xff\xff",
                     make_avif(), make_tiff(),
                     make_svg(), b"<svg><rect/></svg>", make_png(), b"not xml at all",
                 ],
