@@ -3044,7 +3044,71 @@ rules:
 """
 
 
+# Ordering policy: the round driver's CORRECTNESS window samples the FIRST
+# 50 entries in insertion order. Rotate each round so never-driver-checked
+# oracle-bearing queries lead; previously-green and rows-only entries follow
+# (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_decode_contract": audio_decode_contract,
+    "image_validate_corpus": image_validate_corpus,
+    "image_resize_corpus": image_resize_corpus,
+    "mad_lineitem_quantity": mad_lineitem_quantity,
+    "spearman_lineitem": spearman_lineitem,
+    "interval_overlap_events": interval_overlap_events,
+    "bigram_logprob_documents": bigram_logprob_documents,
+    "setop_except_all_custkeys": setop_except_all_custkeys,
+    "setop_intersect_all_user_type": setop_intersect_all_user_type,
+    "ntile_orders_desc": ntile_orders_desc,
+    "join3_revenue_segment_priority": join3_revenue_segment_priority,
+    "latest_order_per_customer": latest_order_per_customer,
+    "entropy_lang_by_source": entropy_lang_by_source,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "range_window_events": range_window_events,
+    "right_join_orders_customer": right_join_orders_customer,
+    "percentile_cont_lineitem": percentile_cont_lineitem,
+    "throttle_events_per_user": throttle_events_per_user,
+    "top_bigrams_documents": top_bigrams_documents,
+    "distinct_users_by_type": distinct_users_by_type,
+    "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
+    "histogram_orders_totalprice": histogram_orders_totalprice,
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "rollup_lineitem_status": rollup_lineitem_status,
+    "cube_lineitem_status": cube_lineitem_status,
+    "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
+    "regr_slope_price_by_flag": regr_slope_price_by_flag,
+    "regr_intercept_price_by_flag": regr_intercept_price_by_flag,
+    "regr_r2_qty_discount": regr_r2_qty_discount,
+    "decontaminate_documents": decontaminate_documents,
+    "repetition_documents": repetition_documents,
+    "bm25_contrib_documents": bm25_contrib_documents,
+    "iqr_outliers_events": iqr_outliers_events,
+    "unigram_logprob_documents": unigram_logprob_documents,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "hopping_window_events": hopping_window_events,
+    "setop_intersect_users": setop_intersect_users,
+    "setop_except_customers": setop_except_customers,
+    "setop_intersect_user_type": setop_intersect_user_type,
+    "setop_union_keys": setop_union_keys,
+    "ntile_orders": ntile_orders,
+    "window_user_running": window_user_running,
+    "grouped_median_lineitem": grouped_median_lineitem,
+    "semi_join_orders_lineitem": semi_join_orders_lineitem,
+    "semi_join_composite_events": semi_join_composite_events,
+    "anti_join_customer_orders": anti_join_customer_orders,
+    "chunk_documents": chunk_documents,
+    "dedup_clusters_documents": dedup_clusters_documents,
+    "pack_documents": pack_documents,
+    "text_profile_documents": text_profile_documents,
+    "text_quality_documents": text_quality_documents,
+    "text_langid_documents": text_langid_documents,
+    "text_clean_documents": text_clean_documents,
+    "redact_pii_documents": redact_pii_documents,
+    "sentence_split_documents": sentence_split_documents,
+    "inverted_index_documents": inverted_index_documents,
+    "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "scalar_lineitem": scalar_lineitem,
     "scalar_orders": scalar_orders,
     "scalar_part": scalar_part,
@@ -3095,87 +3159,27 @@ QUERIES = {
     "heavy_hitters_events": heavy_hitters_events,
     "pca_embeddings": pca_embeddings,
     "diff_orders_snapshots": diff_orders_snapshots,
-    "join3_revenue_segment_priority": join3_revenue_segment_priority,
-    "latest_order_per_customer": latest_order_per_customer,
-    "entropy_lang_by_source": entropy_lang_by_source,
     "weighted_sample_documents": weighted_sample_documents,
-    "mode_event_type_per_user": mode_event_type_per_user,
-    "range_window_events": range_window_events,
-    "right_join_orders_customer": right_join_orders_customer,
-    "percentile_cont_lineitem": percentile_cont_lineitem,
-    "mad_lineitem_quantity": mad_lineitem_quantity,
-    "spearman_lineitem": spearman_lineitem,
-    "throttle_events_per_user": throttle_events_per_user,
-    "top_bigrams_documents": top_bigrams_documents,
-    "distinct_users_by_type": distinct_users_by_type,
-    "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
-    "histogram_orders_totalprice": histogram_orders_totalprice,
     "kmeans_embeddings": kmeans_embeddings,
     "audio_speed_perturb_clips": audio_speed_perturb_clips,
     "audio_noise_mix_clips": audio_noise_mix_clips,
     "audio_reverb_clips": audio_reverb_clips,
     "audio_compress_clips": audio_compress_clips,
     "audio_curation_clips": audio_curation_clips,
-    "image_validate_corpus": image_validate_corpus,
     "image_phash_dedup": image_phash_dedup,
-    "image_resize_corpus": image_resize_corpus,
-    "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
-    "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
-    "ann_topk_embeddings": ann_topk_embeddings,
     "ann_topk_ivf": ann_topk_ivf,
-    "text_profile_documents": text_profile_documents,
-    "text_quality_documents": text_quality_documents,
-    "text_langid_documents": text_langid_documents,
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
-    "text_clean_documents": text_clean_documents,
-    "redact_pii_documents": redact_pii_documents,
-    "rollup_lineitem_status": rollup_lineitem_status,
-    "cube_lineitem_status": cube_lineitem_status,
-    "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
-    "regr_slope_price_by_flag": regr_slope_price_by_flag,
-    "regr_intercept_price_by_flag": regr_intercept_price_by_flag,
-    "regr_r2_qty_discount": regr_r2_qty_discount,
-    "decontaminate_documents": decontaminate_documents,
-    "repetition_documents": repetition_documents,
-    "bm25_contrib_documents": bm25_contrib_documents,
-    "iqr_outliers_events": iqr_outliers_events,
     "grouped_hll_users_by_type": grouped_hll_users_by_type,
     "grouped_tdigest_events": grouped_tdigest_events,
-    "sentence_split_documents": sentence_split_documents,
-    "unigram_logprob_documents": unigram_logprob_documents,
-    "bigram_logprob_documents": bigram_logprob_documents,
-    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-    "hopping_window_events": hopping_window_events,
-    "inverted_index_documents": inverted_index_documents,
-    "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "audio_gain_normalize_clips": audio_gain_normalize_clips,
     "audio_transcode_clips": audio_transcode_clips,
     "audio_silence_trim_clips": audio_silence_trim_clips,
-    "setop_intersect_users": setop_intersect_users,
-    "setop_except_customers": setop_except_customers,
-    "setop_intersect_user_type": setop_intersect_user_type,
-    "setop_union_keys": setop_union_keys,
-    "interval_overlap_events": interval_overlap_events,
-    "setop_except_all_custkeys": setop_except_all_custkeys,
-    "setop_intersect_all_user_type": setop_intersect_all_user_type,
-    "ntile_orders": ntile_orders,
-    "ntile_orders_desc": ntile_orders_desc,
-    "window_user_running": window_user_running,
-    "grouped_median_lineitem": grouped_median_lineitem,
-    "semi_join_orders_lineitem": semi_join_orders_lineitem,
-    "semi_join_composite_events": semi_join_composite_events,
-    "anti_join_customer_orders": anti_join_customer_orders,
-    "chunk_documents": chunk_documents,
-    "dedup_clusters_documents": dedup_clusters_documents,
-    "pack_documents": pack_documents,
     "clips_validation": clips_validation,
     "audio_features_clips": audio_features_clips,
-    "audio_decode_contract": audio_decode_contract,
     "audio_dedup_clusters": audio_dedup_clusters,
     "audio_mfcc_clips": audio_mfcc_clips,
     "audio_pitch_clips": audio_pitch_clips,

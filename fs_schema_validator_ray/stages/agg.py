@@ -69,7 +69,7 @@ def group_sum_bucketed(
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     combine = _partial([key_column], sum_cols)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -321,7 +321,7 @@ def pivot_wide(
     if reserved & set(names) or len(set(names)) != len(names):
         raise ValueError(f"pivot column names collide: {names}")
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
         tbl = batch.select([key_column, pivot_column, value_column])
@@ -397,7 +397,7 @@ def salted_topk_per_key(
         stable_key_array,
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(ds)
 
     def add_salted_bucket(batch: pa.Table) -> pa.Table:
         kh = hash64(stable_key_array(batch.column(key_column)))
@@ -480,7 +480,7 @@ def sessionize(
         stable_key_array,
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(ds)
     cols = [key_column, ts_column]
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -610,7 +610,7 @@ def grouped_quantile_disc(
         stable_key_array,
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(ds)
     prefix = "p" if interpolate else "q"
     qcols = [f"{prefix}_{int(round(q * 100))}" for q in qs]
 
@@ -1152,7 +1152,7 @@ def group_argmax(ds, key_column: str, order_columns: list[str], n_buckets=None):
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     cols = list(dict.fromkeys([key_column, *order_columns]))
 
     def argmax_scan(t: pa.Table, counts: np.ndarray) -> pa.Table:
@@ -1322,7 +1322,7 @@ def group_string_agg(
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.select([key_column, value_column])
@@ -1540,7 +1540,7 @@ def grouped_spearman(ds, key_column: str, x_column: str, y_column: str):
         stable_key_array,
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(t.column(x_column)), pc.is_valid(t.column(y_column)))

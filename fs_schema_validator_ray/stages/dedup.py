@@ -35,15 +35,82 @@ from fs_schema_validator_ray.state.sketches import (
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def default_n_buckets() -> int:
-    """Shuffle-bucket default: 2× cluster CPUs, floor 16 (shared by the
-    exact-dedup / uniqueness / verify-join bucketed exchanges)."""
+# Target input bytes per bucket group. Each bucket is one map_groups task
+# that materializes its whole group, so the bucket count must scale with
+# DATA size, not CPU count: on a fixed 64-core cluster at 100 TB, 2×CPUs
+# buckets would make each group ~800 GB. 256 MiB per group keeps any
+# single task's materialization comfortably inside a worker heap while
+# still amortizing per-task overhead.
+DEFAULT_TARGET_BUCKET_BYTES = 256 * 2**20
+
+
+def estimate_dataset_bytes(ds) -> int | None:
+    """Metadata-only input-size estimate for a (lazy) Dataset: walk the
+    logical DAG upward until an operator reports a known ``size_bytes``
+    (the column-pruned parquet read does). Never triggers execution;
+    returns ``None`` when nothing in the lineage knows. Transforms
+    usually shrink data, so this is a conservative upper bound."""
+    try:
+        node = ds._logical_plan.dag
+        while node is not None:
+            md = node.infer_metadata()
+            if md.size_bytes is not None:
+                return md.size_bytes
+            deps = node.input_dependencies
+            if not deps:
+                return None
+            if len(deps) > 1:  # union / zip: sum whatever inputs know
+                parts = []
+                for dep in deps:
+                    sub = _estimate_node_bytes(dep)
+                    if sub is not None:
+                        parts.append(sub)
+                return sum(parts) if parts else None
+            node = deps[0]
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
+        return None
+    return None
+
+
+def _estimate_node_bytes(node) -> int | None:
+    while node is not None:
+        md = node.infer_metadata()
+        if md.size_bytes is not None:
+            return md.size_bytes
+        deps = node.input_dependencies
+        if not deps:
+            return None
+        node = deps[0]
+    return None
+
+
+def default_n_buckets(*datasets, target_bucket_bytes: int | None = None) -> int:
+    """Shuffle-bucket default, DATA-AWARE when the exchange's input
+    dataset(s) are passed: ``max(2×CPUs, ceil(input_bytes / 256 MiB))``
+    so per-bucket groups stay bounded as data grows (a CPU-derived count
+    alone would make each group scale linearly with corpus size). Falls
+    back to ``max(16, 2×CPUs)`` when no lineage size is known. Shared by
+    the exact-dedup / uniqueness / join / setop / window bucketed
+    exchanges."""
     import ray
 
     try:
-        return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        floor = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     except Exception:  # noqa: BLE001
-        return 16
+        floor = 16
+    target = target_bucket_bytes or DEFAULT_TARGET_BUCKET_BYTES
+    total = 0
+    known = False
+    for ds in datasets:
+        if ds is None:
+            continue
+        est = estimate_dataset_bytes(ds)
+        if est is not None:
+            total += est
+            known = True
+    if known and total > 0:
+        return max(floor, -(-total // target))
+    return floor
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
@@ -88,7 +155,7 @@ def exact_dedup_keep_min(
     ``{id_column}`` per distinct content value.
     """
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
 
     empty_partial = pa.schema(
         [
@@ -450,7 +517,7 @@ def minhash_verify_join(
        intersection is inherently per-pair, same as the broadcast path).
     """
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def roles(t: pa.Table) -> pa.Table:
@@ -1477,7 +1544,7 @@ def edit_distance_pairs(
     truncating (exact pair enumeration cannot silently cap — that shape
     means the corpus needs a stronger prefilter)."""
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
 
     band_rows = ds.select_columns([id_column, text_column]).map_batches(
         lambda t: _deletion_band_rows(t, text_column, id_column, max_len, n_buckets),

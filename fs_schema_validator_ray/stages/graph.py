@@ -66,7 +66,7 @@ def connected_components(
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(edges)
 
     # pairs ≪ corpus (they are the near-duplicates): pin once, re-tag per
     # round rather than re-running the pair pipeline every round

@@ -140,7 +140,7 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(left, right)
     l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
     r_cols = list(dict.fromkeys([key_column, right_ts, *right_value_columns]))
     # resolve null-fill dtypes ONCE on the driver — referencing the
@@ -288,7 +288,7 @@ def interval_overlap_join(
     if band_width < 1:
         raise ValueError("band_width must be >= 1")
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(left, right)
     w = int(band_width)
     l_id_type = _target_type(left, left_id)
     r_id_type = _target_type(right, right_id)
@@ -437,7 +437,7 @@ def range_join(
         stable_key_array,
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(left, right)
     l_cols = list(dict.fromkeys([key_column, left_ts, *left_value_columns]))
     r_cols = list(dict.fromkeys([key_column, right_lo, right_hi, *right_value_columns]))
     l_types = {c: _target_type(left, c) for c in left_value_columns}
@@ -646,7 +646,7 @@ def hash_join(
         # a replicated right row would emit `salt` right-only copies
         raise ValueError("salt > 1 supports how=inner|left only")
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(left, right)
     l_keys = [left_on] if isinstance(left_on, str) else list(left_on)
     r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
     if len(l_keys) != len(r_keys) or not l_keys:
@@ -947,7 +947,7 @@ def semi_anti_join(
     if how not in ("semi", "anti"):
         raise ValueError(f"semi_anti_join how must be semi|anti, got {how!r}")
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(left, right)
     l_keys = [left_on] if isinstance(left_on, str) else list(left_on)
     r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
     if len(l_keys) != len(r_keys) or not l_keys:

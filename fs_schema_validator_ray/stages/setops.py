@@ -50,7 +50,7 @@ def set_op_distinct(left, right, columns: list[str], op: str, n_buckets: int | N
             f"set_op_distinct op must be intersect|except|union, got {op!r}"
         )
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(left, right)
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -117,7 +117,7 @@ def set_op_bag(left, right, columns: list[str], op: str, n_buckets: int | None =
     if op == "union_all":
         return left.select_columns(columns).union(right.select_columns(columns))
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(left, right)
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -200,7 +200,7 @@ def table_diff(
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(old, new)
     cols = list(dict.fromkeys([*key_columns, *value_columns]))
 
     def tag(side: int):

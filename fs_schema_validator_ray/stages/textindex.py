@@ -80,7 +80,7 @@ def inverted_index(
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
 
     def flat(batch: pa.Table) -> pa.Table:
         tok, ids = _distinct_doc_tokens(batch, text_column, id_column)
@@ -672,7 +672,7 @@ def unigram_logprob_copartitioned(
         "token", "token", [id_column, "k"], ["cnt"],
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(ds)
 
     def score_partial(t: pa.Table) -> pa.Table:
         ids = t.column(id_column).combine_chunks()

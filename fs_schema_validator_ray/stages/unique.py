@@ -81,7 +81,7 @@ def uniqueness_violations(
     if n_buckets is None:
         from fs_schema_validator_ray.stages.dedup import default_n_buckets
 
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     cols = [column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in ds.schema().names else [])
     keys = ds.select_columns(cols)
     partials = keys.map_batches(

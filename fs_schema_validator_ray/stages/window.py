@@ -58,7 +58,7 @@ def per_key_window(
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     id_columns = id_columns or []
     cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
     prev_col = f"prev_{value_column}"
@@ -191,7 +191,7 @@ def per_key_rank(
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     id_columns = id_columns or []
     cols = list(
         dict.fromkeys([key_column, *rank_columns, *tiebreak_columns, *id_columns])
@@ -308,7 +308,7 @@ def per_key_shift(
             "partition start — use per_key_window's LAG instead)"
         )
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     id_columns = id_columns or []
     cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
     lead_col = f"lead_{value_column}"
@@ -401,7 +401,7 @@ def per_key_range_window_sum(
     )
 
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     id_columns = id_columns or []
     cols = list(dict.fromkeys([key_column, ts_column, value_column, *id_columns]))
     out_col = f"win_{value_column}"
@@ -579,7 +579,7 @@ def per_key_ewma(
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
     if n_buckets is None:
-        n_buckets = default_n_buckets()
+        n_buckets = default_n_buckets(ds)
     id_columns = id_columns or []
     cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
     out_col = f"ewma_{value_column}"
@@ -659,7 +659,7 @@ def throttle_per_key(
         stable_key_array,
     )
 
-    n_buckets = default_n_buckets()
+    n_buckets = default_n_buckets(ds)
     cols = list(dict.fromkeys([key_column, ts_column, id_column, *(keep_columns or [])]))
 
     def add_bucket(t: pa.Table) -> pa.Table:
