@@ -72,6 +72,24 @@ def estimate_dataset_bytes(ds) -> int | None:
     return None
 
 
+def estimate_dataset_rows(ds) -> int | None:
+    """Metadata-only row-count estimate (same lineage walk as
+    :func:`estimate_dataset_bytes`); ``None`` when unknown."""
+    try:
+        node = ds._logical_plan.dag
+        while node is not None:
+            md = node.infer_metadata()
+            if md.num_rows is not None:
+                return md.num_rows
+            deps = node.input_dependencies
+            if not deps:
+                return None
+            node = deps[0]
+    except Exception:  # noqa: BLE001
+        return None
+    return None
+
+
 def _estimate_node_bytes(node) -> int | None:
     while node is not None:
         md = node.infer_metadata()

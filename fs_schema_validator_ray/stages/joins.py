@@ -562,6 +562,9 @@ def hash_join(
     how: str = "inner",
     salt: int = 1,
     prefilter: str | None = None,
+    adaptive_skew: bool | None = None,
+    skew_split_cap_rows: int = 50_000,
+    _skew_report: dict | None = None,
 ):
     """Distributed equi-join (``how``: "inner", "left", "right" or
     "full_outer"), both sides large: ``tag → union →
@@ -594,10 +597,21 @@ def hash_join(
     ``full_outer`` right-only rows it holds the RIGHT key (oracle:
     ``COALESCE(l.key, r.key)``). A right join is ``full_outer`` minus
     left-only rows — or just swap the sides and use "left". Column names
-    pass through (caller guarantees no collision across sides). Skew
-    note: one KEY's rows always co-locate; a pathologically hot key
-    inflates its bucket — salt it upstream or pre-aggregate, same caveat
-    as any hash join.
+    pass through (caller guarantees no collision across sides).
+
+    **Adaptive hot-bucket splitting** (``adaptive_skew``, inner/left
+    with ``salt == 1``): one cheap pre-pass over the PRUNED left key
+    column counts rows per bucket (vectorized bincount partials, driver
+    holds one int array of ``n_buckets``); any bucket whose count
+    exceeds ``max(skew_split_cap_rows, 4×median)`` is split into
+    ``ceil(count / cap)`` sub-buckets (≤64) — its left rows round-robin
+    across them and its right rows replicate into each, the same
+    correctness argument as uniform ``salt`` but applied only where the
+    data is actually hot, so no single merge task materializes a whole
+    hot key. ``None`` (default) auto-enables when the left side's
+    metadata row estimate is ≥1M rows (the pre-pass amortizes);
+    ``True``/``False`` force. Split decisions are logged
+    (no-silent-caps) and reported via ``_skew_report`` for tests.
 
     ``left_on`` / ``right_on`` may be LISTS for a composite
     (multi-column) join key: row equality requires every component equal
@@ -635,6 +649,9 @@ def hash_join(
             n_buckets=n_buckets,
             how="left",
             salt=salt,
+            adaptive_skew=adaptive_skew,
+            skew_split_cap_rows=skew_split_cap_rows,
+            _skew_report=_skew_report,
         )
     if how not in ("inner", "left", "full_outer"):
         raise ValueError(
@@ -709,17 +726,74 @@ def hash_join(
             bf.add_hashes(h1, parts["h2"].to_numpy(dtype=np.uint64))
             membership_ref = ray.put(bf)
 
-    def bucket_of(t: pa.Table, names: list[str], salt_idx=None) -> pa.Array:
-        h = chash(t, names)
-        base = mix_to_buckets(h, n_buckets)
-        if salt == 1:
-            return pa.array(base)
-        si = (
-            np.arange(len(base), dtype=np.int64) % salt
-            if salt_idx is None
-            else salt_idx
+    # --- per-bucket split factors: uniform explicit `salt`, widened per
+    # bucket by adaptive skew detection. A bucket with split factor s
+    # occupies s contiguous final-bucket slots; left rows round-robin
+    # into them, right rows replicate into all s (identical correctness
+    # argument to uniform salting, applied only where hot).
+    splits = np.full(n_buckets, salt, dtype=np.int64)
+    if adaptive_skew is None:
+        from fs_schema_validator_ray.stages.dedup import estimate_dataset_rows
+
+        est_rows = estimate_dataset_rows(left)
+        adaptive_skew = est_rows is not None and est_rows >= 1_000_000
+    if adaptive_skew and salt == 1 and how in ("inner", "left"):
+        key_only = list(dict.fromkeys(l_keys))
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            b = mix_to_buckets(chash(t, l_keys), n_buckets)
+            c = np.bincount(b, minlength=n_buckets)
+            nz = np.flatnonzero(c)
+            return pa.table(
+                {
+                    "b": pa.array(nz.astype(np.int64)),
+                    "c": pa.array(c[nz].astype(np.int64)),
+                }
+            )
+
+        parts = (
+            left.select_columns(key_only)
+            .map_batches(count_partial, batch_format="pyarrow")
+            .to_pandas()
         )
-        return pa.array((base.astype(np.int64) * salt + si).astype(np.int32))
+        counts = np.zeros(n_buckets, np.int64)
+        if len(parts):
+            np.add.at(
+                counts,
+                parts["b"].to_numpy(dtype=np.int64),
+                parts["c"].to_numpy(dtype=np.int64),
+            )
+        nz = counts[counts > 0]
+        if len(nz):
+            med = max(1, int(np.median(nz)))
+            cap = max(int(skew_split_cap_rows), 4 * med)
+            need = np.minimum(-(-counts // cap), 64)
+            if (need > 1).any():
+                import logging
+
+                hot = np.flatnonzero(need > 1)
+                logging.getLogger(__name__).warning(
+                    "hash_join adaptive skew: splitting %d hot bucket(s) "
+                    "(max %d rows, median %d, cap %d) into up to %d "
+                    "sub-buckets",
+                    len(hot), int(counts.max()), med, cap, int(need.max()),
+                )
+                splits = np.maximum(splits, need)
+    if _skew_report is not None:
+        _skew_report["splits"] = splits.copy()
+        _skew_report["n_hot"] = int((splits > salt).sum())
+    bucket_offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(splits)]
+    )[:-1]
+    any_split = bool((splits > 1).any())
+
+    def final_buckets(base: np.ndarray, sub: np.ndarray | None = None) -> pa.Array:
+        if not any_split:
+            return pa.array(base)
+        if sub is None:
+            sp = splits[base]
+            sub = np.arange(len(base), dtype=np.int64) % np.maximum(sp, 1)
+        return pa.array((bucket_offsets[base] + sub).astype(np.int32))
 
     def tag_left(t: pa.Table) -> pa.Table:
         if how == "inner":
@@ -738,7 +812,7 @@ def hash_join(
             else:
                 keep = memb.contains_hashes(h1, chash(t, l_keys, alt=True))
             t = t.filter(pa.array(keep))
-        out = {"__bucket": bucket_of(t, l_keys)}
+        out = {"__bucket": final_buckets(mix_to_buckets(chash(t, l_keys), n_buckets))}
         for kc, k, kt in zip(kcols, l_keys, key_types):
             out[kc] = pc.cast(t.column(k), kt)
         out["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
@@ -754,14 +828,19 @@ def hash_join(
             # a null right key can never match and (inner/left) never
             # emits; full_outer emits it as a right-only row
             t = t.filter(all_valid(t, r_keys))
-        if salt > 1:
-            # replicate each right row into every salt sub-bucket
-            rep = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), salt))
-            t = t.take(rep)
-            salt_idx = np.tile(np.arange(salt, dtype=np.int64), t.num_rows // salt)
+        base = mix_to_buckets(chash(t, r_keys), n_buckets)
+        if any_split:
+            # replicate each right row into every sub-bucket of its base
+            # bucket (variable per-bucket split factor)
+            sp = splits[base]
+            rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), sp)
+            t = t.take(pa.array(rep))
+            offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(sp)])
+            sub = np.arange(len(rep), dtype=np.int64) - np.repeat(offs[:-1], sp)
+            bucket = final_buckets(base[rep], sub)
         else:
-            salt_idx = None
-        out = {"__bucket": bucket_of(t, r_keys, salt_idx)}
+            bucket = pa.array(base)
+        out = {"__bucket": bucket}
         for kc, k, kt in zip(kcols, r_keys, key_types):
             out[kc] = pc.cast(t.column(k), kt)
         out["__side"] = pa.array(np.ones(t.num_rows, np.int8))
