@@ -850,13 +850,15 @@ SELECT CAST(-1 AS INTEGER) AS partition_id,
        'img-' || lpad(CAST(i AS VARCHAR), 6, '0') AS "key",
        'image_decode' AS rule_id,
        CASE
-         WHEN i % 97 = 0 AND i % 3 = 0 THEN 'file does not contain a valid image'
-         WHEN i % 97 = 0 AND i % 3 = 1 THEN 'failed to parse gif header'
-         WHEN i % 97 = 0 THEN 'failed to parse jpeg header'
+         WHEN i % 97 = 0 AND i % 4 = 1 THEN 'failed to parse gif header'
+         WHEN i % 97 = 0 AND i % 4 = 2 THEN 'failed to parse jpeg header'
+         WHEN i % 97 = 0 THEN 'file does not contain a valid image'
          WHEN i % 89 = 0 THEN 'payload is not in '
-              || CASE (i + 1) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+              || CASE (i + 1) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                  WHEN 2 THEN 'jpeg' ELSE 'webp' END
               || ' format (got '
-              || CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+              || CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                            WHEN 2 THEN 'jpeg' ELSE 'webp' END
               || ')'
          ELSE 'file does not contain a valid image'
        END AS reason

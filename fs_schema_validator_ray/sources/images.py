@@ -1,20 +1,23 @@
 """Deterministic synthetic image corpus — the image analogue of
-``sources/clips.py``. ALL THREE formats carry REAL rasters encoded by
+``sources/clips.py``. ALL FOUR formats carry REAL rasters encoded by
 the from-scratch codecs with deterministic hash-seeded content:
 PNG rows (``functions/png.py``) cycle color types (RGB / gray /
 palette), filters 0-4 and Adam7 interlace; GIF rows
 (``functions/gif.py``) cycle palette sizes and 4-pass interlace; JPEG
-rows (``functions/jpeg.py``) cycle quality and 4:2:0/4:4:4 — so every
-decoder path runs in the pipeline, not just in unit tests. Mirrors the
-reference's image fixture styles (/root/reference/tests/test_image.py
-uses tiny real rasters + corrupted variants).
+rows (``functions/jpeg.py``) cycle quality and 4:2:0/4:4:4; WEBP rows
+(``functions/webp.py``, lossless VP8L) cycle plain / subtract-green /
+predictor / palette / color-cache streams — so every decoder path runs
+in the pipeline, not just in unit tests. Mirrors the reference's image
+fixture styles (/root/reference/tests/test_image.py uses tiny real
+rasters + corrupted variants).
 
 Planted violations:
 * every 97th payload truncated (fails sniff or header parse),
 * every 89th declared with the WRONG format,
 * every 101st given broken pixel data under a valid header (corrupt
-  zlib stream / corrupt LZW / truncated entropy scan) — caught ONLY by
-  the real deep decode (``ImageValidateStage(deep_decode=True)``)."""
+  zlib stream / corrupt LZW / truncated entropy scan / truncated VP8L
+  bitstream) — caught ONLY by the real deep decode
+  (``ImageValidateStage(deep_decode=True)``)."""
 
 from __future__ import annotations
 
@@ -27,6 +30,7 @@ import pyarrow as pa
 from fs_schema_validator_ray.functions.gif import encode_gif
 from fs_schema_validator_ray.functions.jpeg import encode_jpeg
 from fs_schema_validator_ray.functions.png import encode_png
+from fs_schema_validator_ray.functions.webp import encode_webp
 
 
 def png_bytes(w: int, h: int, salt: int = 0) -> bytes:
@@ -74,8 +78,9 @@ def gif_bytes(w: int, h: int, salt: int = 0) -> bytes:
 
 
 def jpeg_bytes(w: int, h: int, salt: int = 0) -> bytes:
-    """Real baseline JPEG with deterministic smooth content (gradients
-    compress honestly); 4:2:0 / 4:4:4 and quality cycle with ``salt``."""
+    """Real JPEG with deterministic smooth content (gradients compress
+    honestly); 4:2:0 / 4:4:4, quality, and baseline-vs-PROGRESSIVE
+    (SOF2 multi-scan) cycle with ``salt``."""
     rng = np.random.Generator(np.random.PCG64(salt ^ 0x4A50))
     yy, xx = np.mgrid[0:h, 0:w]
     base = rng.integers(0, 128, size=3)
@@ -87,17 +92,30 @@ def jpeg_bytes(w: int, h: int, salt: int = 0) -> bytes:
         ],
         axis=2,
     ).astype(np.uint8)
-    return encode_jpeg(px, quality=(95, 85)[salt % 2], subsample=salt % 3 == 0)
+    quality = (95, 85)[salt % 2]
+    if salt % 7 == 3:
+        return encode_jpeg(px, quality=quality, progressive=True)
+    return encode_jpeg(px, quality=quality, subsample=salt % 3 == 0)
 
 
 def corrupt_jpeg_entropy(payload: bytes) -> bytes:
-    """Drop half the entropy-coded scan (EOI kept) — markers and dims
-    stay parseable, the Huffman stream runs dry mid-MCU: a GUARANTEED
-    deep-decode failure (bit flips may still decode structurally with
-    wrong pixels, which a planted-count corpus cannot rely on)."""
+    """Cut the FIRST scan's entropy data in half (EOI appended) —
+    markers and dims stay parseable, the Huffman stream runs dry
+    mid-MCU: a GUARANTEED deep-decode failure for baseline AND
+    progressive streams (a cut after later complete scans could decode;
+    bit flips may decode structurally with wrong pixels — a
+    planted-count corpus cannot rely on either)."""
     sos = payload.index(b"\xff\xda")
     scan_start = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
-    keep = scan_start + max(2, (len(payload) - 2 - scan_start) // 2)
+    # end of the first scan's entropy: next 0xFF followed by a true marker
+    end = scan_start
+    while end < len(payload) - 1:
+        if payload[end] == 0xFF and payload[end + 1] not in (0x00,) and not (
+            0xD0 <= payload[end + 1] <= 0xD7
+        ):
+            break
+        end += 1
+    keep = scan_start + max(2, (end - scan_start) // 2)
     return payload[:keep] + b"\xff\xd9"
 
 
@@ -114,8 +132,40 @@ def corrupt_gif_lzw(payload: bytes) -> bytes:
     return bytes(out)
 
 
+def webp_bytes(w: int, h: int, salt: int = 0) -> bytes:
+    """Real lossless VP8L with deterministic content; the stream kind
+    cycles with ``salt`` so plain / subtract-green / predictor /
+    palette(bundled) / color-cache decode paths all run in-pipeline."""
+    rng = np.random.Generator(np.random.PCG64(salt ^ 0x5750))
+    kind = salt % 5
+    if kind == 3:  # small palette → sub-byte index bundling
+        pal = rng.integers(0, 256, size=(9, 3), dtype=np.uint8)
+        idx = rng.integers(0, 9, size=(h, w))
+        return encode_webp(pal[idx], palette=True)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if kind == 0:
+        return encode_webp(px)
+    if kind == 1:
+        return encode_webp(px, subtract_green=True)
+    if kind == 2:
+        return encode_webp(px, predictor=True)
+    return encode_webp(px, color_cache_bits=5)
+
+
+def corrupt_webp_stream(payload: bytes) -> bytes:
+    """Truncate the VP8L chunk body to 6 bytes (signature + dims keep
+    parsing; the prefix-code tables cannot fit) — a GUARANTEED
+    deep-decode failure with a valid header, like the other formats'
+    planted corruptions."""
+    i = payload.index(b"VP8L")
+    keep = 6
+    body = payload[i + 8 : i + 8 + keep]
+    out = payload[: i + 4] + struct.pack("<I", keep) + body
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
 def build_images_table(n_rows: int, seed: int = 5) -> pa.Table:
-    """n_rows deterministic images cycling png / gif / jpeg, dims
+    """n_rows deterministic images cycling png / gif / jpeg / webp, dims
     derived from the index, planted corruption per the module
     docstring."""
     keys, fmts, blobs = [], [], []
@@ -123,17 +173,18 @@ def build_images_table(n_rows: int, seed: int = 5) -> pa.Table:
         ("png", png_bytes, corrupt_idat),
         ("gif", gif_bytes, corrupt_gif_lzw),
         ("jpeg", jpeg_bytes, corrupt_jpeg_entropy),
+        ("webp", webp_bytes, corrupt_webp_stream),
     )
     for i in range(n_rows):
         w = int(4 + (i * 7) % 60)
         h = int(3 + (i * 5) % 40)
-        fmt, make, corrupt = makers[i % 3]
+        fmt, make, corrupt = makers[i % 4]
         payload = make(w, h, i)
         if i % 97 == 0:
             payload = payload[:6]  # corrupt: too short to parse
         elif i % 89 == 0:
             # declared-format mismatch (cycle to the NEXT format's name)
-            fmt = makers[(i + 1) % 3][0]
+            fmt = makers[(i + 1) % 4][0]
         elif i % 101 == 0:
             payload = corrupt(payload)  # deep-decode-only violation
         keys.append(f"img-{i:06d}")

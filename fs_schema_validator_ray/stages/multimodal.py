@@ -18,12 +18,16 @@ Ray-side plumbing for image/video columns:
   and ``functions/bmp.py`` (BMP 24-bit/paletted + TIFF uncompressed/
   deflate strips with predictor-2) — validate, resize and pHash run on
   actual pixels, like the reference's PIL raster path.
-* **webp/avif pixel decode stays stubbed**: no VP8/AV1 codec from
-  scratch is reasonable here, so the default :class:`HybridPixelDecoder`
-  falls back to the deterministic ``FakePixelDecoder`` for those two
-  (clearly marked; swap a real PIL/libvips-backed ``decoder_factory``
-  per worker in production — loaded once per actor in ``__init__``, the
-  stateful-stage shape).
+* **lossless WebP (VP8L) is real too**: ``functions/webp.py`` decodes
+  prefix codes, color cache, meta-prefix groups, LZ77 and all four
+  transforms from scratch, so webp corpora validate/resize/pHash on
+  actual pixels.
+* **only lossy-VP8 webp and avif stay stubbed**: a from-scratch
+  VP8/AV1 video-intra decoder is out of scope, so the default
+  :class:`HybridPixelDecoder` falls back to the deterministic
+  ``FakePixelDecoder`` for those (clearly marked; swap a real
+  PIL/libvips-backed ``decoder_factory`` per worker in production —
+  loaded once per actor in ``__init__``, the stateful-stage shape).
 
 Violation reason strings mirror the reference:
 ``"payload is not in {fmt} format (got {actual})"`` (``image.py:64-69``)
@@ -429,6 +433,19 @@ class ImageValidateStage:
                     decode_tiff(p)
                 except TiffError:
                     emit(i, "file does not contain a valid image")
+            elif self.deep_decode and actual == "webp":
+                from fs_schema_validator_ray.functions.webp import (
+                    WebpError,
+                    WebpLossyError,
+                    decode_webp,
+                )
+
+                try:
+                    decode_webp(p)
+                except WebpLossyError:
+                    pass  # lossy VP8: header checks only (decode is out of scope)
+                except WebpError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -475,8 +492,9 @@ class FakePixelDecoder:
 
 class HybridPixelDecoder:
     """Default per-actor decoder: REAL from-scratch decode for
-    png/gif/jpeg/bmp/tiff (``functions/png.py``, ``gif.py``, ``jpeg.py``,
-    ``bmp.py``); only webp/avif fall back to the deterministic
+    png/gif/jpeg/bmp/tiff/webp-lossless (``functions/png.py``,
+    ``gif.py``, ``jpeg.py``, ``bmp.py``, ``webp.py``); only lossy-VP8
+    webp and avif fall back to the deterministic
     :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — a from-scratch
     VP8/AV1 decoder is out of scope; swap a PIL/libvips-backed factory
     in production). Decode failures raise the codec's typed error, which
@@ -506,6 +524,17 @@ class HybridPixelDecoder:
             from fs_schema_validator_ray.functions.bmp import decode_tiff
 
             return decode_tiff(payload)
+        if fmt == "webp":
+            from fs_schema_validator_ray.functions.webp import (
+                WebpLossyError,
+                decode_webp,
+            )
+
+            try:
+                return decode_webp(payload)
+            except WebpLossyError:
+                # lossy VP8 stays out of from-scratch scope → marked fake
+                return self._fake(payload, fmt, dims)
         return self._fake(payload, fmt, dims)
 
 
@@ -521,10 +550,14 @@ def _decode_or_none(decoder, payload, fmt, dims):
     from fs_schema_validator_ray.functions.gif import GifError
     from fs_schema_validator_ray.functions.jpeg import JpegError
     from fs_schema_validator_ray.functions.png import PngError
+    from fs_schema_validator_ray.functions.webp import WebpError
 
     try:
         return decoder(payload, fmt, dims)
-    except (PngError, GifError, JpegError, BmpError, TiffError, NotImplementedError):
+    except (
+        PngError, GifError, JpegError, BmpError, TiffError, WebpError,
+        NotImplementedError,
+    ):
         return None
 
 

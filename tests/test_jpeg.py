@@ -88,9 +88,13 @@ def test_malformed_payloads():
         decode_jpeg(good[: len(good) // 3])  # truncated mid-segments
     with pytest.raises(JpegError, match="no scan data"):
         decode_jpeg(good[:2] + b"\xff\xd9")
-    # flip SOF0 -> SOF2 (progressive): explicit unsupported rejection
+    # flip SOF0 -> SOF3 (lossless): explicit unsupported rejection
     i = good.index(b"\xff\xc0")
-    with pytest.raises(JpegError, match="baseline only"):
+    with pytest.raises(JpegError, match="baseline \\+ progressive only"):
+        decode_jpeg(good[:i] + b"\xff\xc3" + good[i + 2 :])
+    # SOF0 -> SOF2: now parsed as progressive, but a full-band interleaved
+    # scan is invalid there (DC scans must have Se=0)
+    with pytest.raises(JpegError, match="Se=0"):
         decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
     # corrupt the entropy stream after SOS
     sos = good.index(b"\xff\xda")
@@ -112,3 +116,60 @@ def test_zero_dim_rejected():
     good[i : i + 2] = b"\x00\x00"
     with pytest.raises(JpegError, match="zero image dimension"):
         decode_jpeg(bytes(good))
+
+
+# --- progressive (SOF2) decoding ---------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (17, 23), (40, 56), (3, 5)])
+@pytest.mark.parametrize("quality", [70, 90])
+def test_progressive_exact_parity_with_baseline(shape, quality):
+    """Progressive scans reconstruct the SAME quantized coefficients as
+    the baseline encoding, so the decoded pixels must match EXACTLY."""
+    import numpy as np
+
+    rng = np.random.default_rng(sum(shape) + quality)
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg(img, quality=quality, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_gradient():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, size=(20, 20), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, progressive=True)), decode_jpeg(encode_jpeg(g))
+    )
+    yy, xx = np.mgrid[0:30, 0:44]
+    img = np.stack([xx * 5 % 256, yy * 3 % 256, (xx + yy) % 256], 2).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, progressive=True)),
+        decode_jpeg(encode_jpeg(img)),
+    )
+
+
+def test_progressive_truncated_scan_raises():
+    import numpy as np
+
+    from fs_schema_validator_ray.sources.images import corrupt_jpeg_entropy
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    prog = encode_jpeg(img, quality=85, progressive=True)
+    with pytest.raises(JpegError):
+        decode_jpeg(corrupt_jpeg_entropy(prog))
+    # mid-stream truncation anywhere inside scan data must also raise
+    sos = prog.index(b"\xff\xda")
+    with pytest.raises(JpegError):
+        decode_jpeg(prog[: sos + 30])
+
+
+def test_progressive_rejects_subsample_encode():
+    import numpy as np
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="4:4:4"):
+        encode_jpeg(img, progressive=True, subsample=True)

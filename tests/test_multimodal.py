@@ -448,7 +448,7 @@ def test_phash_near_dup_pairs_finds_planted_copies(ray_session):
 
 
 def test_corpus_golden_violation_counts():
-    """Hard gate on the deterministic 3-format corpus at n=2000: exact
+    """Hard gate on the deterministic 4-format corpus at n=2000: exact
     per-class violation counts from ImageValidateStage (sniff failures,
     declared mismatches, deep-decode-only broken pixels)."""
     from collections import Counter
@@ -473,9 +473,9 @@ def test_corpus_golden_violation_counts():
     n_trunc = len([i for i in range(0, n, 97)])
     n_mismatch = len([i for i in range(0, n, 89) if i % 97 != 0])
     n_deep = len([i for i in range(0, n, 101) if i % 97 != 0 and i % 89 != 0])
-    # truncated png fails SNIFF (8-byte magic cut short) → invalid-image;
+    # truncated png/webp fail SNIFF (magic cut short) → invalid-image;
     # truncated gif/jpeg still sniff but fail the header parse
-    n_trunc_parse = len([i for i in range(0, n, 97) if i % 3 != 0])
+    n_trunc_parse = len([i for i in range(0, n, 97) if i % 4 in (1, 2)])
     n_trunc_sniff = n_trunc - n_trunc_parse
     assert kinds["other"] == 0
     assert kinds["mismatch"] == n_mismatch
