@@ -844,6 +844,32 @@ SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
        s % 509 NOT IN (17, 101) AS decode_ok
 FROM src
 """,
+        "audio_resample_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
+src AS (SELECT i,
+               CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+        FROM idx)
+SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS clip_id,
+       CASE WHEN s % 509 NOT IN (17, 101) THEN CAST(16000 AS INTEGER) END AS sr_hz,
+       s % 509 NOT IN (17, 101) AS decode_ok,
+       CAST(CASE WHEN s % 509 NOT IN (17, 101) THEN 1 END AS BIGINT) AS len_ok
+FROM src
+""",
+        "audio_chunk_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x))
+SELECT CASE WHEN i % 509 = 331 THEN 'CLIP_' || CAST(i AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(i // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(i % 375 AS VARCHAR), 6, '0')
+       END AS clip_id,
+       CAST(CASE WHEN i % 509 = 191 THEN NULL
+                 WHEN i % 509 IN (17, 101, 281) THEN 0
+                 ELSE 1 END AS BIGINT) AS count_ok
+FROM idx
+WHERE i % 509 NOT IN (460, 461)
+""",
         "image_validate_corpus": """
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1999) t(x))
 SELECT CAST(-1 AS INTEGER) AS partition_id,

@@ -2954,6 +2954,167 @@ def audio_resample_clips(sf_dir: str, n_rows: int = 1500, target_sr: int = 16_00
     )
 
 
+def audio_resample_contract(
+    sf_dir: str, n_rows: int = 1500, target_sr: int = 16_000
+):
+    """Rate-normalization CONTRACT gate (promotes the rows-only
+    ``audio_resample_clips`` to a driver-hash-checked quantitative
+    check): every decodable clip resampled to ``target_sr`` must satisfy
+    the resampler's length law — ``n_out = max(1, round(n_in ·
+    target/sr_in))``, empty stays empty, same-rate is identity — emitted
+    as per-row booleans and hash-compared against the SQL
+    corpus-contract derivation (decode survivorship is an index function
+    of the planted classes, like ``audio_decode_contract``)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import ResampleStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    out = ds.map_batches(
+        ResampleStage(target_sr=target_sr), batch_format="pyarrow", batch_size=512
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("decode_ok").combine_chunks(), dtype=bool)
+        n_in = np.asarray(
+            pc.fill_null(t.column("n_samples_in"), 0).combine_chunks(),
+            dtype=np.int64,
+        )
+        sr_in = np.asarray(
+            pc.fill_null(t.column("sr_in"), 1).combine_chunks(), dtype=np.int64
+        )
+        n_out = np.asarray(
+            pc.fill_null(t.column("n_samples"), -1).combine_chunks(),
+            dtype=np.int64,
+        )
+        expected = np.where(
+            n_in == 0,
+            0,
+            np.where(
+                sr_in == target_sr,
+                n_in,
+                np.maximum(
+                    1, np.round(n_in * target_sr / sr_in).astype(np.int64)
+                ),
+            ),
+        )
+        # nullable-int encoding (1/0/NULL): both engines' pandas exports
+        # agree on NaN for nullable ints, unlike nullable booleans
+        len_ok = pc.if_else(
+            pa.array(ok),
+            pa.array((n_out == expected).astype(np.int64)),
+            pa.nulls(len(ok), pa.int64()),
+        )
+        return pa.table(
+            {
+                "clip_id": t.column("clip_id"),
+                "sr_hz": t.column("sr_hz"),
+                "decode_ok": t.column("decode_ok"),
+                "len_ok": len_ok,
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _clip_index_from_id(ids: "np.ndarray", rows_per_partition: int):
+    """Vectorized inverse of ClipsConfig.clip_id: global row index per
+    id (handles the planted ``CLIP_{idx}`` malformed form)."""
+    import numpy as np
+
+    out = np.full(len(ids), -1, np.int64)
+    for i, cid in enumerate(ids):
+        if cid is None:
+            continue
+        s = str(cid)
+        if s.startswith("CLIP_"):
+            try:
+                out[i] = int(s[5:])
+            except ValueError:
+                continue
+        elif s.startswith("clip-") and len(s) == 16:
+            try:
+                out[i] = int(s[5:9]) * rows_per_partition + int(s[10:16])
+            except ValueError:
+                continue
+    return out
+
+
+def audio_chunk_contract(sf_dir: str, n_rows: int = 1500):
+    """Window-count CONTRACT gate (promotes the rows-only
+    ``audio_chunk_clips``): the number of 100 ms / 50 ms training
+    windows ``AudioChunkStage`` emits per clip — counted from the
+    PAYLOAD via a distributed grouped count — must equal the closed-form
+    expectation from the row's METADATA ``(sr_hz, dur_ms)``: a genuine
+    payload↔metadata cross-check. Planted ``dur_mismatch`` rows (signal
+    80 ms longer than dur_ms) and undecodable rows gate FALSE, null-sr
+    rows NULL; the duplicate-id pair is excluded (two identical clips
+    share one clip_id, which would double the grouped count)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+    from fs_schema_validator_ray.stages.audio_features import AudioChunkStage
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    rpp = max(1, n_rows // 4)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    windows = ds.map_batches(
+        AudioChunkStage(window_ms=100, stride_ms=50),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    counts = group_sum_bucketed(
+        windows.map_batches(
+            lambda t: t.select(["clip_id"]), batch_format="pyarrow"
+        ),
+        "clip_id",
+        [],
+    )
+    meta = ray.data.read_parquet(
+        clips_dir, columns=["clip_id", "sr_hz", "dur_ms"]
+    )
+    joined = hash_join(
+        meta, counts, "clip_id", "clip_id", ["sr_hz", "dur_ms"], ["n"],
+        how="left",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("clip_id").combine_chunks(), dtype=object)
+        idx = _clip_index_from_id(ids, rpp)
+        keep = (idx % 509 != 460) & (idx % 509 != 461)
+        t = t.filter(pa.array(keep))
+        idx = idx[keep]
+        sr_null = np.asarray(pc.is_null(t.column("sr_hz").combine_chunks()))
+        sr = np.asarray(
+            pc.fill_null(t.column("sr_hz"), 1).combine_chunks(), dtype=np.int64
+        )
+        dur = np.asarray(
+            pc.fill_null(t.column("dur_ms"), 0).combine_chunks(), dtype=np.int64
+        )
+        got = np.asarray(
+            pc.fill_null(t.column("n"), 0).combine_chunks(), dtype=np.int64
+        )
+        n = np.round(dur * sr / 1000.0).astype(np.int64)
+        win = np.maximum(1, np.round(100 * sr / 1000.0).astype(np.int64))
+        hop = np.maximum(1, np.round(50 * sr / 1000.0).astype(np.int64))
+        min_len = np.maximum(1, np.round(win * 0.5).astype(np.int64))
+        expected = np.where(n < min_len, 0, (n - min_len) // hop + 1)
+        count_ok = pc.if_else(
+            pa.array(sr_null),
+            pa.nulls(len(sr), pa.int64()),
+            pa.array((got == expected).astype(np.int64)),
+        )
+        return pa.table({"clip_id": t.column("clip_id"), "count_ok": count_ok})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def audio_spectrogram_clips(sf_dir: str, n_rows: int = 1500):
     """Per-clip spectral summary (strided frames → batched rFFT →
     log-spaced band energies) over the deterministic clips corpus —
@@ -3050,6 +3211,8 @@ rules:
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
     "audio_decode_contract": audio_decode_contract,
+    "audio_resample_contract": audio_resample_contract,
+    "audio_chunk_contract": audio_chunk_contract,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,

@@ -151,6 +151,8 @@ RESAMPLE_SCHEMA = pa.schema(
         ("bytes", pa.binary()),
         ("sr_hz", pa.int32()),
         ("n_samples", pa.int64()),
+        ("sr_in", pa.int32()),
+        ("n_samples_in", pa.int64()),
         ("decode_ok", pa.bool_()),
     ]
 )
@@ -185,6 +187,8 @@ class ResampleStage:
                 "bytes": None,
                 "sr_hz": None,
                 "n_samples": None,
+                "sr_in": None,
+                "n_samples_in": None,
                 "decode_ok": False,
             }
             if view is not None and len(view) > 0:
@@ -199,6 +203,8 @@ class ResampleStage:
                             "bytes": audio.encode(y, self.target_sr, self.codec_out),
                             "sr_hz": self.target_sr,
                             "n_samples": len(y),
+                            "sr_in": sr_hz,
+                            "n_samples_in": len(x),
                             "decode_ok": True,
                         }
                     )
