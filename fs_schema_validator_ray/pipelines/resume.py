@@ -1,0 +1,154 @@
+"""Partition-resumable wrappers for long dedup pipelines.
+
+``run_validation`` (``pipelines/validate.py``) is resumable per
+partition; the long dedup/join pipelines were not (VERDICT r3 item 9).
+This module applies the same manifest pattern — atomic JSON manifest
+rows written only AFTER a unit's parquet output is complete, resume =
+skip units with manifest rows, clear stale files for incomplete units —
+to the exact n-gram Jaccard join, as the template for the other
+pipelines.
+
+Unit layout for ``ngram_jaccard_pairs_resumable(output_dir)``:
+
+* ``candidates/`` + manifest ``candidates.json`` — the prefix-filter /
+  bucket-groupby candidate phase, checkpointed once (it is one global
+  exchange; its output is tiny relative to the corpus: distinct
+  candidate id pairs).
+* ``pairs/part=K/`` + manifest ``verify-K.json`` for K in
+  ``range(n_parts)`` — the expensive true-Jaccard verify, split by
+  ``hash(a) % n_parts``: each part re-derives its own doc-shingle lookup
+  from the corpus for only ITS candidate ids, so a killed run loses at
+  most one part's work and a resumed run never recomputes a finished
+  part. Part outputs are deterministic, so resume yields byte-identical
+  results.
+
+Reference parity note: the reference is one-shot (no checkpointing —
+SURVEY §4.1); this implements the north_rule's "resumable from
+checkpoint with per-partition lineage" for the query surface.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+
+def _manifest_path(output_dir: str, unit: str) -> str:
+    return os.path.join(output_dir, "manifest", f"{unit}.json")
+
+
+def _unit_done(output_dir: str, unit: str) -> bool:
+    return os.path.exists(_manifest_path(output_dir, unit))
+
+
+def _write_unit_manifest(output_dir: str, unit: str, doc: dict) -> None:
+    """Atomic: the manifest row exists only when the unit's output is
+    fully written (crash between output write and manifest leaves no
+    row, so the resume clears and redoes the unit)."""
+    os.makedirs(os.path.join(output_dir, "manifest"), exist_ok=True)
+    path = _manifest_path(output_dir, unit)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"id": unit, **doc}, f)
+    os.replace(tmp, path)
+
+
+def _clear_unit_output(path: str) -> None:
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+def ngram_jaccard_pairs_resumable(
+    ds_factory,
+    output_dir: str,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    n_parts: int = 8,
+    max_broadcast_docs: int = 500_000,
+    n_docs: int | None = None,
+    _fail_after_parts: int | None = None,
+):
+    """Crash-safe exact n-gram Jaccard self-join. ``ds_factory()`` must
+    return a fresh Dataset over the corpus each call (a read, not a
+    consumed pipeline). Returns the pairs Dataset read back from
+    ``output_dir/pairs``. ``_fail_after_parts`` injects a crash after
+    that many verify parts complete (kill-and-resume tests)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import (
+        _distinct_shingle_hashes,
+        _ngram_candidates,
+        verify_candidate_pairs,
+    )
+    from fs_schema_validator_ray.state.sketches import hash64, stable_key_array
+
+    cand_dir = os.path.join(output_dir, "candidates")
+    pairs_dir = os.path.join(output_dir, "pairs")
+
+    # --- unit 1: candidate pairs -------------------------------------------
+    if not _unit_done(output_dir, "candidates"):
+        _clear_unit_output(cand_dir)  # stale output from a crashed attempt
+        ds, cands = _ngram_candidates(
+            ds_factory(), text_column, id_column, threshold, shingle_n,
+            None, n_docs,
+        )
+        n_cands = cands.count()
+        if n_cands:
+            cands.write_parquet(cand_dir)
+        else:
+            os.makedirs(cand_dir, exist_ok=True)
+        _write_unit_manifest(
+            output_dir, "candidates", {"n_candidates": n_cands}
+        )
+
+    # --- unit 2..: per-part verify -----------------------------------------
+    hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
+    done_parts = 0
+    cand_files = glob.glob(os.path.join(cand_dir, "*.parquet"))
+    for k in range(n_parts):
+        unit = f"verify-{k}"
+        part_dir = os.path.join(pairs_dir, f"part={k}")
+        if _unit_done(output_dir, unit):
+            continue
+        _clear_unit_output(part_dir)
+        if cand_files:
+            cands_k = ray.data.read_parquet(cand_files)
+
+            def in_part(t: pa.Table, part: int = k) -> pa.Table:
+                h = hash64(stable_key_array(t.column("a").combine_chunks()))
+                return t.filter(pa.array((h % np.uint64(n_parts)) == part))
+
+            cands_k = cands_k.map_batches(in_part, batch_format="pyarrow")
+            cands_k = cands_k.materialize()
+            if cands_k.count():
+                verified = verify_candidate_pairs(
+                    ds_factory(), cands_k, text_column, id_column,
+                    threshold, hash_fn, max_broadcast_docs,
+                )
+                n_rows = verified.count()
+                if n_rows:
+                    verified.write_parquet(part_dir)
+                rows = n_rows
+            else:
+                rows = 0
+        else:
+            rows = 0
+        _write_unit_manifest(output_dir, unit, {"rows": rows, "part": k})
+        done_parts += 1
+        if _fail_after_parts is not None and done_parts >= _fail_after_parts:
+            raise RuntimeError(f"injected crash after {done_parts} verify parts")
+
+    out_files = glob.glob(os.path.join(pairs_dir, "part=*", "*.parquet"))
+    if not out_files:
+        from fs_schema_validator_ray.stages.dedup import _PAIR_SCHEMA
+
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return ray.data.read_parquet(out_files)

@@ -1053,6 +1053,28 @@ def ngram_jaccard_pairs(
     import ray
 
     hash_fn = lambda col: _distinct_shingle_hashes(col, shingle_n)  # noqa: E731
+    ds, cands = _ngram_candidates(
+        ds, text_column, id_column, threshold, shingle_n, freq_order, n_docs
+    )
+    return verify_candidate_pairs(
+        ds, cands, text_column, id_column, threshold, hash_fn, max_broadcast_docs
+    )
+
+
+def _ngram_candidates(
+    ds,
+    text_column: str,
+    id_column: str,
+    threshold: float,
+    shingle_n: int,
+    freq_order: bool | None,
+    n_docs: int | None,
+):
+    """Candidate phase of the exact Jaccard join: prefix filter →
+    bucket groupby → size-filtered pairs → bucketed distinct. Returns
+    ``(corpus_ds, materialized_candidate_pairs)``."""
+    import ray
+
     ds = ds.select_columns([id_column, text_column])
     if n_docs is None:
         # metadata-fast on a bare parquet read; on a dataset with lineage
@@ -1084,10 +1106,7 @@ def ngram_jaccard_pairs(
     pairs = prefix_rows.groupby("bucket").map_groups(
         lambda g: _token_bucket_pairs(g, threshold), batch_format="pyarrow"
     )
-    cands = dedup_pairs_distinct(pairs).materialize()
-    return verify_candidate_pairs(
-        ds, cands, text_column, id_column, threshold, hash_fn, max_broadcast_docs
-    )
+    return ds, dedup_pairs_distinct(pairs).materialize()
 
 
 def verify_candidate_pairs(
