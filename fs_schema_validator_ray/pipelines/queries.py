@@ -2561,11 +2561,8 @@ def image_phash_dedup(sf_dir: str, n_rows: int = 2000):
     payload decode is not SQL-expressible)."""
     import ray.data
 
-    from fs_schema_validator_ray.sources.images import build_images_table
     from fs_schema_validator_ray.stages.dedup import fingerprint64_near_dup_pairs
     from fs_schema_validator_ray.stages.multimodal import PHashStage
-
-    t = build_images_table(n_rows)
 
     def with_copies(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2577,7 +2574,11 @@ def image_phash_dedup(sf_dir: str, n_rows: int = 2000):
         )
         return pa.concat_tables([t, dup])
 
-    ds = ray.data.from_arrow(with_copies(t)).repartition(8)
+    ds = (
+        ray.data.read_parquet(_images_corpus(n_rows))
+        .map_batches(with_copies, batch_format="pyarrow")
+        .repartition(8)
+    )
     # default HybridPixelDecoder: REAL png decode, deterministic fake gif
     fps = ds.map_batches(
         PHashStage(),
@@ -2600,10 +2601,9 @@ def image_validate_corpus(sf_dir: str, n_rows: int = 2000):
     behavior is hash-gated, not just counted."""
     import ray.data
 
-    from fs_schema_validator_ray.sources.images import build_images_table
     from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
 
-    ds = ray.data.from_arrow(build_images_table(n_rows)).repartition(8)
+    ds = ray.data.read_parquet(_images_corpus(n_rows)).repartition(8)
     return ds.map_batches(ImageValidateStage(), batch_format="pyarrow")
 
 
@@ -2616,10 +2616,9 @@ def image_resize_corpus(sf_dir: str, n_rows: int = 2000):
     function of the planted classes)."""
     import ray.data
 
-    from fs_schema_validator_ray.sources.images import build_images_table
     from fs_schema_validator_ray.stages.multimodal import ImageResizeStage
 
-    ds = ray.data.from_arrow(build_images_table(n_rows)).repartition(8)
+    ds = ray.data.read_parquet(_images_corpus(n_rows)).repartition(8)
     # default HybridPixelDecoder: REAL png decode, deterministic fake gif
     out = ds.map_batches(
         ImageResizeStage(32, 32),
@@ -2782,6 +2781,31 @@ def _clips_corpus(n_rows: int) -> tuple[str, str]:
             pq.write_table(t, os.path.join(clips_dir, f"part-{pid:04d}.parquet"))
         pq.write_table(build_manifest_table(cfg), manifest_path)
     return clips_dir, manifest_path
+
+
+def _images_corpus(n_rows: int) -> str:
+    """Deterministic cached synthetic image corpus → parquet path.
+    Building 2000 rows costs several seconds of driver-side encoding
+    (VP8L / progressive-JPEG streams are Python loops), so the corpus is
+    built ONCE per version and the image queries READ it — the realistic
+    shape anyway (a corpus lives in storage, not in a driver loop)."""
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.sources.images import (
+        IMAGES_CORPUS_VERSION,
+        build_images_table,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"fsvr_images_v{IMAGES_CORPUS_VERSION}_{n_rows}"
+    )
+    path = os.path.join(cache, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(build_images_table(n_rows), tmp, row_group_size=256)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+    return path
 
 
 def clips_validation(sf_dir: str, n_rows: int = 1500):

@@ -32,6 +32,9 @@ from fs_schema_validator_ray.functions.jpeg import encode_jpeg
 from fs_schema_validator_ray.functions.png import encode_png
 from fs_schema_validator_ray.functions.webp import encode_webp
 
+#: bump when fixture generation changes (cache key for the corpus parquet)
+IMAGES_CORPUS_VERSION = 2
+
 
 def png_bytes(w: int, h: int, salt: int = 0) -> bytes:
     """Real PNG with deterministic content; color type / filter /
