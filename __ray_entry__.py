@@ -858,6 +858,18 @@ SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
        CAST(CASE WHEN s % 509 NOT IN (17, 101) THEN 1 END AS BIGINT) AS len_ok
 FROM src
 """,
+        "video_frames_contract": """
+WITH v AS (SELECT CAST(x AS BIGINT) AS i, 3 + CAST(x AS BIGINT) % 6 AS nf
+           FROM generate_series(0, 299) t(x)
+           WHERE CAST(x AS BIGINT) % 23 <> 0),
+f AS (SELECT i, nf, CAST(s.x AS BIGINT) AS j
+      FROM v, generate_series(0, 7) s(x)
+      WHERE CAST(s.x AS BIGINT) < nf)
+SELECT 'vid-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       CAST(j AS INTEGER) AS frame_index,
+       NOT (i % 11 = 0 AND j = i % nf) AS decode_ok
+FROM f
+""",
         "audio_chunk_contract": """
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x))
 SELECT CASE WHEN i % 509 = 331 THEN 'CLIP_' || CAST(i AS VARCHAR)

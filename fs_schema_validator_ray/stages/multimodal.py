@@ -614,45 +614,96 @@ class PixelDecodeStage:
 
 
 class FrameSampleStage:
-    """Video frame-sampling plumbing (STUB decode): emits one row per
-    sampled frame offset with the frame bytes left as a slice of the
-    container payload — the real pipeline shape (small batches, actor
-    pool, one row in → k rows out) with a deterministic stand-in for the
-    absent ffmpeg."""
+    """Video frame-sampling stage. For MJPEG-in-AVI payloads this is
+    REAL end-to-end (``functions/video.py``): the RIFF container is
+    parsed, every ``stride``-th video frame is emitted as its actual
+    JPEG bytes, and with ``decode=True`` each sampled frame is pixel-
+    decoded (``decode_ok`` + ``mean_luma`` per frame — undecodable
+    frames emit ``decode_ok=false``, never a crashed batch). Non-AVI
+    containers fall back to the byte-offset STUB rows (clearly marked;
+    an mp4/h264 decoder is out of from-scratch scope — swap an
+    ffmpeg-backed stage per worker in production)."""
 
     def __init__(
         self,
-        every_n_bytes: int = 1 << 16,
+        stride: int = 2,
         max_frames: int = 8,
+        decode: bool = False,
+        every_n_bytes: int = 1 << 16,
         bytes_column: str = "bytes",
         key_column: str = "key",
     ) -> None:
-        self.every = every_n_bytes
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
         self.max_frames = max_frames
+        self.decode = decode
+        self.every = every_n_bytes
         self.bytes_column = bytes_column
         self.key_column = key_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, idxs, offs, frames = [], [], [], []
+        from fs_schema_validator_ray.functions.video import (
+            VideoError,
+            decode_avi_frame,
+            parse_avi,
+        )
+
+        keys, idxs, offs, frames, oks, lumas = [], [], [], [], [], []
         payloads = batch.column(self.bytes_column).to_pylist()
         for i, p in enumerate(payloads):
             if not p:
                 continue
             k = batch.column(self.key_column)[i].as_py()
-            for j in range(min(self.max_frames, 1 + len(p) // self.every)):
-                off = j * self.every
+
+            def emit(j, off, fb):
                 keys.append(k)
                 idxs.append(j)
                 offs.append(off)
-                frames.append(p[off : off + 256])  # stub "frame"
-        return pa.table(
-            {
-                "key": pa.array(keys, pa.string()),
-                "frame_index": pa.array(idxs, pa.int32()),
-                "byte_offset": pa.array(offs, pa.int64()),
-                "frame_bytes": pa.array(frames, pa.binary()),
-            }
-        )
+                frames.append(fb)
+                if self.decode:
+                    try:
+                        px = decode_avi_frame(fb)
+                    except (VideoError, ValueError):
+                        oks.append(False)
+                        lumas.append(None)
+                    else:
+                        oks.append(True)
+                        lumas.append(
+                            float(
+                                np.mean(
+                                    0.299 * px[..., 0]
+                                    + 0.587 * px[..., 1]
+                                    + 0.114 * px[..., 2]
+                                )
+                            )
+                        )
+
+            if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                try:
+                    info = parse_avi(p)
+                except VideoError:
+                    continue  # corrupt container: no frames (audit pass
+                    # is the validate query's contract gate)
+                sampled = info.frame_ranges[:: self.stride][: self.max_frames]
+                for j, (off, ln) in enumerate(sampled):
+                    emit(j, off, p[off : off + ln])
+            else:
+                # STUB fallback for containers without a from-scratch
+                # decoder: byte-offset slices keep the pipeline shape
+                for j in range(min(self.max_frames, 1 + len(p) // self.every)):
+                    off = j * self.every
+                    emit(j, off, p[off : off + 256])
+        cols = {
+            "key": pa.array(keys, pa.string()),
+            "frame_index": pa.array(idxs, pa.int32()),
+            "byte_offset": pa.array(offs, pa.int64()),
+            "frame_bytes": pa.array(frames, pa.binary()),
+        }
+        if self.decode:
+            cols["decode_ok"] = pa.array(oks, pa.bool_())
+            cols["mean_luma"] = pa.array(lumas, pa.float64())
+        return pa.table(cols)
 
 
 class ImageResizeStage:
