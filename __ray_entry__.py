@@ -858,6 +858,31 @@ SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
        CAST(CASE WHEN s % 509 NOT IN (17, 101) THEN 1 END AS BIGINT) AS len_ok
 FROM src
 """,
+        "skew_kurtosis_lineitem": """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3, SUM(q*q*q*q) AS s4
+  FROM (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ROUND((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / POWER(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5), 6) AS skew6,
+       ROUND((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+              + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6) AS kurt6
+FROM s
+""",
+        "bool_agg_orders": """
+SELECT o_orderpriority,
+       CAST(MIN(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS all_above,
+       CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
+FROM orders GROUP BY o_orderpriority
+""",
         "video_frames_contract": """
 WITH v AS (SELECT CAST(x AS BIGINT) AS i, 3 + CAST(x AS BIGINT) % 6 AS nf
            FROM generate_series(0, 299) t(x)

@@ -32,11 +32,30 @@ class AudioDecodeError(ValueError):
     """Payload cannot be parsed as a RIFF/WAVE container."""
 
 
-CODECS = ("pcm_s16le", "pcm_u8", "ulaw", "alaw")
+CODECS = ("pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima")
 
 _FMT_PCM = 1
 _FMT_ALAW = 6
 _FMT_ULAW = 7
+_FMT_IMA_ADPCM = 17  # DVI/IMA ADPCM (WAVE format tag 0x0011)
+
+# IMA ADPCM tables (public spec constants — IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", also Microsoft WAVE 0x11)
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+        494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+        1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+        4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+        11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+        27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_BLOCK_ALIGN = 256  # 4-byte block header + 252 data bytes → 505 samples
 
 _MU = 255.0
 _A = 87.6
@@ -73,36 +92,148 @@ def _alaw_expand(code: np.ndarray) -> np.ndarray:
     return np.sign(y) * x
 
 
+# --- IMA ADPCM (4-bit adaptive differential PCM, sequential by nature) ------
+
+
+def _ima_encode(pcm16: np.ndarray, block_align: int = _IMA_BLOCK_ALIGN) -> bytes:
+    """int16 samples → IMA ADPCM blocks (4-byte header: predictor int16,
+    step index u8, reserved u8; then 2 samples per byte, low nibble
+    first). The per-sample loop is the format's nature (each step's
+    quantizer depends on the previous decode)."""
+    spb = 1 + (block_align - 4) * 2
+    out = bytearray()
+    steps = _IMA_STEPS
+    idx_tab = _IMA_INDEX
+    index = 0
+    for b0 in range(0, len(pcm16), spb):
+        block = pcm16[b0 : b0 + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = int(steps[index])
+            delta = int(s) - pred
+            code = 0
+            if delta < 0:
+                code = 8
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            # reconstruct exactly like the decoder (predictor tracks it)
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = pred - diff if code & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(idx_tab[code & 7])))
+            nibbles.append(code)
+        if len(nibbles) & 1:
+            nibbles.append(0)
+        packed = bytes(
+            (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2)
+        )
+        out += packed.ljust(block_align - 4, b"\x00")
+    return bytes(out)
+
+
+def _ima_decode(
+    data: bytes, block_align: int, n_samples: int | None
+) -> np.ndarray:
+    if block_align < 5:
+        raise AudioDecodeError(f"invalid adpcm block align {block_align}")
+    spb = 1 + (block_align - 4) * 2
+    steps = _IMA_STEPS
+    idx_tab = _IMA_INDEX
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 5:
+            raise AudioDecodeError("truncated adpcm block")
+        pred, index, _r = struct.unpack_from("<hBB", block, 0)
+        if index > 88:
+            raise AudioDecodeError(f"invalid adpcm step index {index}")
+        out.append(pred)
+        for byte in block[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                step = int(steps[index])
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                pred = pred - diff if code & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + int(idx_tab[code & 7])))
+                out.append(pred)
+    pcm = np.asarray(out, dtype=np.float64)
+    if n_samples is not None:
+        if n_samples > len(pcm):
+            raise AudioDecodeError("fact chunk claims more samples than data")
+        pcm = pcm[:n_samples]
+    else:
+        # without a fact chunk, trim whole-block padding heuristically is
+        # unsafe — keep everything (spb-aligned corpora carry fact)
+        pass
+    _ = spb
+    return pcm / 32767.0
+
+
 # --- RIFF/WAVE container ---------------------------------------------------
 
 
 def encode(samples: np.ndarray, sr_hz: int, codec: str) -> bytes:
     """Encode float samples in [-1, 1] into a mono WAVE payload."""
     x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    fact = b""
     if codec == "pcm_s16le":
         fmt, bits = _FMT_PCM, 16
         data = np.round(x * 32767.0).astype("<i2").tobytes()
+        block_align = 2
     elif codec == "pcm_u8":
         fmt, bits = _FMT_PCM, 8
         data = (np.round((x + 1.0) * 127.5)).clip(0, 255).astype(np.uint8).tobytes()
+        block_align = 1
     elif codec == "ulaw":
         fmt, bits = _FMT_ULAW, 8
         data = _ulaw_compress(x).tobytes()
+        block_align = 1
     elif codec == "alaw":
         fmt, bits = _FMT_ALAW, 8
         data = _alaw_compress(x).tobytes()
+        block_align = 1
+    elif codec == "adpcm_ima":
+        fmt, bits = _FMT_IMA_ADPCM, 4
+        pcm16 = np.round(x * 32767.0).astype(np.int16)
+        data = _ima_encode(pcm16) if len(pcm16) else b""
+        block_align = _IMA_BLOCK_ALIGN
+        # fact chunk carries the true sample count (last block may pad)
+        fact = b"fact" + struct.pack("<II", 4, len(pcm16))
     else:
         raise ValueError(f"unknown codec `{codec}`")
 
-    block_align = bits // 8
-    byte_rate = sr_hz * block_align
+    byte_rate = sr_hz * block_align if fmt != _FMT_IMA_ADPCM else (
+        sr_hz * block_align
+    ) // (1 + (block_align - 4) * 2)
     header = b"".join(
         [
             b"RIFF",
-            struct.pack("<I", 36 + len(data)),
+            struct.pack("<I", 36 + len(fact) + len(data)),
             b"WAVE",
             b"fmt ",
             struct.pack("<IHHIIHH", 16, fmt, 1, sr_hz, byte_rate, block_align, bits),
+            fact,
             b"data",
             struct.pack("<I", len(data)),
         ]
@@ -113,7 +244,7 @@ def encode(samples: np.ndarray, sr_hz: int, codec: str) -> bytes:
 def sniff_codec(payload: bytes) -> str:
     """Identify the actual codec from the container header — the analogue of
     PIL's format detection (reference ``image.py:54-69``)."""
-    _, fmt, bits, _, _ = _parse_header(payload)
+    _, fmt, bits, _, _, _, _ = _parse_header(payload)
     return _codec_name(fmt, bits)
 
 
@@ -126,17 +257,22 @@ def _codec_name(fmt: int, bits: int) -> str:
         return "ulaw"
     if fmt == _FMT_ALAW:
         return "alaw"
+    if fmt == _FMT_IMA_ADPCM:
+        return "adpcm_ima"
     raise AudioDecodeError(f"unknown wave format tag {fmt} ({bits} bits)")
 
 
-def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes]:
-    """Returns (sr_hz, fmt_tag, bits, channels, data)."""
+def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes, int, int | None]:
+    """Returns (sr_hz, fmt_tag, bits, channels, data, block_align,
+    fact_samples)."""
     if len(payload) < 44:
         raise AudioDecodeError(f"payload too short for a wave header ({len(payload)} bytes)")
     if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise AudioDecodeError("payload is not a RIFF/WAVE container")
     pos = 12
     fmt_tag = bits = channels = sr_hz = None
+    block_align = 0
+    fact_samples = None
     data = None
     n = len(payload)
     while pos + 8 <= n:
@@ -146,9 +282,12 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes]:
         if cid == b"fmt ":
             if size < 16 or body_start + 16 > n:
                 raise AudioDecodeError("truncated fmt chunk")
-            fmt_tag, channels, sr_hz, _, _, bits = struct.unpack_from(
+            fmt_tag, channels, sr_hz, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", payload, body_start
             )
+        elif cid == b"fact":
+            if size >= 4 and body_start + 4 <= n:
+                (fact_samples,) = struct.unpack_from("<I", payload, body_start)
         elif cid == b"data":
             if body_start + size > n:
                 raise AudioDecodeError("truncated data chunk")
@@ -160,12 +299,12 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes]:
         raise AudioDecodeError("missing data chunk")
     if channels != 1:
         raise AudioDecodeError(f"only mono supported, got {channels} channels")
-    return sr_hz, fmt_tag, bits, channels, data
+    return sr_hz, fmt_tag, bits, channels, data, block_align, fact_samples
 
 
 def decode(payload: bytes) -> tuple[np.ndarray, int, str]:
     """Decode a WAVE payload → (float64 samples in [-1,1], sr_hz, codec)."""
-    sr_hz, fmt, bits, _, data = _parse_header(payload)
+    sr_hz, fmt, bits, _, data, block_align, fact_samples = _parse_header(payload)
     codec = _codec_name(fmt, bits)
     if codec == "pcm_s16le":
         if len(data) % 2:
@@ -175,6 +314,8 @@ def decode(payload: bytes) -> tuple[np.ndarray, int, str]:
         x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
     elif codec == "ulaw":
         x = _ulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif codec == "adpcm_ima":
+        x = _ima_decode(data, block_align, fact_samples) if data else np.zeros(0)
     else:
         x = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     return x, sr_hz, codec

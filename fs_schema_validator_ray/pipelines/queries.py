@@ -830,6 +830,74 @@ def latest_order_per_customer(sf_dir: str):
     return group_argmax(ds, "o_custkey", ["o_orderdate", "o_orderkey"])
 
 
+def skew_kurtosis_lineitem(sf_dir: str):
+    """Grouped population skewness + excess kurtosis per return flag —
+    exact integer power sums (Σx..Σx⁴) in one combiner pass, identical
+    explicit-sums float expression both engines, ROUND(·,6)
+    (``stages/agg.py::grouped_skew_kurtosis``)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import grouped_skew_kurtosis
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def as_int(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    return grouped_skew_kurtosis(
+        ds.map_batches(as_int, batch_format="pyarrow"), ["l_returnflag"], "q"
+    )
+
+
+def bool_agg_orders(sf_dir: str):
+    """Grouped BOOL_AND / BOOL_OR (SQL ``EVERY`` / ``ANY``) as exact
+    MIN/MAX over 0/1 ints — per-batch Arrow group-by partials, one tiny
+    Min/Max merge; emitted as 0/1 BIGINT for hash parity."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderstatus"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "above": pc.cast(
+                    pc.greater(t.column("o_totalprice"), 150_000.0), pa.int64()
+                ),
+                "isf": pc.cast(
+                    pc.equal(t.column("o_orderstatus"), "F"), pa.int64()
+                ),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["o_orderpriority"]).aggregate(
+            [("above", "min"), ("isf", "max")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "all_above": pc.cast(g.column("above_min"), pa.int64()),
+                "any_f": pc.cast(g.column("isf_max"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Min("all_above", alias_name="all_above"),
+            Max("any_f", alias_name="any_f"),
+        )
+    )
+
+
 def rank_orders_per_customer(sf_dir: str):
     """ROW_NUMBER / RANK / DENSE_RANK per customer over order priority
     (5 distinct values → heavy ties exercise rank-vs-dense semantics),
@@ -1283,6 +1351,23 @@ def audio_transcode_clips(sf_dir: str, n_rows: int = 1500):
     ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
     return ds.map_batches(
         TranscodeStage(codec_out="ulaw"), batch_format="pyarrow", batch_size=512
+    )
+
+
+def audio_transcode_adpcm_clips(sf_dir: str, n_rows: int = 1500):
+    """Transcode every decodable clip to 4-bit IMA ADPCM (a REAL
+    compressed codec, ~4:1 vs PCM16 — ``audio.py::_ima_encode``) with the
+    per-clip round-trip SNR audit (rows-only: payload transform)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        TranscodeStage(codec_out="adpcm_ima"),
+        batch_format="pyarrow",
+        batch_size=512,
     )
 
 
@@ -3299,6 +3384,9 @@ QUERIES = {
     "audio_chunk_contract": audio_chunk_contract,
     "video_frames_contract": video_frames_contract,
     "video_frame_sample": video_frame_sample,
+    "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
+    "bool_agg_orders": bool_agg_orders,
+    "audio_transcode_adpcm_clips": audio_transcode_adpcm_clips,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,

@@ -1054,6 +1054,79 @@ def group_moments(ds, keys: list[str], x_col: str, y_col: str, include_slope=Fal
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_skew_kurtosis(ds, keys: list[str], x_col: str):
+    """Grouped POPULATION skewness + excess kurtosis via the exact
+    integer power-sum combiner (Σx..Σx⁴ per batch Arrow group-by, one
+    tiny groupby-Sum merge), finals computed from the exact sums with
+    the identical float64 expression a SQL oracle spells out
+    (``ROUND(·,6)`` protocol — the same move as ``corr6``/``slope6``).
+
+    Caller owns overflow headroom: |x| small enough that per-group Σx⁴
+    fits int64 (e.g. TPC-H ``l_quantity`` ≤ 50 → x⁴ ≤ 6.25e6; exact up
+    to ~1.5e12 rows per group). Output:
+    ``keys + [n, skew6, kurt6]`` (NaN for degenerate groups)."""
+    from ray.data.aggregate import Sum
+
+    pow_cols = ["sx", "sxx", "sxxx", "sxxxx"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.int64())
+        x2 = pc.multiply_checked(x, x)
+        tbl = pa.table(
+            {
+                **{k: batch.column(k) for k in keys},
+                "sx": x,
+                "sxx": x2,
+                "sxxx": pc.multiply_checked(x2, x),
+                "sxxxx": pc.multiply_checked(x2, x2),
+            }
+        )
+        aggs = [(c, "sum") for c in pow_cols] + [([], "count_all")]
+        g = pa.TableGroupBy(tbl, keys).aggregate(aggs)
+        out = {k: g.column(k) for k in keys}
+        for c in pow_cols:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        out["n"] = pc.cast(g.column("count_all"), pa.int64())
+        return pa.table(out)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in [*pow_cols, "n"]])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("n"), dtype=np.int64).astype(np.float64)
+        s1 = np.asarray(t.column("sx"), dtype=np.int64).astype(np.float64)
+        s2 = np.asarray(t.column("sxx"), dtype=np.int64).astype(np.float64)
+        s3 = np.asarray(t.column("sxxx"), dtype=np.int64).astype(np.float64)
+        s4 = np.asarray(t.column("sxxxx"), dtype=np.int64).astype(np.float64)
+        # population central moments from raw power sums — keep this
+        # expression STRUCTURALLY IDENTICAL to the SQL oracle
+        m1 = s1 / n
+        m2 = s2 / n - m1 * m1
+        m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
+        m4 = (
+            s4 / n
+            - 4 * m1 * (s3 / n)
+            + 6 * m1 * m1 * (s2 / n)
+            - 3 * m1 * m1 * m1 * m1
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = np.where(m2 > 0, m3 / np.power(m2, 1.5), np.nan)
+            kurt = np.where(m2 > 0, m4 / (m2 * m2) - 3.0, np.nan)
+        return pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                "n": pa.array(n.astype(np.int64)),
+                "skew6": pa.array(np.round(skew, 6)),
+                "kurt6": pa.array(np.round(kurt, 6)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def cube_sum(ds, keys: list[str], sum_cols: list[str]):
     """``GROUP BY CUBE(keys)``: every subset of the keys (2^k grouping
     sets) from one combiner pass — the powerset fed to

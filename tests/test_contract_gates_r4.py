@@ -110,3 +110,96 @@ def test_contract_queries_gate_planted_classes(ray_session):
         "clip-0003-000076",
     ]
     assert chunk["count_ok"].isna().sum() == 1
+
+
+def test_grouped_skew_kurtosis_ground_truth(ray_session):
+    """Power-sum skewness/kurtosis must match the direct numpy central-
+    moment computation per group (incl. a symmetric group with skew≈0
+    and a constant group → NaN)."""
+    from fs_schema_validator_ray.stages.agg import grouped_skew_kurtosis
+
+    rng = np.random.default_rng(8)
+    groups = {
+        "sym": np.concatenate([np.arange(1, 51), 102 - np.arange(1, 51)]),
+        "skewed": np.concatenate([np.ones(90, np.int64), np.full(10, 40)]),
+        "const": np.full(25, 7, np.int64),
+    }
+    keys = np.concatenate([[k] * len(v) for k, v in groups.items()])
+    vals = np.concatenate(list(groups.values())).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "x": vals})).repartition(4)
+    got = {
+        r["k"]: r
+        for r in grouped_skew_kurtosis(ds, ["k"], "x").to_pandas().to_dict("records")
+    }
+    for name, v in groups.items():
+        m = v - v.mean()
+        m2 = np.mean(m**2)
+        if m2 == 0:
+            assert np.isnan(got[name]["skew6"]) and np.isnan(got[name]["kurt6"])
+            continue
+        skew = np.mean(m**3) / m2**1.5
+        kurt = np.mean(m**4) / m2**2 - 3.0
+        assert abs(got[name]["skew6"] - skew) < 1e-5, name
+        assert abs(got[name]["kurt6"] - kurt) < 1e-5, name
+    assert abs(got["sym"]["skew6"]) < 1e-9  # symmetric → exactly 0 after round
+
+
+# --- IMA ADPCM codec (round 4) ----------------------------------------------
+
+
+def test_ima_adpcm_roundtrip_snr_and_size():
+    """4-bit IMA ADPCM: ~4:1 compression with ≥20 dB round-trip SNR on
+    the corpus reference signal; exact length recovery via fact chunk."""
+    from fs_schema_validator_ray import audio
+
+    for sr, dur in [(8000, 240), (16000, 100), (48000, 60)]:
+        x = audio.reference_signal(f"clip-0000-{sr % 937:06d}", sr, dur)
+        payload = audio.encode(x, sr, "adpcm_ima")
+        y, sr2, codec = audio.decode(payload)
+        assert (codec, sr2, len(y)) == ("adpcm_ima", sr, len(x))
+        assert audio.snr_db(x, y) >= 20.0
+        pcm16 = audio.encode(x, sr, "pcm_s16le")
+        assert len(payload) < 0.4 * len(pcm16)
+    assert audio.sniff_codec(audio.encode(np.zeros(10), 8000, "adpcm_ima")) == "adpcm_ima"
+
+
+def test_ima_adpcm_malformed():
+    from fs_schema_validator_ray import audio
+
+    x = audio.reference_signal("clip-0000-000009", 16000, 80)
+    payload = bytearray(audio.encode(x, 16000, "adpcm_ima"))
+    # corrupt the step index of the first block beyond 88
+    data_off = bytes(payload).index(b"data") + 8
+    payload[data_off + 2] = 200
+    with pytest.raises(audio.AudioDecodeError, match="step index"):
+        audio.decode(bytes(payload))
+    # fact chunk claiming more samples than blocks carry
+    bad = bytearray(audio.encode(x, 16000, "adpcm_ima"))
+    fact_off = bytes(bad).index(b"fact") + 8
+    import struct
+
+    struct.pack_into("<I", bad, fact_off, 10_000_000)
+    with pytest.raises(audio.AudioDecodeError, match="fact chunk"):
+        audio.decode(bytes(bad))
+
+
+def test_transcode_stage_adpcm_target(ray_session):
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    x = audio.reference_signal("clip-0000-000004", 16000, 120)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "bad"]),
+            "bytes": pa.array(
+                [audio.encode(x, 16000, "ulaw"), b"junk"], pa.binary()
+            ),
+        }
+    )
+    out = TranscodeStage(codec_out="adpcm_ima")(batch).to_pylist()
+    good = next(r for r in out if r["clip_id"] == "a")
+    assert good["decode_ok"] and good["codec_in"] == "ulaw"
+    y, sr, codec = audio.decode(good["bytes"])
+    assert codec == "adpcm_ima" and sr == 16000 and len(y) == len(x)
+    bad = next(r for r in out if r["clip_id"] == "bad")
+    assert not bad["decode_ok"]
