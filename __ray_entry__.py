@@ -672,6 +672,17 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
 """,
+        "ann_topk_pq": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+     s AS (SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(q.qe, e.embedding) AS sc
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+SELECT qid AS query_id, nid AS neighbor_id, rnk AS "rank"
+FROM (SELECT qid, nid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rnk
+      FROM s) t
+WHERE rnk <= 10
+""",
         "ann_topk_embeddings": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
      s AS (SELECT q.qid, e.vec_id AS nid,

@@ -2509,6 +2509,21 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (the MEMORY-compressed scale path: m=8
+    uint8 codes are 8 B/vector vs 256 B of floats; ADC scores with m
+    table lookups then an exact per-batch rerank of the shortlist —
+    ``stages/similarity.py::topk_cosine_pq``). At driver-check scale the
+    rerank recovers the exact top-k, so the SAME exact-SQL oracle gates
+    it; at corpus scale recall is bounded by the pytest gate."""
+    from fs_schema_validator_ray.stages.similarity import topk_cosine_pq
+
+    q_ids, q_mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_cosine_pq(ds, q_ids, q_mat, k=_TOPK, exclude_self=True)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def audio_speed_perturb_clips(sf_dir: str, n_rows: int = 1500):
     """Deterministic speed-perturbation augmentation (0.9/1.0/1.1 per
     stable clip-id hash — Kaldi-style) over the clips corpus
@@ -3387,6 +3402,7 @@ QUERIES = {
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
     "audio_transcode_adpcm_clips": audio_transcode_adpcm_clips,
+    "ann_topk_pq": ann_topk_pq,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,

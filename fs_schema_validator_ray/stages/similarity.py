@@ -619,3 +619,176 @@ def pca_project(
     return ds.select_columns([id_column, vec_column]).map_batches(
         PcaProjectStage(model_ref, vec_column, id_column), batch_format="pyarrow"
     )
+
+
+# --- product quantization (PQ) variant --------------------------------------
+#
+# The MEMORY-compressed ANN scale path: at 10^12 × 64-float vectors the
+# corpus is ~256 TB of raw embeddings, but m=8 uint8 PQ codes are 8 B per
+# vector (~8 TB) — codes fit where vectors cannot. Asymmetric distance
+# computation (ADC) scores a query against codes with m table lookups per
+# vector instead of d multiplies; here ADC PRUNES each batch to a small
+# candidate set that is exactly reranked with the true vectors still in
+# the batch, so recall loss is limited to candidates ADC ranks below the
+# per-batch cutoff (pytest recall gate).
+
+
+def pq_fit(
+    sample: np.ndarray,
+    n_subspaces: int = 8,
+    n_centroids: int = 64,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means codebooks ``(m, n_centroids, d/m)``
+    fit on a bounded driver-side sample of L2-NORMALIZED vectors
+    (normalization makes squared-L2 monotone in cosine)."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = sample.shape
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by {n_subspaces} subspaces")
+    sub_d = d // n_subspaces
+    rng = np.random.default_rng(seed)
+    nc = min(n_centroids, n)
+    books = np.empty((n_subspaces, nc, sub_d), dtype=np.float64)
+    for m in range(n_subspaces):
+        block = sample[:, m * sub_d : (m + 1) * sub_d]
+        cent = block[rng.choice(n, size=nc, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(nc):
+                members = block[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors → (n, m) uint8 codes."""
+    n_sub, _nc, sub_d = books.shape
+    codes = np.empty((len(mat), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        block = mat[:, m * sub_d : (m + 1) * sub_d]
+        d2 = ((block[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+class PqAdcTopKStage:
+    """Per-batch PQ-ADC prune + EXACT rerank: encode the batch's vectors
+    (at corpus scale the codes are precomputed once and stored — 8 B per
+    vector), build each query's ``(m, n_centroids)`` distance table,
+    score all rows with m uint8 lookups, keep the ``rerank`` smallest
+    ADC distances per query, and rerank those exactly with the true
+    vectors still in the batch. Emits the same partial-top-k rows as the
+    brute-force stage, so the final merge is shared."""
+
+    def __init__(
+        self,
+        query_ref,
+        books_ref,
+        k: int,
+        rerank: int,
+        vec_column: str = "embedding",
+        id_column: str = "vec_id",
+    ) -> None:
+        self.query_ref = query_ref
+        self.books_ref = books_ref
+        self.k = k
+        self.rerank = rerank
+        self.vec_column = vec_column
+        self.id_column = id_column
+        self._state = None
+
+    def _resolve(self):
+        if self._state is None:
+            import ray
+
+            q = self.query_ref
+            b = self.books_ref
+            q_ids, q_mat = ray.get(q) if hasattr(q, "hex") else q
+            books = ray.get(b) if hasattr(b, "hex") else b
+            # per-query ADC tables: ||q_sub − c||² for every centroid
+            n_sub, nc, sub_d = books.shape
+            tables = np.empty((len(q_mat), n_sub, nc), dtype=np.float64)
+            for m in range(n_sub):
+                qb = q_mat[:, m * sub_d : (m + 1) * sub_d]
+                tables[:, m, :] = (
+                    (qb[:, None, :] - books[m][None, :, :]) ** 2
+                ).sum(axis=2)
+            self._state = (q_ids, q_mat, books, tables)
+        return self._state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, books, tables = self._resolve()
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)
+        mat = _normalize(list_column_to_matrix(batch.column(self.vec_column)))
+        if not len(mat):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        codes = pq_encode(mat, books)  # (n, m) uint8
+        n_sub = codes.shape[1]
+        # ADC: approx squared distance per (query, row) via table lookups
+        adc = np.zeros((len(q_mat), len(mat)), dtype=np.float64)
+        for m in range(n_sub):
+            adc += tables[:, m, :][:, codes[:, m]]
+        r = min(self.rerank, adc.shape[1])
+        cand = np.argpartition(adc, r - 1, axis=1)[:, :r]  # smallest ADC
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k, r)
+        for qi in range(len(q_mat)):
+            c = cand[qi]
+            exact = q_mat[qi] @ mat[c].T  # exact rerank of the shortlist
+            top = np.argpartition(-exact, k - 1)[:k] if k < len(c) else np.arange(len(c))
+            out_q.append(np.full(len(top), q_ids[qi], np.int64))
+            out_n.append(ids[c[top]])
+            out_s.append(exact[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def topk_cosine_pq(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_centroids: int = 64,
+    rerank: int | None = None,
+    sample_size: int = 10_000,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    exclude_self: bool = False,
+):
+    """PQ-ADC approximate top-k with per-batch exact rerank. ``rerank``
+    defaults to ``max(4k, 64)`` ADC candidates per (query, batch)."""
+    import ray
+
+    s_mat = collect_matrix(ds.limit(sample_size), vec_column)
+    books = pq_fit(s_mat, n_subspaces=n_subspaces, n_centroids=n_centroids)
+    q_mat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    fetch = k + 1 if exclude_self else k
+    rr = rerank if rerank is not None else max(4 * fetch, 64)
+    partials = ds.map_batches(
+        PqAdcTopKStage(
+            ray.put((q_ids, q_mat)), ray.put(books), fetch, rr,
+            vec_column, id_column,
+        ),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pyarrow"
+    )

@@ -203,3 +203,40 @@ def test_transcode_stage_adpcm_target(ray_session):
     assert codec == "adpcm_ima" and sr == 16000 and len(y) == len(x)
     bad = next(r for r in out if r["clip_id"] == "bad")
     assert not bad["decode_ok"]
+
+
+# --- product-quantization ANN (round 4) ---------------------------------------
+
+
+def test_pq_ann_recall_gate(ray_session):
+    """PQ-ADC + exact rerank must hold recall@10 ≥ 0.9 vs brute force on
+    the sf0.1 embeddings (5,000 × 64f); codes are 8 B/vector (m=8)."""
+    import pyarrow.parquet as pq_
+
+    from fs_schema_validator_ray.stages.similarity import (
+        pq_encode,
+        pq_fit,
+        topk_cosine,
+        topk_cosine_pq,
+    )
+
+    t = pq_.read_table("/root/testdata/sf0.1/embeddings.parquet")
+    q_ids = np.asarray(t.column("vec_id")[:16])
+    q_mat = np.stack([np.asarray(v.as_py()) for v in t.column("embedding")[:16]])
+    ds = ray.data.read_parquet("/root/testdata/sf0.1/embeddings.parquet")
+    exact = topk_cosine(ds, q_ids, q_mat, k=10, exclude_self=True).to_pandas()
+    apx = topk_cosine_pq(ds, q_ids, q_mat, k=10, exclude_self=True).to_pandas()
+    rec = []
+    for q in q_ids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(apx[apx.query_id == q].neighbor_id)
+        rec.append(len(e & a) / max(len(e), 1))
+    assert float(np.mean(rec)) >= 0.9, rec
+
+    # codebook shape + code width invariants
+    sample = np.stack([np.asarray(v.as_py()) for v in t.column("embedding")[:500]])
+    books = pq_fit(sample, n_subspaces=8, n_centroids=64)
+    assert books.shape == (8, 64, 8)
+    codes = pq_encode(sample / np.linalg.norm(sample, axis=1, keepdims=True), books)
+    assert codes.shape == (500, 8) and codes.dtype == np.uint8
+    assert codes.max() < 64
