@@ -79,6 +79,13 @@ HEADLINE_QUERIES = [
     "audio_mfcc_clips",
     "audio_pitch_clips",
     "image_phash_dedup",
+    # round-4 additions
+    "image_validate_corpus",
+    "video_frames_contract",
+    "audio_resample_contract",
+    "audio_transcode_adpcm_clips",
+    "skew_kurtosis_lineitem",
+    "ann_topk_pq",
 ]
 
 

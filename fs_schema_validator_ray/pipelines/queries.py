@@ -2509,6 +2509,21 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def substring_dup_documents(sf_dir: str):
+    """Exact shared-substring spans ≥96 chars across documents (the Lee
+    et al. exact-substring training-dedup shape): content-keyed sampled
+    Karp-Rabin windows → one bucketed shuffle → verified + maximally
+    extended spans against the real texts
+    (``stages/dedup.py::substring_dup_pairs``; rows-only — pairwise
+    longest-common-substring is not SQL-expressible at corpus size;
+    every emitted span is literally verified, planted-span pytest
+    gates)."""
+    from fs_schema_validator_ray.stages.dedup import substring_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_pairs(ds, min_len=96, stride=8)
+
+
 def ann_topk_pq(sf_dir: str):
     """Product-quantization ANN (the MEMORY-compressed scale path: m=8
     uint8 codes are 8 B/vector vs 256 B of floats; ADC scores with m
@@ -3398,10 +3413,8 @@ QUERIES = {
     "audio_resample_contract": audio_resample_contract,
     "audio_chunk_contract": audio_chunk_contract,
     "video_frames_contract": video_frames_contract,
-    "video_frame_sample": video_frame_sample,
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
-    "audio_transcode_adpcm_clips": audio_transcode_adpcm_clips,
     "ann_topk_pq": ann_topk_pq,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
@@ -3462,6 +3475,8 @@ QUERIES = {
     "sentence_split_documents": sentence_split_documents,
     "inverted_index_documents": inverted_index_documents,
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
+    "video_frame_sample": video_frame_sample,
+    "audio_transcode_adpcm_clips": audio_transcode_adpcm_clips,
     "scalar_lineitem": scalar_lineitem,
     "scalar_orders": scalar_orders,
     "scalar_part": scalar_part,
@@ -3541,4 +3556,5 @@ QUERIES = {
     "audio_vad_clips": audio_vad_clips,
     "audio_chunk_clips": audio_chunk_clips,
     "dedup_audio_fingerprint_clips": dedup_audio_fingerprint_clips,
+    "substring_dup_documents": substring_dup_documents,
 }

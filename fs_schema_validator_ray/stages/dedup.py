@@ -1799,3 +1799,299 @@ def fingerprint64_near_dup_pairs(
         .map_groups(block_pairs, batch_format="pyarrow")
     )
     return dedup_pairs_distinct(allp, agg=[("hamming", "min")])
+
+
+# --- exact long-substring duplicate spans ------------------------------------
+#
+# The "dedup training data by exact substring" shape (Lee et al. 2022,
+# public): near-identical documents often share long VERBATIM spans that
+# token/shingle-set Jaccard underweights. Every document emits rolling
+# Karp-Rabin hashes of its ``min_len``-char windows, SAMPLED content-
+# keyed (keep windows whose mixed hash % stride == 0 — selection depends
+# only on the window BYTES, so a span shared by two documents selects
+# the same windows in both). One bucketed shuffle groups identical
+# windows across documents; candidate pairs are verified and maximally
+# EXTENDED against the real texts (broadcast lookup of candidate ids
+# only). Recall: a shared span of length S ≥ min_len survives sampling
+# with probability ≈ 1 − (1 − 1/stride)^(S − min_len + 1) — misses decay
+# exponentially in the span's slack over min_len (documented bound; the
+# planted tests use S ≥ min_len + 4·stride).
+
+
+_KR_BASE = np.uint64(0x100000001B3)
+_KR_BASE_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return h ^ (h >> np.uint64(33))
+
+
+def _window_hashes(data: np.ndarray, L: int) -> np.ndarray:
+    """Vectorized Karp-Rabin over all length-L windows of a uint8 array:
+    prefix sums of t[j]·B^j (mod 2^64 wraparound), window hash =
+    (pref[i+L] − pref[i]) · B^{−i} — B odd ⇒ invertible mod 2^64."""
+    n = len(data)
+    if n < L:
+        return np.zeros(0, np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.empty(n, np.uint64)
+        powers[0] = 1
+        np.multiply.accumulate(
+            np.full(n - 1, _KR_BASE, np.uint64), out=powers[1:]
+        ) if n > 1 else None
+        inv_powers = np.empty(n, np.uint64)
+        inv_powers[0] = 1
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, _KR_BASE_INV, np.uint64), out=inv_powers[1:]
+            )
+        terms = data.astype(np.uint64) * powers
+        pref = np.concatenate([np.zeros(1, np.uint64), np.cumsum(terms)])
+        raw = (pref[L:] - pref[: n - L + 1]) * inv_powers[: n - L + 1]
+    return _mix64(raw)
+
+
+class _SubstringWindowStage:
+    """(doc_id, text) batch → (h, doc, pos) rows for the content-keyed
+    sampled windows (hash/state vectorized per document)."""
+
+    def __init__(self, text_column, id_column, min_len, stride, n_buckets):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.min_len = min_len
+        self.stride = stride
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(self.id_column), dtype=np.int64)
+        texts = pc.fill_null(t.column(self.text_column), "").to_pylist()
+        out_h, out_d, out_p = [], [], []
+        for did, text in zip(ids, texts):
+            raw = np.frombuffer(text.encode("utf-8", "surrogatepass"), np.uint8)
+            h = _window_hashes(raw, self.min_len)
+            if not len(h):
+                continue
+            keep = (h % np.uint64(self.stride)) == 0
+            pos = np.flatnonzero(keep)
+            if not len(pos):
+                continue
+            out_h.append(h[pos])
+            out_d.append(np.full(len(pos), did, np.int64))
+            out_p.append(pos.astype(np.int64))
+        if not out_h:
+            return pa.table(
+                {
+                    "__bucket": pa.array([], pa.int32()),
+                    "h": pa.array([], pa.uint64()),
+                    "doc": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        h = np.concatenate(out_h)
+        return pa.table(
+            {
+                "__bucket": pa.array(mix_to_buckets(h, self.n_buckets)),
+                "h": pa.array(h, pa.uint64()),
+                "doc": pa.array(np.concatenate(out_d)),
+                "pos": pa.array(np.concatenate(out_p)),
+            }
+        )
+
+
+def substring_dup_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_len: int = 64,
+    stride: int = 8,
+    max_docs_per_window: int = 8,
+    n_buckets: int | None = None,
+    max_broadcast_docs: int = 500_000,
+):
+    """Exact shared-substring spans ≥ ``min_len`` chars → Dataset of
+    ``(a, b, a_start, b_start, length)`` — the maximal verified span per
+    document pair (a < b). ``max_docs_per_window`` caps the per-window
+    pair fan-out (a boilerplate window shared by thousands of docs pairs
+    each doc with the ``cap`` smallest ids instead of quadratically —
+    cluster transitivity recovers the rest, same convention as the
+    fingerprint banding cap ★ dedup.py banding notes)."""
+    import ray
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+    ds = ds.select_columns([id_column, text_column])
+    rows = ds.map_batches(
+        _SubstringWindowStage(text_column, id_column, min_len, stride, n_buckets),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        h = np.asarray(g.column("h"), dtype=np.uint64)
+        doc = np.asarray(g.column("doc"), dtype=np.int64)
+        pos = np.asarray(g.column("pos"), dtype=np.int64)
+        order = np.lexsort((pos, doc, h))
+        h, doc, pos = h[order], doc[order], pos[order]
+        a_out, b_out, pa_out, pb_out = [], [], [], []
+        starts = np.flatnonzero(
+            np.concatenate([[True], h[1:] != h[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(h)]])
+        for s, e in zip(starts, ends):
+            d = doc[s:e]
+            p = pos[s:e]
+            first = np.concatenate([[True], d[1:] != d[:-1]])
+            docs = d[first]
+            dpos = p[first]  # first (smallest) pos per doc for this window
+            if len(docs) < 2:
+                continue
+            anchors = docs[: max_docs_per_window]
+            apos = dpos[: max_docs_per_window]
+            for i in range(len(anchors)):
+                for j in range(i + 1, len(docs)):
+                    if j >= len(anchors) and i > 0:
+                        break  # capped: only the smallest id pairs beyond cap
+                    a_out.append(anchors[i])
+                    pa_out.append(apos[i])
+                    b_out.append(docs[j])
+                    pb_out.append(dpos[j])
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(a_out, np.int64)),
+                "a_pos": pa.array(np.asarray(pa_out, np.int64)),
+                "b": pa.array(np.asarray(b_out, np.int64)),
+                "b_pos": pa.array(np.asarray(pb_out, np.int64)),
+            }
+        )
+
+    cands = rows.groupby("__bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    ).materialize()
+    if cands.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [
+                    ("a", pa.int64()), ("b", pa.int64()),
+                    ("a_start", pa.int64()), ("b_start", pa.int64()),
+                    ("length", pa.int64()),
+                ]
+            ).empty_table()
+        )
+
+    # distinct candidate doc ids (bounded broadcast — same switchover
+    # caveat as minhash_verify_join; co-partition above the cap)
+    def id_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(t.column("a"), np.int64),
+                    np.asarray(t.column("b"), np.int64),
+                ]
+            )
+        ) if t.num_rows else np.zeros(0, np.int64)
+        return pa.table({"doc": pa.array(u)})
+
+    cand_ids = np.unique(
+        np.asarray(
+            cands.map_batches(id_partial, batch_format="pyarrow")
+            .to_pandas()["doc"]
+        )
+    )
+    if len(cand_ids) > max_broadcast_docs:
+        raise ValueError(
+            f"{len(cand_ids)} candidate docs exceed max_broadcast_docs="
+            f"{max_broadcast_docs}; raise the cap or pre-filter"
+        )
+    id_set = set(int(x) for x in cand_ids)
+
+    def text_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column), dtype=np.int64)
+        keep = np.array([int(x) in id_set for x in ids], bool)
+        return pa.table(
+            {
+                "doc": pa.array(ids[keep]),
+                "text": pc.fill_null(t.column(text_column), "").filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    texts_df = ds.map_batches(text_partial, batch_format="pyarrow").to_pandas()
+    lookup_ref = ray.put(dict(zip(texts_df["doc"], texts_df["text"])))
+
+    def verify(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        best: dict[tuple[int, int], tuple[int, int, int]] = {}
+        for a, ap, b, bp in zip(
+            np.asarray(t.column("a"), np.int64),
+            np.asarray(t.column("a_pos"), np.int64),
+            np.asarray(t.column("b"), np.int64),
+            np.asarray(t.column("b_pos"), np.int64),
+        ):
+            ta = lookup.get(int(a))
+            tb = lookup.get(int(b))
+            if ta is None or tb is None:
+                continue
+            ea = (ta.encode("utf-8", "surrogatepass"), int(ap))
+            eb = (tb.encode("utf-8", "surrogatepass"), int(bp))
+            sa, i0 = ea
+            sb, j0 = eb
+            if sa[i0 : i0 + min_len] != sb[j0 : j0 + min_len]:
+                continue  # hash collision
+            # extend maximally left and right
+            i, j = i0, j0
+            while i > 0 and j > 0 and sa[i - 1] == sb[j - 1]:
+                i -= 1
+                j -= 1
+            ie, je = i0 + min_len, j0 + min_len
+            while ie < len(sa) and je < len(sb) and sa[ie] == sb[je]:
+                ie += 1
+                je += 1
+            length = ie - i
+            key = (int(a), int(b))
+            cur = best.get(key)
+            if cur is None or length > cur[2]:
+                best[key] = (i, j, length)
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in best], pa.int64()),
+                "b": pa.array([k[1] for k in best], pa.int64()),
+                "a_start": pa.array([v[0] for v in best.values()], pa.int64()),
+                "b_start": pa.array([v[1] for v in best.values()], pa.int64()),
+                "length": pa.array([v[2] for v in best.values()], pa.int64()),
+            }
+        )
+
+    verified = cands.map_batches(verify, batch_format="pyarrow")
+
+    # one best (longest) span per (a, b) across batches: bucketed shuffle
+    # keyed on the pair hash, vectorized per-bucket argmax per pair
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), np.int64).view(np.uint64)
+        b = np.asarray(t.column("b"), np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            pb = mix_to_buckets((a * mix) ^ b, n_buckets)
+        return t.append_column("pb", pa.array(pb))
+
+    def best_per_pair(g: pa.Table) -> pa.Table:
+        a = np.asarray(g.column("a"), np.int64)
+        b = np.asarray(g.column("b"), np.int64)
+        ln = np.asarray(g.column("length"), np.int64)
+        order = np.lexsort((-ln, b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(
+            [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        )
+        take = pa.array(order[np.flatnonzero(first)], pa.int64())
+        return g.select(["a", "b", "a_start", "b_start", "length"]).take(take)
+
+    return (
+        verified.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(best_per_pair, batch_format="pyarrow")
+    )

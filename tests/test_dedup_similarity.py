@@ -426,3 +426,59 @@ def test_edit_distance_pairs_max_len_guard(ray_session):
     )
     with pytest.raises(Exception):  # ray wraps the ValueError
         edit_distance_pairs(ray.data.from_arrow(t), "s", "id", max_len=64).take_all()
+
+
+# --- exact long-substring duplicate spans (round 4) ---------------------------
+
+
+def test_substring_dup_pairs_planted(ray_session):
+    """Planted verbatim spans are found with exact maximal extents; all
+    reported spans are verified against the real texts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(0)
+    base = "".join(rng.choice(list("abcdefgh "), 400))
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-" * 4  # 176 chars
+    docs = {
+        0: base[:150] + shared + base[150:300],
+        1: "zzz " + shared + base[300:],
+        2: base[:390],
+        3: shared + " tail",
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    ).repartition(2)
+    out = substring_dup_pairs(ds, min_len=64, stride=8).to_pandas()
+    got = {(r.a, r.b): r for r in out.itertuples()}
+    # every emitted span must be literally present in both docs
+    for (a, b), r in got.items():
+        sa = docs[a].encode()[r.a_start : r.a_start + r.length]
+        sb = docs[b].encode()[r.b_start : r.b_start + r.length]
+        assert sa == sb and r.length >= 64
+    # the planted share is found at its exact maximal length everywhere
+    for pair in [(0, 1), (0, 3), (1, 3)]:
+        assert got[pair].length == len(shared), pair
+    # prefix overlap between 0 and 2 (both start with base[:150]) found too
+    assert got[(0, 2)].length == 150
+    # doc 2 shares no span >= 64 with doc 3
+    assert (2, 3) not in got
+
+
+def test_substring_dup_no_false_pairs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(rng.choice(list("abcdefghijkl "), 300)) for _ in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(20)), "text": texts})
+    )
+    out = substring_dup_pairs(ds, min_len=64, stride=4).to_pandas()
+    assert len(out) == 0  # independent random docs share no 64-char span
