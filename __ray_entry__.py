@@ -869,6 +869,29 @@ SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
        CAST(CASE WHEN s % 509 NOT IN (17, 101) THEN 1 END AS BIGINT) AS len_ok
 FROM src
 """,
+        "windowed_events_watermark": """
+WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window",
+                  event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  ((event_id * 2654435761) % 4294967296) % 90 AS jit
+           FROM events)
+SELECT "window", event_type,
+       CAST(SUM(CASE WHEN jit <= 45 THEN cents ELSE 0 END) AS BIGINT) AS on_time_cents,
+       CAST(SUM(CASE WHEN jit > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY "window", event_type
+""",
+        "upsert_orders_snapshot": """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1 AS price_cents,
+       'upd' AS src
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       'base' AS src
+FROM orders WHERE o_orderkey % 5 <> 0
+""",
         "skew_kurtosis_lineitem": """
 WITH s AS (
   SELECT l_returnflag,

@@ -428,6 +428,85 @@ def windowed_events_daily(sf_dir: str):
     return group_sum(ds, ["window", "event_type"], ["value_cents"])
 
 
+def windowed_events_watermark(sf_dir: str):
+    """Event-time tumbling window with WATERMARK / late-data semantics —
+    the streaming-only operator class the reference lacks entirely
+    (SURVEY §2.5), made deterministic: each event's arrival time is its
+    event time plus a stable per-id jitter (0-89 min); rows arriving
+    more than the 45-min allowed lateness after their event time are
+    LATE — excluded from the on-time aggregate and counted per window
+    instead (the side output a streaming engine would emit). One
+    combiner pass, no join."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def late_flag(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        jit = (eid * 2654435761) % 4294967296 % 90
+        late = jit > 45
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        )
+        return pa.table(
+            {
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+                "on_time_cents": pa.array(np.where(late, 0, cents)),
+                "n_late": pa.array(late.astype(np.int64)),
+            }
+        )
+
+    ds = tumbling_window(
+        ds.map_batches(late_flag, batch_format="pyarrow"), "ts", "day"
+    )
+    return group_sum(ds, ["window", "event_type"], ["on_time_cents", "n_late"])
+
+
+def upsert_orders_snapshot(sf_dir: str):
+    """Keyed UPSERT / MERGE: apply an updates set onto a base snapshot —
+    ``updates ∪ (base ANTI JOIN updates ON key)`` (the CDC-apply
+    counterpart of ``table_diff``). Updates = every 5th order with its
+    price bumped one cent; the anti join is the distributed
+    distinct-key-combiner ``semi_anti_join``."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table, bump: int, src: str) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": pc.add(
+                    pc.cast(
+                        pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                        pa.int64(),
+                    ),
+                    bump,
+                ),
+                "src": pa.array([src] * t.num_rows, pa.string()),
+            }
+        )
+
+    def updates_fn(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t.column("o_orderkey"), dtype=np.int64) % 5 == 0
+        return cents(t.filter(pa.array(keep)), 1, "upd")
+
+    updates = base.map_batches(updates_fn, batch_format="pyarrow")
+    base_rows = base.map_batches(
+        lambda t: cents(t, 0, "base"), batch_format="pyarrow"
+    )
+    survivors = semi_anti_join(
+        base_rows, updates, "o_orderkey", "o_orderkey",
+        ["price_cents", "src"], how="anti",
+    )
+    return survivors.union(updates)
+
+
 def count_distinct_user_type(sf_dir: str):
     """Global ``COUNT(DISTINCT user_id, event_type)`` scalar: per-batch
     composite dedup (Arrow group_by) → one distinct shuffle → per-block
@@ -3416,6 +3495,8 @@ QUERIES = {
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
     "ann_topk_pq": ann_topk_pq,
+    "windowed_events_watermark": windowed_events_watermark,
+    "upsert_orders_snapshot": upsert_orders_snapshot,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,
