@@ -1838,12 +1838,12 @@ def _window_hashes(data: np.ndarray, L: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         powers = np.empty(n, np.uint64)
         powers[0] = 1
-        np.multiply.accumulate(
-            np.full(n - 1, _KR_BASE, np.uint64), out=powers[1:]
-        ) if n > 1 else None
         inv_powers = np.empty(n, np.uint64)
         inv_powers[0] = 1
         if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, _KR_BASE, np.uint64), out=powers[1:]
+            )
             np.multiply.accumulate(
                 np.full(n - 1, _KR_BASE_INV, np.uint64), out=inv_powers[1:]
             )
