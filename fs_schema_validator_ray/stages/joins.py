@@ -860,6 +860,21 @@ def hash_join(
     )
 
     def merge_bucket(group: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.stages.dedup import (
+            DEFAULT_TARGET_BUCKET_BYTES,
+        )
+
+        if group.nbytes > 2 * DEFAULT_TARGET_BUCKET_BYTES:
+            import logging
+
+            # no-silent-caps: one task is materializing far more than the
+            # sizing target — the input-size estimate undershot (opaque
+            # lineage) or one key is pathologically hot
+            logging.getLogger(__name__).warning(
+                "hash_join bucket group holds %.0f MiB (>2x the %.0f MiB "
+                "target): raise n_buckets or enable adaptive_skew",
+                group.nbytes / 2**20, DEFAULT_TARGET_BUCKET_BYTES / 2**20,
+            )
         side = np.asarray(group.column("__side"))
         kv = pc.is_valid(group.column(kcols[0]).combine_chunks())
         for kc in kcols[1:]:
