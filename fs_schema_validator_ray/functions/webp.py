@@ -777,17 +777,72 @@ def _write_entropy_image(
     level0: bool,
     cache_bits: int = 0,
     lz77: bool = False,
+    meta_bits: int | None = None,
 ) -> None:
     """Write one entropy-coded image (flat uint32 ARGB, already in coded
-    space). level0 adds the (unused) meta-prefix bit."""
+    space). ``meta_bits`` (level0 only) emits TWO meta-prefix groups in
+    a checkerboard of 2^meta_bits blocks — the encoder-driven round-trip
+    for the decoder's meta-group selection (literal-only: group-aware
+    LZ77/cache token sync is not worth the complexity in a test
+    encoder)."""
     n = len(argb)
+    if meta_bits is not None and (cache_bits or lz77):
+        raise ValueError("meta_bits mode is literal-only")
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
+    ysize = n // xsize if xsize else 0
+    group_of = None
+    n_groups = 1
     if level0:
-        bw.write(0, 1)  # no meta prefix codes
+        if meta_bits is None:
+            bw.write(0, 1)  # no meta prefix codes
+        else:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            ew = _subsample_size(xsize, meta_bits)
+            eh = _subsample_size(ysize, meta_bits)
+            by, bx = np.mgrid[0:eh, 0:ew]
+            idx = ((bx + by) % 2).astype(np.uint32)
+            meta_argb = (np.uint32(0xFF) << 24) | (idx << 8)  # green = index
+            _write_entropy_image(bw, meta_argb.reshape(-1), ew, False)
+            yy, xx = np.mgrid[0:ysize, 0:xsize]
+            group_of = (
+                ((xx >> meta_bits) + (yy >> meta_bits)) % 2
+            ).reshape(-1)
+            n_groups = 2
+
+    if group_of is not None:
+        # literal-only multi-group path: per-group frequencies and codes,
+        # per-pixel emission with the pixel's group's tables
+        a = (argb >> 24) & 0xFF
+        r = (argb >> 16) & 0xFF
+        g = (argb >> 8) & 0xFF
+        b = argb & 0xFF
+        alph = _GROUP_ALPHABETS(0)
+        all_codes = []
+        for gi in range(n_groups):
+            sel = group_of == gi
+            freqs: list[dict[int, int]] = [{}, {}, {}, {}, {}]
+            for ch, arr in ((0, g), (1, r), (2, b), (3, a)):
+                vals, counts = np.unique(arr[sel], return_counts=True)
+                freqs[ch] = {int(v): int(c) for v, c in zip(vals, counts)}
+                if not freqs[ch]:
+                    freqs[ch][0] = 1
+            freqs[4][0] = 1  # distance channel unused
+            codes = []
+            for ch in range(5):
+                lengths = _balanced_lengths(freqs[ch])
+                codes.append(_write_prefix_code(bw, lengths, alph[ch]))
+            all_codes.append(codes)
+        for i in range(n):
+            codes = all_codes[group_of[i]]
+            for ch, v in ((0, int(g[i])), (1, int(r[i])), (2, int(b[i])), (3, int(a[i]))):
+                c, ln = codes[ch][v]
+                bw.write_code(c, ln)
+        return
 
     cache = [None] * (1 << cache_bits) if cache_bits else None
     cache_shift = 32 - cache_bits if cache_bits else 0
@@ -894,6 +949,7 @@ def encode_webp(
     palette: bool = False,
     color_cache_bits: int = 0,
     lz77: bool = True,
+    meta_blocks: bool = False,
 ) -> bytes:
     """Lossless VP8L bytes for an ``(h, w, 3)`` uint8 RGB array (alpha
     emitted opaque). Transform options exist to exercise every decoder
@@ -995,7 +1051,10 @@ def encode_webp(
     bw.write(0, 1)  # no more transforms
 
     _write_entropy_image(
-        bw, argb, coded_w, True, cache_bits=color_cache_bits, lz77=lz77
+        bw, argb, coded_w, True,
+        cache_bits=0 if meta_blocks else color_cache_bits,
+        lz77=False if meta_blocks else lz77,
+        meta_bits=2 if meta_blocks else None,
     )
     payload = b"\x2f" + bw.finish()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

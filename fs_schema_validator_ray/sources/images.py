@@ -33,7 +33,7 @@ from fs_schema_validator_ray.functions.png import encode_png
 from fs_schema_validator_ray.functions.webp import encode_webp
 
 #: bump when fixture generation changes (cache key for the corpus parquet)
-IMAGES_CORPUS_VERSION = 2
+IMAGES_CORPUS_VERSION = 3
 
 
 def png_bytes(w: int, h: int, salt: int = 0) -> bytes:
@@ -140,7 +140,7 @@ def webp_bytes(w: int, h: int, salt: int = 0) -> bytes:
     cycles with ``salt`` so plain / subtract-green / predictor /
     palette(bundled) / color-cache decode paths all run in-pipeline."""
     rng = np.random.Generator(np.random.PCG64(salt ^ 0x5750))
-    kind = salt % 5
+    kind = salt % 6
     if kind == 3:  # small palette → sub-byte index bundling
         pal = rng.integers(0, 256, size=(9, 3), dtype=np.uint8)
         idx = rng.integers(0, 9, size=(h, w))
@@ -152,7 +152,9 @@ def webp_bytes(w: int, h: int, salt: int = 0) -> bytes:
         return encode_webp(px, subtract_green=True)
     if kind == 2:
         return encode_webp(px, predictor=True)
-    return encode_webp(px, color_cache_bits=5)
+    if kind == 4:
+        return encode_webp(px, color_cache_bits=5)
+    return encode_webp(px, meta_blocks=True)
 
 
 def corrupt_webp_stream(payload: bytes) -> bytes:

@@ -185,3 +185,19 @@ def test_hybrid_decoder_real_vp8l_fake_lossy():
     lossy = lossy[:4] + struct.pack("<I", len(lossy) - 8) + lossy[8:]
     fake = dec(lossy, "webp", (10, 10))
     assert fake.shape[2] == 3  # deterministic fake fallback, no raise
+
+
+def test_meta_prefix_groups_roundtrip():
+    """Meta-prefix (entropy-image) group selection: the encoder emits a
+    two-group checkerboard; the decoder must pick the right huffman
+    group per pixel position."""
+    rng = np.random.default_rng(2)
+    for shape in [(5, 6), (16, 16), (33, 21), (7, 40)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert np.array_equal(decode_webp(encode_webp(img, meta_blocks=True)), img)
+    with pytest.raises(ValueError, match="literal-only"):
+        from fs_schema_validator_ray.functions.webp import _write_entropy_image, _BitWriter
+
+        _write_entropy_image(
+            _BitWriter(), np.zeros(4, np.uint32), 2, True, cache_bits=3, meta_bits=2
+        )
