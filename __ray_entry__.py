@@ -881,6 +881,16 @@ SELECT "window", event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM e GROUP BY "window", event_type
 """,
+        "unnest_embeddings": """
+WITH u AS (
+  SELECT vec_id,
+         UNNEST(embedding) AS val,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS i
+  FROM embeddings)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx,
+       ROUND(CAST(val AS DOUBLE), 6) AS v6
+FROM u
+""",
         "upsert_orders_snapshot": """
 SELECT o_orderkey,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1 AS price_cents,

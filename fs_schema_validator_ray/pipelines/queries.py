@@ -2588,6 +2588,38 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def unnest_embeddings(sf_dir: str):
+    """UNNEST / explode of a list column (one row per vector element)
+    fully vectorized: ``pc.list_flatten`` + ``pc.list_parent_indices``
+    with an arange-minus-starts within-list position — no per-row
+    Python, the flat_map shape a feature-store export needs."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def unnest(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col)
+        par = np.asarray(parent, dtype=np.int64)
+        if len(par):
+            first = np.concatenate([[True], par[1:] != par[:-1]])
+            starts = np.flatnonzero(first)
+            lens = np.diff(np.concatenate([starts, [len(par)]]))
+            pos = np.arange(len(par), dtype=np.int64) - np.repeat(starts, lens)
+        else:
+            pos = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").take(parent),
+                "dim_idx": pa.array(pos),
+                "v6": pc.round(pc.cast(flat, pa.float64()), ndigits=6),
+            }
+        )
+
+    return ds.map_batches(unnest, batch_format="pyarrow")
+
+
 def substring_dup_documents(sf_dir: str):
     """Exact shared-substring spans ≥96 chars across documents (the Lee
     et al. exact-substring training-dedup shape): content-keyed sampled
@@ -3497,6 +3529,7 @@ QUERIES = {
     "ann_topk_pq": ann_topk_pq,
     "windowed_events_watermark": windowed_events_watermark,
     "upsert_orders_snapshot": upsert_orders_snapshot,
+    "unnest_embeddings": unnest_embeddings,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,
