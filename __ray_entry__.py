@@ -881,6 +881,45 @@ SELECT "window", event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM e GROUP BY "window", event_type
 """,
+        "multimodal_violations": """
+WITH img AS (
+  SELECT 'image' AS modality,
+         'img-' || lpad(CAST(i AS VARCHAR), 6, '0') AS "key",
+         CASE
+           WHEN i % 97 = 0 AND i % 4 = 1 THEN 'failed to parse gif header'
+           WHEN i % 97 = 0 AND i % 4 = 2 THEN 'failed to parse jpeg header'
+           WHEN i % 97 = 0 THEN 'file does not contain a valid image'
+           WHEN i % 89 = 0 THEN 'payload is not in '
+                || CASE (i + 1) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                    WHEN 2 THEN 'jpeg' ELSE 'webp' END
+                || ' format (got '
+                || CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                              WHEN 2 THEN 'jpeg' ELSE 'webp' END
+                || ')'
+           ELSE 'file does not contain a valid image'
+         END AS reason
+  FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1999) t(x))
+  WHERE i % 97 = 0 OR i % 89 = 0 OR i % 101 = 0),
+aud AS (
+  SELECT 'audio' AS modality,
+         CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+              ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                   || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+         END AS "key",
+         'payload failed to decode' AS reason
+  FROM (SELECT CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+        FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)))
+  WHERE s % 509 IN (17, 101)),
+vid AS (
+  SELECT 'video' AS modality,
+         'vid-' || lpad(CAST(i AS VARCHAR), 5, '0') || '#'
+           || CAST(i % nf AS VARCHAR) AS "key",
+         'frame failed to decode' AS reason
+  FROM (SELECT CAST(x AS BIGINT) AS i, 3 + CAST(x AS BIGINT) % 6 AS nf
+        FROM generate_series(0, 299) t(x))
+  WHERE i % 23 <> 0 AND i % 11 = 0)
+SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+""",
         "unnest_embeddings": """
 WITH u AS (
   SELECT vec_id,

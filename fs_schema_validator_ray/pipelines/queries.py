@@ -2588,6 +2588,61 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def multimodal_violations(sf_dir: str):
+    """Cross-modal E2E validation report: the image corpus's validation
+    violations, the audio corpus's decode failures, and the video
+    corpus's per-frame decode failures UNIONED into one violations table
+    ``(modality, key, reason)`` — one engine, three payload types, one
+    report (the reference's single-report shape, ``report.py``,
+    stretched across modalities). Driver-hash-checked: the oracle is the
+    UNION ALL of the three corpus-contract derivations."""
+    import pyarrow.compute as pc
+
+    img = image_validate_corpus(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "modality": pa.array(["image"] * t.num_rows),
+                "key": t.column("key"),
+                "reason": t.column("reason"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    aud = audio_decode_contract(sf_dir).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "modality": pa.array(["audio"] * f.num_rows),
+                    "key": f.column("clip_id"),
+                    "reason": pa.array(
+                        ["payload failed to decode"] * f.num_rows
+                    ),
+                }
+            )
+        )(t.filter(pc.invert(t.column("decode_ok")))),
+        batch_format="pyarrow",
+    )
+    vid = video_frames_contract(sf_dir).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "modality": pa.array(["video"] * f.num_rows),
+                    "key": pc.binary_join_element_wise(
+                        f.column("key"),
+                        pc.cast(f.column("frame_index"), pa.string()),
+                        "#",
+                    ),
+                    "reason": pa.array(
+                        ["frame failed to decode"] * f.num_rows
+                    ),
+                }
+            )
+        )(t.filter(pc.invert(t.column("decode_ok")))),
+        batch_format="pyarrow",
+    )
+    return img.union(aud).union(vid)
+
+
 def unnest_embeddings(sf_dir: str):
     """UNNEST / explode of a list column (one row per vector element)
     fully vectorized: ``pc.list_flatten`` + ``pc.list_parent_indices``
@@ -2633,6 +2688,19 @@ def substring_dup_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return substring_dup_pairs(ds, min_len=96, stride=8)
+
+
+def ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (rows-only: doubly-approximate — list pruning x code
+    compression; pytest recall gate >= 0.85 at sf0.1): the production
+    composition for 10^12-vector corpora where neither the vectors nor
+    even full-precision scans fit (``topk_cosine_ivfpq``)."""
+    from fs_schema_validator_ray.stages.similarity import topk_cosine_ivfpq
+
+    q_ids, q_mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_cosine_ivfpq(ds, q_ids, q_mat, k=_TOPK, exclude_self=True)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def ann_topk_pq(sf_dir: str):
@@ -3530,6 +3598,7 @@ QUERIES = {
     "windowed_events_watermark": windowed_events_watermark,
     "upsert_orders_snapshot": upsert_orders_snapshot,
     "unnest_embeddings": unnest_embeddings,
+    "multimodal_violations": multimodal_violations,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,
@@ -3653,6 +3722,7 @@ QUERIES = {
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "text_fingerprint_documents": text_fingerprint_documents,
     "drift_nchars_by_source": drift_nchars_by_source,
     "grouped_hll_users_by_type": grouped_hll_users_by_type,

@@ -240,3 +240,27 @@ def test_pq_ann_recall_gate(ray_session):
     codes = pq_encode(sample / np.linalg.norm(sample, axis=1, keepdims=True), books)
     assert codes.shape == (500, 8) and codes.dtype == np.uint8
     assert codes.max() < 64
+
+
+def test_ivfpq_ann_recall_gate(ray_session):
+    """The IVF-PQ composition (list pruning × code compression) must
+    hold recall@10 ≥ 0.85 vs brute force on the sf0.1 embeddings."""
+    import pyarrow.parquet as pq_
+
+    from fs_schema_validator_ray.stages.similarity import (
+        topk_cosine,
+        topk_cosine_ivfpq,
+    )
+
+    t = pq_.read_table("/root/testdata/sf0.1/embeddings.parquet")
+    q_ids = np.asarray(t.column("vec_id")[:16])
+    q_mat = np.stack([np.asarray(v.as_py()) for v in t.column("embedding")[:16]])
+    ds = ray.data.read_parquet("/root/testdata/sf0.1/embeddings.parquet")
+    exact = topk_cosine(ds, q_ids, q_mat, k=10, exclude_self=True).to_pandas()
+    apx = topk_cosine_ivfpq(ds, q_ids, q_mat, k=10, exclude_self=True).to_pandas()
+    rec = []
+    for q in q_ids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(apx[apx.query_id == q].neighbor_id)
+        rec.append(len(e & a) / max(len(e), 1))
+    assert float(np.mean(rec)) >= 0.85, rec
