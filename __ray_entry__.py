@@ -881,6 +881,25 @@ SELECT "window", event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM e GROUP BY "window", event_type
 """,
+        "limit_offset_orders": """
+WITH r AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders)
+SELECT o_orderkey, price_cents, rnk FROM r WHERE rnk > 50 AND rnk <= 150
+""",
+        "value_band_join_events": """
+WITH p AS (SELECT event_id AS purchase_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type = 'purchase'),
+k AS (SELECT event_id AS click_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, k.click_id,
+       GREATEST(p.c - 50, k.c) AS overlap_lo,
+       LEAST(p.c + 51, k.c + 1) AS overlap_hi
+FROM p JOIN k ON ABS(p.c - k.c) <= 50
+""",
         "multimodal_violations": """
 WITH img AS (
   SELECT 'image' AS modality,

@@ -1924,6 +1924,79 @@ def interval_overlap_events(sf_dir: str):
     )
 
 
+def limit_offset_orders(sf_dir: str):
+    """Global ``ORDER BY ... DESC LIMIT 100 OFFSET 50`` — pagination
+    over the streaming range-partitioned rank (no global sort
+    materialization; the rank filter prunes to exactly the page)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ranked = global_sort_rank(
+        ds, "o_totalprice", ["o_orderkey"], descending=True
+    )
+    page = ranked.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t.column("rnk"), 50), pc.less_equal(t.column("rnk"), 150)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return page.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+                "rnk": t.column("rnk"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def value_band_join_events(sf_dir: str):
+    """Keyless theta join on a VALUE band (|a.value − b.value| ≤ 50
+    cents between purchases and clicks) — expressed as the banded
+    interval-overlap join over value intervals (reusing the exact
+    once-per-pair band-ownership machinery instead of an all-pairs
+    cross join)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import interval_overlap_join
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def side(t: pa.Table, kind: str, id_name: str, lo_off: int, hi_off: int):
+        t = t.filter(pc.equal(t.column("event_type"), kind))
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                id_name: t.column("event_id"),
+                "lo": pc.add(cents, lo_off),
+                "hi": pc.add(cents, hi_off),
+            }
+        )
+
+    # half-open intervals: purchase [c−50, c+51) × click point [c, c+1)
+    # overlap ⟺ |c_p − c_k| ≤ 50
+    left = ev.map_batches(
+        lambda t: side(t, "purchase", "purchase_id", -50, 51),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda t: side(t, "click", "click_id", 0, 1), batch_format="pyarrow"
+    )
+    return interval_overlap_join(
+        left, right, "purchase_id", "lo", "hi", "click_id", "lo", "hi",
+        band_width=1000,
+    )
+
+
 def ntile_orders(sf_dir: str):
     """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey):
     distributed range-partitioned sort with two-phase rank offsets
@@ -3599,6 +3672,8 @@ QUERIES = {
     "upsert_orders_snapshot": upsert_orders_snapshot,
     "unnest_embeddings": unnest_embeddings,
     "multimodal_violations": multimodal_violations,
+    "limit_offset_orders": limit_offset_orders,
+    "value_band_join_events": value_band_join_events,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,
