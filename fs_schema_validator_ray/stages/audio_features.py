@@ -725,6 +725,7 @@ class TranscodeStage:
         views = binary_views(batch.column(self.bytes_column))
         keys = batch.column(self.key_column).to_pylist()
         rows = []
+        decoded = []  # (row_index, x, sr_hz)
         for key, view in zip(keys, views):
             row = {
                 "clip_id": None if key is None else str(key),
@@ -742,19 +743,32 @@ class TranscodeStage:
                 except (audio.AudioDecodeError, ValueError):
                     pass
                 else:
-                    payload = audio.encode(x, sr_hz, self.codec_out)
-                    y, _, _ = audio.decode(payload)
                     row.update(
                         {
-                            "bytes": payload,
                             "codec_in": codec_in,
                             "sr_hz": sr_hz,
                             "n_samples": int(len(x)),
-                            "snr_db": audio.snr_db(x, y),
                             "decode_ok": True,
                         }
                     )
+                    decoded.append((len(rows), x, sr_hz))
             rows.append(row)
+
+        if self.codec_out == "adpcm_ima" and decoded:
+            # batch path: ALL clips' blocks encode in one vectorized call
+            # and the encoder's reconstruction doubles as the SNR decode
+            payloads, recons = audio.encode_adpcm_many(
+                [x for _i, x, _sr in decoded], [sr for _i, _x, sr in decoded]
+            )
+            for (i, x, _sr), payload, y in zip(decoded, payloads, recons):
+                rows[i]["bytes"] = payload
+                rows[i]["snr_db"] = audio.snr_db(x, y)
+        else:
+            for i, x, sr_hz in decoded:
+                payload = audio.encode(x, sr_hz, self.codec_out)
+                y, _, _ = audio.decode(payload)
+                rows[i]["bytes"] = payload
+                rows[i]["snr_db"] = audio.snr_db(x, y)
         return pa.Table.from_pylist(rows, schema=TRANSCODE_SCHEMA)
 
 
