@@ -25,11 +25,20 @@ difficulty class as the shipped GIF/PNG/JPEG codecs. Lossy VP8
   balanced-lengths construction (k = 2^L − n symbols one bit shorter;
   Kraft sum exactly 1).
 
+* ``decode_webp_alpha(data)`` — the extended (VP8X) container's ALPH
+  chunk: raw or headerless-VP8L-compressed alpha plane (values in the
+  green channel) plus the four spatial filters
+  (none/horizontal/vertical/gradient), with ``encode_webp_alpha`` as
+  the round-trip counterpart. This path IS interop-proven: the
+  reference's own ``tests/fixtures/image.webp`` (VP8X + ALPH + VP8,
+  libwebp-encoded) decodes its 400×400 alpha bit-exactly here.
+
 The distance map is generated from the spec's ordering rule (sort the
 (dx, dy) close-neighbor plane by dx²+dy², then |dx|, positive dx
-first), verified against the published table prefix. Interop with
-libwebp-encoded files is untestable in this sandbox (no imaging
-library); self round-trips + hand-built streams gate every path.
+first), verified against the published table prefix. Interop of the
+main VP8L path with libwebp-encoded files is untestable in this
+sandbox (no imaging library) — self round-trips + hand-built streams
+gate every path; the ALPH path has the real-fixture interop test.
 Malformed input raises :class:`WebpError` — never an untyped exception
 (codec-totality convention, see ``jpeg.py``).
 """
@@ -604,7 +613,23 @@ def _decode_webp_impl(data: bytes) -> np.ndarray:
     version = br.read(3)
     if version != 0:
         raise WebpError(f"unsupported VP8L version {version}")
+    argb = _decode_vp8l_stream(br, w, h)
 
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    flat = argb.reshape(h, w)
+    rgb[..., 0] = (flat >> 16) & 0xFF
+    rgb[..., 1] = (flat >> 8) & 0xFF
+    rgb[..., 2] = flat & 0xFF
+    return rgb
+
+
+def _decode_vp8l_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream (spec "DecodeImageStream"): optional
+    transform list + entropy-coded image + inverse transforms in reverse
+    order. Shared by the main VP8L payload (after its 5-byte header) and
+    the ALPH chunk's compressed alpha plane, which is exactly this
+    stream with (w, h) supplied by the container. Returns flat ARGB
+    uint32 of length ``h * w``."""
     transforms = []  # (type, bits, data, width_when_read) in read order
     seen = set()
     cur_w = w
@@ -650,13 +675,7 @@ def _decode_webp_impl(data: bytes) -> np.ndarray:
             argb = _inv_color_transform(argb, width, h, bits, tdata)
         else:
             argb = _inv_predictor(argb, width, h, bits, tdata)
-
-    rgb = np.zeros((h, w, 3), dtype=np.uint8)
-    flat = argb.reshape(h, w)
-    rgb[..., 0] = (flat >> 16) & 0xFF
-    rgb[..., 1] = (flat >> 8) & 0xFF
-    rgb[..., 2] = flat & 0xFF
-    return rgb
+    return argb
 
 
 def parse_vp8l_dims(data: bytes) -> tuple[int, int] | None:
@@ -669,6 +688,215 @@ def parse_vp8l_dims(data: bytes) -> tuple[int, int] | None:
         return None
     br = _BitReader(payload[1:])
     return br.read(14) + 1, br.read(14) + 1
+
+
+# --- ALPH alpha plane --------------------------------------------------------
+#
+# The VP8X extended container carries transparency for lossy-VP8 images
+# in a separate ALPH chunk (the reference's ``tests/fixtures/image.webp``
+# is exactly this shape: VP8X + ALPH + VP8). Its compressed form is a
+# HEADERLESS VP8L stream (alpha values in the green channel), so the
+# lossless machinery above decodes it for real even though the lossy RGB
+# plane stays out of from-scratch scope.
+
+
+def _webp_chunks(data: bytes) -> list[tuple[bytes, bytes]]:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("bad webp container signature")
+    out = []
+    pos, n = 12, len(data)
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise WebpError("truncated webp chunk")
+        out.append((tag, body))
+        pos += 8 + ln + (ln & 1)
+    return out
+
+
+def webp_canvas_dims(data: bytes) -> tuple[int, int] | None:
+    """Canvas (width, height) from the VP8X header, the VP8L header, or
+    the lossy-VP8 key-frame header — None if none parses."""
+    try:
+        chunks = _webp_chunks(data)
+    except WebpError:
+        return None
+    for tag, body in chunks:
+        if tag == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h
+        if tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            br = _BitReader(body[1:])
+            return br.read(14) + 1, br.read(14) + 1
+        if tag == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return w, h
+    return None
+
+
+def _unfilter_alpha(res: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's spatial filter. ``res`` is the decoded
+    (h, w) residual plane; spec border rules: (0,0) predicts from 0,
+    column 0 from above for horizontal/gradient, row 0 from left for
+    vertical/gradient. Horizontal/vertical invert as vectorized mod-256
+    cumsums; gradient is inherently sequential (clip of reconstructed
+    neighbors) and loops — fine for per-image validation work."""
+    if method == 0:
+        return res.astype(np.uint8)
+    h, w = res.shape
+    d = res.astype(np.int64)
+    if method == 1:  # horizontal: pred = left; col 0 from above
+        col0 = np.cumsum(d[:, 0]) & 0xFF
+        c = np.cumsum(d, axis=1)
+        return ((c - d[:, :1] + col0[:, None]) & 0xFF).astype(np.uint8)
+    if method == 2:  # vertical: pred = above; row 0 from left
+        row0 = np.cumsum(d[0]) & 0xFF
+        c = np.cumsum(d, axis=0)
+        return ((c - d[:1, :] + row0[None, :]) & 0xFF).astype(np.uint8)
+    if method != 3:
+        raise WebpError(f"invalid alpha filter method {method}")
+    out = np.zeros((h, w), np.int32)
+    for y in range(h):
+        row = out[y]
+        dy = d[y]
+        if y == 0:
+            acc = 0
+            for x in range(w):
+                acc = (int(dy[x]) + acc) & 0xFF
+                row[x] = acc
+            continue
+        up = out[y - 1]
+        row[0] = (int(dy[0]) + int(up[0])) & 0xFF
+        for x in range(1, w):
+            pred = int(row[x - 1]) + int(up[x]) - int(up[x - 1])
+            pred = 0 if pred < 0 else (255 if pred > 255 else pred)
+            row[x] = (int(dy[x]) + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_webp_alpha(data: bytes) -> np.ndarray | None:
+    """Decode the ALPH chunk of an extended WebP to the (h, w) uint8
+    alpha plane — None when the container has no ALPH chunk (plain
+    lossy/lossless files). Raw (C=0) and VP8L-compressed (C=1) streams
+    plus all four spatial filters are supported; malformed alpha raises
+    :class:`WebpError` (codec-totality convention)."""
+    try:
+        return _decode_webp_alpha_impl(data)
+    except WebpError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise WebpError(f"malformed webp alpha ({type(exc).__name__}): {exc}") from exc
+
+
+def _decode_webp_alpha_impl(data: bytes) -> np.ndarray | None:
+    chunks = _webp_chunks(data)
+    body = next((b for t, b in chunks if t == b"ALPH"), None)
+    if body is None:
+        return None
+    dims = webp_canvas_dims(data)
+    if dims is None:
+        raise WebpError("ALPH chunk with no parseable canvas dims")
+    w, h = dims
+    if not body:
+        raise WebpError("empty ALPH chunk")
+    head = body[0]
+    compression = head & 3
+    filter_method = (head >> 2) & 3
+    # bits 4-5: preprocessing (encoder-side level reduction, no inverse)
+    if compression == 0:
+        if len(body) - 1 < w * h:
+            raise WebpError("raw ALPH chunk shorter than w*h")
+        plane = np.frombuffer(body, np.uint8, count=w * h, offset=1)
+        res = plane.reshape(h, w)
+    elif compression == 1:
+        br = _BitReader(body[1:])
+        argb = _decode_vp8l_stream(br, w, h)
+        res = ((argb >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    else:
+        raise WebpError(f"invalid ALPH compression method {compression}")
+    return _unfilter_alpha(res, filter_method)
+
+
+def _filter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Forward spatial filter (encoder side of :func:`_unfilter_alpha`),
+    predicting from the ORIGINAL values (residual = value − pred)."""
+    if method == 0:
+        return plane.astype(np.uint8)
+    a = plane.astype(np.int64)
+    h, w = a.shape
+    res = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif method == 1:
+                pred = a[y - 1, 0] if x == 0 else a[y, x - 1]
+            elif method == 2:
+                pred = a[0, x - 1] if y == 0 else a[y - 1, x]
+            else:
+                if y == 0:
+                    pred = a[0, x - 1]
+                elif x == 0:
+                    pred = a[y - 1, 0]
+                else:
+                    g = int(a[y, x - 1]) + int(a[y - 1, x]) - int(a[y - 1, x - 1])
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+            res[y, x] = (int(a[y, x]) - int(pred)) & 0xFF
+    return res.astype(np.uint8)
+
+
+def encode_webp_alpha(
+    alpha: np.ndarray,
+    *,
+    filter_method: int = 0,
+    compress: bool = True,
+    rgb: np.ndarray | None = None,
+) -> bytes:
+    """Extended (VP8X) WebP container carrying ``alpha`` as an ALPH
+    chunk — raw (C=0) or headerless-VP8L-compressed (C=1) — plus a
+    same-size VP8L image chunk (``rgb`` or opaque black). Encoder-driven
+    round-trips gate :func:`decode_webp_alpha` exactly like
+    :func:`encode_webp` gates the main decoder."""
+    plane = np.asarray(alpha, np.uint8)
+    if plane.ndim != 2:
+        raise ValueError("expected (h, w) alpha plane")
+    h, w = plane.shape
+    if not (0 <= filter_method <= 3):
+        raise ValueError("filter_method must be 0..3")
+    res = _filter_alpha(plane, filter_method)
+    if compress:
+        bw = _BitWriter()
+        bw.write(0, 1)  # no transforms
+        argb = (res.astype(np.uint32) << 8).reshape(-1)  # alpha in green
+        _write_entropy_image(bw, argb, w, True, lz77=True)
+        stream = bw.finish()
+        head = (filter_method << 2) | 1
+    else:
+        stream = res.tobytes()
+        head = filter_method << 2
+    alph_body = bytes([head]) + stream
+
+    if rgb is None:
+        rgb = np.zeros((h, w, 3), np.uint8)
+    main = encode_webp(rgb)
+    image_chunks = main[12:]  # VP8L chunk (+pad) from the plain container
+
+    vp8x = (
+        b"VP8X"
+        + struct.pack("<I", 10)
+        + bytes([0x10, 0, 0, 0])  # ALPHA flag
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    alph = b"ALPH" + struct.pack("<I", len(alph_body)) + alph_body
+    if len(alph_body) & 1:
+        alph += b"\x00"
+    payload = vp8x + alph + image_chunks
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
 
 
 # --- encoder -----------------------------------------------------------------

@@ -21,8 +21,11 @@ Ray-side plumbing for image/video columns:
 * **lossless WebP (VP8L) is real too**: ``functions/webp.py`` decodes
   prefix codes, color cache, meta-prefix groups, LZ77 and all four
   transforms from scratch, so webp corpora validate/resize/pHash on
-  actual pixels.
-* **only lossy-VP8 webp and avif stay stubbed**: a from-scratch
+  actual pixels. Extended (VP8X) containers get their ALPH alpha plane
+  REAL-decoded as well — raw or headerless-VP8L-compressed, all four
+  spatial filters (interop-proven on the reference's own
+  ``image.webp`` fixture, whose libwebp-encoded alpha we decode).
+* **only lossy-VP8 webp RGB and avif stay stubbed**: a from-scratch
   VP8/AV1 video-intra decoder is out of scope, so the default
   :class:`HybridPixelDecoder` falls back to the deterministic
   ``FakePixelDecoder`` for those (clearly marked; swap a real
@@ -438,12 +441,21 @@ class ImageValidateStage:
                     WebpError,
                     WebpLossyError,
                     decode_webp,
+                    decode_webp_alpha,
                 )
 
                 try:
                     decode_webp(p)
+                    decode_webp_alpha(p)
                 except WebpLossyError:
-                    pass  # lossy VP8: header checks only (decode is out of scope)
+                    # lossy VP8 RGB stays header-checked (decode out of
+                    # scope) — but an ALPH alpha plane, if present, is a
+                    # headerless VP8L stream and decodes for REAL (the
+                    # reference fixture's own shape: VP8X + ALPH + VP8)
+                    try:
+                        decode_webp_alpha(p)
+                    except WebpError:
+                        emit(i, "file does not contain a valid image")
                 except WebpError:
                     emit(i, "file does not contain a valid image")
 

@@ -201,3 +201,146 @@ def test_meta_prefix_groups_roundtrip():
         _write_entropy_image(
             _BitWriter(), np.zeros(4, np.uint32), 2, True, cache_bits=3, meta_bits=2
         )
+
+
+# --- ALPH alpha plane (extended VP8X container) ------------------------------
+
+
+def _alpha_plane(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    a = np.zeros((h, w), np.uint8)
+    a[:, : w // 3] = 255
+    a[h // 4 : h // 2, w // 3 :] = (
+        np.arange(w - w // 3, dtype=np.uint32)[None, :] * 13 % 256
+    ).astype(np.uint8)
+    a[h // 2 :, w // 2 :] = rng.integers(0, 256, (h - h // 2, w - w // 2), np.uint8)
+    return a
+
+
+@pytest.mark.parametrize("filter_method", [0, 1, 2, 3])
+@pytest.mark.parametrize("compress", [False, True])
+def test_alpha_roundtrip(filter_method, compress):
+    from fs_schema_validator_ray.functions.webp import (
+        decode_webp_alpha,
+        encode_webp_alpha,
+        webp_canvas_dims,
+    )
+
+    a = _alpha_plane(29, 43, seed=filter_method)
+    blob = encode_webp_alpha(a, filter_method=filter_method, compress=compress)
+    assert webp_canvas_dims(blob) == (43, 29)
+    out = decode_webp_alpha(blob)
+    assert np.array_equal(out, a)
+    # the main (VP8L) image still decodes through the VP8X container
+    assert decode_webp(blob).shape == (29, 43, 3)
+
+
+def test_alpha_absent_returns_none():
+    from fs_schema_validator_ray.functions.webp import decode_webp_alpha
+
+    assert decode_webp_alpha(encode_webp(rand_img(6, 6, seed=4))) is None
+
+
+def test_alpha_reference_fixture_interop():
+    """REAL-FILE interop: the reference's own webp fixture
+    (``/root/reference/tests/fixtures/image.webp``, VP8X + ALPH + VP8,
+    produced by libwebp — see ``schemas/image.py:15-22`` for the
+    reference's PIL validation of it) carries a VP8L-compressed,
+    filtered alpha plane. Our from-scratch headerless-VP8L + unfilter
+    path must decode it bit-exactly (pinned digest): a single
+    arithmetic/prefix-code desync would scramble the plane."""
+    import hashlib
+    from pathlib import Path
+
+    from fs_schema_validator_ray.functions.webp import (
+        decode_webp_alpha,
+        webp_canvas_dims,
+    )
+
+    fx = Path("/root/reference/tests/fixtures/image.webp")
+    if not fx.exists():  # sandbox without the reference checkout
+        pytest.skip("reference fixture unavailable")
+    data = fx.read_bytes()
+    assert webp_canvas_dims(data) == (400, 400)
+    with pytest.raises(WebpLossyError):
+        decode_webp(data)  # RGB plane is lossy VP8 (out of scope)
+    al = decode_webp_alpha(data)
+    assert al is not None and al.shape == (400, 400)
+    # a transparent-background logo: mostly 0, a few opaque pixels,
+    # an antialiased edge in between
+    assert int((al == 0).sum()) == 159_656
+    assert int((al == 255).sum()) == 268
+    assert int(((al > 0) & (al < 255)).sum()) == 76
+    assert (
+        hashlib.sha256(al.tobytes()).hexdigest()
+        == "c7b672a9fc4a13ee464f198e5870a7e47dbbfcd7fa9722ca4ba979de96c13be2"
+    )
+
+
+def test_alpha_malformed_raises_typed():
+    from fs_schema_validator_ray.functions.webp import (
+        decode_webp_alpha,
+        encode_webp_alpha,
+    )
+
+    a = _alpha_plane(11, 17, seed=9)
+    good = encode_webp_alpha(a, filter_method=3, compress=True)
+    i = good.index(b"ALPH")
+    (ln,) = struct.unpack("<I", good[i + 4 : i + 8])
+    # corrupt compressed stream bytes → prefix-code/bitstream failure
+    rng = np.random.default_rng(1)
+    for _ in range(30):
+        bad = bytearray(good)
+        for _ in range(3):
+            bad[i + 9 + int(rng.integers(0, ln - 1))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_webp_alpha(bytes(bad))
+            assert out is None or out.shape == (11, 17)  # may still decode
+        except WebpError:
+            pass
+    # invalid compression method (C=2)
+    bad = bytearray(good)
+    bad[i + 8] = (bad[i + 8] & ~3) | 2
+    with pytest.raises(WebpError, match="compression method"):
+        decode_webp_alpha(bytes(bad))
+    # raw chunk shorter than w*h
+    raw = encode_webp_alpha(a, compress=False)
+    j = raw.index(b"ALPH")
+    (rln,) = struct.unpack("<I", raw[j + 4 : j + 8])
+    cut = bytearray(raw[: j + 8 + rln // 2])
+    struct.pack_into("<I", cut, j + 4, rln // 2)
+    struct.pack_into("<I", cut, 4, len(cut) - 8)
+    with pytest.raises(WebpError, match="shorter"):
+        decode_webp_alpha(bytes(cut))
+
+
+def test_validate_stage_gates_alpha():
+    """A lossy-VP8 + ALPH container (the reference fixture's shape) is
+    gated on its REAL alpha decode: corrupt ALPH → invalid-image
+    violation even though the lossy RGB plane itself is only
+    header-checked."""
+    from fs_schema_validator_ray.functions.webp import encode_webp_alpha
+    from fs_schema_validator_ray.stages.multimodal import ImageValidateStage
+
+    a = _alpha_plane(12, 16, seed=2)
+    full = encode_webp_alpha(a, filter_method=1, compress=True)
+    # swap the VP8L image chunk for a lossy VP8 header-only chunk
+    i = full.index(b"VP8L")
+    lossy_body = _vp8_lossy_body(16, 12)
+    lossy = full[:i] + b"VP8 " + struct.pack("<I", len(lossy_body)) + lossy_body
+    lossy = lossy[:4] + struct.pack("<I", len(lossy) - 8) + lossy[8:]
+    # corrupt variant: garbage compressed alpha stream
+    j = lossy.index(b"ALPH")
+    (ln,) = struct.unpack("<I", lossy[j + 4 : j + 8])
+    corrupt = bytearray(lossy)
+    corrupt[j + 9 : j + 8 + ln] = b"\xff" * (ln - 1)
+    batch = pa.table(
+        {
+            "key": pa.array(["ok", "badalpha"]),
+            "bytes": pa.array([lossy, bytes(corrupt)], pa.binary()),
+            "format": pa.array(["webp"] * 2),
+        }
+    )
+    stage = ImageValidateStage(min_width=0, min_height=0)
+    got = {(r["key"], r["reason"]) for r in stage(batch).to_pylist()}
+    assert got == {("badalpha", "file does not contain a valid image")}
