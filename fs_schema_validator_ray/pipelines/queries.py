@@ -2292,6 +2292,36 @@ def chunk_documents(sf_dir: str):
     return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
 
 
+def bpe_merges_documents(sf_dir: str, n_merges: int = 48):
+    """Distributed BPE tokenizer TRAINING over the document corpus: one
+    streaming token-count pass collapses the corpus to the distinct-word
+    frequency table, then the merge loop learns ``n_merges`` subword
+    merges (deterministic ``(-count, left, right)`` tie-break; identical
+    across the driver and distributed execution paths —
+    ``stages/bpe.py``). Rows-only for the driver (iterative training is
+    not SQL-expressible); pytest gates parity with an independent serial
+    reference implementation and the forced path switch."""
+    from fs_schema_validator_ray.stages.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    tbl = bpe_train(ds, "text", n_merges=n_merges)
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+def bpe_token_counts_documents(sf_dir: str, n_merges: int = 48):
+    """BPE ENCODE pass: per-document subword token counts under the
+    merges learned by :func:`bpe_merges_documents` — merge ranks
+    broadcast once per actor (``ray.put``), distinct-word encode with a
+    per-actor cache (``stages/bpe.py::BpeEncodeStage``)."""
+    from fs_schema_validator_ray.stages.bpe import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]), "text", n_merges=n_merges)
+    return bpe_encode(ds, merges, "text", "doc_id")
+
+
 def pack_documents(sf_dir: str, budget: int = 4096):
     """GPT-style training-sequence packing (concat-and-slice): documents
     in deterministic doc_id order, each assigned the sequence its FIRST
@@ -3816,4 +3846,6 @@ QUERIES = {
     "audio_chunk_clips": audio_chunk_clips,
     "dedup_audio_fingerprint_clips": dedup_audio_fingerprint_clips,
     "substring_dup_documents": substring_dup_documents,
+    "bpe_merges_documents": bpe_merges_documents,
+    "bpe_token_counts_documents": bpe_token_counts_documents,
 }
