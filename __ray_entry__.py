@@ -900,6 +900,26 @@ SELECT p.purchase_id, k.click_id,
        LEAST(p.c + 51, k.c + 1) AS overlap_hi
 FROM p JOIN k ON ABS(p.c - k.c) <= 50
 """,
+        "mix_sources_documents": """
+WITH base AS (
+  SELECT doc_id, source,
+         ((doc_id * 48271) % 2147483647) % 10000 AS h,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                     WHEN 'src3' THEN 0.0 WHEN 'src4' THEN 1.75
+                     WHEN 'src7' THEN 0.25 ELSE 1.0 END AS w
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(w) AS BIGINT)
+           + CASE WHEN h < CAST(round((w - floor(w)) * 10000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+  FROM base)
+SELECT doc_id, source, CAST(0 AS INTEGER) AS copy_ix FROM c WHERE copies >= 1
+UNION ALL
+SELECT doc_id, source, CAST(1 AS INTEGER) FROM c WHERE copies >= 2
+UNION ALL
+SELECT doc_id, source, CAST(2 AS INTEGER) FROM c WHERE copies >= 3
+""",
         "multimodal_violations": """
 WITH img AS (
   SELECT 'image' AS modality,

@@ -2292,6 +2292,24 @@ def chunk_documents(sf_dir: str):
     return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
 
 
+#: train-mix weights for :func:`mix_sources_documents` — up-sample
+#: src0/src4, down-sample src1/src7, drop src3, keep the rest at 1.0
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src3": 0.0, "src4": 1.75, "src7": 0.25}
+
+
+def mix_sources_documents(sf_dir: str):
+    """Train-mix composition: deterministically re-weight each source
+    stratum to a target proportion (up-sample scarce sources with
+    repeat copies, down-sample bulk ones with a keyed slice) — one
+    stateless vectorized pass, no RNG, no shuffle
+    (``stages/mixing.py``). Hash-exact vs a SQL oracle built from the
+    same Lehmer-keyed copies rule with UNION ALL copy layers."""
+    from fs_schema_validator_ray.stages.mixing import mix_sources
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mix_sources(ds, _MIX_WEIGHTS, "doc_id", "source", default_weight=1.0)
+
+
 def bpe_merges_documents(sf_dir: str, n_merges: int = 48):
     """Distributed BPE tokenizer TRAINING over the document corpus: one
     streaming token-count pass collapses the corpus to the distinct-word
@@ -3704,6 +3722,7 @@ QUERIES = {
     "multimodal_violations": multimodal_violations,
     "limit_offset_orders": limit_offset_orders,
     "value_band_join_events": value_band_join_events,
+    "mix_sources_documents": mix_sources_documents,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,
