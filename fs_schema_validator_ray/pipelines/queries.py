@@ -2292,6 +2292,24 @@ def chunk_documents(sf_dir: str):
     return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
 
 
+def cdc_dedup_clips(sf_dir: str, n_rows: int = 1500):
+    """Content-defined-chunking dedup over the clips corpus's binary
+    payloads (``stages/cdc.py``): rolling-hash boundaries (insertion-
+    shift-resistant), per-chunk 64-bit content hashes from the same
+    prefix-sum pass, one pre-aggregated bucketed exchange of
+    ``(chunk_hash, copies, logical_bytes)`` rows. Returns the corpus
+    dedup table; the planted duplicate-payload clips surface as
+    ``copies > 1`` rows (pytest-gated — chunk hashing is not
+    SQL-expressible, so the driver records the rows-only check)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.cdc import cdc_dedup_stats
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return cdc_dedup_stats(ds, "bytes", "clip_id")
+
+
 #: train-mix weights for :func:`mix_sources_documents` — up-sample
 #: src0/src4, down-sample src1/src7, drop src3, keep the rest at 1.0
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src3": 0.0, "src4": 1.75, "src7": 0.25}
@@ -3867,4 +3885,5 @@ QUERIES = {
     "substring_dup_documents": substring_dup_documents,
     "bpe_merges_documents": bpe_merges_documents,
     "bpe_token_counts_documents": bpe_token_counts_documents,
+    "cdc_dedup_clips": cdc_dedup_clips,
 }
