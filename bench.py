@@ -86,6 +86,9 @@ HEADLINE_QUERIES = [
     "audio_transcode_adpcm_clips",
     "skew_kurtosis_lineitem",
     "ann_topk_pq",
+    "mix_sources_documents",
+    "bpe_merges_documents",
+    "cdc_dedup_clips",
 ]
 
 

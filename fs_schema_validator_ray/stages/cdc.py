@@ -204,8 +204,13 @@ def cdc_dedup_stats(ds, payload_column="bytes", id_column="clip_id", **kw):
             }
         )
 
-    return group_sum_bucketed(
+    merged = group_sum_bucketed(
         chunks.map_batches(partial2, batch_format="pyarrow"),
         "chunk_hash",
         ["copies", "logical_bytes"],
+    )
+    # drop group_sum_bucketed's per-key partial-row count ("n" = blocks
+    # the hash appeared in) — not a dedup statistic
+    return merged.map_batches(
+        lambda t: t.drop_columns(["n"]), batch_format="pyarrow"
     )
