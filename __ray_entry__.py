@@ -900,6 +900,15 @@ SELECT p.purchase_id, k.click_id,
        LEAST(p.c + 51, k.c + 1) AS overlap_hi
 FROM p JOIN k ON ABS(p.c - k.c) <= 50
 """,
+        "leakage_free_split_documents": """
+WITH rep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents),
+s AS (SELECT doc_id, rep, ((rep * 48271) % 2147483647) % 100 AS h FROM rep)
+SELECT doc_id, rep,
+       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+FROM s
+""",
         "mix_sources_documents": """
 WITH base AS (
   SELECT doc_id, source,

@@ -89,6 +89,7 @@ HEADLINE_QUERIES = [
     "mix_sources_documents",
     "bpe_merges_documents",
     "cdc_dedup_clips",
+    "leakage_free_split_documents",
 ]
 
 

@@ -2292,6 +2292,19 @@ def chunk_documents(sf_dir: str):
     return ds.map_batches(ChunkStage(size=200, stride=150), batch_format="pyarrow")
 
 
+def leakage_free_split_documents(sf_dir: str):
+    """Cluster-level train/val/test split: every document is assigned
+    the split of its exact-duplicate cluster representative
+    (``rep = min(doc_id)`` over identical text, Lehmer-keyed 80/10/10
+    rule), so duplicates can never straddle splits — the
+    eval-contamination guard (``stages/mixing.py::leakage_free_split``).
+    Hash-exact vs a window-function SQL oracle."""
+    from fs_schema_validator_ray.stages.mixing import leakage_free_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return leakage_free_split(ds)
+
+
 def cdc_dedup_clips(sf_dir: str, n_rows: int = 1500):
     """Content-defined-chunking dedup over the clips corpus's binary
     payloads (``stages/cdc.py``): rolling-hash boundaries (insertion-
@@ -3741,6 +3754,7 @@ QUERIES = {
     "limit_offset_orders": limit_offset_orders,
     "value_band_join_events": value_band_join_events,
     "mix_sources_documents": mix_sources_documents,
+    "leakage_free_split_documents": leakage_free_split_documents,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,

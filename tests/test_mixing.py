@@ -78,3 +78,67 @@ def test_determinism_across_runs():
     b = sorted(map(tuple, (r.values() for r in _collect(
         mix_sources(_ds(500), {"a": 1.25, "b": 0.4, "c": 3.0})))))
     assert a == b
+
+
+# --- leakage-free split -------------------------------------------------------
+
+
+def _split_rows(ds):
+    return [
+        r for b in ds.iter_batches(batch_format="pyarrow") for r in b.to_pylist()
+    ]
+
+
+def test_split_duplicates_never_straddle():
+    from fs_schema_validator_ray.stages.mixing import leakage_free_split
+
+    # 60 distinct texts, each duplicated 1-3 times under different ids
+    texts, ids = [], []
+    nid = 0
+    for i in range(60):
+        t = f"document body number {i} with shared content"
+        for _ in range(1 + i % 3):
+            texts.append(t)
+            ids.append(nid)
+            nid += 1
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ).repartition(5)
+    rows = _split_rows(leakage_free_split(ds))
+    assert len(rows) == len(ids)
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["rep"], set()).add(r["split"])
+    # every duplicate cluster lands in exactly one split
+    assert all(len(s) == 1 for s in by_rep.values())
+    # rep is the min id of its cluster
+    min_per_rep = {}
+    for r in rows:
+        min_per_rep[r["rep"]] = min(min_per_rep.get(r["rep"], r["doc_id"]), r["doc_id"])
+    assert all(rep == m for rep, m in min_per_rep.items())
+
+
+def test_split_fractions_converge():
+    from fs_schema_validator_ray.stages.mixing import leakage_free_split
+
+    n = 5000
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": [f"unique text {i}" for i in range(n)],
+            }
+        )
+    )
+    rows = _split_rows(leakage_free_split(ds, fractions=(0.8, 0.1)))
+    frac = {s: sum(1 for r in rows if r["split"] == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_split_fraction_validation():
+    from fs_schema_validator_ray.stages.mixing import leakage_free_split
+
+    with pytest.raises(ValueError, match="fractions"):
+        leakage_free_split(ray.data.range(4), fractions=(0.9, 0.2))
