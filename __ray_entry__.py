@@ -900,6 +900,23 @@ SELECT p.purchase_id, k.click_id,
        LEAST(p.c + 51, k.c + 1) AS overlap_hi
 FROM p JOIN k ON ABS(p.c - k.c) <= 50
 """,
+        "asset_validate_corpus": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1199) t(x))
+SELECT CAST(-1 AS INTEGER) AS partition_id,
+       'asset-' || lpad(CAST(i AS VARCHAR), 6, '0') AS "key",
+       'asset_decode' AS rule_id,
+       CASE
+         WHEN i % 101 = 0 THEN CASE i % 3
+           WHEN 0 THEN 'failed to deserialize: (<class ''json.decoder.JSONDecodeError''>) Expecting value: line 1 column 1 (char 0)'
+           WHEN 1 THEN 'failed to deserialize: (<class ''struct.error''>) unpack requires a buffer of 8 bytes'
+           ELSE 'File is not a zip file' END
+         WHEN i % 113 = 0 THEN 'cannot be empty'
+         ELSE CASE WHEN i % 3 = 2 THEN 'crc checks failed'
+                   ELSE 'file does not contain nodes' END
+       END AS reason
+FROM idx
+WHERE i % 101 = 0 OR i % 113 = 0 OR i % 89 = 0
+""",
         "leakage_free_split_documents": """
 WITH rep AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep

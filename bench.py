@@ -90,6 +90,7 @@ HEADLINE_QUERIES = [
     "bpe_merges_documents",
     "cdc_dedup_clips",
     "leakage_free_split_documents",
+    "asset_validate_corpus",
 ]
 
 

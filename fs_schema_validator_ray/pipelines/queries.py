@@ -3229,6 +3229,44 @@ def _clips_corpus(n_rows: int) -> tuple[str, str]:
     return clips_dir, manifest_path
 
 
+def asset_validate_corpus(sf_dir: str, n_rows: int = 1200):
+    """glTF/GLB/ZIP asset validation over the deterministic synthetic
+    corpus — the reference's F4/F5 payload kinds validated LITERALLY
+    (deserialize + nodes check per ``schemas/gltf.py:29-46``,
+    from-scratch ZIP walk + CRC sweep per ``schemas/zip.py:19-32``;
+    reason strings byte-identical incl. the corrupted-fixture
+    deserialize messages). ORACLE-CHECKED via the corpus-contract index
+    derivation, so the validators' pass/fail behavior is value-hash
+    gated."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.assets import AssetValidateStage
+
+    ds = ray.data.read_parquet(_assets_corpus(n_rows)).repartition(8)
+    return ds.map_batches(AssetValidateStage(), batch_format="pyarrow")
+
+
+def _assets_corpus(n_rows: int) -> str:
+    """Deterministic cached synthetic asset corpus → parquet path."""
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.sources.assets import (
+        ASSETS_CORPUS_VERSION,
+        build_assets_table,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"fsvr_assets_v{ASSETS_CORPUS_VERSION}_{n_rows}"
+    )
+    path = os.path.join(cache, "assets.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(build_assets_table(n_rows), tmp, row_group_size=256)
+        os.replace(tmp, path)
+    return path
+
+
 def _images_corpus(n_rows: int) -> str:
     """Deterministic cached synthetic image corpus → parquet path.
     Building 2000 rows costs several seconds of driver-side encoding
@@ -3755,6 +3793,7 @@ QUERIES = {
     "value_band_join_events": value_band_join_events,
     "mix_sources_documents": mix_sources_documents,
     "leakage_free_split_documents": leakage_free_split_documents,
+    "asset_validate_corpus": asset_validate_corpus,
     "image_validate_corpus": image_validate_corpus,
     "image_resize_corpus": image_resize_corpus,
     "mad_lineitem_quantity": mad_lineitem_quantity,
