@@ -984,6 +984,20 @@ vid AS (
         FROM generate_series(0, 299) t(x))
   WHERE i % 23 <> 0 AND i % 11 = 0)
 SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+UNION ALL
+SELECT 'asset' AS modality,
+       'asset-' || lpad(CAST(i AS VARCHAR), 6, '0') AS "key",
+       CASE
+         WHEN i % 101 = 0 THEN CASE i % 3
+           WHEN 0 THEN 'failed to deserialize: (<class ''json.decoder.JSONDecodeError''>) Expecting value: line 1 column 1 (char 0)'
+           WHEN 1 THEN 'failed to deserialize: (<class ''struct.error''>) unpack requires a buffer of 8 bytes'
+           ELSE 'File is not a zip file' END
+         WHEN i % 113 = 0 THEN 'cannot be empty'
+         ELSE CASE WHEN i % 3 = 2 THEN 'crc checks failed'
+                   ELSE 'file does not contain nodes' END
+       END AS reason
+FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1199) t(x))
+WHERE i % 101 = 0 OR i % 113 = 0 OR i % 89 = 0
 """,
         "unnest_embeddings": """
 WITH u AS (

@@ -2742,12 +2742,13 @@ def ann_topk_embeddings(sf_dir: str):
 
 def multimodal_violations(sf_dir: str):
     """Cross-modal E2E validation report: the image corpus's validation
-    violations, the audio corpus's decode failures, and the video
-    corpus's per-frame decode failures UNIONED into one violations table
-    ``(modality, key, reason)`` — one engine, three payload types, one
-    report (the reference's single-report shape, ``report.py``,
-    stretched across modalities). Driver-hash-checked: the oracle is the
-    UNION ALL of the three corpus-contract derivations."""
+    violations, the audio corpus's decode failures, the video corpus's
+    per-frame decode failures and the asset corpus's gltf/glb/zip
+    violations UNIONED into one violations table ``(modality, key,
+    reason)`` — one engine, FOUR payload types, one report (the
+    reference's single-report shape, ``report.py``, stretched across
+    modalities). Driver-hash-checked: the oracle is the UNION ALL of
+    the four corpus-contract derivations."""
     import pyarrow.compute as pc
 
     img = image_validate_corpus(sf_dir).map_batches(
@@ -2792,7 +2793,17 @@ def multimodal_violations(sf_dir: str):
         )(t.filter(pc.invert(t.column("decode_ok")))),
         batch_format="pyarrow",
     )
-    return img.union(aud).union(vid)
+    ast = asset_validate_corpus(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "modality": pa.array(["asset"] * t.num_rows),
+                "key": t.column("key"),
+                "reason": t.column("reason"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return img.union(aud).union(vid).union(ast)
 
 
 def unnest_embeddings(sf_dir: str):
