@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--key-column", default="clip_id")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--wave-size", type=int, default=16)
+    p.add_argument("--sketch-columns", default=None, metavar="COL[,COL...]",
+                   help="checkpoint per-partition mergeable sketch state for "
+                        "these columns (t-digest for numeric, HLL otherwise)")
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: all)")
     p.add_argument("-b", "--binding", action="append", default=[],
                    metavar="KEY=VALUE", help="binding override (repeatable)")
@@ -145,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
         manifest_path=args.manifest,
         partitions=args.partitions,
         wave_size=args.wave_size,
+        stats_sketch_columns=(
+            [c.strip() for c in args.sketch_columns.split(",") if c.strip()]
+            if args.sketch_columns
+            else None
+        ),
     )
     try:
         res = run_validation(cfg)

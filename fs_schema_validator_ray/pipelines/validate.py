@@ -67,6 +67,13 @@ class ValidationRunConfig:
     #: decoders); False → stateless tasks (no actor spin-up latency)
     decode_actor_pool: bool = False
     read_columns: Optional[list[str]] = None
+    #: columns to snapshot per-partition mergeable sketch state for in
+    #: the checkpoint manifest (north_rule: checkpoints record sketch
+    #: state): numeric columns get a t-digest, everything else an HLL.
+    #: A resumed/extended run re-derives corpus quantiles / distinct
+    #: estimates by merging manifest blobs — no re-read of finished
+    #: partitions (see :func:`merged_stats_sketches`).
+    stats_sketch_columns: Optional[list[str]] = None
 
 
 @dataclass
@@ -178,6 +185,101 @@ def _cluster_cpus() -> int:
         return max(1, int(ray.cluster_resources().get("CPU", 1)))
     except Exception:  # noqa: BLE001 - conservative fallback pre-init
         return 8
+
+
+def _wave_stats_sketches(
+    wave: list[tuple[int, list[str]]],
+    columns: list[str],
+    file_schema: Optional[pa.Schema],
+) -> dict[int, dict[str, dict[str, str]]]:
+    """Per-partition mergeable sketch snapshots for one wave — the
+    north_rule's 'checkpoints record sketch state'. One columns-pruned
+    read of the wave's files; per-block partials emit ``(pid, column,
+    kind, blob)`` rows (t-digest for numeric columns, HLL otherwise),
+    merged per (pid, column) on the driver (a wave is ≤ wave_size
+    partitions × KB-sized blobs)."""
+    from fs_schema_validator_ray.state.sketches import HyperLogLog, TDigest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pids_arr = np.asarray(batch.column(PARTITION_COLUMN), dtype=np.int32)
+        out_pid, out_col, out_kind, out_blob = [], [], [], []
+        for pid in np.unique(pids_arr):
+            mask = pa.array(pids_arr == pid)
+            sub = batch.filter(mask)
+            for col in columns:
+                arr = sub.column(col)
+                atype = arr.type
+                if pa.types.is_integer(atype) or pa.types.is_floating(atype):
+                    vals = np.asarray(
+                        arr.combine_chunks().drop_null(), dtype=np.float64
+                    )
+                    td = TDigest()
+                    if len(vals):
+                        td.add(vals)
+                    kind, blob = "tdigest", td.to_bytes()
+                else:
+                    hll = HyperLogLog()
+                    dropped = arr.combine_chunks().drop_null()
+                    if len(dropped):
+                        hll.add(dropped.to_numpy(zero_copy_only=False))
+                    kind, blob = "hll", hll.to_bytes()
+                out_pid.append(int(pid))
+                out_col.append(col)
+                out_kind.append(kind)
+                out_blob.append(blob)
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int32()),
+                "column": pa.array(out_col, pa.string()),
+                "kind": pa.array(out_kind, pa.string()),
+                "blob": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    sds = _read_partitions(wave, columns, file_schema=file_schema)
+    merged: dict[tuple[int, str], Any] = {}
+    kinds: dict[tuple[int, str], str] = {}
+    for b in sds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            key = (r["pid"], r["column"])
+            sk = (
+                TDigest.from_bytes(r["blob"])
+                if r["kind"] == "tdigest"
+                else HyperLogLog.from_bytes(r["blob"])
+            )
+            merged[key] = sk if key not in merged else merged[key].merge(sk)
+            kinds[key] = r["kind"]
+    out: dict[int, dict[str, dict[str, str]]] = {}
+    for (pid, col), sk in merged.items():
+        out.setdefault(pid, {})[col] = {
+            "kind": kinds[(pid, col)],
+            "blob": sk.to_bytes().hex(),
+        }
+    return out
+
+
+def merged_stats_sketches(output_dir: str) -> dict[str, Any]:
+    """Merge every partition manifest's sketch blobs into one global
+    sketch per column — corpus quantiles / distinct estimates WITHOUT
+    re-reading any finished partition (the resume-friendly read path
+    for the checkpointed sketch state)."""
+    from fs_schema_validator_ray.state.sketches import HyperLogLog, TDigest
+
+    out: dict[str, Any] = {}
+    for path in glob.glob(os.path.join(_manifest_dir(output_dir), "part-*.json")):
+        with open(path) as f:
+            doc = json.load(f)
+        for col, entry in doc.get("stats_sketches_hex", {}).items():
+            blob = bytes.fromhex(entry["blob"])
+            sk = (
+                TDigest.from_bytes(blob)
+                if entry["kind"] == "tdigest"
+                else HyperLogLog.from_bytes(blob)
+            )
+            out[col] = sk if col not in out else out[col].merge(sk)
+    return out
 
 
 def _read_partitions(
@@ -561,6 +663,14 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
                         pq.ParquetFile(f).metadata.num_rows for f in files
                     )
 
+        sketches_by_pid: dict[int, dict[str, dict[str, str]]] = {}
+        if cfg.stats_sketch_columns:
+            scols = [c for c in cfg.stats_sketch_columns if c in input_columns]
+            if scols:
+                sketches_by_pid = _wave_stats_sketches(
+                    wave, scols, unified_schema
+                )
+
         wall = time.perf_counter() - t0
         for pid, grp in wave:
             n_viol = viol_by_pid.get(pid, 0) + drift_viol_by_pid.get(pid, 0)
@@ -579,6 +689,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
                 },
                 "wave_wall_s": wall,
             }
+            if sketches_by_pid.get(pid):
+                doc["stats_sketches_hex"] = sketches_by_pid[pid]
             _write_manifest(cfg.output_dir, doc)
             partition_metrics[pid] = doc
 

@@ -228,3 +228,49 @@ def test_drifted_partition_detected(ray_session, corpus, tmp_path):
     assert [r["partition_id"] for r in rows] == [1]
     assert "ks=" in rows[0]["reason"]
     assert metrics[0]["ks"] < 0.02 and metrics[1]["ks"] > 0.5
+
+
+def test_stats_sketch_checkpoints(ray_session, corpus, tmp_path):
+    """north_rule: per-partition checkpoints record SKETCH STATE. With
+    stats_sketch_columns set, every partition manifest carries hex
+    t-digest/HLL blobs, and merging the blobs reproduces corpus
+    quantiles / distinct counts within sketch error — without any
+    re-read of the data."""
+    import json as _json
+    import duckdb
+
+    from fs_schema_validator_ray.pipelines.validate import (
+        merged_stats_sketches,
+    )
+
+    out = tmp_path / "skrun"
+    cfg = make_cfg(corpus, out)
+    cfg.stats_sketch_columns = ["sr_hz", "clip_id"]
+    run_validation(cfg)
+
+    manifests = glob.glob(os.path.join(str(out), "manifest", "part-*.json"))
+    assert len(manifests) == CFG.num_partitions()
+    for m in manifests:
+        doc = _json.load(open(m))
+        sk = doc["stats_sketches_hex"]
+        assert sk["sr_hz"]["kind"] == "tdigest"
+        assert sk["clip_id"]["kind"] == "hll"
+
+    merged = merged_stats_sketches(str(out))
+    con = duckdb.connect()
+    exact_med, n_distinct, n_rows = con.execute(
+        "SELECT median(sr_hz), count(DISTINCT clip_id), count(*) FROM "
+        f"read_parquet('{corpus['clips']}/*.parquet')"
+    ).fetchone()
+    got_med = merged["sr_hz"].quantile(0.5)
+    assert abs(got_med - exact_med) / exact_med < 0.05
+    est = merged["clip_id"].estimate()
+    assert abs(est - n_distinct) / n_distinct < 0.05
+    # t-digest count tracks non-null rows
+    assert merged["sr_hz"].count() <= n_rows
+
+    # a resumed run (nothing pending) must keep the sketch state intact
+    res2 = run_validation(cfg)
+    assert res2.partitions_skipped == CFG.num_partitions()
+    merged2 = merged_stats_sketches(str(out))
+    assert merged2["sr_hz"].quantile(0.5) == got_med
