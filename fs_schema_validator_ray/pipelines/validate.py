@@ -604,7 +604,11 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         else []
     )
     has_row_rules = bool(
-        active_column_rules or rules.audio_rules() or rules.json_rules() or ref_pairs
+        active_column_rules
+        or rules.audio_rules()
+        or rules.json_rules()
+        or rules.asset_rules()
+        or ref_pairs
     )
 
     # violations are laid out ONE DIRECTORY PER PARTITION (the checkpoint
@@ -632,7 +636,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
             ds = _read_partitions(wave, read_columns, file_schema=unified_schema)
             stage_args = (
                 active_column_rules, rules.audio_rules(), ref_pairs,
-                cfg.key_column, rules.json_rules(),
+                cfg.key_column, rules.json_rules(), rules.asset_rules(),
             )
             if cfg.decode_actor_pool:
                 # stateful-decoder shape: callable class → actor pool,

@@ -74,6 +74,20 @@ class AudioRule(Rule):
 
 
 @dataclass(frozen=True)
+class AssetRule(Rule):
+    """Binary 3-D-asset / archive payload validation — the reference's
+    LITERAL ``GltfSchema`` / ``ZipSchema`` validators
+    (``schemas/gltf.py:29-46``, ``schemas/zip.py:19-32``) over a binary
+    column. YAML spellings: ``type: gltf`` (``format: gltf|glb``),
+    ``type: zip``, or generic ``type: asset`` with a per-row
+    ``format_column``."""
+
+    bytes_column: str = "bytes"
+    format_column: str | None = None  # per-row format (gltf/glb/zip)
+    format: str | None = None  # fixed format when the column is uniform
+
+
+@dataclass(frozen=True)
 class JsonRule(Rule):
     """Validate a JSON-string payload column against a nested constraint
     spec — the reference's core ``JsonSchema`` operator
@@ -194,6 +208,9 @@ class RuleSet:
     def drift_rules(self) -> list[DriftRule]:
         return [r for r in self.rules if isinstance(r, DriftRule)]
 
+    def asset_rules(self) -> list[AssetRule]:
+        return [r for r in self.rules if isinstance(r, AssetRule)]
+
     def required_columns(self, key_column: str = "clip_id") -> list[str]:
         """Every input column the rule plan touches — used to prune the
         parquet read to exactly these columns."""
@@ -207,6 +224,10 @@ class RuleSet:
                 )
                 if r.check_transcript:
                     cols.add(r.transcript_column)
+            elif isinstance(r, AssetRule):
+                cols.add(r.bytes_column)
+                if r.format_column:
+                    cols.add(r.format_column)
             elif isinstance(r, (JsonRule, UniqueRule, ReferentialRule, DriftRule)):
                 cols.add(r.column)
         return sorted(cols)
@@ -390,6 +411,34 @@ def _build_rule(d: dict, index: int) -> Rule:
         if extra:
             raise RuleSetError(f"rule `{rid}`: unknown fields {sorted(extra)}")
         return AudioRule(rule_id=rid, **d)
+
+    if t in ("asset", "gltf", "zip"):
+        bytes_column = d.pop("bytes_column", "bytes")
+        fmt_col = d.pop("format_column", None)
+        fmt = d.pop("format", None)
+        if t == "zip":
+            if fmt not in (None, "zip"):
+                raise RuleSetError(f"rule #{index}: zip rule cannot set format `{fmt}`")
+            fmt, fmt_col = "zip", None
+        elif t == "gltf" and fmt is None and fmt_col is None:
+            fmt = "gltf"
+        if fmt is not None and fmt not in ("gltf", "glb", "zip"):
+            raise RuleSetError(
+                f"rule #{index}: unknown asset format `{fmt}` (gltf/glb/zip)"
+            )
+        if fmt is None and fmt_col is None:
+            raise RuleSetError(
+                f"rule #{index} of type `asset` requires `format` or `format_column`"
+            )
+        rid = rule_id or f"{t}_{bytes_column}"
+        if d:
+            raise RuleSetError(f"rule `{rid}`: unknown fields {sorted(d)}")
+        return AssetRule(
+            rule_id=rid,
+            bytes_column=bytes_column,
+            format_column=fmt_col,
+            format=fmt,
+        )
 
     if t == "unique":
         column = d.pop("column", "clip_id")

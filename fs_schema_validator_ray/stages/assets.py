@@ -24,13 +24,28 @@ class AssetValidateStage:
         self,
         rule_id: str = "asset_decode",
         bytes_column: str = "bytes",
-        format_column: str = "format",
+        format_column: str | None = "format",
         key_column: str = "key",
+        fixed_format: str | None = None,
     ) -> None:
+        if format_column is None and fixed_format is None:
+            raise ValueError("need format_column or fixed_format")
         self.rule_id = rule_id
         self.bytes_column = bytes_column
         self.format_column = format_column
         self.key_column = key_column
+        self.fixed_format = fixed_format
+
+    @classmethod
+    def from_rule(cls, rule, key_column: str = "clip_id") -> "AssetValidateStage":
+        """Build from a declarative :class:`rules.AssetRule`."""
+        return cls(
+            rule_id=rule.rule_id,
+            bytes_column=rule.bytes_column,
+            format_column=rule.format_column,
+            key_column=key_column,
+            fixed_format=rule.format,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from fs_schema_validator_ray.functions.assets import (
@@ -41,7 +56,11 @@ class AssetValidateStage:
         names = batch.column_names
         n = batch.num_rows
         payloads = batch.column(self.bytes_column).to_pylist()
-        fmts = batch.column(self.format_column).to_pylist()
+        fmts = (
+            [self.fixed_format] * n
+            if self.format_column is None
+            else batch.column(self.format_column).to_pylist()
+        )
         keys = (
             batch.column(self.key_column).to_pylist()
             if self.key_column in names

@@ -41,12 +41,18 @@ class CombinedValidateStage:
         referential_rules: list[tuple[ReferentialRule, object]],
         key_column: str = "clip_id",
         json_rules: list[JsonRule] = (),
+        asset_rules: list = (),
     ) -> None:
+        from fs_schema_validator_ray.stages.assets import AssetValidateStage
+
         self.scalar = (
             ScalarRuleStage(column_rules, key_column) if column_rules else None
         )
         self.audio = [AudioValidateStage(r, key_column) for r in audio_rules]
         self.json = [JsonPayloadStage(r, key_column) for r in json_rules]
+        self.assets = [
+            AssetValidateStage.from_rule(r, key_column) for r in asset_rules
+        ]
         self.referential = [
             ReferentialStage(rule, ref) for rule, ref in referential_rules
         ]
@@ -58,6 +64,8 @@ class CombinedValidateStage:
         for stage in self.audio:
             parts.append(stage(batch))
         for stage in self.json:
+            parts.append(stage(batch))
+        for stage in self.assets:
             parts.append(stage(batch))
         for stage in self.referential:
             parts.append(stage(batch))

@@ -134,3 +134,90 @@ def test_query_registered(ray_session):
 
     out = QUERIES["asset_validate_corpus"]("/root/testdata/sf0.001")
     assert out.count() == 35
+
+
+def test_declarative_asset_rules_end_to_end(ray_session, tmp_path):
+    """Reference-YAML parity: `type: gltf` / `type: zip` / generic
+    `type: asset` rules run inside the fused validation pipeline and
+    emit the byte-identical reference reasons."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.pipelines.validate import (
+        ValidationRunConfig,
+        run_validation,
+    )
+    from fs_schema_validator_ray.rules import RuleSet
+    from fs_schema_validator_ray.sources.assets import _gltf_doc, build_glb, build_zip
+
+    rows = []
+    for i in range(24):
+        glb = build_glb(_gltf_doc(i)) if i != 3 else b"lol"
+        zp = build_zip(i) if i != 5 else build_zip(i, corrupt=True)
+        gj = (
+            _json.dumps(_gltf_doc(i)).encode()
+            if i != 7
+            else _json.dumps(_gltf_doc(i, empty_nodes=True)).encode()
+        )
+        rows.append((f"rec-{i:04d}", glb, zp, gj, "glb"))
+    tbl = pa.table(
+        {
+            "clip_id": [r[0] for r in rows],
+            "model": pa.array([r[1] for r in rows], pa.binary()),
+            "archive": pa.array([r[2] for r in rows], pa.binary()),
+            "scene_json": pa.array([r[3] for r in rows], pa.binary()),
+            "model_fmt": [r[4] for r in rows],
+        }
+    )
+    src = tmp_path / "assets_tbl"
+    src.mkdir()
+    pq.write_table(tbl, src / "part-0.parquet")
+
+    rules = RuleSet.from_yaml(
+        """
+schema:
+  - type: gltf
+    bytes_column: model
+    format: glb
+  - type: zip
+    bytes_column: archive
+  - type: asset
+    bytes_column: scene_json
+    format: gltf
+    rule: scene_check
+"""
+    )
+    assert len(rules.asset_rules()) == 3
+    cfg = ValidationRunConfig(
+        input_path=str(src),
+        rules=rules,
+        output_dir=str(tmp_path / "run"),
+    )
+    res = run_validation(cfg)
+    v = res.violations_dataset().to_pandas()
+    got = {(r.key, r.rule_id, r.reason) for r in v.itertuples()}
+    assert got == {
+        (
+            "rec-0003",
+            "gltf_model",
+            "failed to deserialize: (<class 'struct.error'>) "
+            "unpack requires a buffer of 8 bytes",
+        ),
+        ("rec-0005", "zip_archive", "crc checks failed"),
+        ("rec-0007", "scene_check", "file does not contain nodes"),
+    }
+    assert res.exit_code() == 1
+
+
+def test_asset_rule_yaml_validation():
+    from fs_schema_validator_ray.rules import RuleSet, RuleSetError
+
+    with pytest.raises(RuleSetError, match="format"):
+        RuleSet.from_yaml("schema:\n  - type: asset\n    bytes_column: b\n")
+    with pytest.raises(RuleSetError, match="unknown asset format"):
+        RuleSet.from_yaml("schema:\n  - type: gltf\n    format: obj\n")
+    with pytest.raises(RuleSetError, match="cannot set format"):
+        RuleSet.from_yaml("schema:\n  - type: zip\n    format: glb\n")
