@@ -359,6 +359,30 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
     groups = plan_partitions(files, cfg.partitions)
     done = _load_done(cfg.output_dir)
 
+    # --- resume safety under a CHANGED corpus (incremental runs) --------
+    # A manifest row is only valid for the exact input slice it was
+    # computed from. Whole-corpus docs (plan/global/drift) carry the
+    # corpus signature and are re-run when any file is added/removed;
+    # per-partition docs carry their file list and stay valid exactly
+    # when the partition plan still maps the same files to that pid
+    # (appending sorted-later files keeps existing one-file-per-partition
+    # pids stable → a true incremental run; any shifted pid recomputes).
+    import hashlib
+
+    corpus_sig = hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    done = {
+        k: d
+        for k, d in done.items()
+        if (k.startswith("part-") or d.get("corpus_sig") == corpus_sig)
+    }
+    group_files = dict(groups)
+    done = {
+        k: d
+        for k, d in done.items()
+        if not k.startswith("part-")
+        or group_files.get(d.get("partition_id")) == d.get("files")
+    }
+
     # --- plan-time schema check: a rule targeting an absent column emits
     # ONE violation (reference's compile-level "does not exist") and is
     # dropped from the data plane — otherwise every batch of every block
@@ -384,6 +408,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
 
     def _rule_columns(r) -> list[str]:
         from fs_schema_validator_ray.rules import (
+            AssetRule,
             AudioRule,
             ColumnRule,
             DriftRule,
@@ -399,6 +424,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
             if r.check_transcript:
                 cols.append(r.transcript_column)
             return cols
+        if isinstance(r, AssetRule):
+            return [r.bytes_column] + ([r.format_column] if r.format_column else [])
         if isinstance(r, (JsonRule, UniqueRule, ReferentialRule, DriftRule)):
             return [r.column]
         return []
@@ -447,6 +474,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         _write_manifest(
             cfg.output_dir,
             {"id": "plan", "status": "done", "violations": plan_violations,
+             "corpus_sig": corpus_sig,
              "rules": [r.rule_id for r in missing_col_rules]},
         )
     elif "plan" in done:
@@ -499,7 +527,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         _write_manifest(
             cfg.output_dir,
             {"id": "global", "status": "done", "violations": g_violations,
-             "metrics": global_metrics},
+             "corpus_sig": corpus_sig, "metrics": global_metrics},
         )
 
     _mark("unique")
@@ -575,7 +603,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         drift_by_rule[rule.rule_id] = dmetrics
         _write_manifest(
             cfg.output_dir,
-            {"id": doc_id, "status": "done",
+            {"id": doc_id, "status": "done", "corpus_sig": corpus_sig,
              "metrics": {str(k): v for k, v in dmetrics.items()},
              "violations_by_pid": {str(k): v for k, v in vb.items()},
              # mergeable sketch state per partition (hex histogram blobs):

@@ -274,3 +274,92 @@ def test_stats_sketch_checkpoints(ray_session, corpus, tmp_path):
     assert res2.partitions_skipped == CFG.num_partitions()
     merged2 = merged_stats_sketches(str(out))
     assert merged2["sr_hz"].quantile(0.5) == got_med
+
+
+def _mini_corpus(root, file_specs):
+    """Write clips files per (name, lo, hi) spec; returns clips dir."""
+    clips = root / "clips"
+    clips.mkdir(exist_ok=True)
+    for name, lo, hi in file_specs:
+        t = build_clips_table(CFG, np.arange(lo, hi)).drop_columns(
+            ["partition_id"]
+        )
+        pq.write_table(t, clips / name)
+    return str(clips)
+
+
+def test_resume_extended_corpus_is_incremental_and_exact(
+    ray_session, corpus, tmp_path
+):
+    """Appending a sorted-later file keeps existing partition manifests
+    valid (true incremental run: only the new file validates); totals
+    match a fresh run over the full corpus."""
+    root = tmp_path
+    specs3 = [(f"part-{i:04d}.parquet", i * 300, (i + 1) * 300) for i in range(3)]
+    clips = _mini_corpus(root, specs3)
+    cfg = ValidationRunConfig(
+        input_path=clips,
+        rules=RuleSet.from_yaml(RULES_YAML),
+        output_dir=str(root / "run"),
+        manifest_path=corpus["manifest"],
+    )
+    res1 = run_validation(cfg)
+    assert res1.partitions_skipped == 0 and res1.total_rows == 900
+
+    # extend: one new file that sorts AFTER the existing ones
+    _mini_corpus(root, [("part-0003.parquet", 900, 1200)])
+    res2 = run_validation(cfg)
+    assert res2.partitions_skipped == 3  # old partitions stayed valid
+    assert res2.total_rows == 1200
+
+    fresh = run_validation(
+        ValidationRunConfig(
+            input_path=clips,
+            rules=RuleSet.from_yaml(RULES_YAML),
+            output_dir=str(root / "fresh"),
+            manifest_path=corpus["manifest"],
+        )
+    )
+    assert res2.total_violations == fresh.total_violations
+    assert res2.total_rows == fresh.total_rows
+
+
+def test_resume_shifted_corpus_never_skips_unvalidated_files(
+    ray_session, corpus, tmp_path
+):
+    """A new file that sorts FIRST shifts every pid→file assignment; the
+    lineage check must invalidate the stale manifests and recompute —
+    never skip a file that was validated under a different pid."""
+    root = tmp_path
+    specs = [(f"m-{i:04d}.parquet", i * 300, (i + 1) * 300) for i in range(3)]
+    clips = _mini_corpus(root, specs)
+    cfg = ValidationRunConfig(
+        input_path=clips,
+        rules=RuleSet.from_yaml(RULES_YAML),
+        output_dir=str(root / "run"),
+        manifest_path=corpus["manifest"],
+    )
+    run_validation(cfg)
+
+    # sorts before every existing file -> every assignment shifts
+    _mini_corpus(root, [("a-0000.parquet", 900, 1200)])
+    res2 = run_validation(cfg)
+    assert res2.partitions_skipped == 0  # all lineage mismatched
+    assert res2.total_rows == 1200
+
+    fresh = run_validation(
+        ValidationRunConfig(
+            input_path=clips,
+            rules=RuleSet.from_yaml(RULES_YAML),
+            output_dir=str(root / "fresh"),
+            manifest_path=corpus["manifest"],
+        )
+    )
+    assert res2.total_violations == fresh.total_violations
+    # per-partition violation rows identical to the fresh run
+    a = res2.violations_dataset().to_pandas()
+    b = fresh.violations_dataset().to_pandas()
+    key = ["partition_id", "key", "rule_id", "reason"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
