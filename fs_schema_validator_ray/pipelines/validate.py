@@ -382,6 +382,21 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         if not k.startswith("part-")
         or group_files.get(d.get("partition_id")) == d.get("files")
     }
+    # purge on-disk state for partitions invalidated above (shifted or
+    # removed from the corpus): their manifest rows and violation dirs
+    # must not leak into violations_dataset() / merged_stats_sketches().
+    # Reprocessed pids are rewritten by the wave loop anyway; removed
+    # pids have nothing else to clear them.
+    parts_root_ = os.path.join(cfg.output_dir, "violations", "parts")
+    for path in glob.glob(os.path.join(_manifest_dir(cfg.output_dir), "part-*.json")):
+        key = os.path.basename(path)[: -len(".json")]
+        if key not in done:
+            os.remove(path)
+            pid_s = key[len("part-"):]
+            shutil.rmtree(
+                os.path.join(parts_root_, f"partition_id={pid_s}"),
+                ignore_errors=True,
+            )
 
     # --- plan-time schema check: a rule targeting an absent column emits
     # ONE violation (reference's compile-level "does not exist") and is

@@ -363,3 +363,47 @@ def test_resume_shifted_corpus_never_skips_unvalidated_files(
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_resume_shrunk_corpus_purges_stale_state(ray_session, corpus, tmp_path):
+    """Removing a file must purge the removed partition's manifest,
+    violations and sketch state — a resumed run's report equals a fresh
+    run over the smaller corpus."""
+    from fs_schema_validator_ray.pipelines.validate import merged_stats_sketches
+
+    root = tmp_path
+    specs = [(f"part-{i:04d}.parquet", i * 300, (i + 1) * 300) for i in range(4)]
+    clips = _mini_corpus(root, specs)
+    cfg = ValidationRunConfig(
+        input_path=clips,
+        rules=RuleSet.from_yaml(RULES_YAML),
+        output_dir=str(root / "run"),
+        manifest_path=corpus["manifest"],
+        stats_sketch_columns=["sr_hz"],
+    )
+    res1 = run_validation(cfg)
+    assert res1.total_rows == 1200
+    n1 = merged_stats_sketches(str(root / "run"))["sr_hz"].count()
+
+    os.remove(os.path.join(clips, "part-0003.parquet"))
+    res2 = run_validation(cfg)
+    assert res2.total_rows == 900
+    # removed partition's sketch state is gone from the merge
+    n2 = merged_stats_sketches(str(root / "run"))["sr_hz"].count()
+    assert n2 < n1
+
+    fresh = run_validation(
+        ValidationRunConfig(
+            input_path=clips,
+            rules=RuleSet.from_yaml(RULES_YAML),
+            output_dir=str(root / "fresh"),
+            manifest_path=corpus["manifest"],
+        )
+    )
+    assert res2.total_violations == fresh.total_violations
+    a = res2.violations_dataset().to_pandas()
+    b = fresh.violations_dataset().to_pandas()
+    key = ["partition_id", "key", "rule_id", "reason"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
