@@ -284,3 +284,72 @@ def test_bmp_decoder_total(payload):
         decode_bmp(b"BM" + payload)
     except BmpError:
         pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 3),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_webp_alpha_roundtrip_property(h, w, filter_method, compress, seed):
+    """Any alpha plane survives encode→decode bit-exactly under every
+    spatial filter × compression combination."""
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.webp import (
+        decode_webp_alpha,
+        encode_webp_alpha,
+    )
+
+    a = np.random.default_rng(seed).integers(0, 256, (h, w), np.uint8)
+    out = decode_webp_alpha(
+        encode_webp_alpha(a, filter_method=filter_method, compress=compress)
+    )
+    assert out is not None and np.array_equal(out, a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.floats(0.0, 4.0, allow_nan=False),
+    st.integers(1, 3000),
+)
+def test_mix_copies_rule_property(weight, n):
+    """copies(row) = floor(w) + [h < frac·10000] — totals always land in
+    [n·floor(w), n·ceil(w)] and are deterministic."""
+    import math
+
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.mixing import _MOD, _SCALE, _mix_hash
+
+    keys = np.arange(n, dtype=np.int64)
+    full = math.floor(weight)
+    frac = round((weight - full) * _SCALE)
+    copies = full + (_mix_hash(keys) < frac).astype(np.int64)
+    total = int(copies.sum())
+    assert n * full <= total <= n * (full + 1)
+    copies2 = full + (_mix_hash(keys) < frac).astype(np.int64)
+    assert np.array_equal(copies, copies2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=30_000), st.integers(0, 2**31 - 1))
+def test_cdc_total_coverage_property(payload, seed):
+    """Chunk ends always tile the payload exactly; every chunk obeys the
+    max bound and all but the final remainder obey the min bound."""
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.cdc import _chunk_payload
+
+    data = np.frombuffer(payload, np.uint8)
+    ends, hashes = _chunk_payload(data, 16, 64, 256, 1024)
+    if len(data) == 0:
+        assert len(ends) == 0
+        return
+    assert ends[-1] == len(data)
+    lens = np.diff(np.concatenate([[0], ends]))
+    assert lens.max() <= 1024
+    assert len(lens) == 1 or np.all(lens[:-1] >= 64)
