@@ -1012,6 +1012,9 @@ def semi_anti_join(
     left_value_columns: list[str],
     how: str = "semi",
     n_buckets: int | None = None,
+    adaptive_skew: bool | None = None,
+    skew_split_cap_rows: int = 50_000,
+    _skew_report: dict | None = None,
 ):
     """Distributed SEMI / ANTI equi-join (SQL ``EXISTS`` / ``NOT
     EXISTS``), both sides large: the right side ships only its
@@ -1026,10 +1029,16 @@ def semi_anti_join(
     KEPT by an anti join. ``left_on`` / ``right_on`` may be LISTS for a
     composite key (AND-of-equalities; a null in ANY component means no
     match, like ``hash_join``). Output columns: ``[*left_on,
-    *left_value_columns]``. Skew: same caveat as ``hash_join`` — one
-    key's rows co-locate; salting is the caller's lever, though the
-    right side is already reduced to distinct keys so only left-side
-    skew matters.
+    *left_value_columns]``.
+
+    **Adaptive hot-bucket splitting** (``adaptive_skew``): the membership
+    verdict is independent per left row, so a hot bucket splits even more
+    cheaply than in ``hash_join`` — left rows round-robin across
+    sub-buckets and only the bucket's DISTINCT right keys replicate into
+    each. Same pre-pass (vectorized bincount partials over the pruned
+    left key column), same split policy (``ceil(count / cap)`` ≤64
+    sub-buckets, cap = ``max(skew_split_cap_rows, 4×median)``), logged
+    (no-silent-caps). ``None`` auto-enables at ≥1M estimated left rows.
     """
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
@@ -1065,10 +1074,77 @@ def semi_anti_join(
                 )
         return h
 
+    # --- per-bucket split factors (adaptive skew, same policy as
+    # hash_join): one cheap pre-pass counts left rows per bucket; hot
+    # buckets widen into sub-buckets. Left rows round-robin, the right
+    # side's distinct keys replicate into every sub-bucket.
+    splits = np.ones(n_buckets, dtype=np.int64)
+    if adaptive_skew is None:
+        from fs_schema_validator_ray.stages.dedup import estimate_dataset_rows
+
+        est_rows = estimate_dataset_rows(left)
+        adaptive_skew = est_rows is not None and est_rows >= 1_000_000
+    if adaptive_skew:
+        key_only = list(dict.fromkeys(l_keys))
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            b = mix_to_buckets(chash(t, l_keys), n_buckets)
+            c = np.bincount(b, minlength=n_buckets)
+            nz = np.flatnonzero(c)
+            return pa.table(
+                {
+                    "b": pa.array(nz.astype(np.int64)),
+                    "c": pa.array(c[nz].astype(np.int64)),
+                }
+            )
+
+        parts = (
+            left.select_columns(key_only)
+            .map_batches(count_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        counts = np.zeros(n_buckets, np.int64)
+        if len(parts):
+            np.add.at(
+                counts,
+                parts["b"].to_numpy(dtype=np.int64),
+                parts["c"].to_numpy(dtype=np.int64),
+            )
+        nz = counts[counts > 0]
+        if len(nz):
+            med = max(1, int(np.median(nz)))
+            cap = max(int(skew_split_cap_rows), 4 * med)
+            need = np.minimum(-(-counts // cap), 64)
+            if (need > 1).any():
+                import logging
+
+                hot = np.flatnonzero(need > 1)
+                logging.getLogger(__name__).warning(
+                    "semi_anti_join adaptive skew: splitting %d hot "
+                    "bucket(s) (max %d rows, median %d, cap %d) into up "
+                    "to %d sub-buckets",
+                    len(hot), int(counts.max()), med, cap, int(need.max()),
+                )
+                splits = np.maximum(splits, need)
+    if _skew_report is not None:
+        _skew_report["splits"] = splits.copy()
+        _skew_report["n_hot"] = int((splits > 1).sum())
+    bucket_offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(splits)]
+    )[:-1]
+    any_split = bool((splits > 1).any())
+
     def tag_left(t: pa.Table) -> pa.Table:
         if how == "semi":  # a null key component can never match — drop early
             t = t.filter(all_valid(t, l_keys))
-        out = {"__bucket": pa.array(mix_to_buckets(chash(t, l_keys), n_buckets))}
+        base = mix_to_buckets(chash(t, l_keys), n_buckets)
+        if any_split:
+            sp = splits[base]
+            sub = np.arange(len(base), dtype=np.int64) % np.maximum(sp, 1)
+            bucket = pa.array((bucket_offsets[base] + sub).astype(np.int32))
+        else:
+            bucket = pa.array(base)
+        out = {"__bucket": bucket}
         for kc, k, kt in zip(kcols, l_keys, key_types):
             out[kc] = pc.cast(t.column(k), kt)
         out["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
@@ -1080,7 +1156,19 @@ def semi_anti_join(
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.filter(all_valid(t, r_keys))
         g = pa.TableGroupBy(t.select(r_keys), r_keys).aggregate([])
-        out = {"__bucket": pa.array(mix_to_buckets(chash(g, r_keys), n_buckets))}
+        base = mix_to_buckets(chash(g, r_keys), n_buckets)
+        if any_split:
+            # replicate each distinct key into every sub-bucket of its
+            # base bucket (distinct keys only — cheap even when hot)
+            sp = splits[base]
+            rep = np.repeat(np.arange(g.num_rows, dtype=np.int64), sp)
+            g = g.take(pa.array(rep))
+            offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(sp)])
+            sub = np.arange(len(rep), dtype=np.int64) - np.repeat(offs[:-1], sp)
+            bucket = pa.array((bucket_offsets[base[rep]] + sub).astype(np.int32))
+        else:
+            bucket = pa.array(base)
+        out = {"__bucket": bucket}
         for kc, k, kt in zip(kcols, r_keys, key_types):
             out[kc] = pc.cast(g.column(k), kt)
         out["__side"] = pa.array(np.ones(g.num_rows, np.int8))

@@ -163,3 +163,73 @@ def test_hash_join_adaptive_left_join_with_nulls(ray_session):
     assert len(matched) == n and set(matched["k"]) == {5}
     unmatched = out[out["rv"].isna()]
     assert sorted(unmatched["lv"].tolist()) == [n, n + 1]
+
+
+# --- adaptive hot-bucket splitting in semi_anti_join (r4 continuation) -------
+
+
+def test_semi_anti_join_adaptive_skew_planted_hot_key(ray_session):
+    """Same planted-hot-key shape as the hash_join test: one key owns 60%
+    of a 1M-row left side. The semi/anti verdict is independent per left
+    row, so the split only replicates the bucket's DISTINCT right keys —
+    output must equal the set-membership ground truth exactly."""
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    rng = np.random.default_rng(7)
+    n = 1_000_000
+    hot = 600_000
+    keys = np.concatenate(
+        [np.full(hot, 7, np.int64), rng.integers(0, 10_000, n - hot)]
+    )
+    lval = np.arange(n, dtype=np.int64)
+    left = ray.data.from_arrow(pa.table({"k": keys, "lv": lval}))
+    # right side: even keys only (so key 7 — the hot key — does NOT match)
+    rkeys = np.arange(0, 10_000, 2, dtype=np.int64)
+    right = ray.data.from_arrow(pa.table({"rk": rkeys}))
+
+    member = np.isin(keys, rkeys)
+    for how, want_mask in (("semi", member), ("anti", ~member)):
+        report: dict = {}
+        out = semi_anti_join(
+            left, right, "k", "rk", ["lv"], how=how,
+            adaptive_skew=True, skew_split_cap_rows=50_000,
+            _skew_report=report,
+        ).to_pandas()
+        assert report["n_hot"] >= 1
+        assert report["splits"].max() >= 3
+        want = np.sort(lval[want_mask])
+        got = np.sort(out["lv"].to_numpy())
+        assert len(got) == len(want)
+        assert (got == want).all()
+
+
+def test_semi_anti_join_adaptive_null_keys_kept_by_anti(ray_session):
+    """Splitting must preserve EXISTS/NOT EXISTS null semantics: a null
+    left key drops from semi and is KEPT by anti, exactly once."""
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    n = 30_000
+    tbl = pa.table(
+        {
+            "k": pa.array([5] * n + [None, 99], pa.int64()),
+            "lv": pa.array(list(range(n)) + [n, n + 1], pa.int64()),
+        }
+    )
+    left = ray.data.from_arrow(tbl)
+    right = ray.data.from_arrow(pa.table({"rk": pa.array([5], pa.int64())}))
+    report: dict = {}
+    semi = semi_anti_join(
+        left, right, "k", "rk", ["lv"], how="semi",
+        adaptive_skew=True, skew_split_cap_rows=5_000, _skew_report=report,
+    ).to_pandas()
+    assert report["n_hot"] >= 1
+    assert len(semi) == n and set(semi["k"]) == {5}
+    anti = semi_anti_join(
+        left, right, "k", "rk", ["lv"], how="anti",
+        adaptive_skew=True, skew_split_cap_rows=5_000,
+    ).to_pandas()
+    assert sorted(anti["lv"].tolist()) == [n, n + 1]
