@@ -4,9 +4,10 @@ Closes the last marked-fake raster decode path (VERDICT r3 item 3): the
 reference validates webp for real via PIL
 (``/root/reference/fs_schema_validator/schemas/image.py:15-22``), and
 VP8L is the bounded Huffman+transform half of WebP — the same
-difficulty class as the shipped GIF/PNG/JPEG codecs. Lossy VP8
-(DCT video intra-frames) stays out of scope and raises the typed
-:class:`WebpLossyError` so callers can fall back explicitly.
+difficulty class as the shipped GIF/PNG/JPEG codecs. Lossy VP8 key
+frames decode for real too, via the from-scratch RFC 6386 decoder in
+:mod:`vp8` (bit-exact YUV vs libwebp, see ``tests/test_vp8.py``);
+``decode_webp`` routes on the container's chunk type.
 
 * ``decode_webp(data) -> (h, w, 3) uint8 RGB`` — RIFF walk (plain and
   VP8X extended containers), VP8L header, canonical prefix codes
@@ -35,10 +36,11 @@ difficulty class as the shipped GIF/PNG/JPEG codecs. Lossy VP8
 
 The distance map is generated from the spec's ordering rule (sort the
 (dx, dy) close-neighbor plane by dx²+dy², then |dx|, positive dx
-first), verified against the published table prefix. Interop of the
-main VP8L path with libwebp-encoded files is untestable in this
-sandbox (no imaging library) — self round-trips + hand-built streams
-gate every path; the ALPH path has the real-fixture interop test.
+first), verified against the published table prefix. The VP8L path is
+gated by self round-trips + hand-built streams and the real-fixture
+ALPH interop test; the lossy VP8 path is additionally gated bit-exact
+against libwebp (ctypes, test scaffolding only) across quality,
+partition-count, segment and loop-filter configurations.
 Malformed input raises :class:`WebpError` — never an untyped exception
 (codec-totality convention, see ``jpeg.py``).
 """
@@ -55,8 +57,11 @@ class WebpError(ValueError):
 
 
 class WebpLossyError(WebpError):
-    """Structurally valid WebP whose payload is lossy VP8 (out of scope
-    for the from-scratch decoder — callers fall back explicitly)."""
+    """Structurally valid WebP whose payload is lossy VP8. Since round
+    4 this is INTERNAL routing only — ``decode_webp`` catches it and
+    dispatches to the from-scratch RFC 6386 decoder (``vp8.py``), so
+    callers never see it for well-formed lossy files. Kept public for
+    backwards compatibility of existing ``except`` clauses."""
 
 
 # code-length-code symbol transmission order (spec "Normal Code Length Code")
@@ -592,8 +597,13 @@ def _vp8l_payload(data: bytes) -> bytes:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Totality guarantee mirrors decode_jpeg: malformed payloads raise
-    WebpError (lossy → WebpLossyError), never an untyped exception."""
+    """Decode a WebP container to (h, w, 3) RGB uint8 — lossless VP8L
+    via the from-scratch codec in this module, lossy VP8 key frames via
+    the from-scratch RFC 6386 decoder in :mod:`vp8` (bit-exact YUV vs
+    libwebp, gated in tests/test_vp8.py). Totality guarantee mirrors
+    decode_jpeg: malformed payloads raise WebpError, never an untyped
+    exception. Alpha (ALPH chunk) is exposed separately via
+    :func:`decode_webp_alpha`."""
     try:
         return _decode_webp_impl(data)
     except WebpError:
@@ -603,7 +613,20 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 
 def _decode_webp_impl(data: bytes) -> np.ndarray:
-    payload = _vp8l_payload(data)
+    try:
+        payload = _vp8l_payload(data)
+    except WebpLossyError:
+        # lossy VP8 key frame: from-scratch RFC 6386 decode → RGB
+        from fs_schema_validator_ray.functions.vp8 import (
+            Vp8Error,
+            decode_vp8_rgb,
+        )
+
+        body = next(b for t, b in _webp_chunks(data) if t == b"VP8 ")
+        try:
+            return decode_vp8_rgb(body)
+        except Vp8Error as exc:
+            raise WebpError(f"malformed lossy webp: {exc}") from exc
     if not payload or payload[0] != 0x2F:
         raise WebpError("bad VP8L signature byte")
     br = _BitReader(payload[1:])

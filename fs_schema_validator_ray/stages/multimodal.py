@@ -18,18 +18,18 @@ Ray-side plumbing for image/video columns:
   and ``functions/bmp.py`` (BMP 24-bit/paletted + TIFF uncompressed/
   deflate strips with predictor-2) — validate, resize and pHash run on
   actual pixels, like the reference's PIL raster path.
-* **lossless WebP (VP8L) is real too**: ``functions/webp.py`` decodes
-  prefix codes, color cache, meta-prefix groups, LZ77 and all four
-  transforms from scratch, so webp corpora validate/resize/pHash on
-  actual pixels. Extended (VP8X) containers get their ALPH alpha plane
-  REAL-decoded as well — raw or headerless-VP8L-compressed, all four
-  spatial filters (interop-proven on the reference's own
-  ``image.webp`` fixture, whose libwebp-encoded alpha we decode).
-* **only lossy-VP8 webp RGB and avif stay stubbed**: a from-scratch
-  VP8/AV1 video-intra decoder is out of scope, so the default
-  :class:`HybridPixelDecoder` falls back to the deterministic
-  ``FakePixelDecoder`` for those (clearly marked; swap a real
-  PIL/libvips-backed ``decoder_factory`` per worker in production —
+* **WebP is real too — both halves**: ``functions/webp.py`` decodes
+  lossless VP8L (prefix codes, color cache, meta-prefix groups, LZ77,
+  all four transforms) and ``functions/vp8.py`` decodes lossy VP8 key
+  frames (RFC 6386 boolean decoder, intra prediction, IDCT/IWHT, both
+  loop filters) from scratch — bit-exact YUV vs libwebp, including the
+  reference's own 400×400 ``image.webp`` fixture (VP8X + ALPH + VP8,
+  whose ALPH alpha plane also REAL-decodes: raw or headerless-VP8L,
+  all four spatial filters).
+* **only avif stays stubbed**: a from-scratch AV1 decoder is out of
+  scope, so the default :class:`HybridPixelDecoder` falls back to the
+  deterministic ``FakePixelDecoder`` for it (clearly marked; swap a
+  real PIL/libvips-backed ``decoder_factory`` per worker in production —
   loaded once per actor in ``__init__``, the stateful-stage shape).
 
 Violation reason strings mirror the reference:
@@ -439,23 +439,15 @@ class ImageValidateStage:
             elif self.deep_decode and actual == "webp":
                 from fs_schema_validator_ray.functions.webp import (
                     WebpError,
-                    WebpLossyError,
                     decode_webp,
                     decode_webp_alpha,
                 )
 
+                # both halves decode for real (VP8L in webp.py, lossy
+                # VP8 key frames in vp8.py), plus the ALPH alpha plane
                 try:
                     decode_webp(p)
                     decode_webp_alpha(p)
-                except WebpLossyError:
-                    # lossy VP8 RGB stays header-checked (decode out of
-                    # scope) — but an ALPH alpha plane, if present, is a
-                    # headerless VP8L stream and decodes for REAL (the
-                    # reference fixture's own shape: VP8X + ALPH + VP8)
-                    try:
-                        decode_webp_alpha(p)
-                    except WebpError:
-                        emit(i, "file does not contain a valid image")
                 except WebpError:
                     emit(i, "file does not contain a valid image")
 
@@ -504,11 +496,11 @@ class FakePixelDecoder:
 
 class HybridPixelDecoder:
     """Default per-actor decoder: REAL from-scratch decode for
-    png/gif/jpeg/bmp/tiff/webp-lossless (``functions/png.py``,
-    ``gif.py``, ``jpeg.py``, ``bmp.py``, ``webp.py``); only lossy-VP8
-    webp and avif fall back to the deterministic
+    png/gif/jpeg/bmp/tiff/webp — both lossless VP8L and lossy VP8 key
+    frames (``functions/png.py``, ``gif.py``, ``jpeg.py``, ``bmp.py``,
+    ``webp.py``, ``vp8.py``); only avif falls back to the deterministic
     :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — a from-scratch
-    VP8/AV1 decoder is out of scope; swap a PIL/libvips-backed factory
+    AV1 decoder is out of scope; swap a PIL/libvips-backed factory
     in production). Decode failures raise the codec's typed error, which
     the stages turn into a skipped row / ``decode_ok=false``."""
 
@@ -537,16 +529,9 @@ class HybridPixelDecoder:
 
             return decode_tiff(payload)
         if fmt == "webp":
-            from fs_schema_validator_ray.functions.webp import (
-                WebpLossyError,
-                decode_webp,
-            )
+            from fs_schema_validator_ray.functions.webp import decode_webp
 
-            try:
-                return decode_webp(payload)
-            except WebpLossyError:
-                # lossy VP8 stays out of from-scratch scope → marked fake
-                return self._fake(payload, fmt, dims)
+            return decode_webp(payload)
         return self._fake(payload, fmt, dims)
 
 
@@ -579,8 +564,8 @@ class PixelDecodeStage:
 
     ``decoder_factory`` is called ONCE per actor in ``__init__`` (model/
     codec load happens per worker, not per batch); the default is
-    :class:`HybridPixelDecoder` (real png/gif/jpeg/bmp/tiff,
-    deterministic fake for webp/avif).
+    :class:`HybridPixelDecoder` (real png/gif/jpeg/bmp/tiff/webp,
+    deterministic fake for avif only).
     Undecodable payloads drop (the audit pass is ``ImageValidateStage``).
     """
 

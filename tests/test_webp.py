@@ -121,10 +121,11 @@ def test_malformed_payloads_raise_typed_errors():
     bad[i + 8] = 0x30
     with pytest.raises(WebpError, match="signature byte"):
         decode_webp(bytes(bad))
-    # lossy VP8 chunk → the dedicated fallback error
+    # garbage lossy VP8 chunk → routed to the vp8 decoder, whose typed
+    # Vp8Error wraps back into WebpError (decode_webp totality holds)
     lossy = good[:12] + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     lossy = lossy[:4] + struct.pack("<I", len(lossy) - 8) + lossy[8:]
-    with pytest.raises(WebpLossyError):
+    with pytest.raises(WebpError, match="lossy"):
         decode_webp(lossy)
 
 
@@ -262,8 +263,10 @@ def test_alpha_reference_fixture_interop():
         pytest.skip("reference fixture unavailable")
     data = fx.read_bytes()
     assert webp_canvas_dims(data) == (400, 400)
-    with pytest.raises(WebpLossyError):
-        decode_webp(data)  # RGB plane is lossy VP8 (out of scope)
+    # the lossy-VP8 RGB plane decodes for real since round 4 (the
+    # bit-exact-vs-libwebp gate lives in tests/test_vp8.py)
+    rgb = decode_webp(data)
+    assert rgb.shape == (400, 400, 3) and rgb.dtype == np.uint8
     al = decode_webp_alpha(data)
     assert al is not None and al.shape == (400, 400)
     # a transparent-background logo: mostly 0, a few opaque pixels,
