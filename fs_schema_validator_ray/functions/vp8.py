@@ -1026,3 +1026,384 @@ def decode_vp8_rgb(data: bytes) -> np.ndarray:
     """Decode a VP8 key frame straight to (h, w, 3) RGB uint8."""
     y, u, v = decode_vp8(data)
     return yuv_to_rgb(y, u, v)
+
+
+# --- minimal VP8 encoder (corpus / round-trip scaffolding) --------------------
+#
+# Deliberately small spec subset — enough to produce REAL lossy key
+# frames for the synthetic corpus without any system library: 16x16
+# DC/V/H/TM luma prediction (per-MB SAD pick), chroma DC, one token
+# partition, default coefficient probabilities, no segmentation, loop
+# filter level 0.  The decoder above is the ground truth: the encoder
+# reconstructs through the SAME _pred_block/_iwht4x4/_idct4x4 helpers,
+# so encode→decode is deterministic and libwebp decodes the streams
+# identically (interop-gated in tests/test_vp8.py).
+
+
+class _BoolEnc:
+    """RFC 6386 §7.3 boolean encoder (with carry propagation)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        self.out[i] += 1
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= 0xFFFFFF
+                self.bit_count = 8
+
+    def put_literal(self, value: int, bits: int) -> None:
+        for shift in range(bits - 1, -1, -1):
+            self.put(128, (value >> shift) & 1)
+
+    def put_tree(self, tree: list[int], probs, value: int, start: int = 0):
+        # walk the tree to the leaf, recording (prob, bit) decisions
+        path = self._tree_path(tree, value, start)
+        for node, bit in path:
+            self.put(probs[node >> 1], bit)
+
+    @staticmethod
+    def _tree_path(tree, value, start):
+        # DFS for the leaf encoding `value`, from `start`
+        stack = [(start, [])]
+        while stack:
+            i, path = stack.pop()
+            for bit in (0, 1):
+                nxt = tree[i + bit]
+                p = path + [(i, bit)]
+                if nxt <= 0:
+                    if -nxt == value:
+                        return p
+                else:
+                    stack.append((nxt, p))
+        raise Vp8Error(f"value {value} not in tree")  # pragma: no cover
+
+    def finish(self) -> bytes:
+        c = self.bit_count
+        v = self.bottom
+        if v & (1 << (32 - c)):
+            self._carry()
+        v = (v << (c & 7)) & 0xFFFFFFFF
+        for _ in range(c >> 3):
+            v = (v << 8) & 0xFFFFFFFF
+        for _ in range(4):
+            self.out.append((v >> 24) & 0xFF)
+            v = (v << 8) & 0xFFFFFFFF
+        return bytes(self.out)
+
+
+def _fdct4x4(b: np.ndarray) -> np.ndarray:
+    """Forward 4x4 DCT paired with _idct4x4's scaling (the libvpx
+    short-fdct constants)."""
+    ip = b.astype(np.int64)
+    t = np.empty((4, 4), np.int64)
+    a1 = (ip[:, 0] + ip[:, 3]) * 8
+    b1 = (ip[:, 1] + ip[:, 2]) * 8
+    c1 = (ip[:, 1] - ip[:, 2]) * 8
+    d1 = (ip[:, 0] - ip[:, 3]) * 8
+    t[:, 0] = a1 + b1
+    t[:, 2] = a1 - b1
+    t[:, 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+    t[:, 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = np.empty((4, 4), np.int64)
+    a1 = t[0] + t[3]
+    b1 = t[1] + t[2]
+    c1 = t[1] - t[2]
+    d1 = t[0] - t[3]
+    out[0] = (a1 + b1 + 7) >> 4
+    out[2] = (a1 - b1 + 7) >> 4
+    out[1] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (d1 != 0)
+    out[3] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out
+
+
+def _fwht4x4(b: np.ndarray) -> np.ndarray:
+    """Forward WHT for the Y2 block (libvpx short-walsh pairing)."""
+    ip = b.astype(np.int64)
+    t = np.empty((4, 4), np.int64)
+    a1 = (ip[:, 0] + ip[:, 2]) << 2
+    d1 = (ip[:, 1] + ip[:, 3]) << 2
+    c1 = (ip[:, 1] - ip[:, 3]) << 2
+    b1 = (ip[:, 0] - ip[:, 2]) << 2
+    t[:, 0] = a1 + d1 + (a1 != 0)
+    t[:, 1] = b1 + c1
+    t[:, 2] = b1 - c1
+    t[:, 3] = a1 - d1
+    out = np.empty((4, 4), np.int64)
+    a1 = t[0] + t[2]
+    d1 = t[1] + t[3]
+    c1 = t[1] - t[3]
+    b1 = t[0] - t[2]
+    a2 = a1 + d1
+    b2 = b1 + c1
+    c2 = b1 - c1
+    d2 = a1 - d1
+    out[0] = (a2 + (a2 < 0) + 3) >> 3
+    out[1] = (b2 + (b2 < 0) + 3) >> 3
+    out[2] = (c2 + (c2 < 0) + 3) >> 3
+    out[3] = (d2 + (d2 < 0) + 3) >> 3
+    return out
+
+
+_CAT_MAX = CAT_BASE[5] + (1 << len(CAT_PROBS[5])) - 1  # 2114
+
+
+def _level_token(v: int) -> tuple[int, int, int]:
+    """(token, extra_value, extra_bits) for |coefficient| v >= 1."""
+    if v <= 4:
+        return v, 0, 0
+    for cat in range(5, -1, -1):
+        if v >= CAT_BASE[cat]:
+            return DCT_CAT1 + cat, v - CAT_BASE[cat], len(CAT_PROBS[cat])
+    raise Vp8Error(f"bad level {v}")  # pragma: no cover
+
+
+def _encode_coeffs(be: _BoolEnc, probs, ctx: int, first: int, lv: np.ndarray) -> int:
+    """Mirror of _decode_coeffs: emit tokens for the (natural-order)
+    level array; returns the nz flag."""
+    nz_pos = [n for n in range(first, 16) if lv[ZIGZAG[n]] != 0]
+    last = nz_pos[-1] if nz_pos else first - 1
+    n = first
+    skip_eob = False
+    while n <= last:
+        v = int(lv[ZIGZAG[n]])
+        p = probs[COEFF_BANDS[n]][ctx]
+        start = 2 if skip_eob else 0
+        if v == 0:
+            be.put_tree(COEF_TREE, p, DCT_0, start)
+            ctx = 0
+            skip_eob = True
+        else:
+            a = abs(v)
+            tok, extra, ebits = _level_token(a)
+            be.put_tree(COEF_TREE, p, tok, start)
+            if ebits:
+                cp = CAT_PROBS[tok - DCT_CAT1]
+                for idx, pb in enumerate(cp):
+                    be.put(pb, (extra >> (ebits - 1 - idx)) & 1)
+            be.put(128, 1 if v < 0 else 0)
+            ctx = 2 if a > 1 else 1
+            skip_eob = False
+        n += 1
+    if n < 16:
+        be.put_tree(COEF_TREE, probs[COEFF_BANDS[n]][ctx], DCT_EOB, 0)
+    return 1 if nz_pos else 0
+
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """BT.601 limited-range RGB→YUV with 2x2 box chroma subsampling."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = np.clip(((66 * r + 129 * g + 25 * b + 128) >> 8) + 16, 0, 255)
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    h, w = y.shape
+    ph, pw = (h + 1) & ~1, (w + 1) & ~1
+    uu = np.empty((ph, pw), np.int32)
+    vv = np.empty((ph, pw), np.int32)
+    uu[:h, :w] = u
+    vv[:h, :w] = v
+    if pw > w:
+        uu[:, w:] = uu[:, w - 1 : w]
+        vv[:, w:] = vv[:, w - 1 : w]
+    if ph > h:
+        uu[h:, :] = uu[h - 1 : h, :]
+        vv[h:, :] = vv[h - 1 : h, :]
+    us = (uu[0::2, 0::2] + uu[0::2, 1::2] + uu[1::2, 0::2] + uu[1::2, 1::2] + 2) >> 2
+    vs = (vv[0::2, 0::2] + vv[0::2, 1::2] + vv[1::2, 0::2] + vv[1::2, 1::2] + 2) >> 2
+    return (
+        y.astype(np.uint8),
+        np.clip(us, 0, 255).astype(np.uint8),
+        np.clip(vs, 0, 255).astype(np.uint8),
+    )
+
+
+def _quant(coefs: np.ndarray, dq0: int, dq1: int) -> np.ndarray:
+    q = np.empty(16, np.int64)
+    flat = coefs.reshape(16)
+    q[0] = flat[0] // dq0 if flat[0] >= 0 else -((-flat[0]) // dq0)
+    rest = flat[1:]
+    q[1:] = np.where(rest >= 0, rest // dq1, -((-rest) // dq1))
+    return np.clip(q, -_CAT_MAX, _CAT_MAX)
+
+
+def encode_vp8(rgb: np.ndarray, q_index: int = 4) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 image as a VP8 key-frame payload
+    (the body of a ``VP8 `` chunk).  16x16 intra modes picked by SAD,
+    one token partition, default probabilities, loop filter off."""
+    hh, w = rgb.shape[:2]
+    if hh == 0 or w == 0 or hh > 0x3FFF or w > 0x3FFF:
+        raise Vp8Error("bad encode dimensions")
+    yP, uP, vP = rgb_to_yuv420(rgb)
+    mb_w, mb_h = (w + 15) >> 4, (hh + 15) >> 4
+    W16, H16 = mb_w * 16, mb_h * 16
+
+    def pad(p, H, W):
+        out = np.empty((H, W), np.uint8)
+        ph, pw = p.shape
+        out[:ph, :pw] = p
+        out[:ph, pw:] = p[:, pw - 1 : pw]
+        out[ph:, :] = out[ph - 1 : ph, :]
+        return out
+
+    ysrc = pad(yP, H16, W16)
+    usrc = pad(uP, mb_h * 8, mb_w * 8)
+    vsrc = pad(vP, mb_h * 8, mb_w * 8)
+
+    q = _clamp(q_index, 0, 127)
+    y1dc, y1ac = DC_Q[q], AC_Q[q]
+    y2dc, y2ac = DC_Q[q] * 2, max(8, AC_Q[q] * 155 // 100)
+    uvdc, uvac = DC_Q[min(q, 117)], AC_Q[q]
+
+    # reconstruction buffers with the decoder's boundary conventions
+    ybuf = np.empty((H16 + 1, W16 + 5), np.uint8)
+    ubuf = np.empty((mb_h * 8 + 1, mb_w * 8 + 1), np.uint8)
+    vbuf = np.empty_like(ubuf)
+    for buf in (ybuf, ubuf, vbuf):
+        buf[0, :] = 127
+        buf[1:, 0] = 129
+
+    mode_enc = _BoolEnc()
+    # compressed header: no segmentation, normal filter level 0,
+    # 1 partition, quantizer q with zero deltas, no prob updates
+    mode_enc.put_literal(0, 2)  # color space + clamping
+    mode_enc.put(128, 0)  # segmentation off
+    mode_enc.put(128, 0)  # filter type normal
+    mode_enc.put_literal(0, 6)  # level 0
+    mode_enc.put_literal(0, 3)  # sharpness
+    mode_enc.put(128, 0)  # lf deltas off
+    mode_enc.put_literal(0, 2)  # log2 partitions = 0
+    mode_enc.put_literal(q, 7)  # base quantizer
+    for _ in range(5):
+        mode_enc.put(128, 0)  # q delta flags
+    mode_enc.put(128, 0)  # refresh entropy (ignored intra)
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for t in range(11):
+                    mode_enc.put(COEFF_UPDATE[i][j][k][t], 0)
+    mode_enc.put(128, 0)  # mb_no_skip_coeff off
+
+    tok = _BoolEnc()
+    above_ynz = np.zeros(4 * mb_w, np.int8)
+    above_unz = np.zeros(2 * mb_w, np.int8)
+    above_vnz = np.zeros(2 * mb_w, np.int8)
+    above_y2nz = np.zeros(mb_w, np.int8)
+
+    for my in range(mb_h):
+        left_ynz = [0, 0, 0, 0]
+        left_unz = [0, 0]
+        left_vnz = [0, 0]
+        left_y2nz = 0
+        for mx in range(mb_w):
+            yr, yc = 1 + my * 16, 1 + mx * 16
+            cr, cc = 1 + my * 8, 1 + mx * 8
+            src = ysrc[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].astype(np.int32)
+            # pick the 16x16 mode by SAD over the candidate predictions
+            best, best_sad, best_pred = DC_PRED, None, None
+            for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pr = _pred_block(ybuf, yr, yc, 16, m, my > 0, mx > 0)
+                sad = int(np.abs(src - pr).sum())
+                if best_sad is None or sad < best_sad:
+                    best, best_sad, best_pred = m, sad, pr
+            ym, pred = best, best_pred
+            mode_enc.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ym)
+            mode_enc.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
+
+            res = src - pred
+            blocks = []
+            dcs = np.empty((4, 4), np.int64)
+            for sy in range(4):
+                for sx in range(4):
+                    c4 = _fdct4x4(res[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4])
+                    dcs[sy, sx] = c4[0, 0]
+                    blocks.append(c4)
+            y2lv = _quant(_fwht4x4(dcs), y2dc, y2ac)
+            ctx = above_y2nz[mx] + left_y2nz
+            nz = _encode_coeffs(tok, COEFF_DEFAULT[1], ctx, 0, y2lv)
+            above_y2nz[mx] = left_y2nz = nz
+            # reconstruct the Y2 DCs exactly as the decoder will
+            y2deq = y2lv.reshape(4, 4) * y2ac
+            y2deq[0, 0] = y2lv[0] * y2dc
+            ydcs = _iwht4x4(y2deq)
+
+            out = pred.astype(np.int64)
+            for sy in range(4):
+                for sx in range(4):
+                    i4 = sy * 4 + sx
+                    lv = _quant(blocks[i4], y1dc, y1ac)
+                    lv[0] = 0  # DC rides in Y2
+                    ctx = left_ynz[sy] + above_ynz[4 * mx + sx]
+                    nz = _encode_coeffs(tok, COEFF_DEFAULT[0], ctx, 1, lv)
+                    left_ynz[sy] = nz
+                    above_ynz[4 * mx + sx] = nz
+                    deq = lv.reshape(4, 4) * y1ac
+                    deq[0, 0] = ydcs[sy, sx]
+                    out[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] += _idct4x4(deq)
+            ybuf[yr : yr + 16, yc : yc + 16] = np.clip(out, 0, 255).astype(np.uint8)
+
+            for plane, buf, a_nz, l_nz in (
+                (usrc, ubuf, above_unz, left_unz),
+                (vsrc, vbuf, above_vnz, left_vnz),
+            ):
+                csrc = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.int32)
+                cpred = _pred_block(buf, cr, cc, 8, DC_PRED, my > 0, mx > 0)
+                cres = csrc - cpred
+                cout = cpred.astype(np.int64)
+                for sy in range(2):
+                    for sx in range(2):
+                        lv = _quant(
+                            _fdct4x4(cres[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4]),
+                            uvdc,
+                            uvac,
+                        )
+                        ctx = l_nz[sy] + a_nz[2 * mx + sx]
+                        nz = _encode_coeffs(tok, COEFF_DEFAULT[2], ctx, 0, lv)
+                        l_nz[sy] = nz
+                        a_nz[2 * mx + sx] = nz
+                        deq = lv.reshape(4, 4) * uvac
+                        deq[0, 0] = lv[0] * uvdc
+                        cout[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] += _idct4x4(deq)
+                buf[cr : cr + 8, cc : cc + 8] = np.clip(cout, 0, 255).astype(np.uint8)
+        last = 1 + my * 16 + 15
+        ybuf[last, W16 + 1 :] = ybuf[last, W16]
+
+    part1 = mode_enc.finish()
+    part2 = tok.finish()
+    tag = (0 << 0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    head = bytes(
+        [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF, 0x9D, 0x01, 0x2A]
+    ) + w.to_bytes(2, "little") + hh.to_bytes(2, "little")
+    return head + part1 + part2
+
+
+def encode_webp_lossy(rgb: np.ndarray, q_index: int = 4) -> bytes:
+    """Wrap :func:`encode_vp8` in a RIFF/WEBP container."""
+    body = encode_vp8(rgb, q_index)
+    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk

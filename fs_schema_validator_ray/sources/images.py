@@ -5,9 +5,10 @@ PNG rows (``functions/png.py``) cycle color types (RGB / gray /
 palette), filters 0-4 and Adam7 interlace; GIF rows
 (``functions/gif.py``) cycle palette sizes and 4-pass interlace; JPEG
 rows (``functions/jpeg.py``) cycle quality and 4:2:0/4:4:4; WEBP rows
-(``functions/webp.py``, lossless VP8L) cycle plain / subtract-green /
-predictor / palette / color-cache streams — so every decoder path runs
-in the pipeline, not just in unit tests. Mirrors the reference's image
+cycle plain / subtract-green / predictor / palette / color-cache /
+meta-prefix lossless VP8L streams (``functions/webp.py``) AND lossy
+VP8 key frames (``functions/vp8.py``) — so every decoder path runs in
+the pipeline, not just in unit tests. Mirrors the reference's image
 fixture styles (/root/reference/tests/test_image.py uses tiny real
 rasters + corrupted variants).
 
@@ -33,7 +34,7 @@ from fs_schema_validator_ray.functions.png import encode_png
 from fs_schema_validator_ray.functions.webp import encode_webp
 
 #: bump when fixture generation changes (cache key for the corpus parquet)
-IMAGES_CORPUS_VERSION = 3
+IMAGES_CORPUS_VERSION = 4
 
 
 def png_bytes(w: int, h: int, salt: int = 0) -> bytes:
@@ -136,11 +137,13 @@ def corrupt_gif_lzw(payload: bytes) -> bytes:
 
 
 def webp_bytes(w: int, h: int, salt: int = 0) -> bytes:
-    """Real lossless VP8L with deterministic content; the stream kind
-    cycles with ``salt`` so plain / subtract-green / predictor /
-    palette(bundled) / color-cache decode paths all run in-pipeline."""
+    """Real WebP with deterministic content; the stream kind cycles
+    with ``salt`` so plain / subtract-green / predictor /
+    palette(bundled) / color-cache / meta-prefix VP8L decode paths AND
+    the lossy VP8 key-frame path (``functions/vp8.py``, kind 6) all run
+    in-pipeline."""
     rng = np.random.Generator(np.random.PCG64(salt ^ 0x5750))
-    kind = salt % 6
+    kind = salt % 7
     if kind == 3:  # small palette → sub-byte index bundling
         pal = rng.integers(0, 256, size=(9, 3), dtype=np.uint8)
         idx = rng.integers(0, 9, size=(h, w))
@@ -154,16 +157,26 @@ def webp_bytes(w: int, h: int, salt: int = 0) -> bytes:
         return encode_webp(px, predictor=True)
     if kind == 4:
         return encode_webp(px, color_cache_bits=5)
-    return encode_webp(px, meta_blocks=True)
+    if kind == 5:
+        return encode_webp(px, meta_blocks=True)
+    # lossy VP8 key frame, q cycling across the quantizer range
+    from fs_schema_validator_ray.functions.vp8 import encode_webp_lossy
+
+    return encode_webp_lossy(px, q_index=2 + (salt // 7) % 60)
 
 
 def corrupt_webp_stream(payload: bytes) -> bytes:
-    """Truncate the VP8L chunk body to 6 bytes (signature + dims keep
-    parsing; the prefix-code tables cannot fit) — a GUARANTEED
-    deep-decode failure with a valid header, like the other formats'
-    planted corruptions."""
-    i = payload.index(b"VP8L")
-    keep = 6
+    """Truncate the image chunk body — VP8L to 6 bytes (signature +
+    dims keep parsing; the prefix-code tables cannot fit), lossy VP8 to
+    24 bytes (the frame header parses, the first partition extends past
+    the end) — a GUARANTEED deep-decode failure with a valid header,
+    like the other formats' planted corruptions."""
+    if b"VP8L" in payload:
+        i = payload.index(b"VP8L")
+        keep = 6
+    else:
+        i = payload.index(b"VP8 ")
+        keep = 24
     body = payload[i + 8 : i + 8 + keep]
     out = payload[: i + 4] + struct.pack("<I", keep) + body
     return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]

@@ -298,3 +298,76 @@ def test_rgb_conversion_close_to_libwebp():
     mse = float((diff.astype(float) ** 2).mean())
     psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
     assert psnr >= 49.0
+
+
+# --- from-scratch encoder round-trips ------------------------------------------
+
+
+def _enc_img():
+    rng = np.random.default_rng(9)
+    xx, yy = np.meshgrid(np.arange(48), np.arange(36))
+    return (
+        np.stack(
+            [
+                128 + 70 * np.sin(xx / 6) * np.cos(yy / 5),
+                (xx * 5 + yy * 3) % 256,
+                rng.integers(0, 256, (36, 48)),
+            ],
+            -1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def test_encoder_self_roundtrip_quality_ladder():
+    from fs_schema_validator_ray.functions.vp8 import (
+        encode_vp8,
+        rgb_to_yuv420,
+    )
+
+    img = _enc_img()
+    sy, _, _ = rgb_to_yuv420(img)
+    last_size = None
+    for q, floor_db in ((0, 45.0), (4, 40.0), (20, 30.0)):
+        chunk = encode_vp8(img, q)
+        y, u, v = decode_vp8(chunk)
+        assert y.shape == (36, 48)
+        mse = float(((y.astype(float) - sy) ** 2).mean())
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+        assert psnr >= floor_db, f"q{q}: {psnr:.1f} dB"
+        if last_size is not None:
+            assert len(chunk) < last_size  # coarser q → smaller stream
+        last_size = len(chunk)
+
+
+def test_encoder_deterministic_and_odd_dims():
+    from fs_schema_validator_ray.functions.vp8 import encode_webp_lossy
+
+    img = _enc_img()[:23, :37]
+    a = encode_webp_lossy(img, 8)
+    assert a == encode_webp_lossy(img, 8)
+    from fs_schema_validator_ray.functions.webp import decode_webp
+
+    rgb = decode_webp(a)
+    assert rgb.shape == (23, 37, 3)
+
+
+@needs_libwebp
+def test_libwebp_decodes_our_streams_bit_exactly():
+    """Interop in the ENCODE direction: libwebp must reconstruct our
+    from-scratch streams to exactly the planes our own decoder
+    produces (both implement the same normative inverse path)."""
+    from fs_schema_validator_ray.functions.vp8 import (
+        encode_vp8,
+        encode_webp_lossy,
+    )
+
+    for img in (_enc_img(), _enc_img()[:17, :29]):
+        for q in (0, 12, 40):
+            data = encode_webp_lossy(img, q)
+            oy, ou, ov = _ORACLE.decode_yuv(data)
+            my, mu, mv = decode_vp8(encode_vp8(img, q))
+            assert np.array_equal(oy, my)
+            assert np.array_equal(ou, mu)
+            assert np.array_equal(ov, mv)
