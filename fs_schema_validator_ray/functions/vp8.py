@@ -378,30 +378,38 @@ def _decode_coeffs(
 # --- inverse transforms (RFC 6386 §14.3) --------------------------------------
 
 
-def _idct4x4(b: np.ndarray) -> np.ndarray:
-    """Exact integer 4x4 inverse DCT (int64 to dodge overflow; Python's
-    ``>>`` on negatives floors, matching C arithmetic shift)."""
+def _idct4x4_many(b: np.ndarray) -> np.ndarray:
+    """Exact integer 4x4 inverse DCT, batched over the leading axis
+    ((n, 4, 4) → (n, 4, 4); int64 to dodge overflow; Python/numpy ``>>``
+    on negatives floors, matching C arithmetic shift)."""
     ip = b.astype(np.int64)
-    t = np.empty((4, 4), np.int64)
-    a1 = ip[0] + ip[2]
-    b1 = ip[0] - ip[2]
-    c1 = ((ip[1] * 35468) >> 16) - (ip[3] + ((ip[3] * 20091) >> 16))
-    d1 = (ip[1] + ((ip[1] * 20091) >> 16)) + ((ip[3] * 35468) >> 16)
-    t[0] = a1 + d1
-    t[3] = a1 - d1
-    t[1] = b1 + c1
-    t[2] = b1 - c1
-    tt = t.T
-    a1 = tt[0] + tt[2]
-    b1 = tt[0] - tt[2]
-    c1 = ((tt[1] * 35468) >> 16) - (tt[3] + ((tt[3] * 20091) >> 16))
-    d1 = (tt[1] + ((tt[1] * 20091) >> 16)) + ((tt[3] * 35468) >> 16)
-    out = np.empty((4, 4), np.int64)
-    out[:, 0] = (a1 + d1 + 4) >> 3
-    out[:, 3] = (a1 - d1 + 4) >> 3
-    out[:, 1] = (b1 + c1 + 4) >> 3
-    out[:, 2] = (b1 - c1 + 4) >> 3
+    t = np.empty_like(ip)
+    a1 = ip[:, 0] + ip[:, 2]
+    b1 = ip[:, 0] - ip[:, 2]
+    c1 = ((ip[:, 1] * 35468) >> 16) - (ip[:, 3] + ((ip[:, 3] * 20091) >> 16))
+    d1 = (ip[:, 1] + ((ip[:, 1] * 20091) >> 16)) + ((ip[:, 3] * 35468) >> 16)
+    t[:, 0] = a1 + d1
+    t[:, 3] = a1 - d1
+    t[:, 1] = b1 + c1
+    t[:, 2] = b1 - c1
+    tt = t.transpose(0, 2, 1)
+    a1 = tt[:, 0] + tt[:, 2]
+    b1 = tt[:, 0] - tt[:, 2]
+    c1 = ((tt[:, 1] * 35468) >> 16) - (tt[:, 3] + ((tt[:, 3] * 20091) >> 16))
+    d1 = (tt[:, 1] + ((tt[:, 1] * 20091) >> 16)) + ((tt[:, 3] * 35468) >> 16)
+    out = np.empty_like(ip)
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    out[:, :, 1] = (b1 + c1 + 4) >> 3
+    out[:, :, 2] = (b1 - c1 + 4) >> 3
     return out
+
+
+def _idct4x4(b: np.ndarray) -> np.ndarray:
+    return _idct4x4_many(b[None])[0]
+
+
+_Z4 = np.zeros((4, 4), np.int64)
 
 
 def _iwht4x4(b: np.ndarray) -> np.ndarray:
@@ -571,7 +579,8 @@ def _pred4(mode: int, A: np.ndarray, L: np.ndarray, P: int) -> np.ndarray:
 
 
 def _c(x: np.ndarray) -> np.ndarray:
-    return np.clip(x, -128, 127)
+    # signed-char saturation; minimum/maximum dispatch faster than np.clip
+    return np.minimum(np.maximum(x, -128), 127)
 
 
 def _filter_mask(seg: np.ndarray, ilim: int, elim: int) -> np.ndarray:
@@ -663,6 +672,26 @@ def _scatter_h(plane: np.ndarray, r: int, c0: int, n: int, seg: np.ndarray):
     plane[r - 4 : r + 4, c0 : c0 + n] = (seg + 128).astype(np.uint8)
 
 
+def _filter_uv_v(ubuf, vbuf, r0, n, c, fn, *args):
+    """Both chroma planes' vertical edges in ONE kernel call (columns
+    are independent, so the windows concatenate along the n axis)."""
+    s = np.concatenate(
+        [_edge_window_v(ubuf, r0, n, c), _edge_window_v(vbuf, r0, n, c)], axis=1
+    )
+    fn(s, *args)
+    _scatter_v(ubuf, r0, n, c, s[:, :n])
+    _scatter_v(vbuf, r0, n, c, s[:, n:])
+
+
+def _filter_uv_h(ubuf, vbuf, r, c0, n, fn, *args):
+    s = np.concatenate(
+        [_edge_window_h(ubuf, r, c0, n), _edge_window_h(vbuf, r, c0, n)], axis=1
+    )
+    fn(s, *args)
+    _scatter_h(ubuf, r, c0, n, s[:, :n])
+    _scatter_h(vbuf, r, c0, n, s[:, n:])
+
+
 def _loop_filter(
     h: _Header,
     ybuf: np.ndarray,
@@ -731,36 +760,28 @@ def _loop_filter(
                 s0 = _edge_window_v(ybuf, yr, 16, yc)
                 _mbedge_filter(s0, hev_t, il, mb_lim)
                 _scatter_v(ybuf, yr, 16, yc, s0)
-                for pl in (ubuf, vbuf):
-                    s0 = _edge_window_v(pl, cr, 8, cc)
-                    _mbedge_filter(s0, hev_t, il, mb_lim)
-                    _scatter_v(pl, cr, 8, cc, s0)
+                _filter_uv_v(ubuf, vbuf, cr, 8, cc, _mbedge_filter, hev_t, il, mb_lim)
             if fi:
                 for dc in (4, 8, 12):
                     s0 = _edge_window_v(ybuf, yr, 16, yc + dc)
                     _subblock_filter(s0, hev_t, il, sb_lim)
                     _scatter_v(ybuf, yr, 16, yc + dc, s0)
-                for pl in (ubuf, vbuf):
-                    s0 = _edge_window_v(pl, cr, 8, cc + 4)
-                    _subblock_filter(s0, hev_t, il, sb_lim)
-                    _scatter_v(pl, cr, 8, cc + 4, s0)
+                _filter_uv_v(
+                    ubuf, vbuf, cr, 8, cc + 4, _subblock_filter, hev_t, il, sb_lim
+                )
             if my > 0:
                 s0 = _edge_window_h(ybuf, yr, yc, 16)
                 _mbedge_filter(s0, hev_t, il, mb_lim)
                 _scatter_h(ybuf, yr, yc, 16, s0)
-                for pl in (ubuf, vbuf):
-                    s0 = _edge_window_h(pl, cr, cc, 8)
-                    _mbedge_filter(s0, hev_t, il, mb_lim)
-                    _scatter_h(pl, cr, cc, 8, s0)
+                _filter_uv_h(ubuf, vbuf, cr, cc, 8, _mbedge_filter, hev_t, il, mb_lim)
             if fi:
                 for dr in (4, 8, 12):
                     s0 = _edge_window_h(ybuf, yr + dr, yc, 16)
                     _subblock_filter(s0, hev_t, il, sb_lim)
                     _scatter_h(ybuf, yr + dr, yc, 16, s0)
-                for pl in (ubuf, vbuf):
-                    s0 = _edge_window_h(pl, cr + 4, cc, 8)
-                    _subblock_filter(s0, hev_t, il, sb_lim)
-                    _scatter_h(pl, cr + 4, cc, 8, s0)
+                _filter_uv_h(
+                    ubuf, vbuf, cr + 4, cc, 8, _subblock_filter, hev_t, il, sb_lim
+                )
 
 
 # --- frame reconstruction ------------------------------------------------------
@@ -899,8 +920,14 @@ def _decode_vp8_impl(data: bytes):
                     yblocks = [None] * 16
             inner[i] = is4 or has
 
-            # --- reconstruct luma ---
+            # --- reconstruct luma (residual IDCTs batched per MB) ---
             yr, yc = 1 + my * 16, 1 + mx * 16
+            yres = None
+            if yblocks is not None and any(b is not None for b in yblocks):
+                zero = _Z4
+                yres = _idct4x4_many(
+                    np.stack([b if b is not None else zero for b in yblocks])
+                )
             if is4:
                 modes = bmodes[i]
                 for sy in range(4):
@@ -916,21 +943,19 @@ def _decode_vp8_impl(data: bytes):
                         L = ybuf[r : r + 4, c - 1].astype(np.int32)
                         P = int(ybuf[r - 1, c - 1])
                         pred = _pred4(modes[sy * 4 + sx], A, L, P)
-                        blk = None if yblocks is None else yblocks[sy * 4 + sx]
-                        if blk is not None:
-                            pred = pred + _idct4x4(blk)
+                        if yres is not None:
+                            pred = pred + yres[sy * 4 + sx]
                         ybuf[r : r + 4, c : c + 4] = np.clip(
                             pred, 0, 255
                         ).astype(np.uint8)
             else:
                 pred = _pred_block(ybuf, yr, yc, 16, ym, my > 0, mx > 0)
                 out = pred.astype(np.int64)
-                if yblocks is not None:
-                    for sy in range(4):
-                        for sx in range(4):
-                            out[
-                                sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4
-                            ] += _idct4x4(yblocks[sy * 4 + sx])
+                if yres is not None:
+                    # (sy, row, sx, col) view += (block, row, col) scatter
+                    out.reshape(4, 4, 4, 4)[:] += yres.reshape(
+                        4, 4, 4, 4
+                    ).transpose(0, 2, 1, 3)
                 ybuf[yr : yr + 16, yc : yc + 16] = np.clip(out, 0, 255).astype(
                     np.uint8
                 )
@@ -940,11 +965,10 @@ def _decode_vp8_impl(data: bytes):
                 pred = _pred_block(buf, cr, cc, 8, uvmode[i], my > 0, mx > 0)
                 out = pred.astype(np.int64)
                 if blocks is not None:
-                    for sy in range(2):
-                        for sx in range(2):
-                            out[
-                                sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4
-                            ] += _idct4x4(blocks[sy * 2 + sx])
+                    cres = _idct4x4_many(np.stack(blocks))
+                    out.reshape(2, 4, 2, 4)[:] += cres.reshape(
+                        2, 2, 4, 4
+                    ).transpose(0, 2, 1, 3)
                 buf[cr : cr + 8, cc : cc + 8] = np.clip(out, 0, 255).astype(
                     np.uint8
                 )
