@@ -26,9 +26,13 @@ Ray-side plumbing for image/video columns:
   reference's own 400×400 ``image.webp`` fixture (VP8X + ALPH + VP8,
   whose ALPH alpha plane also REAL-decodes: raw or headerless-VP8L,
   all four spatial filters).
-* **only avif stays stubbed**: a from-scratch AV1 decoder is out of
-  scope, so the default :class:`HybridPixelDecoder` falls back to the
-  deterministic ``FakePixelDecoder`` for it (clearly marked; swap a
+* **avif decodes REAL when the system provides libavif** — the same
+  runtime dependency the reference uses via pillow_avif
+  (``functions/avif.py``: direct ctypes binding, AV1 decode by the
+  library, plane extraction + BT.601 conversion ours). A from-scratch
+  AV1 decoder is out of scope, so WITHOUT the library the default
+  :class:`HybridPixelDecoder` falls back to the deterministic
+  ``FakePixelDecoder`` (clearly marked; swap a
   real PIL/libvips-backed ``decoder_factory`` per worker in production —
   loaded once per actor in ``__init__``, the stateful-stage shape).
 
@@ -450,6 +454,23 @@ class ImageValidateStage:
                     decode_webp_alpha(p)
                 except WebpError:
                     emit(i, "file does not contain a valid image")
+            elif self.deep_decode and actual == "avif":
+                # REAL only when the system provides libavif (the
+                # reference's own runtime dependency); without it the
+                # check stays header-level so verdicts never depend on
+                # host libraries the corpus oracle can't see
+                from fs_schema_validator_ray.functions.avif import (
+                    AvifError,
+                    AvifUnavailableError,
+                    decode_avif,
+                )
+
+                try:
+                    decode_avif(p)
+                except AvifUnavailableError:
+                    pass
+                except AvifError:
+                    emit(i, "file does not contain a valid image")
 
         return pa.Table.from_arrays(
             [
@@ -498,10 +519,12 @@ class HybridPixelDecoder:
     """Default per-actor decoder: REAL from-scratch decode for
     png/gif/jpeg/bmp/tiff/webp — both lossless VP8L and lossy VP8 key
     frames (``functions/png.py``, ``gif.py``, ``jpeg.py``, ``bmp.py``,
-    ``webp.py``, ``vp8.py``); only avif falls back to the deterministic
-    :class:`FakePixelDecoder` (CLEARLY-MARKED STUB — a from-scratch
-    AV1 decoder is out of scope; swap a PIL/libvips-backed factory
-    in production). Decode failures raise the codec's typed error, which
+    ``webp.py``, ``vp8.py``); avif decodes REAL through the system's
+    libavif when present (``functions/avif.py``, ctypes — the
+    reference's own runtime dependency) and falls back to the
+    deterministic :class:`FakePixelDecoder` only when the library is
+    absent (CLEARLY-MARKED STUB — a from-scratch AV1 decoder is out of
+    scope). Decode failures raise the codec's typed error, which
     the stages turn into a skipped row / ``decode_ok=false``."""
 
     def __init__(self) -> None:
@@ -532,6 +555,16 @@ class HybridPixelDecoder:
             from fs_schema_validator_ray.functions.webp import decode_webp
 
             return decode_webp(payload)
+        if fmt == "avif":
+            from fs_schema_validator_ray.functions.avif import (
+                AvifUnavailableError,
+                decode_avif,
+            )
+
+            try:
+                return decode_avif(payload)
+            except AvifUnavailableError:
+                return self._fake(payload, fmt, dims)
         return self._fake(payload, fmt, dims)
 
 
@@ -543,6 +576,7 @@ def _decode_or_none(decoder, payload, fmt, dims):
     """Per-row decode guard: a malformed payload must yield a skipped
     row / violation, never a failed batch (reference catches decode
     exceptions per file the same way, ``image.py:70-74``)."""
+    from fs_schema_validator_ray.functions.avif import AvifError
     from fs_schema_validator_ray.functions.bmp import BmpError, TiffError
     from fs_schema_validator_ray.functions.gif import GifError
     from fs_schema_validator_ray.functions.jpeg import JpegError
@@ -553,7 +587,7 @@ def _decode_or_none(decoder, payload, fmt, dims):
         return decoder(payload, fmt, dims)
     except (
         PngError, GifError, JpegError, BmpError, TiffError, WebpError,
-        NotImplementedError,
+        AvifError, NotImplementedError,
     ):
         return None
 

@@ -290,6 +290,17 @@ def test_image_validate_stage_svg_tiff_avif_tristate():
     # tiff_ok must carry real pixel data: deep_decode now gates tiff strips
     # like every other raster (round-4 ADVICE fix)
     real_tiff = encode_tiff(np.zeros((20, 10, 3), dtype=np.uint8))
+    # avif_ok likewise needs a REAL AV1 payload when libavif is present
+    # (deep decode now gates avif through the system library); the
+    # crafted ftyp-only header still passes when the library is absent
+    from pathlib import Path
+
+    from fs_schema_validator_ray.functions.avif import avif_available
+
+    fx = Path("/root/reference/tests/fixtures/image.avif")
+    avif_ok = (
+        fx.read_bytes() if avif_available() and fx.exists() else make_avif()
+    )
     batch = pa.table(
         {
             "key": pa.array(
@@ -302,7 +313,7 @@ def test_image_validate_stage_svg_tiff_avif_tristate():
             "bytes": pa.array(
                 [
                     real_tiff, make_png(), b"II*\x00\xff\xff\xff\xff",
-                    make_avif(), make_tiff(),
+                    avif_ok, make_tiff(),
                     make_svg(), b"<svg><rect/></svg>", make_png(), b"not xml at all",
                 ],
                 pa.binary(),
