@@ -843,6 +843,18 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
+        "audio_flac_roundtrip_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
+src AS (SELECT i,
+               CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+        FROM idx)
+SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS clip_id,
+       s % 509 NOT IN (17, 101) AS lossless
+FROM src
+""",
         "audio_decode_contract": """
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

@@ -91,6 +91,8 @@ HEADLINE_QUERIES = [
     "cdc_dedup_clips",
     "leakage_free_split_documents",
     "asset_validate_corpus",
+    "audio_flac_roundtrip_contract",
+    "audio_transcode_flac_clips",
 ]
 
 

@@ -32,7 +32,7 @@ class AudioDecodeError(ValueError):
     """Payload cannot be parsed as a RIFF/WAVE container."""
 
 
-CODECS = ("pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima")
+CODECS = ("pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima", "flac")
 
 _FMT_PCM = 1
 _FMT_ALAW = 6
@@ -323,6 +323,12 @@ def encode(samples: np.ndarray, sr_hz: int, codec: str) -> bytes:
         block_align = _IMA_BLOCK_ALIGN
         # fact chunk carries the true sample count (last block may pad)
         fact = b"fact" + struct.pack("<II", 4, len(pcm16))
+    elif codec == "flac":
+        # native FLAC container (not RIFF) — the lossless member of the
+        # codec family, from-scratch in functions/flac.py
+        from fs_schema_validator_ray.functions.flac import encode_flac
+
+        return encode_flac(np.round(x * 32767.0).astype(np.int16), sr_hz)
     else:
         raise ValueError(f"unknown codec `{codec}`")
 
@@ -347,6 +353,8 @@ def encode(samples: np.ndarray, sr_hz: int, codec: str) -> bytes:
 def sniff_codec(payload: bytes) -> str:
     """Identify the actual codec from the container header — the analogue of
     PIL's format detection (reference ``image.py:54-69``)."""
+    if payload[:4] == b"fLaC":
+        return "flac"
     _, fmt, bits, _, _, _, _ = _parse_header(payload)
     return _codec_name(fmt, bits)
 
@@ -406,7 +414,18 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes, int, int |
 
 
 def decode(payload: bytes) -> tuple[np.ndarray, int, str]:
-    """Decode a WAVE payload → (float64 samples in [-1,1], sr_hz, codec)."""
+    """Decode a WAVE (or native-FLAC) payload → (float64 samples in
+    [-1,1], sr_hz, codec)."""
+    if payload[:4] == b"fLaC":
+        from fs_schema_validator_ray.functions.flac import FlacError, decode_flac
+
+        try:
+            pcm, sr_hz = decode_flac(payload)
+        except FlacError as exc:
+            raise AudioDecodeError(f"bad flac payload: {exc}") from exc
+        if pcm.ndim != 1:
+            raise AudioDecodeError("only mono supported")
+        return pcm.astype(np.float64) / 32767.0, sr_hz, "flac"
     sr_hz, fmt, bits, _, data, block_align, fact_samples = _parse_header(payload)
     codec = _codec_name(fmt, bits)
     if codec == "pcm_s16le":

@@ -1450,6 +1450,68 @@ def audio_transcode_adpcm_clips(sf_dir: str, n_rows: int = 1500):
     )
 
 
+def audio_transcode_flac_clips(sf_dir: str, n_rows: int = 1500):
+    """Transcode every decodable clip to FLAC (the from-scratch LOSSLESS
+    codec, ``functions/flac.py``: fixed predictors + Rice residuals +
+    CRC-8/CRC-16/MD5 integrity layers) with the per-clip round-trip SNR
+    audit (rows-only: payload transform; the hash-gated verdict lives in
+    ``audio_flac_roundtrip_contract``)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import TranscodeStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        TranscodeStage(codec_out="flac"), batch_format="pyarrow", batch_size=512
+    )
+
+
+def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
+    """(clip_id, lossless) — FLAC encode→decode BIT-EXACTNESS verdict per
+    corpus clip: every decodable clip must round-trip to identical int16
+    samples (undecodable rows report false). ORACLE-CHECKED via the
+    corpus contract (lossless ⇔ the planted class decodes), so the
+    driver value-hash-gates the whole codec: one wrong Rice bit, CRC or
+    predictor anywhere flips a row."""
+    import numpy as np
+    import ray.data
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.functions.flac import decode_flac, encode_flac
+    from fs_schema_validator_ray.stages.audio_features import binary_views
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t.column("clip_id").to_pylist()
+        oks = []
+        for view in binary_views(t.column("bytes")):
+            ok = False
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    pcm = np.round(
+                        np.clip(x, -1.0, 1.0) * 32767.0
+                    ).astype(np.int16)
+                    y, sr2 = decode_flac(encode_flac(pcm, sr_hz))
+                    ok = sr2 == sr_hz and np.array_equal(
+                        y.astype(np.int16), pcm
+                    )
+            oks.append(ok)
+        return pa.table(
+            {
+                "clip_id": pa.array([str(k) for k in keys], pa.string()),
+                "lossless": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
 def audio_silence_trim_clips(sf_dir: str, n_rows: int = 1500):
     """Strip leading/trailing silence (−40 dBFS, 25 ms frames) from every
     decodable clip and re-encode the kept span (rows-only: payload
@@ -3789,6 +3851,7 @@ rules:
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_flac_roundtrip_contract": audio_flac_roundtrip_contract,
     "audio_decode_contract": audio_decode_contract,
     "audio_resample_contract": audio_resample_contract,
     "audio_chunk_contract": audio_chunk_contract,
@@ -3866,6 +3929,7 @@ QUERIES = {
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "video_frame_sample": video_frame_sample,
     "audio_transcode_adpcm_clips": audio_transcode_adpcm_clips,
+    "audio_transcode_flac_clips": audio_transcode_flac_clips,
     "scalar_lineitem": scalar_lineitem,
     "scalar_orders": scalar_orders,
     "scalar_part": scalar_part,

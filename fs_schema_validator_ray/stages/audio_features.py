@@ -715,7 +715,9 @@ class TranscodeStage:
         bytes_column: str = "bytes",
         key_column: str = "clip_id",
     ) -> None:
-        if codec_out not in ("pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima"):
+        if codec_out not in (
+            "pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima", "flac",
+        ):
             raise ValueError(f"unknown target codec `{codec_out}`")
         self.codec_out = codec_out
         self.bytes_column = bytes_column
