@@ -843,6 +843,28 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
+        "shuffle_deterministic_documents": """
+WITH h AS (
+  SELECT doc_id,
+         ((xor((doc_id * 2654435761) % 4294967296,
+               ((doc_id * 2654435761) % 4294967296) // 65536)) * 40503)
+         % 4294967296 AS hk
+  FROM documents)
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS shuffle_pos
+FROM h
+""",
+        "shard_export_documents": """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (((xor((doc_id * 2654435761) % 4294967296,
+                ((doc_id * 2654435761) % 4294967296) // 65536)) * 40503)
+          % 4294967296) % 16 AS shard
+  FROM documents)
+SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM h GROUP BY shard
+""",
         "audio_flac_roundtrip_contract": """
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

@@ -1512,6 +1512,84 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+_SHUFFLE_SALT_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def _shuffle_hash(ids):
+    """SQL-replicable deterministic shuffle key: one multiplicative
+    round, one xor-shift fold, a second multiply — enough dispersion to
+    break source/id ordering, exactly reproducible in DuckDB integer
+    arithmetic (the oracle uses the identical expression)."""
+    import numpy as np
+
+    u = ids.astype(np.uint64)
+    h1 = (u * np.uint64(_SHUFFLE_SALT_MULT)) % np.uint64(1 << 32)
+    return (((h1 ^ (h1 >> np.uint64(16))) * np.uint64(40503)) % np.uint64(1 << 32)).astype(
+        np.int64
+    )
+
+
+def shuffle_deterministic_documents(sf_dir: str):
+    """Deterministic GLOBAL training-data shuffle: every document gets a
+    reproducible position — rank over a keyed hash, not an RNG — so a
+    restarted run (or a different cluster size) produces the identical
+    order. The rank is the streaming range-partitioned global rank (no
+    full-dataset sort materialization); the hash is plain integer
+    arithmetic so the SQL oracle re-derives every position exactly."""
+    from fs_schema_validator_ray.stages.sort import global_sort_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        h = _shuffle_hash(t.column("doc_id").to_numpy())
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    ranked = global_sort_rank(keyed, "__h", ["doc_id"])
+    return ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shuffle_pos": t.column("rnk"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def shard_export_documents(sf_dir: str, n_shards: int = 16):
+    """Sharded training-data export layout: deterministic shard
+    assignment (hash mod n — co-located with the shuffle key family) +
+    per-shard manifest row (count, id range, byte volume). The heavy
+    write itself goes through ``sinks.write_partitioned_parquet`` (one
+    directory per shard, resumable — pytest-gated); this query is the
+    MANIFEST the export would publish, hash-exact against SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy()
+        shard = (_shuffle_hash(ids) % n_shards).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    import ray.data
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("shard").aggregate(
+        ray.data.aggregate.Count(alias_name="n_docs"),
+        ray.data.aggregate.Min("doc_id", alias_name="min_id"),
+        ray.data.aggregate.Max("doc_id", alias_name="max_id"),
+        ray.data.aggregate.Sum("n_chars", alias_name="total_chars"),
+    )
+
+
 def audio_silence_trim_clips(sf_dir: str, n_rows: int = 1500):
     """Strip leading/trailing silence (−40 dBFS, 25 ms frames) from every
     decodable clip and re-encode the kept span (rows-only: payload
@@ -3852,6 +3930,8 @@ rules:
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
     "audio_flac_roundtrip_contract": audio_flac_roundtrip_contract,
+    "shuffle_deterministic_documents": shuffle_deterministic_documents,
+    "shard_export_documents": shard_export_documents,
     "audio_decode_contract": audio_decode_contract,
     "audio_resample_contract": audio_resample_contract,
     "audio_chunk_contract": audio_chunk_contract,

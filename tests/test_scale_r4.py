@@ -233,3 +233,75 @@ def test_semi_anti_join_adaptive_null_keys_kept_by_anti(ray_session):
         adaptive_skew=True, skew_split_cap_rows=5_000,
     ).to_pandas()
     assert sorted(anti["lv"].tolist()) == [n, n + 1]
+
+
+# --- deterministic shuffle + sharded export (r4 continuation #2) -------------
+
+
+def test_shuffle_deterministic_across_parallelism(ray_session):
+    """The shuffle key is a pure function of doc_id: re-running with a
+    different block structure must give the IDENTICAL global order
+    (the restart/cluster-resize reproducibility contract)."""
+    import pandas as pd
+
+    from fs_schema_validator_ray.pipelines.queries import (
+        shuffle_deterministic_documents,
+    )
+
+    a = (
+        shuffle_deterministic_documents("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        shuffle_deterministic_documents("/root/testdata/sf0.001")
+        .repartition(7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # positions are a permutation of 1..n and NOT the identity order
+    n = len(a)
+    assert sorted(a["shuffle_pos"]) == list(range(1, n + 1))
+    assert not (a.sort_values("shuffle_pos")["doc_id"].is_monotonic_increasing)
+
+
+def test_shard_export_write_and_pruned_readback(ray_session, tmp_path):
+    """The manifest query's shard assignment drives an actual
+    hive-partitioned write; each shard directory reads back alone
+    (resume contract) and re-unions to the full corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.pipelines.queries import _shuffle_hash
+    from fs_schema_validator_ray.sinks import (
+        read_partition_pruned,
+        write_partitioned_parquet,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        shard = (_shuffle_hash(t.column("doc_id").to_numpy()) % 4).astype(
+            np.int64
+        )
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    out = str(tmp_path / "export")
+    write_partitioned_parquet(
+        ds.map_batches(assign, batch_format="pyarrow"), out, ["shard"]
+    )
+    total = 0
+    seen = set()
+    for s in range(4):
+        part = read_partition_pruned(out, "shard", s).to_pandas()
+        assert (_shuffle_hash(part["doc_id"].to_numpy()) % 4 == s).all()
+        seen.update(part["doc_id"])
+        total += len(part)
+    full = ds.to_pandas()
+    assert total == len(full) and seen == set(full["doc_id"])
