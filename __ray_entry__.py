@@ -1304,6 +1304,27 @@ WITH w AS (
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT event_id, user_id FROM w WHERE p IS NULL OR t - p > 600000000
 """,
+        "dedup_paragraphs_documents": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS t,
+               generate_subscripts(l, 1) - 1 AS i FROM arr),
+paras AS (
+  SELECT doc_id, CAST(i // 8 AS BIGINT) AS para_idx,
+         string_agg(t, ' ' ORDER BY i) AS para_text,
+         COUNT(*) AS n_words
+  FROM tok GROUP BY doc_id, CAST(i // 8 AS BIGINT)),
+ranked AS (
+  SELECT doc_id, para_idx, n_words,
+         row_number() OVER (PARTITION BY para_text
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM paras)
+SELECT doc_id, para_idx, n_words FROM ranked WHERE rn = 1
+""",
         "top_bigrams_documents": """
 WITH arr AS (
   SELECT doc_id,

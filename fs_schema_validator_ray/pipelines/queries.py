@@ -2794,6 +2794,19 @@ def dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_min(ds, "text", "doc_id")
 
 
+def dedup_paragraphs_documents(sf_dir: str, window: int = 8):
+    """C4/CCNet-style sub-document dedup: fixed-width token windows
+    ("paragraphs"), corpus-wide keep-first-occurrence
+    (``stages/dedup.py::dedup_paragraphs_keep_first``). The shuffle moves
+    one 28-byte fingerprint row per distinct window per batch — never
+    text. Hash-exact vs a SQL oracle that rebuilds the same windows with
+    ``string_agg`` and ranks them by ``(doc_id, para_idx)``."""
+    from fs_schema_validator_ray.stages.dedup import dedup_paragraphs_keep_first
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_paragraphs_keep_first(ds, "text", "doc_id", window=window)
+
+
 def dedup_minhash_documents(sf_dir: str):
     from fs_schema_validator_ray.stages.dedup import minhash_near_dup_pairs
 
@@ -3929,6 +3942,7 @@ rules:
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "dedup_paragraphs_documents": dedup_paragraphs_documents,
     "audio_flac_roundtrip_contract": audio_flac_roundtrip_contract,
     "shuffle_deterministic_documents": shuffle_deterministic_documents,
     "shard_export_documents": shard_export_documents,

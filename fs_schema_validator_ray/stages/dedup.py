@@ -230,6 +230,184 @@ def exact_dedup_keep_min(
     return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+# --- paragraph-window dedup (C4 / CCNet-style sub-document dedup) ----------
+
+#: lower+alnum tokenization shared with the LM/bigram oracles — the oracle
+#: groups windows by their space-joined token text, so the engine's window
+#: hash must be a function of exactly that token sequence
+_PARA_SPLIT = r"[^a-z0-9]+"
+
+# combined order key = (doc_id << 21) | para_idx. 2^42 docs × 2^21 windows
+# per doc fits int64; both guards RAISE (no silent caps) — at 10^12 rows
+# the id budget still holds (10^12 < 2^42).
+_PARA_DOC_BITS = 42
+_PARA_IDX_BITS = 21
+
+
+def _paragraph_window_rows(
+    col: pa.Array, ids: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row fixed-width token windows → ``(fp1, fp2, doc_id, para_idx,
+    n_words)`` flat arrays, fully vectorized (one token split + two
+    polynomial segment reductions per batch; no per-row Python).
+
+    Window hash: Horner-style polynomial over per-token 64-bit hashes with
+    position-dependent powers ``P^(window-1-r)`` (r = offset inside the
+    window), two independent token-hash keys → a 128-bit window
+    fingerprint. Equal token windows hash equal; distinct windows collide
+    with odds ~n²/2¹²⁹ (same budget as exact dedup)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), pattern=_PARA_SPLIT
+    )
+    flat = np.asarray(toks.values, dtype=object)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    keep = np.asarray(pc.not_equal(toks.values, ""))
+    # drop empty tokens (split artifacts at string edges) and re-derive
+    # per-row token counts from the surviving mask
+    counts = np.diff(offsets)
+    row_of_tok = np.repeat(np.arange(len(counts)), counts)
+    flat = flat[keep]
+    row_of_tok = row_of_tok[keep]
+    kept_counts = np.bincount(row_of_tok, minlength=len(counts)).astype(np.int64)
+
+    if len(flat) == 0:
+        e = np.empty(0, np.int64)
+        return e.view(np.uint64), e.view(np.uint64), e, e, e
+
+    th1 = hash64(flat, key="0123456789abcdef")
+    th2 = hash64(flat, key="fedcba9876543210")
+
+    # position of each token inside its row, then inside its window
+    tok_offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    pos_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        tok_offsets[:-1], kept_counts
+    )
+    pos_in_win = pos_in_row % window
+
+    # windows per row and flat window index of each token
+    n_win = -(-kept_counts // window)  # ceil; 0 for empty rows
+    win_offsets = np.concatenate([[0], np.cumsum(n_win)])
+    win_of_tok = np.repeat(win_offsets[:-1], kept_counts) + pos_in_row // window
+
+    with np.errstate(over="ignore"):
+        base = np.uint64(0x9E3779B97F4A7C15)
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = 1
+        for i in range(1, window):
+            powers[i] = powers[i - 1] * base
+        # exponent window-1-r: Horner form of the window polynomial
+        w = powers[window - 1 - pos_in_win]
+        fp1 = np.zeros(int(win_offsets[-1]), dtype=np.uint64)
+        fp2 = np.zeros_like(fp1)
+        np.add.at(fp1, win_of_tok, th1 * w)
+        np.add.at(fp2, win_of_tok, th2 * w)
+
+    n_words = np.bincount(win_of_tok, minlength=len(fp1)).astype(np.int64)
+    doc_of_win = np.repeat(np.arange(len(counts)), n_win)
+    para_idx = np.arange(len(fp1), dtype=np.int64) - np.repeat(
+        win_offsets[:-1], n_win
+    )
+    return fp1, fp2, ids[doc_of_win], para_idx, n_words
+
+
+def dedup_paragraphs_keep_first(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 8,
+    n_buckets: int | None = None,
+):
+    """C4/CCNet-style sub-document dedup: chunk every document into
+    fixed-width token windows ("paragraphs" of ``window`` words under
+    the shared lower+alnum tokenization) and keep, corpus-wide, only the
+    FIRST occurrence of each distinct window — first = lexicographic min
+    of ``(doc_id, para_idx)``.
+
+    Same exchange discipline as :func:`exact_dedup_keep_min`: the batch
+    pass emits one ``(bucket, fp1, fp2, combined, n_words)`` row per
+    distinct window per batch (per-batch combiner keeps the min
+    ``combined``), the shuffle moves ~28 bytes per distinct window keyed
+    by a small int bucket, and each bucket merges with one vectorized
+    lexsort — text never leaves the scan stage. Returns a Dataset of
+    ``(doc_id, para_idx, n_words)`` for the kept windows.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if window - 1 >= (1 << _PARA_IDX_BITS):
+        raise ValueError("window too large for the para_idx bit budget")
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+
+    empty_partial = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("fp1", pa.int64()),
+            ("fp2", pa.int64()),
+            ("combined", pa.int64()),
+            ("n_words", pa.int64()),
+        ]
+    ).empty_table()
+
+    idx_bits = _PARA_IDX_BITS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_partial
+        ids = np.asarray(batch.column(id_column), dtype=np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << _PARA_DOC_BITS)):
+            raise ValueError(
+                f"{id_column} outside [0, 2^{_PARA_DOC_BITS}) — the combined "
+                "(doc_id, para_idx) order key would overflow int64"
+            )
+        fp1, fp2, doc, para, n_words = _paragraph_window_rows(
+            batch.column(text_column).combine_chunks(), ids, window
+        )
+        if len(para) and para.max() >= (1 << idx_bits):
+            raise ValueError(
+                f"document has >= 2^{idx_bits} windows — raise window or "
+                "split the document upstream"
+            )
+        combined = (doc << idx_bits) | para
+        # per-batch combiner: keep the min-combined row per fingerprint
+        order = np.lexsort((combined, fp2, fp1))
+        fp1s, fp2s, cs, ns = fp1[order], fp2[order], combined[order], n_words[order]
+        first = np.concatenate([[True], (fp1s[1:] != fp1s[:-1]) | (fp2s[1:] != fp2s[:-1])])
+        fp1f = fp1s[first]
+        return pa.table(
+            {
+                "bucket": pa.array((fp1f % np.uint64(n_buckets)).astype(np.int32)),
+                "fp1": pa.array(fp1f.view(np.int64), pa.int64()),
+                "fp2": pa.array(fp2s[first].view(np.int64), pa.int64()),
+                "combined": pa.array(cs[first]),
+                "n_words": pa.array(ns[first]),
+            }
+        )
+
+    partials = ds.select_columns([id_column, text_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    partials = partials.repartition(max(4, n_buckets // 8))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        fp1 = np.asarray(group.column("fp1"), dtype=np.int64)
+        fp2 = np.asarray(group.column("fp2"), dtype=np.int64)
+        combined = np.asarray(group.column("combined"), dtype=np.int64)
+        n_words = np.asarray(group.column("n_words"), dtype=np.int64)
+        order = np.lexsort((combined, fp2, fp1))
+        fp1s, fp2s = fp1[order], fp2[order]
+        first = np.concatenate([[True], (fp1s[1:] != fp1s[:-1]) | (fp2s[1:] != fp2s[:-1])])
+        cs = combined[order][first]
+        return pa.table(
+            {
+                id_column: pa.array(cs >> idx_bits),
+                "para_idx": pa.array(cs & ((1 << idx_bits) - 1)),
+                "n_words": pa.array(n_words[order][first]),
+            }
+        )
+
+    return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 # --- shingles + minhash ----------------------------------------------------
 
 
