@@ -1304,6 +1304,44 @@ WITH w AS (
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT event_id, user_id FROM w WHERE p IS NULL OR t - p > 600000000
 """,
+        "nb_train_counts_documents": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents)
+SELECT d.source, tok.t AS token, COUNT(*) AS cnt
+FROM tok JOIN documents d USING (doc_id)
+GROUP BY d.source, tok.t
+""",
+        "nb_classify_documents": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+cnt AS (SELECT d.source, tok.t, COUNT(*) AS c
+        FROM tok JOIN documents d USING (doc_id) GROUP BY d.source, tok.t),
+tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+vv AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+pri AS (SELECT source, COUNT(*) AS d FROM documents GROUP BY source),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+sc AS (
+  SELECT tok.doc_id, pri.source,
+         ROUND(SUM(ln((coalesce(cnt.c, 0) + 1.0) / (tot.n + vv.v)))
+               + ln(CAST(pri.d AS DOUBLE) / nd.nd), 6) AS score
+  FROM tok CROSS JOIN pri CROSS JOIN nd CROSS JOIN vv
+  JOIN tot ON tot.source = pri.source
+  LEFT JOIN cnt ON cnt.source = pri.source AND cnt.t = tok.t
+  GROUP BY tok.doc_id, pri.source, pri.d, nd.nd, tot.n, vv.v)
+SELECT doc_id, source AS pred, score
+FROM (SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, source ASC) AS rn
+      FROM sc) WHERE rn = 1
+""",
         "dedup_paragraphs_documents": """
 WITH arr AS (
   SELECT doc_id,

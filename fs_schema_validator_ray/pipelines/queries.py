@@ -2200,6 +2200,31 @@ def unigram_logprob_documents(sf_dir: str):
     )
 
 
+def nb_train_counts_documents(sf_dir: str):
+    """Multinomial Naive Bayes sufficient statistics: per-(source,
+    token) term frequencies from one combiner pass
+    (``stages/classify.py::nb_token_label_counts``) — the fit half of
+    the fastText-style source classifier a training-data pipeline runs.
+    Hash-exact vs a plain GROUP BY oracle."""
+    from fs_schema_validator_ray.stages.classify import nb_token_label_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return nb_token_label_counts(ds, "text", "source")
+
+
+def nb_classify_documents(sf_dir: str):
+    """Train-on-self NB source classification: fit per-label token
+    counts + priors, broadcast the Laplace-smoothed log-prob matrix,
+    argmax per document (``stages/classify.py::nb_classify``; the
+    co-partitioned no-broadcast switchover is parity-gated in pytest).
+    Scores round to 6 decimals BEFORE the argmax in both engines so
+    float summation order can't flip a mathematically exact tie."""
+    from fs_schema_validator_ray.stages.classify import nb_classify
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return nb_classify(ds, "text", "source")
+
+
 def bigram_logprob_documents(sf_dir: str):
     """Bigram LM quality scoring: fit conditional bigram frequencies in
     one combiner pass, broadcast the model, score each doc's mean
@@ -3942,6 +3967,8 @@ rules:
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "nb_train_counts_documents": nb_train_counts_documents,
+    "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,
     "audio_flac_roundtrip_contract": audio_flac_roundtrip_contract,
     "shuffle_deterministic_documents": shuffle_deterministic_documents,
