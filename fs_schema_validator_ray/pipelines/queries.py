@@ -3872,6 +3872,61 @@ def audio_chunk_contract(sf_dir: str, n_rows: int = 1500):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def audio_levels_contract(sf_dir: str, n_rows: int = 1500):
+    """Level/loudness QA CONTRACT gate: per-clip peak / DC-offset
+    verdicts over the synthetic corpus with a PLANTED gain sweep —
+    ``gain = 4`` on every ``idx % 7 == 3`` clip (forces clipping:
+    corpus signals peak ≤ 0.95 full-scale, ≥ 2.8 after the gain) and a
+    ``+0.2`` DC bias on every ``idx % 11 == 5`` clip (trips the 0.1
+    DC bar; unplanted |mean| ≤ 0.049 corpus-wide, measured) — so both
+    verdicts are closed-form index functions and the whole decoded-
+    signal → verdict path is driver-hash-checked against the SQL
+    contract derivation (the ``audio_decode_contract`` pattern; decode
+    survivorship from the planted classes, empty decodes vacuous).
+    Margins were validated empirically over the full 1500-row corpus:
+    peak 0.941 vs the 0.999 bar, DC 0.049 / 0.189 vs the 0.1 bar."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import LevelsStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    rpp = max(1, n_rows // 4)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("clip_id").to_pylist(), dtype=object)
+        s = _clip_index_from_id(ids, rpp)
+        gain = np.where(s % 7 == 3, 4.0, 1.0)
+        dc = np.where(s % 11 == 5, 0.2, 0.0)
+        return t.append_column("gain", pa.array(gain)).append_column(
+            "dc_in", pa.array(dc)
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = planted.map_batches(
+        LevelsStage(gain_column="gain", dc_column="dc_in"),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        # nullable-int encoding (1/0/NULL) — same rationale as
+        # audio_resample_contract: nullable ints export as NaN in both
+        # engines' pandas frames, nullable booleans do not
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "clip_id": t.column("clip_id"),
+                "decode_ok": t.column("decode_ok"),
+                "clipped": pc.cast(t.column("clipped"), pa.int64()),
+                "dc_ok": pc.cast(t.column("dc_ok"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def audio_spectrogram_clips(sf_dir: str, n_rows: int = 1500):
     """Per-clip spectral summary (strided frames → batched rFFT →
     log-spaced band energies) over the deterministic clips corpus —
@@ -3967,6 +4022,7 @@ rules:
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_levels_contract": audio_levels_contract,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

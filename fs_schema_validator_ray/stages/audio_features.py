@@ -296,6 +296,117 @@ class GainNormalizeStage:
         return pa.Table.from_pylist(rows, schema=GAIN_SCHEMA)
 
 
+LEVELS_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("n_samples", pa.int64()),
+        ("peak", pa.float64()),
+        ("rms", pa.float64()),
+        ("dc_offset", pa.float64()),
+        ("clip_frac", pa.float64()),
+        ("clipped", pa.bool_()),
+        ("dc_ok", pa.bool_()),
+    ]
+)
+
+
+class LevelsStage:
+    """``map_batches`` callable: per-clip level QA — peak, RMS, DC
+    offset, clipping-sample fraction — the gain-staging audit a speech
+    corpus runs alongside the reference's per-file payload checks
+    (``/root/reference/fs_schema_validator/schemas/audio-analogue``:
+    decode, then assert semantic facts about the decoded payload).
+
+    Verdicts: ``clipped`` = any sample with ``|y| >= clip_threshold``
+    (full scale 1.0); ``dc_ok`` = ``|mean(y)| <= dc_threshold``. Empty
+    decodes (0 samples) are vacuous: ``clipped=false, dc_ok=true`` with
+    null metrics. Undecodable payloads emit ``decode_ok=false`` rows
+    with null verdicts (never dropped silently).
+
+    Optional ``gain_column`` / ``dc_column`` (float64 per row) scale and
+    bias the decoded signal *before* measurement — contract testing
+    (planted-gain corpus sweeps, ``pipelines/queries.py::
+    audio_levels_contract``) and simulated gain-staging sweeps; both
+    default to identity. Stateless; all numerics are per-clip numpy
+    vector ops."""
+
+    def __init__(
+        self,
+        clip_threshold: float = 0.999,
+        dc_threshold: float = 0.1,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+        gain_column: str | None = None,
+        dc_column: str | None = None,
+    ) -> None:
+        self.clip_threshold = float(clip_threshold)
+        self.dc_threshold = float(dc_threshold)
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+        self.gain_column = gain_column
+        self.dc_column = dc_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        n = len(views)
+        ones = np.ones(n)
+        zeros = np.zeros(n)
+        gains = (
+            np.asarray(batch.column(self.gain_column).to_numpy(zero_copy_only=False), np.float64)
+            if self.gain_column
+            else ones
+        )
+        biases = (
+            np.asarray(batch.column(self.dc_column).to_numpy(zero_copy_only=False), np.float64)
+            if self.dc_column
+            else zeros
+        )
+        rows = []
+        for key, view, gain, bias in zip(keys, views, gains, biases):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "decode_ok": False,
+                "n_samples": None,
+                "peak": None,
+                "rms": None,
+                "dc_offset": None,
+                "clip_frac": None,
+                "clipped": None,
+                "dc_ok": None,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    x, _sr, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    row["decode_ok"] = True
+                    row["n_samples"] = len(x)
+                    if len(x) == 0:
+                        row["clipped"] = False
+                        row["dc_ok"] = True
+                    else:
+                        y = x * float(gain) + float(bias)
+                        ay = np.abs(y)
+                        peak = float(ay.max())
+                        mean = float(y.mean())
+                        clip_frac = float((ay >= self.clip_threshold).mean())
+                        row.update(
+                            {
+                                "peak": peak,
+                                "rms": float(np.sqrt(np.mean(y * y))),
+                                "dc_offset": mean,
+                                "clip_frac": clip_frac,
+                                "clipped": clip_frac > 0.0,
+                                "dc_ok": abs(mean) <= self.dc_threshold,
+                            }
+                        )
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=LEVELS_SCHEMA)
+
+
 # --- spectrogram summary ----------------------------------------------------
 
 _SPEC_N_BANDS = 8

@@ -264,3 +264,81 @@ def test_ivfpq_ann_recall_gate(ray_session):
         a = set(apx[apx.query_id == q].neighbor_id)
         rec.append(len(e & a) / max(len(e), 1))
     assert float(np.mean(rec)) >= 0.85, rec
+
+
+def test_levels_stage_pure_tone_and_verdicts():
+    """LevelsStage ground truth on a synthetic tone: peak/RMS of a 0.5
+    sine, gain-4 forces clipping, +0.3 DC trips the dc bar, undecodable
+    payloads emit decode_ok=false with null verdicts."""
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import LevelsStage
+
+    t = np.arange(16_000) / 16_000.0
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    b = audio.encode(x, 16_000, "pcm_s16le")
+    batch = pa.table(
+        {
+            "clip_id": ["tone", "gained", "biased", "junk"],
+            "bytes": [b, b, b, b"\x00junk"],
+            "gain": [1.0, 4.0, 1.0, 1.0],
+            "dc": [0.0, 0.0, 0.3, 0.0],
+        }
+    )
+    rows = LevelsStage(gain_column="gain", dc_column="dc")(batch).to_pylist()
+    tone, gained, biased, junk = rows
+    assert tone["decode_ok"] and not tone["clipped"] and tone["dc_ok"]
+    assert abs(tone["peak"] - 0.5) < 0.01
+    assert abs(tone["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(tone["dc_offset"]) < 0.01
+    assert gained["clipped"] and gained["clip_frac"] > 0.0
+    assert gained["dc_ok"]  # symmetric clipping-free mean unaffected
+    assert biased["decode_ok"] and not biased["dc_ok"]
+    assert abs(biased["dc_offset"] - 0.3) < 0.01
+    assert not biased["clipped"]  # 0.5 + 0.3 < 0.999
+    assert not junk["decode_ok"]
+    assert junk["clipped"] is None and junk["dc_ok"] is None
+
+
+def test_levels_stage_empty_decode_vacuous():
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import LevelsStage
+
+    b = audio.encode(np.zeros(0), 16_000, "pcm_s16le")
+    rows = LevelsStage()(pa.table({"clip_id": ["e"], "bytes": [b]})).to_pylist()
+    (e,) = rows
+    assert e["decode_ok"] and e["n_samples"] == 0
+    assert e["clipped"] is False and e["dc_ok"] is True
+    assert e["peak"] is None
+
+
+def test_audio_levels_contract_closed_form(ray_session):
+    """audio_levels_contract verdicts equal the closed-form planted
+    rules for EVERY row of a 600-clip corpus (the SQL oracle's
+    derivation, recomputed in python)."""
+    from fs_schema_validator_ray.pipelines.queries import audio_levels_contract
+    from fs_schema_validator_ray.sources.clips import ClipsConfig
+
+    cfg = ClipsConfig(n_rows=600, rows_per_partition=150)
+    res = audio_levels_contract("unused", n_rows=600).to_pandas()
+    assert len(res) == 600
+
+    def expected(i: int):
+        s = i - 1 if (i % 509 == 461 and i > 0) else i
+        cid = f"CLIP_{s}" if s % 509 == 331 else cfg.clip_id(s)
+        if s % 509 in (17, 101):
+            return (cid, False, None, None)
+        if s % 509 == 233:
+            return (cid, True, 0, 1)
+        return (cid, True, int(s % 7 == 3), int(s % 11 != 5))
+
+    exp = sorted(expected(i) for i in range(600))
+    got = sorted(
+        (
+            r.clip_id,
+            bool(r.decode_ok),
+            None if np.isnan(r.clipped) else int(r.clipped),
+            None if np.isnan(r.dc_ok) else int(r.dc_ok),
+        )
+        for r in res.itertuples()
+    )
+    assert got == exp
