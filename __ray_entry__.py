@@ -62,6 +62,29 @@ SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
                  WHEN s % 11 = 5 THEN 0 ELSE 1 END AS BIGINT) AS dc_ok
 FROM src
 """,
+        "chi2_events_type_bucket": r"""
+WITH c AS (
+  SELECT event_type, user_id % 8 AS cohort, COUNT(*) AS observed
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT a.event_type, b.cohort
+  FROM (SELECT DISTINCT event_type FROM c) a
+  CROSS JOIN (SELECT DISTINCT cohort FROM c) b),
+g AS (
+  SELECT grid.event_type, grid.cohort, COALESCE(c.observed, 0) AS observed
+  FROM grid LEFT JOIN c USING (event_type, cohort)),
+tot AS (SELECT CAST(SUM(observed) AS DOUBLE) AS n FROM g),
+ra AS (SELECT event_type, CAST(SUM(observed) AS DOUBLE) AS rt FROM g GROUP BY 1),
+cb AS (SELECT cohort, CAST(SUM(observed) AS DOUBLE) AS ct FROM g GROUP BY 1),
+e AS (
+  SELECT g.event_type, g.cohort, g.observed,
+         ra.rt * cb.ct / tot.n AS expected
+  FROM g JOIN ra USING (event_type) JOIN cb USING (cohort) CROSS JOIN tot)
+SELECT event_type, cohort, observed,
+       ROUND(expected, 6) AS expected6,
+       ROUND(((observed - expected) * (observed - expected)) / expected, 6) AS contrib6
+FROM e
+""",
         "scalar_lineitem": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
        '`l_quantity`: Input should be less than or equal to 30' AS reason

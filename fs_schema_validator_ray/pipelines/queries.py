@@ -873,6 +873,33 @@ def entropy_lang_by_source(sf_dir: str):
     return group_entropy(ds, "source", "lang")
 
 
+def chi2_events_type_bucket(sf_dir: str):
+    """Pearson chi-square independence test between event type and a
+    deterministic user cohort (``user_id % 8``) — categorical drift
+    check beyond KS/PSI; integer count combiner + one tiny float pass,
+    ROUND(·,6) protocol (``stages/agg.py::chi2_independence``) —
+    oracle-checked per cell."""
+    from fs_schema_validator_ray.stages.agg import chi2_independence
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def cohort(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cohort": pc.cast(
+                    pc.bit_wise_and(t.column("user_id"), 7), pa.int64()
+                ),
+            }
+        )
+
+    return chi2_independence(
+        ds.map_batches(cohort, batch_format="pyarrow"), "event_type", "cohort"
+    )
+
+
 def histogram_orders_totalprice(sf_dir: str):
     """Equi-width histogram of order totals in $20k bins: exact per-bin
     count / min / max cents (``stages/agg.py::histogram_fixed_width``) —
@@ -4023,6 +4050,7 @@ rules:
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
     "audio_levels_contract": audio_levels_contract,
+    "chi2_events_type_bucket": chi2_events_type_bucket,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

@@ -1372,6 +1372,76 @@ def group_entropy(ds, group_column: str, category_column: str):
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
+def chi2_independence(ds, col_a: str, col_b: str):
+    """Pearson chi-square test of independence between two categorical
+    columns — the distribution-drift companion to the KS/PSI gates
+    (``pipelines/stats.py``): does the category mix of ``col_b`` differ
+    across ``col_a`` strata?
+
+    Per-cell output ``(col_a, col_b, observed, expected6, contrib6)``
+    where ``expected = row_total·col_total/n`` and ``contrib =
+    (observed−expected)²/expected`` — the statistic is ``SUM(contrib)``
+    with ``dof = (R−1)(C−1)``. All heavy work is the integer
+    ``group_sum`` combiner (one pruned shuffle of partial counts); the
+    float math runs once on the tiny cells×1 table, ROUND(·,6) protocol
+    so both engines hash identically (same as ``group_entropy``).
+    Cardinality assumption: cells = |A|×|B| rows fit in one partition —
+    categorical by definition, KBs."""
+    from fs_schema_validator_ray.state.sketches import key_codes
+
+    counts = group_sum(ds.select_columns([col_a, col_b]), [col_a, col_b], [])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    col_a: t.column(col_a).slice(0, 0),
+                    col_b: t.column(col_b).slice(0, 0),
+                    "observed": pa.array([], pa.int64()),
+                    "expected6": pa.array([], pa.float64()),
+                    "contrib6": pa.array([], pa.float64()),
+                }
+            )
+        obs_in = np.asarray(t.column("n"), dtype=np.int64)
+        acode = key_codes(t.column(col_a).combine_chunks())
+        bcode = key_codes(t.column(col_b).combine_chunks())
+        ua, ai = np.unique(acode, return_inverse=True)
+        ub, bi = np.unique(bcode, return_inverse=True)
+        nr, nc = len(ua), len(ub)
+        # DENSE R×C grid — zero-observed cells contribute (0−e)²/e = e
+        # to the statistic and must be emitted (and are, by the oracle's
+        # distinct-grid LEFT JOIN)
+        dense = np.zeros((nr, nc), np.int64)
+        dense[ai, bi] = obs_in
+        row_tot = dense.sum(axis=1).astype(np.float64)
+        col_tot = dense.sum(axis=0).astype(np.float64)
+        n = float(dense.sum())
+        expected = row_tot[:, None] * col_tot[None, :] / n
+        obs = dense.ravel()
+        d = obs - expected.ravel()
+        contrib = d * d / expected.ravel()
+        # representative input row per category code (any occurrence)
+        a_first = np.zeros(nr, np.int64)
+        a_first[ai] = np.arange(len(ai))
+        b_first = np.zeros(nc, np.int64)
+        b_first[bi] = np.arange(len(bi))
+        a_idx = np.repeat(a_first, nc)
+        b_idx = np.tile(b_first, nr)
+        return pa.table(
+            {
+                col_a: t.column(col_a).take(pa.array(a_idx, pa.int64())),
+                col_b: t.column(col_b).take(pa.array(b_idx, pa.int64())),
+                "observed": pa.array(obs, pa.int64()),
+                "expected6": pa.array(
+                    np.round(expected.ravel(), 6), pa.float64()
+                ),
+                "contrib6": pa.array(np.round(contrib, 6), pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def group_string_agg(
     ds, key_column: str, value_column: str, sep: str = ",", n_buckets=None
 ):

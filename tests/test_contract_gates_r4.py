@@ -342,3 +342,33 @@ def test_audio_levels_contract_closed_form(ray_session):
         for r in res.itertuples()
     )
     assert got == exp
+
+
+def test_chi2_independence_ground_truth(ray_session):
+    """chi2_independence equals the dense pandas-crosstab computation on
+    a planted-dependence table, and is ~0 for an independent one."""
+    import pandas as pd
+
+    from fs_schema_validator_ray.stages.agg import chi2_independence
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 3, 6000)
+    # dependent: b correlates with a; independent: uniform
+    b_dep = (a + rng.integers(0, 2, 6000)) % 4
+    df = pd.DataFrame({"a": a.astype(str), "b": b_dep})
+    ds = ray.data.from_pandas(df)
+    cells = chi2_independence(ds, "a", "b").to_pandas()
+
+    ct = pd.crosstab(df["a"], df["b"])
+    exp = np.outer(ct.sum(1), ct.sum(0)) / ct.values.sum()
+    chi2_ref = (((ct.values - exp) ** 2) / exp).sum()
+    assert abs(cells["contrib6"].sum() - chi2_ref) < 1e-3
+    assert len(cells) == ct.size  # dense grid incl. zero-observed cells
+    assert (cells["observed"].sum()) == 6000
+    assert chi2_ref > 100  # the dependence is real
+
+    b_ind = rng.integers(0, 4, 6000)
+    df2 = pd.DataFrame({"a": a.astype(str), "b": b_ind})
+    cells2 = chi2_independence(ray.data.from_pandas(df2), "a", "b").to_pandas()
+    # independent draw: statistic near dof=(3-1)(4-1)=6, far below 100
+    assert cells2["contrib6"].sum() < 30
