@@ -900,6 +900,76 @@ def chi2_events_type_bucket(sf_dir: str):
     )
 
 
+def pagerank_parts(sf_dir: str):
+    """PageRank over the part co-order graph (parts are linked when they
+    appear in the same order) — the link-analysis centrality a curation
+    pipeline uses to weight canonical documents. Edge generation is ONE
+    hash-bucket shuffle of the two pruned lineitem columns with a fully
+    vectorized ragged all-pairs expansion per order segment (no per-order
+    Python); ranking is ``stages/graph.py::pagerank`` (broadcast-rank
+    power iteration, sparse per-block partials, fixed-point gated).
+    Rows-only: iterative float fixed point is not SQL-expressible;
+    ground-truth gated in pytest vs a dense numpy power iteration."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.stages.graph import pagerank
+    from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_buckets = default_n_buckets(ds)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("l_orderkey"), np.int64)
+        return t.append_column(
+            "__bucket", pa.array(mix_to_buckets(hash64(ok), n_buckets))
+        )
+
+    def expand_pairs(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("l_orderkey"), np.int64)
+        pk = np.asarray(t.column("l_partkey"), np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        lens = np.diff(np.append(starts, len(ok)))
+        # ragged all-pairs per segment, vectorized: pair p of segment g
+        # maps to (local_i, local_j) = (p // L_g, p % L_g)
+        sq = lens * lens
+        total = int(sq.sum())
+        if total == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"src": empty, "dst": empty})
+        off = np.repeat(starts, sq)
+        lrep = np.repeat(lens, sq)
+        p = np.arange(total) - np.repeat(np.cumsum(sq) - sq, sq)
+        src = pk[off + p // lrep]
+        dst = pk[off + p % lrep]
+        keep = src != dst  # drop self-pairs (incl. same part twice/order)
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    edges = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(expand_pairs, batch_format="pyarrow")
+    )
+    ranked = pagerank(edges, "src", "dst", damping=0.85)
+    # round-6 protocol: distributed float reduce order is run-dependent
+    # at the last ulp; ranks are stable far above 1e-6
+    def round6(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank6": pc.round(t.column("rank"), ndigits=6),
+            }
+        )
+
+    return ranked.map_batches(round6, batch_format="pyarrow")
+
+
 def histogram_orders_totalprice(sf_dir: str):
     """Equi-width histogram of order totals in $20k bins: exact per-bin
     count / min / max cents (``stages/agg.py::histogram_fixed_width``) —
@@ -4051,6 +4121,7 @@ rules:
 QUERIES = {
     "audio_levels_contract": audio_levels_contract,
     "chi2_events_type_bucket": chi2_events_type_bucket,
+    "pagerank_parts": pagerank_parts,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

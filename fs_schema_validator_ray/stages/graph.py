@@ -217,3 +217,131 @@ def connected_components(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter too large — raise max_rounds)"
     )
+
+
+def pagerank(
+    edges,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 50,
+    tol: float = 1e-12,
+):
+    """Distributed PageRank over an edge Dataset (broadcast-rank power
+    iteration) → Dataset of ``(node, rank)``, ranks summing to 1.
+
+    Layout: node ids are coded once (driver holds the unique-node table —
+    the rank VECTOR must fit one machine, the standing assumption of
+    broadcast PageRank; the co-partitioned rank-join is the >10⁸-node
+    upgrade path, same switchover pattern as
+    ``textindex.py::unigram_logprob_copartitioned``). Edges are coded and
+    ``materialize()``-d once (iterative reuse — Ray Data branches
+    re-execute their input otherwise, the ``connected_components``
+    convention). Each round broadcasts the per-node outgoing mass via
+    ``ray.put`` (read zero-copy in every task, never re-shipped per
+    batch) and runs ONE ``map_batches`` over the edge blocks emitting
+    per-block SPARSE partial sums (block-local dense ``bincount`` →
+    nonzero), reduced by a tiny pre-aggregated ``groupby().sum()``
+    shuffle; the driver applies teleport + dangling mass closed-form.
+    Multi-edges count with multiplicity; self-loops are legal. Stops at
+    L1 change < ``tol`` (a fixed-point gate, not an iteration-count
+    guess); raises if not converged within ``max_iter``."""
+    import ray
+    import ray.data
+
+    edges = edges.select_columns([src_column, dst_column]).materialize()
+
+    # --- code the node space once (driver-held, bounded by n_nodes) ---
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [
+                t.column(src_column).combine_chunks(),
+                t.column(dst_column).combine_chunks(),
+            ]
+        ).combine_chunks()
+        both = pc.unique(both.filter(pc.is_valid(both)))
+        return pa.table({"node": both})
+
+    # Dataset.unique() collects the distinct values to the driver — the
+    # node table is exactly what broadcast PageRank must hold anyway
+    uniq = edges.map_batches(endpoints, batch_format="pyarrow").unique("node")
+    node_col = pa.array(sorted(uniq or []))
+    n_nodes = len(node_col)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": node_col, "rank": pa.array([], pa.float64())})
+        )
+    lookup_ref = ray.put(node_col)
+
+    def code(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        s = pc.index_in(t.column(src_column).combine_chunks(), value_set=lk)
+        d = pc.index_in(t.column(dst_column).combine_chunks(), value_set=lk)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        return pa.table(
+            {
+                "scode": pc.cast(s, pa.int64()).filter(ok),
+                "dcode": pc.cast(d, pa.int64()).filter(ok),
+            }
+        )
+
+    coded = edges.map_batches(code, batch_format="pyarrow").materialize()
+
+    # out-degree (with multiplicity): one pre-aggregated shuffle
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("scode"), np.int64)
+        dense = np.bincount(s, minlength=0)
+        nz = np.flatnonzero(dense)
+        return pa.table(
+            {"scode": pa.array(nz, pa.int64()), "cnt": pa.array(dense[nz], pa.int64())}
+        )
+
+    outdeg = np.zeros(n_nodes, np.float64)
+    for row in (
+        coded.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("scode")
+        .sum("cnt")
+        .iter_rows()
+    ):
+        outdeg[row["scode"]] = row["sum(cnt)"]
+    dangling = outdeg == 0
+
+    rank = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(max_iter):
+        # per-node outgoing mass, pre-divided so tasks only gather+sum
+        mass = np.where(dangling, 0.0, rank / np.maximum(outdeg, 1.0))
+        mass_ref = ray.put(mass)
+
+        def contrib(t: pa.Table, _ref=mass_ref, _n=n_nodes) -> pa.Table:
+            m = ray.get(_ref)
+            s = np.asarray(t.column("scode"), np.int64)
+            d = np.asarray(t.column("dcode"), np.int64)
+            dense = np.bincount(d, weights=m[s], minlength=_n)
+            nz = np.flatnonzero(dense)
+            return pa.table(
+                {"dcode": pa.array(nz, pa.int64()), "w": pa.array(dense[nz], pa.float64())}
+            )
+
+        inflow = np.zeros(n_nodes, np.float64)
+        for row in (
+            coded.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dcode")
+            .sum("w")
+            .iter_rows()
+        ):
+            inflow[row["dcode"]] = row["sum(w)"]
+
+        dangling_mass = float(rank[dangling].sum())
+        new_rank = (1.0 - damping) / n_nodes + damping * (
+            inflow + dangling_mass / n_nodes
+        )
+        delta = float(np.abs(new_rank - rank).sum())
+        rank = new_rank
+        if delta < tol:
+            return ray.data.from_arrow(
+                pa.table({"node": node_col, "rank": pa.array(rank, pa.float64())})
+            )
+    raise RuntimeError(
+        f"pagerank did not converge in {max_iter} iterations (last L1 delta "
+        f"{delta:.3e} ≥ tol {tol:.1e})"
+    )

@@ -98,3 +98,68 @@ def test_cc_large_random_graph_matches_reference(ray_session):
     want = {int(n): min(members) for root, members in expect.items() for n in members}
     got = dict(zip(out["node"].astype(int), out["cluster_id"].astype(int)))
     assert got == want
+
+
+def test_pagerank_vs_dense_power_iteration(ray_session):
+    """pagerank matches the dense numpy fixed point on a graph with a
+    hub, a cycle, a dangling node and a multi-edge."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import pagerank
+
+    edges = [
+        (0, 1), (0, 2), (0, 3),          # hub out
+        (1, 0), (2, 0), (3, 0),          # back-links
+        (1, 2), (2, 3),                  # cycle-ish
+        (4, 0), (4, 0),                  # multi-edge into the hub
+        (3, 5),                          # 5 is dangling (no out-edges)
+    ]
+    import pandas as pd
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    ).repartition(3)
+    got = (
+        pagerank(ds, "src", "dst", damping=0.85)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    n = 6
+    M = np.zeros((n, n))
+    for s, d in edges:
+        M[d, s] += 1.0
+    out = M.sum(axis=0)
+    dangling = out == 0
+    P = M / np.maximum(out, 1.0)  # dangling columns are all-zero already
+    r = np.full(n, 1.0 / n)
+    for _ in range(500):
+        r_new = 0.15 / n + 0.85 * (P @ r + r[dangling].sum() / n)
+        if np.abs(r_new - r).sum() < 1e-14:
+            break
+        r = r_new
+
+    assert got["node"].tolist() == list(range(n))
+    np.testing.assert_allclose(got["rank"].values, r, atol=1e-8)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    # the hub (0) dominates; multi-edge weight counted twice for node 4
+    assert got["rank"].idxmax() == 0
+
+
+def test_pagerank_string_nodes_and_empty(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import pagerank
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": ["a", "b"], "dst": ["b", "a"]})
+    )
+    got = pagerank(ds).to_pandas().sort_values("node")
+    np.testing.assert_allclose(got["rank"].values, [0.5, 0.5], atol=1e-10)
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.array([], dtype="int64"), "dst": pd.array([], dtype="int64")})
+    )
+    assert pagerank(empty).count() == 0
