@@ -85,6 +85,22 @@ SELECT event_type, cohort, observed,
        ROUND(((observed - expected) * (observed - expected)) / expected, 6) AS contrib6
 FROM e
 """,
+        "pack_documents_chars": r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id // 512 AS shard, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // 512 ORDER BY doc_id) AS rn
+  FROM documents),
+r AS (
+  SELECT shard, rn, doc_id, CAST(0 AS BIGINT) AS bin, n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id,
+         CASE WHEN r.fill + d.n_chars > 4096 THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill + d.n_chars > 4096 THEN d.n_chars
+              ELSE r.fill + d.n_chars END
+  FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+SELECT doc_id, shard, bin, fill FROM r
+""",
         "scalar_lineitem": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
        '`l_quantity`: Input should be less than or equal to 30' AS reason

@@ -970,6 +970,18 @@ def pagerank_parts(sf_dir: str):
     return ranked.map_batches(round6, batch_format="pyarrow")
 
 
+def pack_documents_chars(sf_dir: str):
+    """Budgeted sequence packing of documents into 4096-char training
+    examples — next-fit per deterministic 512-id shard
+    (``stages/reshape.py::pack_next_fit``); globally deterministic
+    ``(shard, bin)`` example keys, oracle-checked against a recursive-CTE
+    derivation of the same greedy recurrence."""
+    from fs_schema_validator_ray.stages.reshape import pack_next_fit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_next_fit(ds, "doc_id", "n_chars", capacity=4096, shard_size=512)
+
+
 def histogram_orders_totalprice(sf_dir: str):
     """Equi-width histogram of order totals in $20k bins: exact per-bin
     count / min / max cents (``stages/agg.py::histogram_fixed_width``) —
@@ -4122,6 +4134,7 @@ QUERIES = {
     "audio_levels_contract": audio_levels_contract,
     "chi2_events_type_bucket": chi2_events_type_bucket,
     "pagerank_parts": pagerank_parts,
+    "pack_documents_chars": pack_documents_chars,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

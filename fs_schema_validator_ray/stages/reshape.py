@@ -149,3 +149,84 @@ def standardize_columns(ds, columns: list[str], id_columns: list[str]):
         return pa.table(out)
 
     return ds.select_columns(cols).map_batches(transform, batch_format="pyarrow")
+
+
+def pack_next_fit(
+    ds,
+    id_column: str,
+    cost_column: str,
+    capacity: int,
+    shard_size: int = 512,
+    n_buckets: int | None = None,
+):
+    """Budgeted sequence packing (the pre-training batch-shaping step:
+    fill each training example up to ``capacity`` tokens/chars from
+    consecutive documents): NEXT-FIT over ``id_column`` order within
+    deterministic shards of ``shard_size`` ids → ``(id, shard, bin,
+    fill)`` where ``bin`` increments whenever adding the next item would
+    overflow ``capacity`` and ``fill`` is the bin's running cost after
+    the item. Oversize items (cost > capacity) occupy a bin alone.
+
+    Packing is inherently sequential, so the 100-TB layout packs each
+    shard independently (``shard = id // shard_size``, a deterministic
+    key — NOT Ray block boundaries, which are execution-dependent): one
+    pruned two-column shuffle co-locates a shard, the greedy scan runs
+    per shard (bounded ≤ ``shard_size`` rows — irreducible, same verdict
+    as ``group_string_agg``'s per-key tail), shards pack in parallel,
+    and ``(shard, bin)`` is a globally deterministic training-example
+    key. Exactly the recursive-CTE derivation the oracle runs."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+    cap = int(capacity)
+
+    ds = ds.select_columns([id_column, cost_column])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column), np.int64)
+        shard = ids // shard_size
+        return pa.table(
+            {
+                id_column: t.column(id_column),
+                cost_column: t.column(cost_column),
+                "__shard": pa.array(shard, pa.int64()),
+                "__bucket": pa.array(mix_to_buckets(hash64(shard), n_buckets)),
+            }
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column), np.int64)
+        cost = np.asarray(t.column(cost_column), np.int64)
+        shard = np.asarray(t.column("__shard"), np.int64)
+        order = np.lexsort((ids, shard))
+        ids, cost, shard = ids[order], cost[order], shard[order]
+        new_shard = np.concatenate([[True], shard[1:] != shard[:-1]])
+        bins = np.empty(len(ids), np.int64)
+        fills = np.empty(len(ids), np.int64)
+        b = fill = 0
+        for i in range(len(ids)):
+            c = int(cost[i])
+            if new_shard[i]:
+                b, fill = 0, c
+            elif fill + c > cap:
+                b, fill = b + 1, c
+            else:
+                fill += c
+            bins[i] = b
+            fills[i] = fill
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+                "bin": pa.array(bins, pa.int64()),
+                "fill": pa.array(fills, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pack, batch_format="pyarrow")
+    )

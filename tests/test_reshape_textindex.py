@@ -513,3 +513,49 @@ def test_unigram_copartitioned_parity(ray_session):
     }
     for k in broadcast:
         assert forced[k] == pytest.approx(broadcast[k], abs=1e-10)
+
+
+def test_pack_next_fit_greedy_spec(ray_session):
+    """The greedy next-fit properties UNIQUELY determine the packing:
+    (1) per-shard bins start at 0 and are non-decreasing in id order,
+    (2) a bin's total never exceeds capacity unless it is a single
+        oversize item,
+    (3) the first item of every bin b>0 would have overflowed bin b-1,
+    (4) fill is the running in-bin cumulative cost."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.reshape import pack_next_fit
+
+    rng = np.random.default_rng(11)
+    n, cap = 3000, 1000
+    ids = np.arange(n)
+    cost = rng.integers(1, 700, n)
+    cost[rng.choice(n, 5, replace=False)] = 1500  # oversize items
+    ds = ray.data.from_pandas(pd.DataFrame({"id": ids, "cost": cost})).repartition(7)
+    out = (
+        pack_next_fit(ds, "id", "cost", capacity=cap, shard_size=256)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert (out["shard"].values == ids // 256).all()
+    cost_by_id = dict(zip(ids, cost))
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("id")
+        b = g["bin"].values
+        assert b[0] == 0
+        assert ((np.diff(b) == 0) | (np.diff(b) == 1)).all()
+        fill = 0
+        prev_bin = -1
+        for _, row in g.iterrows():
+            c = cost_by_id[row["id"]]
+            if row["bin"] != prev_bin:
+                assert prev_bin == -1 or fill + c > cap  # (3)
+                fill = c
+                prev_bin = row["bin"]
+            else:
+                fill += c
+                assert fill <= cap or c > cap  # (2) via (4)
+            assert row["fill"] == fill  # (4)
