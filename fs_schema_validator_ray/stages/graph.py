@@ -224,8 +224,9 @@ def pagerank(
     src_column: str = "src",
     dst_column: str = "dst",
     damping: float = 0.85,
-    max_iter: int = 50,
-    tol: float = 1e-12,
+    max_iter: int = 200,
+    tol: float = 1e-9,
+    driver_pin_max: int = 5_000_000,
 ):
     """Distributed PageRank over an edge Dataset (broadcast-rank power
     iteration) → Dataset of ``(node, rank)``, ranks summing to 1.
@@ -234,15 +235,17 @@ def pagerank(
     the rank VECTOR must fit one machine, the standing assumption of
     broadcast PageRank; the co-partitioned rank-join is the >10⁸-node
     upgrade path, same switchover pattern as
-    ``textindex.py::unigram_logprob_copartitioned``). Edges are coded and
-    ``materialize()``-d once (iterative reuse — Ray Data branches
-    re-execute their input otherwise, the ``connected_components``
-    convention). Each round broadcasts the per-node outgoing mass via
-    ``ray.put`` (read zero-copy in every task, never re-shipped per
-    batch) and runs ONE ``map_batches`` over the edge blocks emitting
-    per-block SPARSE partial sums (block-local dense ``bincount`` →
-    nonzero), reduced by a tiny pre-aggregated ``groupby().sum()``
-    shuffle; the driver applies teleport + dangling mass closed-form.
+    ``textindex.py::unigram_logprob_copartitioned``). Coded edges are
+    pinned in the object store ONCE; each of the ~``log(tol)/log(d)``
+    rounds broadcasts the per-node outgoing mass via ``ray.put`` (read
+    zero-copy in every task, never re-shipped per batch) and runs one
+    raw-``@ray.remote`` wave over the pinned blocks emitting SPARSE
+    per-block partial sums (block-local dense ``bincount`` → nonzero),
+    merged on the driver with teleport + dangling mass closed-form —
+    iterative fixed-point loops are the documented escape hatch from the
+    Dataset API (per-round Dataset scheduling would dominate the wall).
+    Edge sets ≤ ``driver_pin_max`` rows skip the task wave entirely
+    (same small-side pin convention as ``dedup.py``'s verify path).
     Multi-edges count with multiplicity; self-loops are legal. Stops at
     L1 change < ``tol`` (a fixed-point gate, not an iteration-count
     guess); raises if not converged within ``max_iter``."""
@@ -285,51 +288,69 @@ def pagerank(
             }
         )
 
-    coded = edges.map_batches(code, batch_format="pyarrow").materialize()
+    # Pin the coded edge blocks ONCE as object-store refs. ~100 rounds of
+    # per-iteration Dataset scheduling would dominate wall time; iterating
+    # over pinned blocks with raw @ray.remote tasks is the documented
+    # escape hatch for fixed-point loops the Dataset API can't express.
+    @ray.remote
+    def _table_len(tab: pa.Table) -> int:
+        return len(tab)
 
-    # out-degree (with multiplicity): one pre-aggregated shuffle
-    def deg_partial(t: pa.Table) -> pa.Table:
-        s = np.asarray(t.column("scode"), np.int64)
-        dense = np.bincount(s, minlength=0)
+    coded_refs = edges.map_batches(code, batch_format="pyarrow").to_arrow_refs()
+    blocks = None
+    n_edges = int(
+        sum(ray.get([_table_len.remote(r) for r in coded_refs])) if coded_refs else 0
+    )
+    if n_edges <= driver_pin_max:
+        # small-edge pin (like dedup.py's <200k-doc materialize pin): the
+        # whole per-iteration pass is two bincounts — local beats 32 RPCs
+        tabs = [t for t in ray.get(list(coded_refs)) if len(t)]
+        if tabs:
+            t = pa.concat_tables(tabs).combine_chunks()
+            blocks = (
+                np.asarray(t.column("scode"), np.int64),
+                np.asarray(t.column("dcode"), np.int64),
+            )
+        else:
+            blocks = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+    @ray.remote
+    def _block_partial(tab: pa.Table, mass: np.ndarray, n: int):
+        s = np.asarray(tab.column("scode"), np.int64)
+        d = np.asarray(tab.column("dcode"), np.int64)
+        dense = np.bincount(d, weights=mass[s], minlength=n)
         nz = np.flatnonzero(dense)
-        return pa.table(
-            {"scode": pa.array(nz, pa.int64()), "cnt": pa.array(dense[nz], pa.int64())}
-        )
+        return nz, dense[nz]
 
-    outdeg = np.zeros(n_nodes, np.float64)
-    for row in (
-        coded.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("scode")
-        .sum("cnt")
-        .iter_rows()
-    ):
-        outdeg[row["scode"]] = row["sum(cnt)"]
+    @ray.remote
+    def _block_outdeg(tab: pa.Table, n: int):
+        s = np.asarray(tab.column("scode"), np.int64)
+        return np.bincount(s, minlength=n)
+
+    if blocks is not None:
+        scode, dcode = blocks
+        outdeg = np.bincount(scode, minlength=n_nodes).astype(np.float64)
+    else:
+        outdeg = sum(
+            ray.get([_block_outdeg.remote(r, n_nodes) for r in coded_refs])
+        ).astype(np.float64)
     dangling = outdeg == 0
 
     rank = np.full(n_nodes, 1.0 / n_nodes)
     for _ in range(max_iter):
         # per-node outgoing mass, pre-divided so tasks only gather+sum
         mass = np.where(dangling, 0.0, rank / np.maximum(outdeg, 1.0))
-        mass_ref = ray.put(mass)
-
-        def contrib(t: pa.Table, _ref=mass_ref, _n=n_nodes) -> pa.Table:
-            m = ray.get(_ref)
-            s = np.asarray(t.column("scode"), np.int64)
-            d = np.asarray(t.column("dcode"), np.int64)
-            dense = np.bincount(d, weights=m[s], minlength=_n)
-            nz = np.flatnonzero(dense)
-            return pa.table(
-                {"dcode": pa.array(nz, pa.int64()), "w": pa.array(dense[nz], pa.float64())}
-            )
-
-        inflow = np.zeros(n_nodes, np.float64)
-        for row in (
-            coded.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dcode")
-            .sum("w")
-            .iter_rows()
-        ):
-            inflow[row["dcode"]] = row["sum(w)"]
+        if blocks is not None:
+            inflow = np.bincount(
+                dcode, weights=mass[scode], minlength=n_nodes
+            ).astype(np.float64)
+        else:
+            mass_ref = ray.put(mass)  # zero-copy read in every task
+            inflow = np.zeros(n_nodes, np.float64)
+            for nz, w in ray.get(
+                [_block_partial.remote(r, mass_ref, n_nodes) for r in coded_refs]
+            ):
+                inflow[nz] += w
 
         dangling_mass = float(rank[dangling].sum())
         new_rank = (1.0 - damping) / n_nodes + damping * (

@@ -163,3 +163,29 @@ def test_pagerank_string_nodes_and_empty(ray_session):
         pd.DataFrame({"src": pd.array([], dtype="int64"), "dst": pd.array([], dtype="int64")})
     )
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_distributed_path_matches_pinned(ray_session):
+    """Forcing the raw-task wave (driver_pin_max=0) gives the same fixed
+    point as the driver-pinned path — the switchover parity gate."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 40, 600), "dst": rng.integers(0, 40, 600)}
+    )
+    ds = ray.data.from_pandas(edges).repartition(5)
+    pinned = (
+        pagerank(ds, "src", "dst").to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    waved = (
+        pagerank(ds, "src", "dst", driver_pin_max=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert pinned["node"].tolist() == waved["node"].tolist()
+    np.testing.assert_allclose(pinned["rank"].values, waved["rank"].values, atol=1e-12)
