@@ -93,6 +93,11 @@ HEADLINE_QUERIES = [
     "asset_validate_corpus",
     "audio_flac_roundtrip_contract",
     "audio_transcode_flac_clips",
+    # round-4 continuation-3 additions
+    "audio_levels_contract",
+    "chi2_events_type_bucket",
+    "pagerank_parts",
+    "pack_documents_chars",
 ]
 
 

@@ -125,6 +125,11 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
         self.pos = 0
+        # one-bit index, built once: read_unary is a binary search, and
+        # the Rice partition decoder walks it vectorized — the naive
+        # flatnonzero(bits[p:]) per unary code was O(stream) each,
+        # O(stream²) per subframe (measured 52 s / 30 clips)
+        self.ones = np.flatnonzero(self.bits)
 
     def read(self, n: int) -> int:
         p = self.pos
@@ -137,13 +142,64 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
-        p = self.pos
-        bits = self.bits
-        nz = np.flatnonzero(bits[p:])
-        if not len(nz):
+        j = int(np.searchsorted(self.ones, self.pos))
+        if j >= len(self.ones):
             raise FlacError("bitstream exhausted in unary run")
-        q = int(nz[0])
-        self.pos = p + q + 1
+        q = int(self.ones[j]) - self.pos
+        self.pos = int(self.ones[j]) + 1
+        return q
+
+    def gather_fixed(self, start: int, n: int, width: int) -> np.ndarray:
+        """Vectorized read of ``n`` consecutive ``width``-bit fields
+        starting at bit ``start`` → int64 array (advances ``pos``)."""
+        end = start + n * width
+        if end > len(self.bits):
+            raise FlacError("bitstream exhausted")
+        self.pos = end
+        if n == 0 or width == 0:
+            return np.zeros(n, np.int64)
+        f = self.bits[start:end].astype(np.int64).reshape(n, width)
+        return f @ (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+
+    def rice_partition(self, n: int, k: int) -> np.ndarray:
+        """Vectorized decode of ``n`` Rice(k) codes at ``pos`` → the
+        (q << k) | payload values as int64. Terminator one-bits are
+        found by walking a searchsorted jump table over the ones index
+        (each step lands past the k payload bits), so the only per-code
+        Python is a list-index hop; quotients and payloads are then
+        gathered in bulk."""
+        ones = self.ones
+        m0 = int(np.searchsorted(ones, self.pos))
+        if m0 >= len(ones):
+            raise FlacError("bitstream exhausted in unary run")
+        tail = ones[m0:]
+        # jump[m] = index (into tail) of the first one ≥ tail[m]+1+k
+        jump = np.searchsorted(tail, tail + (k + 1)).tolist()
+        tl = tail.tolist()
+        cur = 0
+        term = [0] * n
+        try:
+            for i in range(n):
+                term[i] = tl[cur]
+                cur = jump[cur]
+        except IndexError:
+            raise FlacError("bitstream exhausted in unary run") from None
+        t = np.asarray(term, np.int64)
+        if int(t[-1]) + 1 + k > len(self.bits):
+            raise FlacError("bitstream exhausted")
+        starts = np.empty(n, np.int64)
+        starts[0] = self.pos
+        if n > 1:
+            starts[1:] = t[:-1] + 1 + k
+        q = t - starts
+        if k:
+            f = self.bits
+            payload = np.zeros(n, np.int64)
+            for j in range(k):
+                payload = (payload << 1) | f[t + 1 + j]
+            self.pos = int(t[-1]) + 1 + k
+            return (q << k) | payload
+        self.pos = int(t[-1]) + 1
         return q
 
     def byte_pos(self) -> int:
@@ -373,18 +429,16 @@ def _decode_residual(br: _BitReader, bs: int, pred_order: int) -> np.ndarray:
     for p in range(n_part):
         n = (bs >> po) - (pred_order if p == 0 else 0)
         k = br.read(plen)
-        if k == (1 << plen) - 1:  # raw escape
+        if n == 0:
+            continue
+        if k == (1 << plen) - 1:  # raw escape: n fixed-width fields
             nbits = br.read(5)
-            for i in range(n):
-                v = br.read(nbits)
-                if v >= 1 << (nbits - 1):  # sign extend
-                    v -= 1 << nbits
-                out[at + i] = v
+            v = br.gather_fixed(br.pos, n, nbits)
+            v -= (v >= (1 << (nbits - 1))).astype(np.int64) << nbits  # sign
+            out[at : at + n] = v
         else:
-            for i in range(n):
-                q = br.read_unary()
-                r = br.read(k) if k else 0
-                out[at + i] = _unzigzag((q << k) | r)
+            u = br.rice_partition(n, k)
+            out[at : at + n] = (u >> 1) ^ -(u & 1)  # vector unzigzag
         at += n
     return out
 
