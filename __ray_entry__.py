@@ -101,6 +101,20 @@ r AS (
   FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
 SELECT doc_id, shard, bin, fill FROM r
 """,
+        "embedding_validate_contract": r"""
+WITH m AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 13
+              THEN list_slice(embedding, 1, len(embedding) - 3)
+              ELSE embedding END AS v,
+         NOT (vec_id % 89 = 7 AND vec_id % 97 <> 13) AS fin
+  FROM embeddings)
+SELECT vec_id, len(v) AS dim, len(v) = 64 AS dim_ok, fin AS finite_ok,
+       CASE WHEN fin THEN
+         ROUND(sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * x))), 6)
+       END AS norm6
+FROM m
+""",
         "scalar_lineitem": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
        '`l_quantity`: Input should be less than or equal to 30' AS reason

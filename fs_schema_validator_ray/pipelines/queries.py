@@ -900,6 +900,48 @@ def chi2_events_type_bucket(sf_dir: str):
     )
 
 
+def embedding_validate_contract(sf_dir: str):
+    """Embedding-column validation CONTRACT gate (the multimodal-typed
+    analogue of the reference's per-field payload rules): dimension,
+    finiteness and L2-norm checks over the embeddings table with PLANTED
+    mutations — every ``vec_id % 97 == 13`` vector loses its last 3
+    elements (dimension violation) and every other ``vec_id % 89 == 7``
+    vector gets a NaN at element 0 (finiteness violation) — so all three
+    verdicts are closed-form index functions; the norm of the mutated
+    vectors is recomputed by the oracle on the same ``list_slice``
+    (ROUND(·,6) protocol). Stage: ``similarity.py::validate_embeddings``
+    (stateless vectorized map_batches)."""
+    from fs_schema_validator_ray.stages.similarity import validate_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t.column("vec_id"), np.int64)
+        col = t.column("embedding").combine_chunks()
+        offsets = np.asarray(col.offsets, np.int64)
+        vals = np.asarray(col.values, np.float32).copy()
+        lens = offsets[1:] - offsets[:-1]
+        trunc = (vid % 97 == 13) & (lens >= 3)
+        nanm = (vid % 89 == 7) & ~trunc
+        new_lens = lens - np.where(trunc, 3, 0)
+        starts_new = np.concatenate([[0], np.cumsum(new_lens)[:-1]])
+        idx = (
+            np.arange(int(new_lens.sum()))
+            - np.repeat(starts_new, new_lens)
+            + np.repeat(offsets[:-1], new_lens)
+        )
+        nv = vals[idx]
+        nv[starts_new[nanm]] = np.nan
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(new_lens)]), pa.int32()),
+            pa.array(nv, pa.float32()),
+        )
+        return pa.table({"vec_id": t.column("vec_id"), "embedding": arr})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return validate_embeddings(planted, "embedding", "vec_id", expected_dim=64)
+
+
 def pagerank_parts(sf_dir: str):
     """PageRank over the part co-order graph (parts are linked when they
     appear in the same order) — the link-analysis centrality a curation
@@ -4135,6 +4177,7 @@ QUERIES = {
     "chi2_events_type_bucket": chi2_events_type_bucket,
     "pagerank_parts": pagerank_parts,
     "pack_documents_chars": pack_documents_chars,
+    "embedding_validate_contract": embedding_validate_contract,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from fs_schema_validator_ray.stages.dedup import _normalize, list_column_to_matrix
 
@@ -850,4 +851,56 @@ def topk_cosine_ivfpq(
     )
     return partials.groupby("query_id").map_groups(
         _final_topk(k, exclude_self), batch_format="pyarrow"
+    )
+
+
+def validate_embeddings(ds, vec_column: str, id_column: str, expected_dim: int):
+    """Embedding-column validation — the multimodal-typed analogue of the
+    reference's per-field payload checks (dimension = the declared-shape
+    rule, finiteness = the decode-sanity rule, norm = the value-range
+    stat): per row ``(id, dim, dim_ok, finite_ok, norm6)``. ``norm6`` is
+    NULL for non-finite rows; ROUND(·,6) float protocol. Stateless
+    vectorized ``map_batches`` — list offsets + one ``add.reduceat``
+    over the squared flat values per batch, no per-row Python."""
+
+    def check(t: pa.Table) -> pa.Table:
+        col = t.column(vec_column).combine_chunks()
+        # ListArray.values is the FULL child buffer — offsets are
+        # absolute into it, valid for sliced arrays too
+        offsets = np.asarray(col.offsets, np.int64)
+        vals = np.asarray(col.values, np.float64)
+        lens = offsets[1:] - offsets[:-1]
+        n = len(lens)
+        finite_flat = np.isfinite(vals)
+        cb = np.concatenate([[0], np.cumsum(~finite_flat)])
+        finite = (cb[offsets[1:]] - cb[offsets[:-1]]) == 0
+        sq = vals * vals
+        # NaN-safe segment sums: zero the non-finite entries (those rows
+        # report NULL anyway). reduceat = fresh sequential sum per
+        # segment — the same op order as the oracle's list_sum, so the
+        # ROUND(·,6) protocol has the full 1e-6 margin
+        sq[~finite_flat] = 0.0
+        sq = sq[: offsets[-1]]  # sliced arrays: child buffer may run past
+        if len(sq) == 0:
+            sumsq = np.zeros(n, np.float64)
+        else:
+            sumsq = np.add.reduceat(sq, np.minimum(offsets[:-1], len(sq) - 1))
+            sumsq[lens == 0] = 0.0
+        norm = np.round(np.sqrt(sumsq), 6)
+        return pa.table(
+            {
+                id_column: t.column(id_column),
+                "dim": pa.array(lens, pa.int64()),
+                "dim_ok": pa.array(lens == expected_dim),
+                "finite_ok": pa.array(finite),
+                "norm6": pc.if_else(
+                    pa.array(finite),
+                    pa.array(norm, pa.float64()),
+                    pa.nulls(n, pa.float64()),
+                ),
+            }
+        )
+
+    return ds.select_columns([id_column, vec_column]).map_batches(
+        check, batch_format="pyarrow"
     )

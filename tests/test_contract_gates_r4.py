@@ -372,3 +372,39 @@ def test_chi2_independence_ground_truth(ray_session):
     cells2 = chi2_independence(ray.data.from_pandas(df2), "a", "b").to_pandas()
     # independent draw: statistic near dof=(3-1)(4-1)=6, far below 100
     assert cells2["contrib6"].sum() < 30
+
+
+def test_validate_embeddings_edge_cases(ray_session):
+    """dim/finite/norm verdicts on crafted vectors: wrong dim, NaN, Inf,
+    empty list, exact norm."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import validate_embeddings
+
+    vecs = [
+        [3.0, 4.0],              # norm 5, dim ok
+        [1.0],                   # wrong dim
+        [float("nan"), 1.0],     # NaN
+        [float("inf"), 0.0],     # Inf
+        [],                      # empty: dim 0, finite (vacuous), norm 0
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        validate_embeddings(ray.data.from_arrow(t), "embedding", "vec_id", 2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out["dim"].tolist() == [2, 1, 2, 2, 0]
+    assert out["dim_ok"].tolist() == [True, False, True, True, False]
+    assert out["finite_ok"].tolist() == [True, True, False, False, True]
+    assert out["norm6"][0] == 5.0
+    assert np.isnan(out["norm6"][2]) and np.isnan(out["norm6"][3])
+    assert out["norm6"][4] == 0.0
