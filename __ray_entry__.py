@@ -115,6 +115,30 @@ SELECT vec_id, len(v) AS dim, len(v) = 64 AS dim_ok, fin AS finite_ok,
        END AS norm6
 FROM m
 """,
+        "schema_drift_orders": r"""
+WITH b AS (
+  SELECT CASE WHEN o_orderkey % 211 = 5 THEN NULL
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders),
+n AS (SELECT COUNT(*) AS n FROM orders),
+zb AS (SELECT COUNT(*) - COUNT(o_orderstatus) AS z FROM b)
+SELECT * FROM (VALUES
+  ('o_channel',       'added',        CAST(NULL AS VARCHAR), 'string',
+   CAST(NULL AS BIGINT), (SELECT n FROM n), CAST(NULL AS BIGINT), CAST(0 AS BIGINT)),
+  ('o_custkey',       'common',       'int64', 'int64',
+   (SELECT n FROM n), (SELECT n FROM n), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('o_orderdate',     'common',       'timestamp[us]', 'timestamp[us]',
+   (SELECT n FROM n), (SELECT n FROM n), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('o_orderkey',      'common',       'int64', 'int64',
+   (SELECT n FROM n), (SELECT n FROM n), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('o_orderpriority', 'removed',      'string', CAST(NULL AS VARCHAR),
+   (SELECT n FROM n), CAST(NULL AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+  ('o_orderstatus',   'common',       'string', 'string',
+   (SELECT n FROM n), (SELECT n FROM n), CAST(0 AS BIGINT), (SELECT z FROM zb)),
+  ('o_totalprice',    'type_changed', 'double', 'int64',
+   (SELECT n FROM n), (SELECT n FROM n), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) t("column", status, dtype_a, dtype_b, n_a, n_b, nulls_a, nulls_b)
+""",
         "scalar_lineitem": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
        '`l_quantity`: Input should be less than or equal to 30' AS reason

@@ -942,6 +942,56 @@ def embedding_validate_contract(sf_dir: str):
     return validate_embeddings(planted, "embedding", "vec_id", expected_dim=64)
 
 
+def schema_drift_orders(sf_dir: str):
+    """Schema + null-profile drift between two snapshots of orders — the
+    table-level validation the reference runs per-file against its YAML
+    schema, lifted to dataset snapshots (``pipelines/stats.py::
+    schema_drift``). Snapshot B is derived deterministically: the
+    priority column dropped (removed), a channel column added, totals
+    re-typed to int64 cents (type_changed) and every
+    ``o_orderkey % 211 == 5`` status nulled (null drift). Oracle
+    recomputes the same derivation's counts in SQL; the schema rows are
+    literal."""
+    from fs_schema_validator_ray.pipelines.stats import schema_drift
+
+    ds_a = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+
+    def snapshot_b(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = np.asarray(t.column("o_orderkey"), np.int64)
+        status = t.column("o_orderstatus").combine_chunks()
+        status = pc.if_else(
+            pa.array(ok % 211 == 5), pa.nulls(len(ok), pa.string()), status
+        )
+        channel = pa.array(np.where(ok % 2 == 0, "web", "store"))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderstatus": status,
+                "o_totalprice": cents,
+                "o_orderdate": t.column("o_orderdate"),
+                "o_channel": channel,
+            }
+        )
+
+    ds_b = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    ).map_batches(snapshot_b, batch_format="pyarrow")
+    return schema_drift(ds_a, ds_b)
+
+
 def pagerank_parts(sf_dir: str):
     """PageRank over the part co-order graph (parts are linked when they
     appear in the same order) — the link-analysis centrality a curation
@@ -4178,6 +4228,7 @@ QUERIES = {
     "pagerank_parts": pagerank_parts,
     "pack_documents_chars": pack_documents_chars,
     "embedding_validate_contract": embedding_validate_contract,
+    "schema_drift_orders": schema_drift_orders,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

@@ -408,3 +408,41 @@ def test_validate_embeddings_edge_cases(ray_session):
     assert out["norm6"][0] == 5.0
     assert np.isnan(out["norm6"][2]) and np.isnan(out["norm6"][3])
     assert out["norm6"][4] == 0.0
+
+
+def test_schema_drift_synthetic(ray_session):
+    """added/removed/type_changed/common statuses and null counting on
+    crafted snapshots."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.pipelines.stats import schema_drift
+
+    a = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([1.0, None, 3.0], pa.float64()),
+            "gone": pa.array(["x", "y", "z"]),
+        }
+    )
+    b = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1, 2], pa.int32()),  # re-typed
+            "new": pa.array([None, "w"], pa.string()),
+        }
+    )
+    out = (
+        schema_drift(ray.data.from_arrow(a), ray.data.from_arrow(b))
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["id", "status"] == "common"
+    assert out.loc["v", "status"] == "type_changed"
+    assert (out.loc["v", "dtype_a"], out.loc["v", "dtype_b"]) == ("double", "int32")
+    assert out.loc["gone", "status"] == "removed"
+    assert out.loc["new", "status"] == "added"
+    assert out.loc["v", "nulls_a"] == 1 and out.loc["new", "nulls_b"] == 1
+    assert out.loc["id", "n_a"] == 3 and out.loc["id", "n_b"] == 2
+    assert pd.isna(out.loc["gone", "n_b"]) and pd.isna(out.loc["new", "n_a"])
