@@ -185,3 +185,143 @@ def encode_avi(frames, fps: int = 10, quality: int = 85) -> bytes:
     movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- YUV4MPEG2 (.y4m) — uncompressed video, the interchange format ----------
+
+
+def _full_range_yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 (JPEG-style, matching C420jpeg chroma), nearest
+    upsampling for subsampled chroma."""
+    h, w = y.shape
+    if u.shape != (h, w):
+        u = u.repeat(h // u.shape[0], axis=0).repeat(w // u.shape[1], axis=1)
+        v = v.repeat(h // v.shape[0], axis=0).repeat(w // v.shape[1], axis=1)
+    yf = y.astype(np.float64)
+    cb = u.astype(np.float64) - 128.0
+    cr = v.astype(np.float64) - 128.0
+    out = np.empty((h, w, 3), np.uint8)
+    out[..., 0] = np.clip(np.round(yf + 1.402 * cr), 0, 255)
+    out[..., 1] = np.clip(np.round(yf - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    out[..., 2] = np.clip(np.round(yf + 1.772 * cb), 0, 255)
+    return out
+
+
+@dataclass(frozen=True)
+class Y4mInfo:
+    width: int
+    height: int
+    fps_num: int
+    fps_den: int
+    colorspace: str  # normalized: "420", "444", "mono"
+    frame_offsets: tuple  # byte offset of each frame's PLANE data
+
+
+_Y4M_CSP = {
+    # every 420 variant differs only in chroma siting, which nearest
+    # upsampling cannot represent anyway — normalized to "420"
+    "420": "420", "420jpeg": "420", "420mpeg2": "420", "420paldv": "420",
+    "444": "444", "mono": "mono",
+}
+
+
+def parse_y4m(data: bytes) -> Y4mInfo:
+    """Parse a YUV4MPEG2 stream header + index every FRAME's plane data.
+    Malformed input raises :class:`VideoError` (codec totality)."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise VideoError("bad y4m signature")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise VideoError("unterminated y4m stream header")
+    width = height = 0
+    fps_num, fps_den = 0, 1
+    csp = "420jpeg"  # spec default
+    for tok in data[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                csp = val.decode("ascii")
+            # I (interlace), A (aspect), X (extensions): ignored
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise VideoError(f"malformed y4m header token {tok!r}") from exc
+    if width < 1 or height < 1:
+        raise VideoError("missing/zero y4m dimensions")
+    if csp not in _Y4M_CSP:
+        raise VideoError(f"unsupported y4m colorspace C{csp}")
+    csp = _Y4M_CSP[csp]
+    if csp == "420" and (width % 2 or height % 2):
+        raise VideoError("odd dimensions with 4:2:0 chroma")
+    ysz = width * height
+    fsz = {"420": ysz + (ysz >> 1), "444": 3 * ysz, "mono": ysz}[csp]
+    offsets = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise VideoError("bad y4m FRAME marker")
+        body = fnl + 1
+        if body + fsz > len(data):
+            raise VideoError("truncated y4m frame")
+        offsets.append(body)
+        pos = body + fsz
+    if not offsets:
+        raise VideoError("y4m stream has no frames")
+    return Y4mInfo(width, height, fps_num, fps_den, csp, tuple(offsets))
+
+
+def decode_y4m_frame(data: bytes, info: Y4mInfo, index: int) -> np.ndarray:
+    """Frame ``index`` → (h, w, 3) uint8 RGB (full-range BT.601)."""
+    w, h = info.width, info.height
+    off = info.frame_offsets[index]
+    ysz = w * h
+    y = np.frombuffer(data, np.uint8, ysz, off).reshape(h, w)
+    if info.colorspace == "mono":
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if info.colorspace == "444":
+        u = np.frombuffer(data, np.uint8, ysz, off + ysz).reshape(h, w)
+        v = np.frombuffer(data, np.uint8, ysz, off + 2 * ysz).reshape(h, w)
+    else:
+        cw, ch = w // 2, h // 2
+        u = np.frombuffer(data, np.uint8, cw * ch, off + ysz).reshape(ch, cw)
+        v = np.frombuffer(data, np.uint8, cw * ch, off + ysz + cw * ch).reshape(ch, cw)
+    return _full_range_yuv_to_rgb(y, u, v)
+
+
+def encode_y4m(frames, fps: int = 10, colorspace: str = "444") -> bytes:
+    """Minimal Y4M writer for tests/corpus (RGB → full-range BT.601;
+    C444 round-trips pixel-near-exact, C420 subsamples 2×2 box)."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if colorspace not in ("444", "420", "mono"):
+        raise ValueError("colorspace must be 444, 420 or mono")
+    tag = {"444": "444", "420": "420jpeg", "mono": "mono"}[colorspace]
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{max(fps,1)}:1 Ip A1:1 C{tag}\n".encode())
+    for f in frames:
+        if f.shape != frames[0].shape:
+            raise ValueError("all frames must share one shape")
+        r, g, b = (f[..., i].astype(np.float64) for i in range(3))
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        out += b"FRAME\n"
+        out += y.astype(np.uint8).tobytes()
+        if colorspace == "mono":
+            continue
+        u = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+        v = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
+        if colorspace == "420":
+            u = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            v = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            u, v = np.round(u), np.round(v)
+        out += u.astype(np.uint8).tobytes()
+        out += v.astype(np.uint8).tobytes()
+    return bytes(out)

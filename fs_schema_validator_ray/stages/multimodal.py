@@ -687,14 +687,14 @@ class FrameSampleStage:
                 continue
             k = batch.column(self.key_column)[i].as_py()
 
-            def emit(j, off, fb):
+            def emit(j, off, fb, decoder=decode_avi_frame):
                 keys.append(k)
                 idxs.append(j)
                 offs.append(off)
                 frames.append(fb)
                 if self.decode:
                     try:
-                        px = decode_avi_frame(fb)
+                        px = decoder(fb)
                     except (VideoError, ValueError):
                         oks.append(False)
                         lumas.append(None)
@@ -719,6 +719,27 @@ class FrameSampleStage:
                 sampled = info.frame_ranges[:: self.stride][: self.max_frames]
                 for j, (off, ln) in enumerate(sampled):
                     emit(j, off, p[off : off + ln])
+            elif p[:9] == b"YUV4MPEG2":
+                # REAL too: uncompressed Y4M (functions/video.py)
+                from fs_schema_validator_ray.functions.video import (
+                    decode_y4m_frame,
+                    parse_y4m,
+                )
+
+                try:
+                    info = parse_y4m(p)
+                except VideoError:
+                    continue
+                sampled = list(enumerate(info.frame_offsets))[:: self.stride][
+                    : self.max_frames
+                ]
+                for j, (fi, off) in enumerate(sampled):
+                    emit(
+                        j,
+                        off,
+                        b"",  # planes stay in the payload; no per-frame copy
+                        decoder=lambda _fb, _i=fi: decode_y4m_frame(p, info, _i),
+                    )
             else:
                 # STUB fallback for containers without a from-scratch
                 # decoder: byte-offset slices keep the pipeline shape

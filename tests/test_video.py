@@ -129,3 +129,73 @@ def test_corpus_contract_counts():
         if i % 23 != 0 and i % 11 == 0
     }
     assert bad == exp_bad
+
+
+def test_y4m_roundtrip_and_totality():
+    """C444 round-trips pixel-near-exact; 420/mono decode; malformed
+    headers/truncation raise VideoError."""
+    import pytest
+
+    from fs_schema_validator_ray.functions.video import (
+        VideoError,
+        decode_y4m_frame,
+        encode_y4m,
+        parse_y4m,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(3)]
+    data = encode_y4m(frames, fps=25, colorspace="444")
+    info = parse_y4m(data)
+    assert (info.width, info.height, info.fps_num) == (32, 24, 25)
+    assert info.colorspace == "444" and len(info.frame_offsets) == 3
+    for i, f in enumerate(frames):
+        got = decode_y4m_frame(data, info, i)
+        # full-range BT.601 forward+inverse rounding: off-by-one max
+        assert np.abs(got.astype(int) - f.astype(int)).max() <= 1
+
+    d420 = encode_y4m(frames, colorspace="420")
+    i420 = parse_y4m(d420)
+    assert i420.colorspace == "420"
+    got = decode_y4m_frame(d420, i420, 0)
+    assert got.shape == (24, 32, 3)
+    # chroma box-subsampled: luma must still track closely
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert np.abs(luma(got) - luma(frames[0].astype(float))).mean() < 3.0
+
+    mono = encode_y4m(frames, colorspace="mono")
+    imono = parse_y4m(mono)
+    g = decode_y4m_frame(mono, imono, 1)
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+
+    with pytest.raises(VideoError):
+        parse_y4m(b"NOTY4M anything")
+    with pytest.raises(VideoError):
+        parse_y4m(b"YUV4MPEG2 W0 H24 C444\nFRAME\n")
+    with pytest.raises(VideoError):
+        parse_y4m(data[: len(data) - 10])  # truncated last frame
+    with pytest.raises(VideoError):
+        parse_y4m(b"YUV4MPEG2 W4 H4 C999\n")
+    with pytest.raises(VideoError):
+        parse_y4m(b"YUV4MPEG2 W3 H3 C420jpeg\n")  # odd dims with 420
+
+
+def test_frame_sample_stage_y4m(ray_session):
+    import pyarrow as pa
+
+    from fs_schema_validator_ray.functions.video import encode_y4m
+    from fs_schema_validator_ray.stages.multimodal import FrameSampleStage
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(6)]
+    payload = encode_y4m(frames, colorspace="444")
+    batch = pa.table({"key": ["v1"], "bytes": [payload]})
+    out = FrameSampleStage(stride=2, max_frames=2, decode=True)(batch)
+    d = out.to_pydict()
+    assert d["key"] == ["v1", "v1"]
+    assert d["decode_ok"] == [True, True]
+    # sampled frames 0 and 2: mean luma within rounding of the source
+    for row, fi in enumerate([0, 2]):
+        f = frames[fi].astype(float)
+        want = float(np.mean(0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]))
+        assert abs(d["mean_luma"][row] - want) < 1.5
