@@ -139,6 +139,23 @@ SELECT * FROM (VALUES
    (SELECT n FROM n), (SELECT n FROM n), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
 ) t("column", status, dtype_a, dtype_b, n_a, n_b, nulls_a, nulls_b)
 """,
+        "wav_header_contract": r"""
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
+src AS (SELECT i,
+               CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+        FROM idx)
+SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS clip_id,
+       s % 509 NOT IN (17, 101) AS header_ok,
+       CAST(CASE WHEN s % 509 IN (17, 101) THEN NULL
+                 WHEN s % 509 IN (59, 373) THEN 0 ELSE 1 END AS BIGINT)
+         AS declared_match,
+       CAST(CASE WHEN s % 509 IN (17, 101) THEN NULL
+                 ELSE 1 END AS BIGINT) AS rate_ok
+FROM src
+""",
         "scalar_lineitem": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
        '`l_quantity`: Input should be less than or equal to 30' AS reason

@@ -413,6 +413,38 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int, bytes, int, int |
     return sr_hz, fmt_tag, bits, channels, data, block_align, fact_samples
 
 
+def wav_header_fields(payload: bytes) -> dict:
+    """Raw fmt-chunk fields for header-conformance validation (no
+    decode): ``{fmt_tag, channels, sr_hz, byte_rate, block_align,
+    bits}``. Raises :class:`AudioDecodeError` like :func:`decode`."""
+    if len(payload) < 44:
+        raise AudioDecodeError("payload too short for a wave header")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("payload is not a RIFF/WAVE container")
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > n:
+                raise AudioDecodeError("truncated fmt chunk")
+            fmt_tag, channels, sr_hz, byte_rate, block_align, bits = (
+                struct.unpack_from("<HHIIHH", payload, body)
+            )
+            return {
+                "fmt_tag": fmt_tag,
+                "channels": channels,
+                "sr_hz": sr_hz,
+                "byte_rate": byte_rate,
+                "block_align": block_align,
+                "bits": bits,
+            }
+        pos = body + size + (size & 1)
+    raise AudioDecodeError("missing fmt chunk")
+
+
 def decode(payload: bytes) -> tuple[np.ndarray, int, str]:
     """Decode a WAVE (or native-FLAC) payload → (float64 samples in
     [-1,1], sr_hz, codec)."""

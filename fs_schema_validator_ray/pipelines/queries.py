@@ -4128,6 +4128,27 @@ def audio_levels_contract(sf_dir: str, n_rows: int = 1500):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def wav_header_contract(sf_dir: str, n_rows: int = 1500):
+    """WAV header conformance CONTRACT gate
+    (``stages/decode.py::WavHeaderStage``): the real fmt chunk of every
+    corpus payload is parsed and checked against the row's declared
+    codec (the reference's sniffed-vs-declared rule) and its own rate
+    laws. All three verdicts are closed-form in the planted classes —
+    codec_mismatch (residue 59) and codec_invalid (373) rows flag
+    declared_match=0, truncated/empty (17/101) fail the parse, every
+    other header is self-consistent — so the whole byte-level header
+    walk is driver-hash-checked."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.decode import WavHeaderStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes", "codec"])
+    return ds.map_batches(
+        WavHeaderStage(), batch_format="pyarrow", batch_size=512
+    )
+
+
 def audio_spectrogram_clips(sf_dir: str, n_rows: int = 1500):
     """Per-clip spectral summary (strided frames → batched rFFT →
     log-spaced band energies) over the deterministic clips corpus —
@@ -4229,6 +4250,7 @@ QUERIES = {
     "pack_documents_chars": pack_documents_chars,
     "embedding_validate_contract": embedding_validate_contract,
     "schema_drift_orders": schema_drift_orders,
+    "wav_header_contract": wav_header_contract,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

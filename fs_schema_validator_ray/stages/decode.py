@@ -171,3 +171,86 @@ class AudioValidateStage:
             ],
             schema=VIOLATION_SCHEMA,
         )
+
+
+WAV_HEADER_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("header_ok", pa.bool_()),
+        ("declared_match", pa.int64()),  # 1/0/NULL (cross-engine hash)
+        ("rate_ok", pa.int64()),
+    ]
+)
+
+#: declared codec → (WAVE fmt tag, bits) the container must carry
+_WAV_TAGS = {
+    "pcm_s16le": (1, 16),
+    "pcm_u8": (1, 8),
+    "ulaw": (7, 8),
+    "alaw": (6, 8),
+    "adpcm_ima": (17, 4),
+}
+
+
+class WavHeaderStage:
+    """WAV container-header conformance — the audio analogue of the
+    reference's magic-bytes-vs-declared-extension rule
+    (`/root/reference/fs_schema_validator/schemas/image.py`: sniffed
+    format must equal the declared one): parse the REAL fmt chunk and
+    check (a) the format tag + sample width match the row's DECLARED
+    codec column and (b) the header's own rate fields are internally
+    consistent (``byte_rate == sr·block_align`` for the constant-rate
+    codecs, the IMA block law for ADPCM). Emits ``(clip_id, header_ok,
+    declared_match, rate_ok)``; unparseable headers → header_ok=false
+    with NULL verdicts. Stateless map_batches; parsing is a fixed-field
+    struct read per row (irreducibly per-payload, like the reference)."""
+
+    def __init__(
+        self, bytes_column: str = "bytes", key_column: str = "clip_id",
+        codec_column: str = "codec",
+    ) -> None:
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+        self.codec_column = codec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray import audio
+
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        codecs = batch.column(self.codec_column).to_pylist()
+        rows = []
+        for key, view, declared in zip(keys, views, codecs):
+            row = {
+                "clip_id": None if key is None else str(key),
+                "header_ok": False,
+                "declared_match": None,
+                "rate_ok": None,
+            }
+            if view is not None and len(view) > 0:
+                try:
+                    f = audio.wav_header_fields(bytes(view))
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    row["header_ok"] = True
+                    want = _WAV_TAGS.get(declared)
+                    row["declared_match"] = int(
+                        want is not None
+                        and (f["fmt_tag"], f["bits"]) == want
+                    )
+                    if f["fmt_tag"] == 17:
+                        spb = 1 + (f["block_align"] - 4) * 2
+                        ok = (
+                            spb > 0
+                            and f["byte_rate"]
+                            == (f["sr_hz"] * f["block_align"]) // spb
+                        )
+                    else:
+                        ok = (
+                            f["block_align"] == f["channels"] * f["bits"] // 8
+                            and f["byte_rate"] == f["sr_hz"] * f["block_align"]
+                        )
+                    row["rate_ok"] = int(ok)
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=WAV_HEADER_SCHEMA)

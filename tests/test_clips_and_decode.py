@@ -144,3 +144,38 @@ def test_snr_violation_detected():
     out = AudioValidateStage(RULE)(batch)
     reasons = [r["reason"] for r in out.to_pylist()]
     assert len(reasons) == 1 and "snr" in reasons[0] and "below threshold 30.0 dB" in reasons[0]
+
+
+def test_wav_header_stage_verdicts():
+    """Header conformance ground truth: matching declared codec, a
+    mismatched tag, a corrupted byte_rate, an unknown declared codec,
+    and an unparseable payload."""
+    import pyarrow as pa
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.decode import WavHeaderStage
+
+    x = np.linspace(-0.5, 0.5, 800)
+    good = audio.encode(x, 16_000, "pcm_s16le")
+    as_ulaw = audio.encode(x, 16_000, "ulaw")
+    # corrupt byte_rate in a valid header (offset 28 in the canonical
+    # RIFF/fmt layout the encoder writes)
+    bad_rate = bytearray(good)
+    bad_rate[28:32] = (12345).to_bytes(4, "little")
+    batch = pa.table(
+        {
+            "clip_id": ["ok", "mismatch", "badrate", "unknown", "junk"],
+            "bytes": [good, as_ulaw, bytes(bad_rate), good, b"nope"],
+            "codec": ["pcm_s16le", "pcm_s16le", "pcm_s16le", "mp3", "pcm_s16le"],
+        }
+    )
+    out = {r["clip_id"]: r for r in WavHeaderStage()(batch).to_pylist()}
+    assert out["ok"] == {"clip_id": "ok", "header_ok": True,
+                         "declared_match": 1, "rate_ok": 1}
+    assert out["mismatch"]["declared_match"] == 0
+    assert out["mismatch"]["rate_ok"] == 1  # internally consistent
+    assert out["badrate"]["declared_match"] == 1
+    assert out["badrate"]["rate_ok"] == 0
+    assert out["unknown"]["declared_match"] == 0
+    assert out["junk"] == {"clip_id": "junk", "header_ok": False,
+                           "declared_match": None, "rate_ok": None}
