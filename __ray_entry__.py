@@ -156,6 +156,18 @@ SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
                  ELSE 1 END AS BIGINT) AS rate_ok
 FROM src
 """,
+        "winsorize_orders_totalprice": r"""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+b AS (SELECT quantile_disc(cents, 0.015625) AS lo,
+             quantile_disc(cents, 0.984375) AS hi FROM c)
+SELECT o_orderkey, cents,
+       LEAST(GREATEST(cents, lo), hi) AS cents_w,
+       CAST(cents < lo OR cents > hi AS BIGINT) AS clipped
+FROM c CROSS JOIN b
+""",
         "scalar_lineitem": """
 SELECT CAST(l_orderkey AS VARCHAR) AS "key", 'qty_range' AS rule_id,
        '`l_quantity`: Input should be less than or equal to 30' AS reason

@@ -1074,6 +1074,33 @@ def pack_documents_chars(sf_dir: str):
     return pack_next_fit(ds, "doc_id", "n_chars", capacity=4096, shard_size=512)
 
 
+def winsorize_orders_totalprice(sf_dir: str):
+    """Winsorize order totals at the exact 1/64 and 63/64 discrete
+    quantiles (outlier capping, ``stages/agg.py::winsorize``): per-row
+    ``(key, cents, cents_w, clipped)`` — oracle-checked against DuckDB
+    ``quantile_disc`` bounds."""
+    from fs_schema_validator_ray.stages.agg import winsorize
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return winsorize(
+        ds.map_batches(cents, batch_format="pyarrow"), "cents", ["o_orderkey"]
+    )
+
+
 def histogram_orders_totalprice(sf_dir: str):
     """Equi-width histogram of order totals in $20k bins: exact per-bin
     count / min / max cents (``stages/agg.py::histogram_fixed_width``) —
@@ -4251,6 +4278,7 @@ QUERIES = {
     "embedding_validate_contract": embedding_validate_contract,
     "schema_drift_orders": schema_drift_orders,
     "wav_header_contract": wav_header_contract,
+    "winsorize_orders_totalprice": winsorize_orders_totalprice,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

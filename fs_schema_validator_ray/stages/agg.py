@@ -1372,6 +1372,57 @@ def group_entropy(ds, group_column: str, category_column: str):
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
+def winsorize(
+    ds,
+    value_column: str,
+    id_columns: list[str],
+    lo_q: float = 1.0 / 64,
+    hi_q: float = 63.0 / 64,
+):
+    """Winsorization — the outlier-capping cleaning step (clip values at
+    EXACT low/high quantiles instead of dropping rows): two
+    ``quantile_disc`` bounds from the (value, count) combiner pass
+    (``grouped_quantile_disc`` with a constant group — KB shuffle for
+    bounded-cardinality values), broadcast as plain ints into a
+    stateless clip ``map_batches``. Dyadic quantiles (default 1/64,
+    63/64) keep ``ceil(q·n)`` bit-exact on both engines (the helper's
+    documented oracle protocol). Output: ``(*id_columns, value,
+    value_w, clipped)``."""
+    bounds_ds = grouped_quantile_disc(
+        ds.map_batches(
+            lambda t: t.append_column(
+                "__g", pa.array(np.zeros(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        ),
+        "__g",
+        value_column,
+        [lo_q, hi_q],
+    )
+    row = bounds_ds.take_all()
+    if not row or row[0]["n"] == 0:
+        lo = hi = None
+    else:
+        vals = [v for k, v in sorted(row[0].items()) if k.startswith("q_")]
+        lo, hi = int(min(vals)), int(max(vals))
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_column), np.int64)
+        if lo is None:
+            w = v
+            flag = np.zeros(len(v), np.int64)
+        else:
+            w = np.clip(v, lo, hi)
+            flag = ((v < lo) | (v > hi)).astype(np.int64)
+        cols = {c: t.column(c) for c in id_columns}
+        cols[value_column] = t.column(value_column)
+        cols[f"{value_column}_w"] = pa.array(w, pa.int64())
+        cols["clipped"] = pa.array(flag, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def chi2_independence(ds, col_a: str, col_b: str):
     """Pearson chi-square test of independence between two categorical
     columns — the distribution-drift companion to the KS/PSI gates

@@ -809,3 +809,32 @@ def test_throttle_per_key_lag_semantics(ray_session):
     # anchors on the PREVIOUS ROW (kept or not): 120-50=70 ≤ 100 → drop;
     # 300-120=180 > 100 → keep. v: first keeps. null rows drop.
     assert got == [1, 4, 5]
+
+
+def test_winsorize_ground_truth(ray_session):
+    """Winsorize bounds/flags equal the numpy-sorted derivation, incl.
+    the all-inside and empty edge cases."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import winsorize
+
+    rng = np.random.default_rng(4)
+    v = rng.integers(-500, 5000, 4000).astype(np.int64)
+    df = pd.DataFrame({"id": np.arange(4000), "v": v})
+    out = (
+        winsorize(ray.data.from_pandas(df).repartition(6), "v", ["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    s = np.sort(v)
+    lo = s[int(np.ceil(0.015625 * len(s))) - 1]
+    hi = s[int(np.ceil(0.984375 * len(s))) - 1]
+    assert (out["v_w"].values == np.clip(v, lo, hi)).all()
+    assert (out["clipped"].values == ((v < lo) | (v > hi)).astype(int)).all()
+    assert out["clipped"].sum() > 0
+
+    empty = ray.data.from_pandas(pd.DataFrame({"id": pd.array([], dtype="int64"),
+                                               "v": pd.array([], dtype="int64")}))
+    assert winsorize(empty, "v", ["id"]).count() == 0
