@@ -1156,6 +1156,36 @@ SELECT 'asset' AS modality,
        END AS reason
 FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1199) t(x))
 WHERE i % 101 = 0 OR i % 113 = 0 OR i % 89 = 0
+UNION ALL
+SELECT 'audio' AS modality,
+       CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS "key",
+       'signal clipped' AS reason
+FROM (SELECT CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+      FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)))
+WHERE s % 509 NOT IN (17, 101, 233) AND s % 7 = 3
+UNION ALL
+SELECT 'audio' AS modality,
+       CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS "key",
+       'dc offset out of range' AS reason
+FROM (SELECT CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+      FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)))
+WHERE s % 509 NOT IN (17, 101, 233) AND s % 11 = 5
+UNION ALL
+SELECT 'audio' AS modality,
+       CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS "key",
+       'container codec does not match declared codec' AS reason
+FROM (SELECT CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+      FROM (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)))
+WHERE s % 509 IN (59, 373)
 """,
         "unnest_embeddings": """
 WITH u AS (

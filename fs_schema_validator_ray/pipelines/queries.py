@@ -3209,7 +3209,43 @@ def multimodal_violations(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return img.union(aud).union(vid).union(ast)
+
+    def _levels_leg(t: pa.Table) -> pa.Table:
+        clip = t.filter(pc.equal(t.column("clipped"), 1))
+        dc = t.filter(pc.equal(t.column("dc_ok"), 0))
+        return pa.table(
+            {
+                "modality": pa.array(["audio"] * (clip.num_rows + dc.num_rows)),
+                "key": pa.chunked_array(
+                    [clip.column("clip_id").combine_chunks(),
+                     dc.column("clip_id").combine_chunks()]
+                ).combine_chunks(),
+                "reason": pa.array(
+                    ["signal clipped"] * clip.num_rows
+                    + ["dc offset out of range"] * dc.num_rows
+                ),
+            }
+        )
+
+    lev = audio_levels_contract(sf_dir).map_batches(
+        _levels_leg, batch_format="pyarrow"
+    )
+    hdr = wav_header_contract(sf_dir).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "modality": pa.array(["audio"] * f.num_rows),
+                    "key": f.column("clip_id"),
+                    "reason": pa.array(
+                        ["container codec does not match declared codec"]
+                        * f.num_rows
+                    ),
+                }
+            )
+        )(t.filter(pc.equal(t.column("declared_match"), 0))),
+        batch_format="pyarrow",
+    )
+    return img.union(aud).union(vid).union(ast).union(lev).union(hdr)
 
 
 def unnest_embeddings(sf_dir: str):
