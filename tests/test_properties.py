@@ -353,3 +353,47 @@ def test_cdc_total_coverage_property(payload, seed):
     lens = np.diff(np.concatenate([[0], ends]))
     assert lens.max() <= 1024
     assert len(lens) == 1 or np.all(lens[:-1] >= 64)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_y4m_parse_totality_random(data):
+    """parse_y4m on arbitrary bytes: Y4mInfo or VideoError, never an
+    untyped exception (codec-totality convention)."""
+    from fs_schema_validator_ray.functions.video import VideoError, parse_y4m
+
+    try:
+        parse_y4m(data)
+    except VideoError:
+        pass
+
+
+@given(st.integers(0, 2000), st.binary(min_size=0, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_y4m_parse_totality_mutated(cut, junk):
+    """Truncations and splices of a VALID stream stay typed too."""
+    from fs_schema_validator_ray.functions.video import (
+        VideoError,
+        encode_y4m,
+        parse_y4m,
+    )
+
+    base = encode_y4m([np.zeros((8, 8, 3), np.uint8)] * 2, colorspace="420")
+    mutated = base[: cut % (len(base) + 1)] + junk
+    try:
+        parse_y4m(mutated)
+    except VideoError:
+        pass
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_flac_decode_totality_random(data):
+    """decode_flac on arbitrary bytes: typed FlacError only (the
+    vectorized Rice/jump-table path must not leak numpy errors)."""
+    from fs_schema_validator_ray.functions.flac import FlacError, decode_flac
+
+    try:
+        decode_flac(b"fLaC" + data)
+    except FlacError:
+        pass
