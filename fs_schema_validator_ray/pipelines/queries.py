@@ -1101,6 +1101,42 @@ def winsorize_orders_totalprice(sf_dir: str):
     )
 
 
+def cms_user_counts_events(sf_dir: str):
+    """Count-Min frequency estimates per user — the mergeable-sketch
+    path for when exact per-key truth is too wide to carry
+    (``state/sketches.py::CountMinSketch``): one CMS partial per block
+    (KBs), elementwise-add merge on the driver, estimates for the
+    distinct-user set. Rows-only by nature (ε-bounded, one-sided);
+    the ``est ≥ true`` / ``est ≤ true + ε·N`` guarantees are
+    pytest-gated against exact counts."""
+    import ray.data
+
+    from fs_schema_validator_ray.state.sketches import CountMinSketch
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(eps=1e-4, delta=1e-3)
+        cms.add(np.asarray(t.column("user_id"), np.int64))
+        return pa.table({"blob": pa.array([cms.to_bytes()], pa.binary())})
+
+    merged = None
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        part = CountMinSketch.from_bytes(row["blob"])
+        merged = part if merged is None else merged.merge(part)
+    users = np.asarray(sorted(ds.unique("user_id") or []), np.int64)
+    if merged is None or len(users) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "est": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "est": pa.array(merged.estimate(users), pa.int64()),
+        }
+    )
+
+
 def histogram_orders_totalprice(sf_dir: str):
     """Equi-width histogram of order totals in $20k bins: exact per-bin
     count / min / max cents (``stages/agg.py::histogram_fixed_width``) —
@@ -4315,6 +4351,7 @@ QUERIES = {
     "schema_drift_orders": schema_drift_orders,
     "wav_header_contract": wav_header_contract,
     "winsorize_orders_totalprice": winsorize_orders_totalprice,
+    "cms_user_counts_events": cms_user_counts_events,
     "nb_train_counts_documents": nb_train_counts_documents,
     "nb_classify_documents": nb_classify_documents,
     "dedup_paragraphs_documents": dedup_paragraphs_documents,

@@ -372,3 +372,68 @@ def psi(actual: Histogram, expected: Histogram, eps: float = 1e-6) -> float:
     p = np.maximum(actual.counts / ta, eps)
     q = np.maximum(expected.counts / te, eps)
     return float(np.sum((p - q) * np.log(p / q)))
+
+
+class CountMinSketch:
+    """Frequency sketch (Cormode–Muthukrishnan): ``estimate(x) ≥
+    true(x)`` always (one-sided), ``≤ true(x) + ε·N`` with probability
+    ``1 − δ`` — the mergeable companion to the EXACT Misra-Gries heavy
+    hitters in ``stages/agg.py`` for when per-key truth is too wide to
+    carry. Mergeable by elementwise add (same monoid contract as
+    :class:`HyperLogLog`/:class:`TDigest`); vectorized batch ``add`` via
+    the same double-hashing streams as :class:`BloomFilter`."""
+
+    def __init__(self, eps: float = 1e-3, delta: float = 1e-3) -> None:
+        self.width = int(np.ceil(np.e / eps))
+        self.depth = int(np.ceil(np.log(1.0 / delta)))
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.n = 0
+
+    def _positions(self, values) -> np.ndarray:
+        h1, h2 = BloomFilter.hash_pair(values)
+        rows = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + rows * h2[None, :]) % np.uint64(self.width)).astype(
+            np.int64
+        )
+
+    def add(self, values, counts=None) -> None:
+        pos = self._positions(values)
+        w = (
+            np.ones(pos.shape[1], np.int64)
+            if counts is None
+            else np.asarray(counts, np.int64)
+        )
+        for d in range(self.depth):
+            np.add.at(self.table[d], pos[d], w)
+        self.n += int(w.sum())
+
+    def estimate(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        ests = np.stack([self.table[d][pos[d]] for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if self.table.shape != other.table.shape:
+            raise ValueError("cannot merge CMS of different shapes")
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    def to_bytes(self) -> bytes:
+        import struct as _struct
+
+        return _struct.pack("<qqq", self.depth, self.width, self.n) + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountMinSketch":
+        import struct as _struct
+
+        depth, width, n = _struct.unpack_from("<qqq", blob)
+        out = cls.__new__(cls)
+        out.depth, out.width, out.n = int(depth), int(width), int(n)
+        out.table = (
+            np.frombuffer(blob, np.int64, depth * width, 24)
+            .reshape(depth, width)
+            .copy()
+        )
+        return out

@@ -318,3 +318,48 @@ def test_grouped_tdigest_nulls_and_all_null_key(ray_session):
     assert rows["b"]["n_values"] == 0 and rows["b"]["q50"] is None
     # null KEY groups like SQL GROUP BY
     assert rows[None]["n_values"] == 1 and rows[None]["q50"] == 7.0
+
+
+def test_cms_one_sided_and_epsilon_bound():
+    """CMS guarantees: estimate >= true always; <= true + eps*N for the
+    overwhelming majority of keys; merge == single-pass build."""
+    from fs_schema_validator_ray.state.sketches import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: few heavy keys, long tail
+    keys = rng.zipf(1.3, 50_000) % 2000
+    eps = 1e-3
+    cms = CountMinSketch(eps=eps, delta=1e-3)
+    cms.add(keys)
+
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms.estimate(uniq)
+    assert (est >= true).all()  # one-sided, always
+    over = est - true
+    assert (over <= eps * len(keys)).mean() > 0.99
+
+    half = len(keys) // 2
+    a = CountMinSketch(eps=eps, delta=1e-3)
+    b = CountMinSketch(eps=eps, delta=1e-3)
+    a.add(keys[:half]); b.add(keys[half:])
+    merged = a.merge(b)
+    assert (merged.estimate(uniq) == est).all()
+    assert merged.n == cms.n == len(keys)
+
+    rt = CountMinSketch.from_bytes(cms.to_bytes())
+    assert (rt.estimate(uniq) == est).all() and rt.n == cms.n
+
+
+def test_cms_query_matches_exact_at_small_scale(ray_session):
+    from fs_schema_validator_ray.pipelines.queries import QUERIES
+    import duckdb
+
+    t = QUERIES["cms_user_counts_events"]("/root/testdata/sf0.001")
+    df = t.to_pandas()
+    exact = duckdb.connect().execute(
+        "SELECT user_id, COUNT(*) c FROM read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1"
+    ).df().set_index("user_id")["c"]
+    true = exact.loc[df["user_id"]].values
+    assert (df["est"].values >= true).all()
+    n = int(true.sum())
+    assert ((df["est"].values - true) <= 1e-4 * n + 1).mean() > 0.99
