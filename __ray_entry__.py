@@ -44,6 +44,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "funnel_events": r"""
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1)
+SELECT s1.user_id,
+       1 + CAST(s2.t2 IS NOT NULL AS BIGINT)
+         + CAST(s3.t3 IS NOT NULL AS BIGINT) AS steps_completed,
+       s1.t1, s2.t2, s3.t3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "cohort_retention_events": r"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1)
+SELECT c.cohort, uw.week - c.cohort AS week_offset, COUNT(*) AS n_users
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+""",
         "audio_levels_contract": r"""
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

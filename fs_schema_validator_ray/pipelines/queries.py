@@ -4338,11 +4338,39 @@ rules:
 """
 
 
+def funnel_events(sf_dir: str):
+    """Ordered 3-step conversion funnel view → click → purchase per
+    user: earliest strictly-increasing completion chain (nested-MIN SQL
+    funnel semantics), non-step rows pruned before the single key-bucket
+    shuffle, one output row per user with a first-step event
+    (``stages/funnel.py::funnel_steps``) — oracle-checked."""
+    from fs_schema_validator_ray.stages.funnel import funnel_steps
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_steps(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def cohort_retention_events(sf_dir: str):
+    """Weekly cohort-retention grid: cohort = each user's first active
+    week, one row per (cohort, offset) counting distinct users active
+    that many weeks later — distinct (user, week) combiner before the
+    key shuffle, tiny final grid (``stages/funnel.py::cohort_retention``)
+    — oracle-checked."""
+    from fs_schema_validator_ray.stages.funnel import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
 # Ordering policy: the round driver's CORRECTNESS window samples the FIRST
 # 50 entries in insertion order. Rotate each round so never-driver-checked
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "funnel_events": funnel_events,
+    "cohort_retention_events": cohort_retention_events,
     "audio_levels_contract": audio_levels_contract,
     "chi2_events_type_bucket": chi2_events_type_bucket,
     "pagerank_parts": pagerank_parts,
