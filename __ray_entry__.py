@@ -69,6 +69,18 @@ c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1)
 SELECT c.cohort, uw.week - c.cohort AS week_offset, COUNT(*) AS n_users
 FROM uw JOIN c USING (user_id) GROUP BY 1, 2
 """,
+        "gapfill_events_daily": r"""
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+cal AS (SELECT b.lo + u.x AS day
+        FROM b, (SELECT unnest(range(0, 100000)) AS x) u
+        WHERE u.x <= b.hi - b.lo),
+types AS (SELECT DISTINCT event_type FROM e)
+SELECT t.event_type, cal.day, COALESCE(c.n, 0) AS n
+FROM types t CROSS JOIN cal
+LEFT JOIN c ON c.event_type = t.event_type AND c.day = cal.day
+""",
         "audio_levels_contract": r"""
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

@@ -4364,6 +4364,32 @@ def cohort_retention_events(sf_dir: str):
     return cohort_retention(ds, "user_id", "ts")
 
 
+def gapfill_events_daily(sf_dir: str):
+    """Dense daily event counts per type: sparse (type, day) counts from
+    one combiner ``group_sum``, then every missing day in the corpus's
+    global [min, max] day range filled with 0
+    (``stages/reshape.py::gapfill``) — the densify step before rolling
+    windows can trust frame widths. Oracle: calendar CROSS JOIN types
+    LEFT JOIN counts COALESCE 0."""
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.reshape import gapfill
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.divide(pc.cast(t.column("ts"), pa.int64()), 86_400_000_000),
+            }
+        )
+
+    counts = group_sum(ds.map_batches(day, batch_format="pyarrow"), ["event_type", "day"], [])
+    return gapfill(counts, "event_type", "day", ["n"])
+
+
 # Ordering policy: the round driver's CORRECTNESS window samples the FIRST
 # 50 entries in insertion order. Rotate each round so never-driver-checked
 # oracle-bearing queries lead; previously-green and rows-only entries follow
@@ -4371,6 +4397,7 @@ def cohort_retention_events(sf_dir: str):
 QUERIES = {
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
+    "gapfill_events_daily": gapfill_events_daily,
     "audio_levels_contract": audio_levels_contract,
     "chi2_events_type_bucket": chi2_events_type_bucket,
     "pagerank_parts": pagerank_parts,

@@ -230,3 +230,104 @@ def pack_next_fit(
         .groupby("__bucket")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def gapfill(
+    ds,
+    key_column: str,
+    bucket_column: str,
+    value_columns: list[str],
+    lo: int | None = None,
+    hi: int | None = None,
+    fill: int = 0,
+    n_buckets: int | None = None,
+):
+    """Densify a sparse per-key time series: one output row for EVERY
+    integer bucket in ``[lo, hi]`` per key, filling absent buckets'
+    values with ``fill`` (SQL ``calendar CROSS JOIN keys LEFT JOIN
+    counts COALESCE`` — the gap-filling step before any
+    rolling/forecast pass can trust its frame widths).
+
+    Input is an already-aggregated Dataset ``(key, bucket, *values)``
+    (one row per present (key, bucket)); output is its dense version,
+    ``n_keys × span`` rows. ``lo``/``hi`` default to the global
+    bucket min/max — two scalars from one metadata-light aggregate,
+    broadcast in the closure, never a per-key pass. The fill itself is
+    ONE coarse shuffle keyed by the key hash, then per bucket a
+    lexsort + one flat scatter into the ``n_keys × span`` grid — no
+    per-key Python.
+
+    Partitioning assumption: ``span = hi - lo + 1`` dense rows per key
+    must be a sane output size (a 10-year daily span is ~3.7k rows/key);
+    the bucketed exchange carries only the PRESENT rows.
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max, Min
+
+        bounds = ds.aggregate(Min(bucket_column), Max(bucket_column))
+        lo = int(bounds[f"min({bucket_column})"]) if lo is None else lo
+        hi = int(bounds[f"max({bucket_column})"]) if hi is None else hi
+    if hi < lo:
+        raise ValueError(f"empty bucket range [{lo}, {hi}]")
+    span = hi - lo + 1
+    cols = [key_column, bucket_column, *value_columns]
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = mix_to_buckets(hash64(stable_key_array(t.column(key_column))), n_buckets)
+        return t.select(cols).append_column("__bucket", pa.array(b))
+
+    def dense(group: pa.Table) -> pa.Table:
+        key_col = group.column(key_column).combine_chunks()
+        if group.num_rows == 0:
+            out = {key_column: key_col.slice(0, 0)}
+            out[bucket_column] = pa.array([], pa.int64())
+            for c in value_columns:
+                out[c] = pa.array([], pa.int64())
+            return pa.table(out)
+        kcode = key_codes(key_col)
+        bk = np.asarray(
+            pc.cast(group.column(bucket_column), pa.int64()), dtype=np.int64
+        )
+        order = np.lexsort((bk, kcode))
+        kc, bk_s = kcode[order], bk[order]
+        if (bk_s < lo).any() or (bk_s > hi).any():
+            raise ValueError("bucket value outside [lo, hi]")
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg_start = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        n_seg = len(seg_start)
+        flat = seg_id * span + (bk_s - lo)  # scatter index into the dense grid
+        key_rows = pa.array(order[seg_start], pa.int64())
+        out = {
+            key_column: key_col.take(key_rows).take(
+                pa.array(np.repeat(np.arange(n_seg), span), pa.int64())
+            ),
+            bucket_column: pa.array(
+                np.tile(np.arange(lo, hi + 1, dtype=np.int64), n_seg), pa.int64()
+            ),
+        }
+        for c in value_columns:
+            vals = np.asarray(
+                pc.cast(group.column(c).combine_chunks(), pa.int64()),
+                dtype=np.int64,
+            )[order]
+            grid = np.full(n_seg * span, fill, np.int64)
+            grid[flat] = vals
+            out[c] = pa.array(grid, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dense, batch_format="pyarrow")
+    )

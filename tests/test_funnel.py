@@ -152,3 +152,36 @@ def test_cohort_retention_grid(ray_session):
         (1, 0): 2,
         (1, 1): 1,
     }
+
+
+def test_gapfill_dense_grid(ray_session):
+    import ray.data
+
+    from fs_schema_validator_ray.stages.reshape import gapfill
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"], pa.string()),
+            "day": pa.array([2, 5, 3], pa.int64()),
+            "n": pa.array([7, 1, 4], pa.int64()),
+        }
+    )
+    out = gapfill(
+        ray.data.from_arrow(t), "k", "day", ["n"], n_buckets=4
+    ).take_all()
+    got = {(r["k"], r["day"]): r["n"] for r in out}
+    # global range [2, 5] → 4 dense rows per key
+    assert len(out) == 8
+    assert got[("a", 2)] == 7 and got[("a", 5)] == 1
+    assert got[("a", 3)] == 0 and got[("a", 4)] == 0
+    assert got[("b", 3)] == 4 and got[("b", 2)] == 0
+    # explicit bounds widen the grid
+    out2 = gapfill(
+        ray.data.from_arrow(t), "k", "day", ["n"], lo=1, hi=6, n_buckets=4
+    ).take_all()
+    assert len(out2) == 12
+    # out-of-range rows raise rather than silently truncate
+    with pytest.raises(Exception):
+        gapfill(
+            ray.data.from_arrow(t), "k", "day", ["n"], lo=3, hi=5, n_buckets=4
+        ).take_all()
