@@ -81,6 +81,30 @@ SELECT t.event_type, cal.day, COALESCE(c.n, 0) AS n
 FROM types t CROSS JOIN cal
 LEFT JOIN c ON c.event_type = t.event_type AND c.day = cal.day
 """,
+        "tfidf_cosine_pairs_documents": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE df.df BETWEEN 2 AND 50),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+wn AS (SELECT w.doc_id, w.token, w.w / nrm.nrm AS wn
+       FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wn * b.wn) AS cos
+  FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(cos, 6) AS cos6 FROM p WHERE cos >= 0.3
+""",
         "audio_levels_contract": r"""
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

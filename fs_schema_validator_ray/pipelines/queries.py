@@ -4390,6 +4390,23 @@ def gapfill_events_daily(sf_dir: str):
     return gapfill(counts, "event_type", "day", ["n"])
 
 
+def tfidf_cosine_pairs_documents(sf_dir: str):
+    """Sparse tf·idf cosine similarity join: all document pairs with
+    cosine ≥ 0.3 over the df-pruned (2 ≤ df ≤ 50) vocabulary — the
+    lexical near-dup detector between n-gram Jaccard and embedding
+    cosine (``stages/textindex.py::tfidf_cosine_pairs``): one df pass,
+    one posting pass, ONE token-bucket shuffle with vectorized per-token
+    pair fan-out + local (a,b) combine. Oracle: the identical
+    tokenize → tf → df → ln(N/df) → L2-normalize → token self-join
+    pipeline in SQL, ROUND(·,6)."""
+    from fs_schema_validator_ray.stages.textindex import tfidf_cosine_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_cosine_pairs(
+        ds, "text", "doc_id", min_df=2, max_df=50, threshold=0.3
+    )
+
+
 # Ordering policy: the round driver's CORRECTNESS window samples the FIRST
 # 50 entries in insertion order. Rotate each round so never-driver-checked
 # oracle-bearing queries lead; previously-green and rows-only entries follow
@@ -4398,6 +4415,7 @@ QUERIES = {
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "gapfill_events_daily": gapfill_events_daily,
+    "tfidf_cosine_pairs_documents": tfidf_cosine_pairs_documents,
     "audio_levels_contract": audio_levels_contract,
     "chi2_events_type_bucket": chi2_events_type_bucket,
     "pagerank_parts": pagerank_parts,

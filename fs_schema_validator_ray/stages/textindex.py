@@ -849,3 +849,194 @@ def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id"):
         BigramScoreStage(model_ref, text_column, id_column),
         batch_format="pyarrow",
     )
+
+
+class _TfidfPostingStage:
+    """``map_batches`` callable: per doc, L2-normalized tf·idf weights
+    over the df-pruned vocabulary → posting rows ``(__bucket, token
+    hash bucket, doc_id, wn)``. The df table rides ONE ``ray.put``
+    (read zero-copy per actor/task, never re-shipped per batch)."""
+
+    def __init__(self, df_ref, n_docs, min_df, max_df, text_column, id_column, n_buckets):
+        import ray
+
+        self.vocab, self.dfs = ray.get(df_ref)  # sorted vocab + df counts
+        keep = (self.dfs >= min_df) & (self.dfs <= max_df)
+        self.vocab, self.dfs = self.vocab[keep], self.dfs[keep]
+        self.idf = np.log(float(n_docs) / self.dfs) if len(self.dfs) else np.empty(0)
+        self.text_column, self.id_column = text_column, id_column
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__bucket": pa.array([], pa.int32()),
+                "token": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "wn": pa.array([], pa.float64()),
+            }
+        )
+        tok, rows = _flat_tokens(batch.column(self.text_column))
+        if len(tok) == 0 or len(self.vocab) == 0:
+            return empty
+        vi = np.searchsorted(self.vocab, tok)
+        vi_c = np.minimum(vi, len(self.vocab) - 1)
+        ok = self.vocab[vi_c] == tok  # token in the pruned vocab
+        vi, rows = vi_c[ok], rows[ok]
+        if len(vi) == 0:
+            return empty
+        # tf per (doc row, vocab index): sort + run-length count
+        order = np.lexsort((vi, rows))
+        r_s, v_s = rows[order], vi[order]
+        first = np.concatenate([[True], (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.concatenate([starts, [len(r_s)]])).astype(np.int64)
+        r_u, v_u = r_s[starts], v_s[starts]
+        w = tf * self.idf[v_u]
+        # L2 norm per doc row (contiguous runs of r_u)
+        doc_first = np.concatenate([[True], r_u[1:] != r_u[:-1]])
+        doc_id_idx = np.cumsum(doc_first) - 1
+        norms_sq = np.zeros(doc_id_idx[-1] + 1)
+        np.add.at(norms_sq, doc_id_idx, w * w)
+        nrm = np.sqrt(norms_sq)[doc_id_idx]
+        keep = nrm > 0
+        if not keep.any():
+            return empty
+        wn = w[keep] / nrm[keep]
+        tokens_out = self.vocab[v_u[keep]]
+        ids = np.asarray(batch.column(self.id_column), dtype=np.int64)[r_u[keep]]
+        return pa.table(
+            {
+                "__bucket": pa.array(mix_to_buckets(hash64(tokens_out), self.n_buckets)),
+                "token": pa.array(tokens_out, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "wn": pa.array(wn, pa.float64()),
+            }
+        )
+
+
+def tfidf_cosine_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 50,
+    threshold: float = 0.3,
+    n_docs: int | None = None,
+    n_buckets: int | None = None,
+):
+    """All document pairs with tf·idf cosine similarity ≥ ``threshold``
+    — the sparse-vector similarity join (near-dup detection at the
+    lexical level, between n-gram Jaccard's exactness and embedding
+    cosine's recall). Weights: ``w = tf · ln(N/df)`` over the vocabulary
+    pruned to ``min_df ≤ df ≤ max_df``, L2-normalized per doc, so the
+    pair score is a plain dot product.
+
+    Plan (document-at-a-time → term-at-a-time): one df pass (bounded
+    vocab broadcast via ``ray.put``, same regime as ``tfidf_top_terms``);
+    one posting pass emitting ``(token, doc, wn)`` with per-doc norms
+    computed inside the row (a doc's tokens never split); ONE
+    token-bucket shuffle where each token segment fans out its
+    ``df·(df−1)/2`` pair partials VECTORIZED and combines them locally
+    by (a, b) before the tiny final ``(doc_a, doc_b)`` sum.
+
+    ``max_df`` is the scale lever: it caps the fan-out per token (a
+    stopword-grade token would otherwise emit ~N² partials) — the same
+    bound every AllPairs/PPJoin system imposes. Raising recall for
+    high-df tokens means the prefix-filter join (``dedup.py``), not a
+    bigger cap. Output: ``doc_a, doc_b, cos6`` (ROUND(·,6) protocol).
+    """
+    import ray
+
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+    if n_docs is None:
+        n_docs = ds.count()
+    df_parts = list(
+        token_document_frequencies(ds, text_column, id_column).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if df_parts:
+        df_tbl = pa.concat_tables(df_parts)
+        vocab = np.asarray(df_tbl.column("token"), dtype=object)
+        dfs = np.asarray(df_tbl.column("df"), dtype=np.int64)
+        o = np.argsort(vocab)
+        vocab, dfs = vocab[o], dfs[o]
+    else:
+        vocab, dfs = np.empty(0, object), np.empty(0, np.int64)
+    df_ref = ray.put((vocab, dfs))
+
+    postings = ds.select_columns([id_column, text_column]).map_batches(
+        _TfidfPostingStage(
+            df_ref, n_docs, min_df, max_df, text_column, id_column, n_buckets
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pair_partials(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        tok = np.asarray(group.column("token"), dtype=object)
+        doc = np.asarray(group.column("doc_id"), dtype=np.int64)
+        wn = np.asarray(group.column("wn"), dtype=np.float64)
+        _, tcode = np.unique(tok, return_inverse=True)
+        order = np.lexsort((doc, tcode))
+        tc, dc, w = tcode[order], doc[order], wn[order]
+        seg_first = np.concatenate([[True], tc[1:] != tc[:-1]])
+        row_start = np.flatnonzero(seg_first)[np.cumsum(seg_first) - 1]
+        pos = np.arange(n, dtype=np.int64) - row_start
+        # row j pairs with the pos[j] earlier rows of its token segment
+        # (docs ascend within a segment → a < b for free)
+        cum = np.concatenate([[0], np.cumsum(pos)])
+        if cum[-1] == 0:
+            return empty
+        j = np.repeat(np.arange(n, dtype=np.int64), pos)
+        i = np.arange(cum[-1], dtype=np.int64) - cum[j] + row_start[j]
+        a, b, s = dc[i], dc[j], w[i] * w[j]
+        # local combine by (a, b) before the final exchange
+        po = np.lexsort((b, a))
+        a, b, s = a[po], b[po], s[po]
+        pf = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        ps = np.flatnonzero(pf)
+        sums = np.add.reduceat(s, ps)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[ps], pa.int64()),
+                "doc_b": pa.array(b[ps], pa.int64()),
+                "s": pa.array(sums, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = postings.groupby("__bucket").map_groups(
+        pair_partials, batch_format="pyarrow"
+    )
+    # float sums (group_sum's combiner is int64-only); partials are
+    # already locally combined per token bucket so this exchange is small
+    summed = partials.groupby(["doc_a", "doc_b"]).aggregate(Sum("s", alias_name="s"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cos = t.column("s")
+        keep = pc.greater_equal(cos, threshold)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "cos6": pc.round(t.column("s"), ndigits=6),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

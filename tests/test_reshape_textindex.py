@@ -559,3 +559,54 @@ def test_pack_next_fit_greedy_spec(ray_session):
                 fill += c
                 assert fill <= cap or c > cap  # (2) via (4)
             assert row["fill"] == fill  # (4)
+
+
+def test_tfidf_cosine_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.textindex import tfidf_cosine_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        toks = rng.choice(vocab, size=rng.integers(5, 30)).tolist()
+        docs.append(" ".join(toks))
+    docs[10] = docs[3]  # planted exact duplicate → cosine 1.0
+    t = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(docs)}
+    )
+    min_df, max_df, thr = 2, 50, 0.5
+    out = tfidf_cosine_pairs(
+        ray.data.from_arrow(t), "text", "doc_id",
+        min_df=min_df, max_df=max_df, threshold=thr, n_buckets=4,
+    ).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["cos6"] for r in out}
+
+    # brute force
+    from collections import Counter
+
+    n = len(docs)
+    tfs = [Counter(d.split()) for d in docs]
+    df = Counter()
+    for c in tfs:
+        for tok in c:
+            df[tok] += 1
+    keep = {tok for tok, d in df.items() if min_df <= d <= max_df}
+    vecs = []
+    for c in tfs:
+        v = {tok: cnt * np.log(n / df[tok]) for tok, cnt in c.items() if tok in keep}
+        nrm = np.sqrt(sum(x * x for x in v.values()))
+        vecs.append({tok: x / nrm for tok, x in v.items()} if nrm > 0 else {})
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            cos = sum(vecs[a].get(tok, 0.0) * w for tok, w in vecs[b].items())
+            if cos >= thr:
+                expected[(a, b)] = round(cos, 6)
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+    assert got[(3, 10)] == 1.0  # the planted duplicate
