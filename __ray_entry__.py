@@ -105,6 +105,27 @@ p AS (
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, ROUND(cos, 6) AS cos6 FROM p WHERE cos >= 0.3
 """,
+        "psi_nchars_by_source": r"""
+WITH v AS (SELECT source, LEAST(n_chars // 64, 9) AS bin FROM documents),
+c AS (SELECT source, bin, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+tot AS (SELECT source, SUM(cnt) AS t FROM c GROUP BY 1),
+g AS (SELECT bin, SUM(cnt) AS gcnt FROM c GROUP BY 1),
+gt AS (SELECT SUM(gcnt) AS gt FROM g),
+grid AS (
+  SELECT s.source, b.bin
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN (SELECT DISTINCT bin FROM g) b),
+pq AS (
+  SELECT grid.source,
+         GREATEST(COALESCE(c.cnt, 0) / CAST(tot.t AS DOUBLE), 1e-6) AS p,
+         GREATEST(g.gcnt / CAST(gt.gt AS DOUBLE), 1e-6) AS q
+  FROM grid
+  LEFT JOIN c ON c.source = grid.source AND c.bin = grid.bin
+  JOIN tot ON tot.source = grid.source
+  JOIN g ON g.bin = grid.bin
+  CROSS JOIN gt)
+SELECT source, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi6 FROM pq GROUP BY 1
+""",
         "audio_levels_contract": r"""
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

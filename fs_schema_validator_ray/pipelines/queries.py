@@ -4407,6 +4407,19 @@ def tfidf_cosine_pairs_documents(sf_dir: str):
     )
 
 
+def psi_nchars_by_source(sf_dir: str):
+    """Per-source PSI of the document-length distribution vs the global
+    corpus (64-char bins, 10 bins, the drift family's eps=1e-6 floor)
+    — the oracle-checkable closed form of the per-partition drift gate
+    (``pipelines/stats.py::psi_by_group``); the sketch-based
+    ``drift_nchars_by_source`` stays as the streaming-histogram
+    variant. Hash-exact (ROUND(·,6))."""
+    from fs_schema_validator_ray.pipelines.stats import psi_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return psi_by_group(ds, "source", "n_chars", width=64, n_bins=10)
+
+
 # Ordering policy: the round driver's CORRECTNESS window samples the FIRST
 # 50 entries in insertion order. Rotate each round so never-driver-checked
 # oracle-bearing queries lead; previously-green and rows-only entries follow
@@ -4416,6 +4429,7 @@ QUERIES = {
     "cohort_retention_events": cohort_retention_events,
     "gapfill_events_daily": gapfill_events_daily,
     "tfidf_cosine_pairs_documents": tfidf_cosine_pairs_documents,
+    "psi_nchars_by_source": psi_nchars_by_source,
     "audio_levels_contract": audio_levels_contract,
     "chi2_events_type_bucket": chi2_events_type_bucket,
     "pagerank_parts": pagerank_parts,

@@ -374,3 +374,74 @@ def schema_drift(ds_a, ds_b):
         ]
     )
     return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+def psi_by_group(
+    ds,
+    group_column: str,
+    value_column: str,
+    width: int,
+    n_bins: int,
+    eps: float = 1e-6,
+):
+    """Population Stability Index of each group's value distribution vs
+    the GLOBAL distribution, over fixed-width integer bins
+    ``bin = min(value // width, n_bins - 1)`` — the oracle-checkable
+    closed form of the per-partition drift gate
+    (``drift_self_check`` / ``state.sketches.psi``; same ``eps`` floor
+    on both ratios so empty bins contribute finitely).
+
+    Plan: one combiner ``group_sum`` to the tiny ``(group, bin)`` count
+    grid, the global n_bins distribution folded on the driver (KBs) and
+    broadcast in the closure, then per-group PSI vectorized inside one
+    ``map_groups`` over the grid. Output: ``group, psi6`` (ROUND(·,6)).
+    """
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.min_element_wise(
+            pc.divide(pc.cast(t.column(value_column), pa.int64()), width),
+            n_bins - 1,
+        )
+        return pa.table({group_column: t.column(group_column), "bin": b})
+
+    counts = group_sum(
+        ds.select_columns([group_column, value_column]).map_batches(
+            binned, batch_format="pyarrow"
+        ),
+        [group_column, "bin"],
+        [],
+    )
+
+    # fold the global per-bin distribution on the driver (n_bins ints)
+    g = np.zeros(n_bins, np.int64)
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        np.add.at(
+            g,
+            np.asarray(b.column("bin"), dtype=np.int64),
+            np.asarray(b.column("n"), dtype=np.int64),
+        )
+    q = np.maximum(g / max(int(g.sum()), 1), eps)
+
+    def per_group(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table(
+                {group_column: grp.column(group_column).slice(0, 0),
+                 "psi6": pa.array([], pa.float64())}
+            )
+        cnt = np.zeros(n_bins, np.int64)
+        cnt[np.asarray(grp.column("bin"), dtype=np.int64)] = np.asarray(
+            grp.column("n"), dtype=np.int64
+        )
+        p = np.maximum(cnt / max(int(cnt.sum()), 1), eps)
+        val = float(np.sum((p - q) * np.log(p / q)))
+        return pa.table(
+            {
+                group_column: grp.column(group_column).slice(0, 1),
+                "psi6": pa.array([round(val, 6)], pa.float64()),
+            }
+        )
+
+    return counts.groupby(group_column).map_groups(per_group, batch_format="pyarrow")

@@ -363,3 +363,41 @@ def test_cms_query_matches_exact_at_small_scale(ray_session):
     assert (df["est"].values >= true).all()
     n = int(true.sum())
     assert ((df["est"].values - true) <= 1e-4 * n + 1).mean() > 0.99
+
+
+def test_psi_by_group_planted_drift(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.pipelines.stats import psi_by_group
+
+    rng = np.random.default_rng(5)
+    # group "base" matches the global shape; group "hot" is shifted hard
+    base = rng.integers(0, 320, 4000)
+    hot = rng.integers(320, 640, 500)
+    t = pa.table(
+        {
+            "g": pa.array(["base"] * len(base) + ["hot"] * len(hot)),
+            "v": pa.array(np.concatenate([base, hot]), pa.int64()),
+        }
+    )
+    out = psi_by_group(
+        ray.data.from_arrow(t), "g", "v", width=64, n_bins=10
+    ).take_all()
+    got = {r["g"]: r["psi6"] for r in out}
+
+    # numpy ground truth with the same eps floor
+    def dist(vals):
+        cnt = np.zeros(10, np.int64)
+        np.add.at(cnt, np.minimum(vals // 64, 9), 1)
+        return np.maximum(cnt / cnt.sum(), 1e-6)
+
+    q = dist(np.concatenate([base, hot]))
+    for name, vals in (("base", base), ("hot", hot)):
+        p = dist(vals)
+        want = round(float(np.sum((p - q) * np.log(p / q))), 6)
+        assert got[name] == want
+    # the shifted group drifts harder than the majority group (whose
+    # PSI is nonzero too: the eps floor punishes its empty upper bins)
+    assert got["hot"] > got["base"] > 0.0
