@@ -1490,8 +1490,13 @@ def ewma_events_per_user(sf_dir: str):
     """Per-user exponentially weighted moving average of event value
     over time (α=0.3, zero-initialized) — chunked renormalized-cumsum
     scan, one coarse-bucket shuffle
-    (``stages/window.py::per_key_ewma``; rows-only: EWMA is not
-    SQL-expressible, ground-truth gated in tests)."""
+    (``stages/window.py::per_key_ewma``). Rows-only BY MEASUREMENT, not
+    expressibility: a recursive-CTE oracle reproduces the recurrence
+    bit-exactly, but finite-decimal inputs make EWMA values land
+    EXACTLY on 6-decimal midpoints, where the scan's ≤6e-14 deviation
+    legitimately flips ROUND (12/10000 rows at sf0.01) — no
+    decimal-quantized hash gate is robust, so the ground-truth
+    recurrence pytest gates the values instead."""
     from fs_schema_validator_ray.stages.window import per_key_ewma
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
