@@ -44,6 +44,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # LSH recall contracts: identical text => identical MinHash
+        # signature / SimHash — the planted verbatim copies MUST come
+        # back as pairs at similarity exactly 1.0 (see
+        # minhash_planted_contract / simhash_planted_contract)
+        "minhash_planted_contract": r"""
+SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
+FROM documents WHERE doc_id % 10 = 0
+""",
+        "simhash_planted_contract": r"""
+SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
+FROM documents WHERE doc_id % 10 = 0
+""",
         "funnel_events": r"""
 WITH s1 AS (
   SELECT user_id, MIN(epoch_us(ts)) AS t1

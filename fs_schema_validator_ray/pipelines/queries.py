@@ -3108,6 +3108,86 @@ def dedup_minhash_documents(sf_dir: str):
     return minhash_near_dup_pairs(ds, threshold=0.5)
 
 
+# planted-copy offset for the LSH recall contracts: far above any real
+# doc_id at every scale factor, divisible by 10 so copy ids keep the
+# ``% 10 == 0`` residue of their originals
+_PLANT_OFFSET = 10_000_000
+
+
+def _plant_exact_copies(ds, id_column: str = "doc_id", every: int = 10):
+    """Deterministically plant exact duplicates into a corpus: every
+    ``every``-th id gets ONE verbatim copy at ``id + _PLANT_OFFSET``.
+    Stateless per-batch fan-out — both the engine and the SQL oracle
+    derive the identical augmented corpus, so LSH recall over the
+    planted pairs is driver-hash-checkable (the same augmentation move
+    as ``mix_sources_documents``)."""
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column), np.int64)
+        m = ids % every == 0
+        copies = t.filter(pa.array(m)).set_column(
+            t.schema.get_field_index(id_column),
+            id_column,
+            pa.array(ids[m] + _PLANT_OFFSET),
+        )
+        return pa.concat_tables([t, copies])
+
+    return ds.map_batches(augment, batch_format="pyarrow")
+
+
+def _planted_pairs_only(pairs):
+    """Restrict an LSH pair Dataset to the planted ``(d, d+OFFSET)``
+    rows, similarity carried through ROUND(·,6). A duplicate the LSH
+    missed is a MISSING row → count+hash mismatch at the driver."""
+    import pyarrow.compute as pc
+
+    def planted(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), np.int64)
+        b = np.asarray(t.column("b"), np.int64)
+        keep = (a % 10 == 0) & (b == a + _PLANT_OFFSET)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "similarity": pc.round(t.column("similarity"), ndigits=6),
+            }
+        )
+
+    return pairs.map_batches(planted, batch_format="pyarrow")
+
+
+def minhash_planted_contract(sf_dir: str):
+    """MinHash+LSH RECALL gate, driver-hash-checked: an exact duplicate
+    has an identical signature, hence an identical band hash in EVERY
+    band — banding MUST surface it as a candidate and the Jaccard verify
+    MUST keep it at similarity exactly 1.0. Planted verbatim copies
+    (``doc_id % 10 == 0`` → copy at ``+10,000,000``) make that law a SQL
+    oracle: the engine's planted-pair rows must be exactly
+    ``(d, d+10^7, 1.0)`` for every planted d. One wrong band hash, a
+    dropped candidate, or a verify-set error loses a row. (The full pair
+    output stays ``dedup_minhash_documents`` — near-dup recall below
+    similarity 1.0 is probabilistic by design and stays rows-only.)"""
+    from fs_schema_validator_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(_plant_exact_copies(ds), threshold=0.5)
+    return _planted_pairs_only(pairs)
+
+
+def simhash_planted_contract(sf_dir: str):
+    """SimHash RECALL gate, driver-hash-checked (same planted-copy law
+    as :func:`minhash_planted_contract`): identical text → identical
+    64-bit SimHash → Hamming distance 0 ≤ max, every band key matches —
+    the banded shuffle must emit the pair and the exact in-bucket
+    popcount verify must score it similarity 1.0."""
+    from fs_schema_validator_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(_plant_exact_copies(ds), max_hamming=3)
+    return _planted_pairs_only(pairs)
+
+
 def dedup_ngram_jaccard_documents(sf_dir: str):
     """EXACT word-trigram Jaccard similarity join via prefix filtering —
     unlike MinHash this has a DuckDB oracle (identical tokenization:
@@ -4430,6 +4510,8 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "minhash_planted_contract": minhash_planted_contract,
+    "simhash_planted_contract": simhash_planted_contract,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "gapfill_events_daily": gapfill_events_daily,

@@ -446,3 +446,29 @@ def test_schema_drift_synthetic(ray_session):
     assert out.loc["v", "nulls_a"] == 1 and out.loc["new", "nulls_b"] == 1
     assert out.loc["id", "n_a"] == 3 and out.loc["id", "n_b"] == 2
     assert pd.isna(out.loc["gone", "n_b"]) and pd.isna(out.loc["new", "n_a"])
+
+
+def test_lsh_planted_recall_contracts(ray_session):
+    """The LSH recall law (continuation #4): planted verbatim copies
+    MUST come back from both MinHash and SimHash at similarity exactly
+    1.0 — identical text means identical signatures, so banding cannot
+    miss them regardless of bucket heat or star-link capping."""
+    import duckdb
+
+    from fs_schema_validator_ray.pipelines.queries import (
+        minhash_planted_contract,
+        simhash_planted_contract,
+    )
+
+    expect = set(
+        duckdb.sql(
+            f"""SELECT doc_id, doc_id + 10000000
+                FROM read_parquet('{SF}/documents.parquet')
+                WHERE doc_id % 10 = 0"""
+        ).fetchall()
+    )
+    assert len(expect) > 0
+    for q in (minhash_planted_contract, simhash_planted_contract):
+        got = q(SF).to_pandas()
+        assert set(zip(got["a"], got["b"])) == expect, q.__name__
+        assert (got["similarity"] == 1.0).all(), q.__name__
