@@ -56,6 +56,23 @@ FROM documents WHERE doc_id % 10 = 0
 SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
 FROM documents WHERE doc_id % 10 = 0
 """,
+        "triangles_parts": r"""
+WITH e AS (
+  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                  GREATEST(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t)
+SELECT node, COUNT(*) AS triangles FROM n GROUP BY node
+""",
         "funnel_events": r"""
 WITH s1 AS (
   SELECT user_id, MIN(epoch_us(ts)) AS t1

@@ -992,20 +992,13 @@ def schema_drift_orders(sf_dir: str):
     return schema_drift(ds_a, ds_b)
 
 
-def pagerank_parts(sf_dir: str):
-    """PageRank over the part co-order graph (parts are linked when they
-    appear in the same order) — the link-analysis centrality a curation
-    pipeline uses to weight canonical documents. Edge generation is ONE
-    hash-bucket shuffle of the two pruned lineitem columns with a fully
-    vectorized ragged all-pairs expansion per order segment (no per-order
-    Python); ranking is ``stages/graph.py::pagerank`` (broadcast-rank
-    power iteration, sparse per-block partials, fixed-point gated).
-    Rows-only: iterative float fixed point is not SQL-expressible;
-    ground-truth gated in pytest vs a dense numpy power iteration."""
-    import ray.data
-
+def _coorder_edges(sf_dir: str):
+    """Directed edge list of the part co-order graph (parts linked when
+    they appear in the same order): ONE hash-bucket shuffle of the two
+    pruned lineitem columns with a fully vectorized ragged all-pairs
+    expansion per order segment (no per-order Python). Shared by
+    ``pagerank_parts`` and ``triangles_parts``."""
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
-    from fs_schema_validator_ray.stages.graph import pagerank
     from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -1041,11 +1034,24 @@ def pagerank_parts(sf_dir: str):
             {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
         )
 
-    edges = (
+    return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(expand_pairs, batch_format="pyarrow")
     )
+
+
+def pagerank_parts(sf_dir: str):
+    """PageRank over the part co-order graph (``_coorder_edges``) — the
+    link-analysis centrality a curation pipeline uses to weight
+    canonical documents; ranking is ``stages/graph.py::pagerank``
+    (broadcast-rank power iteration, sparse per-block partials,
+    fixed-point gated). Rows-only: iterative float fixed point is not
+    SQL-expressible; ground-truth gated in pytest vs a dense numpy power
+    iteration."""
+    from fs_schema_validator_ray.stages.graph import pagerank
+
+    edges = _coorder_edges(sf_dir)
     ranked = pagerank(edges, "src", "dst", damping=0.85)
     # round-6 protocol: distributed float reduce order is run-dependent
     # at the last ulp; ranks are stable far above 1e-6
@@ -1060,6 +1066,18 @@ def pagerank_parts(sf_dir: str):
         )
 
     return ranked.map_batches(round6, batch_format="pyarrow")
+
+
+def triangles_parts(sf_dir: str):
+    """Exact per-node TRIANGLE counts over the part co-order graph —
+    the clustering/cohesion primitive (community cores, spam-farm
+    detection) beside PageRank's centrality. Degree-ordered orientation
+    (``stages/graph.py::triangle_counts``) keeps wedge fan-out at
+    O(m^1.5) total regardless of hub degree; hash-exact vs a DuckDB
+    three-way self-join over the identical distinct-edge derivation."""
+    from fs_schema_validator_ray.stages.graph import triangle_counts
+
+    return triangle_counts(_coorder_edges(sf_dir), "src", "dst")
 
 
 def pack_documents_chars(sf_dir: str):
@@ -4512,6 +4530,7 @@ def psi_nchars_by_source(sf_dir: str):
 QUERIES = {
     "minhash_planted_contract": minhash_planted_contract,
     "simhash_planted_contract": simhash_planted_contract,
+    "triangles_parts": triangles_parts,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "gapfill_events_daily": gapfill_events_daily,

@@ -366,3 +366,212 @@ def pagerank(
         f"pagerank did not converge in {max_iter} iterations (last L1 delta "
         f"{delta:.3e} ≥ tol {tol:.1e})"
     )
+
+
+def triangle_counts(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int | None = None,
+    max_broadcast_nodes: int = 2_000_000,
+):
+    """Exact per-node triangle counts via DEGREE-ORDERED edge
+    orientation (the classic compact-forward / Schank-Wagner scheme —
+    public algorithm): orient every undirected edge from the endpoint
+    with the smaller ``(degree, id)`` to the larger, enumerate wedges
+    only among each node's OUT-neighbours (out-degree is bounded by
+    O(sqrt(m)) under this orientation, so wedge fan-out never explodes
+    on hubs), and keep the wedges that close into an edge. Each triangle
+    is found exactly once — it has exactly one node whose two oriented
+    edges point at the other two.
+
+    Plan: dedup to distinct undirected ``(a < b)`` edges (bucketed
+    shuffle), one count pass for degrees, orientation via a broadcast
+    ``ray.put`` degree index when the node count is ≤
+    ``max_broadcast_nodes`` (two sorted-array ``searchsorted`` lookups
+    per batch) — beyond that two pruned ``hash_join`` passes against the
+    degree table (columns: three int64s; documented switchover, same
+    convention as the unigram-LM scorer) — then one bucketed wedge
+    expansion keyed by the wedge centre and one composite-key SEMI join
+    of wedges against the edge set. Returns ``(node, triangles)``;
+    nodes in no triangle are absent (SQL-consistent).
+
+    Partitioning assumption: int64 node ids; the wedge exchange is keyed
+    by ``hash(centre)`` so a hot centre's wedges land in one task — the
+    orientation bound caps that at O(m) wedges per centre worst case.
+    """
+    import ray
+
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+    from fs_schema_validator_ray.stages.dedup import (
+        default_n_buckets,
+        dedup_pairs_distinct,
+    )
+    from fs_schema_validator_ray.stages.joins import hash_join, semi_anti_join
+    from fs_schema_validator_ray.state.sketches import hash64, mix_to_buckets
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets(edges)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column(src), np.int64)
+        v = np.asarray(t.column(dst), np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(u, v)), "b": pa.array(np.maximum(u, v))}
+        )
+
+    und = dedup_pairs_distinct(
+        edges.map_batches(normalize, batch_format="pyarrow"), n_buckets
+    ).materialize()  # consumed three times (degrees, orientation, closure)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                )
+            }
+        )
+
+    deg = group_sum_bucketed(
+        und.map_batches(endpoints, batch_format="pyarrow"), "node", [], n_buckets
+    )
+
+    deg = deg.materialize()  # consumed once or twice below
+    n_nodes = deg.count()
+    if n_nodes <= max_broadcast_nodes:
+        # broadcast path: one sorted (node, deg) index in the object
+        # store, resolved once per worker
+        parts = [ray.get(r) for r in deg.to_arrow_refs()]
+        nodes = np.concatenate(
+            [np.asarray(t.column("node"), np.int64) for t in parts]
+        )
+        degs = np.concatenate([np.asarray(t.column("n"), np.int64) for t in parts])
+        order = np.argsort(nodes)
+        index_ref = ray.put((nodes[order], degs[order]))
+
+        def orient_broadcast(t: pa.Table) -> pa.Table:
+            idx_nodes, idx_degs = ray.get(index_ref)
+            a = np.asarray(t.column("a"), np.int64)
+            b = np.asarray(t.column("b"), np.int64)
+            da = idx_degs[np.searchsorted(idx_nodes, a)]
+            db = idx_degs[np.searchsorted(idx_nodes, b)]
+            # orient from smaller (deg, id) to larger; ties break by
+            # id and a < b already holds
+            a_first = da <= db
+            u = np.where(a_first, a, b)
+            v = np.where(a_first, b, a)
+            return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+        oriented = und.map_batches(orient_broadcast, batch_format="pyarrow")
+    else:
+        e1 = hash_join(
+            und,
+            deg.map_batches(
+                lambda t: t.rename_columns(["node", "deg_a"]),
+                batch_format="pyarrow",
+            ),
+            left_on="a",
+            right_on="node",
+            left_value_columns=["b"],
+            right_value_columns=["deg_a"],
+            n_buckets=n_buckets,
+        )
+        e2 = hash_join(
+            e1,
+            deg.map_batches(
+                lambda t: t.rename_columns(["node", "deg_b"]),
+                batch_format="pyarrow",
+            ),
+            left_on="b",
+            right_on="node",
+            left_value_columns=["a", "deg_a"],
+            right_value_columns=["deg_b"],
+            n_buckets=n_buckets,
+        )
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            a = np.asarray(t.column("a"), np.int64)
+            b = np.asarray(t.column("b"), np.int64)
+            da = np.asarray(t.column("deg_a"), np.int64)
+            db = np.asarray(t.column("deg_b"), np.int64)
+            a_first = da <= db  # (deg, id) order; a < b already holds
+            u = np.where(a_first, a, b)
+            v = np.where(a_first, b, a)
+            return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+        oriented = e2.map_batches(orient_joined, batch_format="pyarrow")
+
+    def tag_centre(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), np.int64)
+        return t.append_column(
+            "__bucket", pa.array(mix_to_buckets(hash64(u), n_buckets))
+        )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), np.int64)
+        v = np.asarray(group.column("v"), np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        lens = np.diff(np.append(starts, len(u)))
+        sq = lens * lens
+        total = int(sq.sum())
+        empty = pa.array([], pa.int64())
+        if total == 0:
+            return pa.table({"wa": empty, "wb": empty, "centre": empty})
+        # ragged all-pairs per centre segment (same vectorized shape as
+        # the co-order edge expansion), keep i < j once via id order
+        off = np.repeat(starts, sq)
+        lrep = np.repeat(lens, sq)
+        p = np.arange(total) - np.repeat(np.cumsum(sq) - sq, sq)
+        x = v[off + p // lrep]
+        y = v[off + p % lrep]
+        keep = x < y
+        return pa.table(
+            {
+                "wa": pa.array(x[keep]),
+                "wb": pa.array(y[keep]),
+                "centre": pa.array(u[off[keep]]),
+            }
+        )
+
+    wedge_ds = (
+        oriented.map_batches(tag_centre, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    closed = semi_anti_join(
+        wedge_ds,
+        und,
+        left_on=["wa", "wb"],
+        right_on=["a", "b"],
+        left_value_columns=["centre"],
+        how="semi",
+        n_buckets=n_buckets,
+    )
+
+    def triangle_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("wa").combine_chunks(),
+                        t.column("wb").combine_chunks(),
+                        t.column("centre").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    counts = group_sum_bucketed(
+        closed.map_batches(triangle_nodes, batch_format="pyarrow"),
+        "node",
+        [],
+        n_buckets,
+    )
+    return counts.map_batches(
+        lambda t: t.rename_columns(["node", "triangles"]), batch_format="pyarrow"
+    )

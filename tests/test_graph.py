@@ -189,3 +189,58 @@ def test_pagerank_distributed_path_matches_pinned(ray_session):
     )
     assert pinned["node"].tolist() == waved["node"].tolist()
     np.testing.assert_allclose(pinned["rank"].values, waved["rank"].values, atol=1e-12)
+
+
+def _triangles_brute(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Per-node triangle membership counts by brute force."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    counts = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if ((x, y) in und) and ((y, z) in und) and ((x, z) in und):
+            counts[x] += 1
+            counts[y] += 1
+            counts[z] += 1
+    return {n: c for n, c in counts.items() if c}
+
+
+def test_triangle_counts_vs_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    raw = list(zip(rng.integers(0, 30, 400).tolist(), rng.integers(0, 30, 400).tolist()))
+    expect = _triangles_brute(raw)
+    assert expect  # dense enough to actually contain triangles
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [a for a, _ in raw], "dst": [b for _, b in raw]})
+    ).repartition(4)
+    got = triangle_counts(ds, "src", "dst").to_pandas()
+    assert dict(zip(got["node"], got["triangles"])) == expect
+
+
+def test_triangle_counts_join_path_parity(ray_session):
+    """Forcing the two-hash-join orientation (max_broadcast_nodes=0)
+    matches the broadcast-degree path — the switchover parity gate."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {"src": rng.integers(0, 25, 300), "dst": rng.integers(0, 25, 300)}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    bc = triangle_counts(ds, "src", "dst").to_pandas()
+    jn = triangle_counts(ds, "src", "dst", max_broadcast_nodes=0).to_pandas()
+    assert dict(zip(bc["node"], bc["triangles"])) == dict(
+        zip(jn["node"], jn["triangles"])
+    )
+    assert _triangles_brute(list(zip(df["src"], df["dst"]))) == dict(
+        zip(bc["node"], bc["triangles"])
+    )
