@@ -56,6 +56,29 @@ FROM documents WHERE doc_id % 10 = 0
 SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
 FROM documents WHERE doc_id % 10 = 0
 """,
+        "mannwhitney_lineitem": r"""
+WITH c AS (
+  SELECT l_linestatus AS g, l_quantity AS v,
+         COUNT(*) FILTER (WHERE l_returnflag = 'R') AS cnt_a,
+         COUNT(*) AS cnt
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+r AS (
+  SELECT g, cnt_a, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le
+  FROM c)
+SELECT g AS l_linestatus,
+       CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+       CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+       CAST(SUM(cnt_a * (1 + lt + le))
+            - SUM(cnt_a) * (SUM(cnt_a) + 1) AS BIGINT) AS u2_a,
+       CAST(2 * SUM(cnt_a) * SUM(cnt - cnt_a)
+            - (SUM(cnt_a * (1 + lt + le))
+               - SUM(cnt_a) * (SUM(cnt_a) + 1)) AS BIGINT) AS u2_b
+FROM r GROUP BY g
+""",
         "triangles_parts": r"""
 WITH e AS (
   SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,

@@ -2626,6 +2626,21 @@ def spearman_lineitem(sf_dir: str):
     return grouped_spearman(ds, "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def mannwhitney_lineitem(sf_dir: str):
+    """Per-linestatus Mann-Whitney U comparing the quantity distribution
+    of returned (``l_returnflag = 'R'``) vs kept lineitems — the
+    nonparametric two-sample location test a curation pipeline uses to
+    compare cohorts without normality assumptions. INTEGER-exact end to
+    end (``2·U`` stays an int even under ties), only pre-aggregated
+    ``(key, value)`` counts shuffle
+    (``stages/agg.py::grouped_mannwhitney``); the oracle derives the
+    identical tie-averaged rank sums with SQL window cumsums."""
+    from fs_schema_validator_ray.stages.agg import grouped_mannwhitney
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity", "l_returnflag"])
+    return grouped_mannwhitney(ds, "l_linestatus", "l_quantity", "l_returnflag", "R")
+
+
 def mad_lineitem_quantity(sf_dir: str):
     """Exact grouped median absolute deviation of l_quantity per return
     flag — two quantile combiner shuffles + one KB median broadcast,
@@ -4531,6 +4546,7 @@ QUERIES = {
     "minhash_planted_contract": minhash_planted_contract,
     "simhash_planted_contract": simhash_planted_contract,
     "triangles_parts": triangles_parts,
+    "mannwhitney_lineitem": mannwhitney_lineitem,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "gapfill_events_daily": gapfill_events_daily,

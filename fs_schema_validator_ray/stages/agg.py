@@ -1815,3 +1815,94 @@ def grouped_spearman(ds, key_column: str, x_column: str, y_column: str):
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def grouped_mannwhitney(
+    ds,
+    key_column: str,
+    value_column: str,
+    sample_column: str,
+    sample_a_value,
+):
+    """Per-key Mann-Whitney U (Wilcoxon rank-sum) between sample A
+    (``sample_column == sample_a_value``) and sample B (everything
+    else) — INTEGER-exact, no ROUND protocol needed.
+
+    The whole statistic reduces to value counts: with per-(key, value)
+    counts ``cnt`` (combined) and ``cnt_a`` (sample A), the tie-averaged
+    rank of value v is ``(r_min + r_max) / 2`` with
+    ``r_min = 1 + lt(v)``, ``r_max = le(v)`` (lt/le = exclusive /
+    inclusive cumulative counts in value order), so
+
+        2·R_A = Σ_v cnt_a(v) · (1 + lt(v) + le(v))
+        2·U_A = 2·R_A − n_a·(n_a + 1),   2·U_B = 2·n_a·n_b − 2·U_A
+
+    — every term an integer. Only the pre-aggregated
+    ``(key, value, cnt, cnt_a)`` rows shuffle (one combiner pass +
+    a small composite groupby), never raw rows; the per-key finisher
+    is a vectorized cumsum over the key's distinct values.
+
+    SQL semantics: null values drop (rank pairs); a null sample tag
+    counts as sample B. Output
+    ``(key, n_a, n_b, u2_a, u2_b)`` with ``u2_* = 2·U_*`` (kept doubled
+    so ties never force a float)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_column, value_column, sample_column])
+        t = t.filter(pc.is_valid(t.column(value_column)))
+        is_a = pc.cast(
+            pc.fill_null(
+                pc.equal(t.column(sample_column), sample_a_value), False
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                key_column: t.column(key_column),
+                value_column: t.column(value_column),
+                "cnt_a": is_a,
+            }
+        )
+        g = pa.TableGroupBy(t, [key_column, value_column]).aggregate(
+            [("cnt_a", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                key_column: g.column(key_column),
+                value_column: g.column(value_column),
+                "cnt_a": pc.cast(g.column("cnt_a_sum"), pa.int64()),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_column, value_column])
+        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        v = group.column(value_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        cnt = np.asarray(group.column("cnt"), np.int64)[order]
+        cnt_a = np.asarray(group.column("cnt_a"), np.int64)[order]
+        le = np.cumsum(cnt)
+        lt = le - cnt
+        n = int(le[-1]) if len(le) else 0
+        n_a = int(cnt_a.sum())
+        n_b = n - n_a
+        two_r_a = int((cnt_a * (1 + lt + le)).sum())
+        u2_a = two_r_a - n_a * (n_a + 1)
+        u2_b = 2 * n_a * n_b - u2_a
+        return pa.table(
+            {
+                key_column: group.column(key_column)[:1],
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "u2_a": pa.array([u2_a], pa.int64()),
+                "u2_b": pa.array([u2_b], pa.int64()),
+            }
+        )
+
+    return counts.groupby(key_column).map_groups(finish, batch_format="pyarrow")

@@ -235,3 +235,38 @@ def test_group_moments_slope_mode(ray_session):
     ).to_pandas()
     assert {"cov_num", "corr6"} <= set(out2.columns)
     assert "slope6" not in out2.columns
+
+
+def test_grouped_mannwhitney_vs_direct_definition(ray_session):
+    """2·U_A must equal the direct pairwise definition
+    Σ_{a∈A,b∈B} (2·[a>b] + [a==b]) on tied integer data, per key."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import grouped_mannwhitney
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", "z"], n),
+            "v": rng.integers(0, 12, n),
+            "s": rng.choice(["A", "B", "C"], n),
+        }
+    )
+    # plant some null values and null sample tags (value nulls drop;
+    # null sample counts as B)
+    df.loc[df.index[:40], "v"] = None
+    df.loc[df.index[40:60], "s"] = None
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouped_mannwhitney(ds, "k", "v", "s", "A").to_pandas()
+    for k, sub in df.dropna(subset=["v"]).groupby("k"):
+        a = sub.loc[sub["s"] == "A", "v"].to_numpy()
+        b = sub.loc[sub["s"] != "A", "v"].to_numpy()
+        gt = a[:, None] > b[None, :]
+        eq = a[:, None] == b[None, :]
+        u2 = 2 * int(gt.sum()) + int(eq.sum())
+        row = got[got["k"] == k].iloc[0]
+        assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+        assert row["u2_a"] == u2, k
+        assert row["u2_b"] == 2 * len(a) * len(b) - u2
