@@ -56,6 +56,51 @@ FROM documents WHERE doc_id % 10 = 0
 SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
 FROM documents WHERE doc_id % 10 = 0
 """,
+        "geo_harmonic_lineitem": r"""
+WITH c AS (
+  SELECT l_returnflag AS k, l_quantity AS v, COUNT(*) AS cnt
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2)
+SELECT k AS l_returnflag,
+       CAST(SUM(cnt) AS BIGINT) AS n,
+       ROUND(exp(SUM(cnt * ln(CAST(v AS DOUBLE))) / SUM(cnt)), 6) AS geomean6,
+       ROUND(CAST(SUM(cnt) AS DOUBLE) / SUM(cnt / CAST(v AS DOUBLE)), 6) AS harmonic6
+FROM c GROUP BY k
+""",
+        "mutual_information_documents": r"""
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+t AS (
+  SELECT lang, source, cnt,
+         SUM(cnt) OVER (PARTITION BY lang) AS row_tot,
+         SUM(cnt) OVER (PARTITION BY source) AS col_tot,
+         SUM(cnt) OVER () AS n
+  FROM c)
+SELECT lang, source, cnt AS observed,
+       ROUND(ln(CAST(cnt AS DOUBLE) * n / (row_tot * col_tot)), 6) AS pmi6,
+       ROUND(CAST(cnt AS DOUBLE) / n
+             * ln(CAST(cnt AS DOUBLE) * n / (row_tot * col_tot)), 6) AS mi_contrib6
+FROM t
+""",
+        "tpch_q1_pricing_summary": r"""
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS x
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 6) AS sum_base_price,
+       ROUND(CAST(SUM(cents * (100 - d)) AS DOUBLE) / 1e4, 6) AS sum_disc_price,
+       ROUND(CAST(SUM(cents * (100 - d) * (100 + x)) AS DOUBLE) / 1e6, 6) AS sum_charge,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0), 6) AS avg_price,
+       ROUND(CAST(SUM(d) AS DOUBLE) / (COUNT(*) * 100.0), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM m GROUP BY l_returnflag, l_linestatus
+""",
         "mannwhitney_lineitem": r"""
 WITH c AS (
   SELECT l_linestatus AS g, l_quantity AS v,

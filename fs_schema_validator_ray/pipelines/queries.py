@@ -2626,6 +2626,100 @@ def spearman_lineitem(sf_dir: str):
     return grouped_spearman(ds, "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def tpch_q1_pricing_summary(sf_dir: str):
+    """The TPC-H Q1 pricing-summary plan shape — the canonical
+    wide-scan + low-cardinality grouped aggregate every engine is judged
+    on: filter at the read, derive per-row integer measures, combine per
+    batch, one tiny groupby. INTEGER-exact money math: prices/discounts
+    /taxes are exact 2-decimal values, so ``disc_price`` and ``charge``
+    accumulate as cents·(100−d) and cents·(100−d)·(100+t) integer units
+    and only the final per-group divisions touch floats (ROUND(·,6)
+    protocol — both engines divide identical integers). Per-row partial
+    products stay < 2^40, so int64 sums hold to ~10^13 rows per group;
+    beyond that the combiner would need a two-limb accumulator
+    (documented, not silently wrong: Arrow sum overflow raises)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    cutoff = np.datetime64("1998-09-02")
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def measures(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t.column("l_shipdate"), pa.scalar(cutoff.item()))
+        )
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        d = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64())
+        x = pc.cast(pc.round(pc.multiply(t.column("l_tax"), 100.0)), pa.int64())
+        disc4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), d))
+        charge6 = pc.multiply(disc4, pc.add(pa.scalar(100, pa.int64()), x))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "cents": cents,
+                "disc4": disc4,
+                "charge6": charge6,
+                "disc_pct": d,
+            }
+        )
+
+    agg = group_sum(
+        ds.map_batches(measures, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "cents", "disc4", "charge6", "disc_pct"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.float64())
+        r6 = lambda arr: pc.round(arr, ndigits=6)  # noqa: E731
+        cents = pc.cast(t.column("cents"), pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("qty"),
+                "sum_base_price": r6(pc.divide(cents, 100.0)),
+                "sum_disc_price": r6(
+                    pc.divide(pc.cast(t.column("disc4"), pa.float64()), 1e4)
+                ),
+                "sum_charge": r6(
+                    pc.divide(pc.cast(t.column("charge6"), pa.float64()), 1e6)
+                ),
+                "avg_qty": r6(
+                    pc.divide(pc.cast(t.column("qty"), pa.float64()), n)
+                ),
+                "avg_price": r6(pc.divide(cents, pc.multiply(n, 100.0))),
+                "avg_disc": r6(
+                    pc.divide(
+                        pc.cast(t.column("disc_pct"), pa.float64()),
+                        pc.multiply(n, 100.0),
+                    )
+                ),
+                "count_order": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def mannwhitney_lineitem(sf_dir: str):
     """Per-linestatus Mann-Whitney U comparing the quantity distribution
     of returned (``l_returnflag = 'R'``) vs kept lineitems — the
@@ -2639,6 +2733,30 @@ def mannwhitney_lineitem(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity", "l_returnflag"])
     return grouped_mannwhitney(ds, "l_linestatus", "l_quantity", "l_returnflag", "R")
+
+
+def geo_harmonic_lineitem(sf_dir: str):
+    """Per-returnflag GEOMETRIC + HARMONIC mean of quantity — the
+    rate/ratio-correct averages (tokens/sec, compression ratios) a
+    pipeline-metrics layer needs beside the arithmetic mean. Exact
+    counts-reduction shuffle, one tiny float pass per key
+    (``stages/agg.py::grouped_geo_harmonic_mean``), ROUND(·,6)."""
+    from fs_schema_validator_ray.stages.agg import grouped_geo_harmonic_mean
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_geo_harmonic_mean(ds, "l_returnflag", "l_quantity")
+
+
+def mutual_information_documents(sf_dir: str):
+    """Mutual information between document language and source — the
+    information-theoretic dependence measure beside the chi-square gate
+    (how skewed is the lang mix per source?). One integer count
+    combiner shuffle; per-observed-cell PMI + MI contribution
+    (``stages/agg.py::mutual_information``), ROUND(·,6)."""
+    from fs_schema_validator_ray.stages.agg import mutual_information
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return mutual_information(ds, "lang", "source")
 
 
 def mad_lineitem_quantity(sf_dir: str):
@@ -4547,6 +4665,9 @@ QUERIES = {
     "simhash_planted_contract": simhash_planted_contract,
     "triangles_parts": triangles_parts,
     "mannwhitney_lineitem": mannwhitney_lineitem,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "geo_harmonic_lineitem": geo_harmonic_lineitem,
+    "mutual_information_documents": mutual_information_documents,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "gapfill_events_daily": gapfill_events_daily,

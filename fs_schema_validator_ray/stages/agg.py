@@ -1906,3 +1906,111 @@ def grouped_mannwhitney(
         )
 
     return counts.groupby(key_column).map_groups(finish, batch_format="pyarrow")
+
+
+def mutual_information(ds, col_a: str, col_b: str):
+    """Mutual information (in nats) between two categorical columns —
+    the information-theoretic companion to ``chi2_independence``: how
+    many nats knowing ``col_a`` gives about ``col_b``. Per-OBSERVED-cell
+    output ``(col_a, col_b, observed, pmi6, mi_contrib6)`` where
+    ``pmi = ln(n·cnt / (row_tot·col_tot))`` and ``mi_contrib =
+    (cnt/n)·pmi`` — MI is ``SUM(mi_contrib)``; zero-observed cells
+    contribute exactly 0 and are not emitted (unlike chi-square, where
+    they carry weight). Heavy work is the one integer ``group_sum``
+    combiner shuffle; the float pass runs once on the tiny cell table
+    (ROUND(·,6) protocol, same ln-parity argument as
+    ``group_entropy``)."""
+    from fs_schema_validator_ray.state.sketches import key_codes
+
+    counts = group_sum(ds.select_columns([col_a, col_b]), [col_a, col_b], [])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    col_a: t.column(col_a).slice(0, 0),
+                    col_b: t.column(col_b).slice(0, 0),
+                    "observed": pa.array([], pa.int64()),
+                    "pmi6": pa.array([], pa.float64()),
+                    "mi_contrib6": pa.array([], pa.float64()),
+                }
+            )
+        cnt = np.asarray(t.column("n"), dtype=np.int64)
+        ai = np.unique(key_codes(t.column(col_a).combine_chunks()), return_inverse=True)[1]
+        bi = np.unique(key_codes(t.column(col_b).combine_chunks()), return_inverse=True)[1]
+        row_tot = np.bincount(ai, weights=cnt)[ai]  # marginal of col_a per cell
+        col_tot = np.bincount(bi, weights=cnt)[bi]
+        n = float(cnt.sum())
+        pmi = np.log(cnt.astype(np.float64) * n / (row_tot * col_tot))
+        mi = cnt / n * pmi
+        return pa.table(
+            {
+                col_a: t.column(col_a),
+                col_b: t.column(col_b),
+                "observed": pa.array(cnt, pa.int64()),
+                "pmi6": pa.array(np.round(pmi, 6), pa.float64()),
+                "mi_contrib6": pa.array(np.round(mi, 6), pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_geo_harmonic_mean(ds, key_column: str, value_column: str):
+    """Per-key GEOMETRIC and HARMONIC means derived from exact
+    ``(key, value)`` counts — the shuffle carries only the pre-aggregated
+    distinct-value count table (the same counts-reduction trick as
+    ``grouped_mannwhitney``), and the float pass runs once per key over
+    its distinct values in ASCENDING value order:
+
+        geomean  = exp( Σ cnt·ln(v) / n )
+        harmonic = n / Σ (cnt / v)
+
+    Null values drop (SQL aggregate semantics); ``v ≤ 0`` raises
+    (ln/branch domain — not silently wrong). ROUND(·,6) protocol: both
+    engines sum the identical ~|distinct| terms, disagreement is at the
+    last ulp. Output ``(key, n, geomean6, harmonic6)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_column, value_column])
+        t = t.filter(pc.is_valid(t.column(value_column)))
+        g = pa.TableGroupBy(t, [key_column, value_column]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                key_column: g.column(key_column),
+                value_column: g.column(value_column),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_column, value_column])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        v = group.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.asarray(group.column("cnt"), np.int64)
+        if np.any(v <= 0):
+            raise ValueError(
+                f"grouped_geo_harmonic_mean: non-positive {value_column} value"
+            )
+        order = np.argsort(v, kind="stable")
+        v, cnt = v[order], cnt[order]
+        n = int(cnt.sum())
+        geo = float(np.exp((cnt * np.log(v)).sum() / n))
+        harm = float(n / (cnt / v).sum())
+        return pa.table(
+            {
+                key_column: group.column(key_column)[:1],
+                "n": pa.array([n], pa.int64()),
+                "geomean6": pa.array([round(geo, 6)], pa.float64()),
+                "harmonic6": pa.array([round(harm, 6)], pa.float64()),
+            }
+        )
+
+    return counts.groupby(key_column).map_groups(finish, batch_format="pyarrow")

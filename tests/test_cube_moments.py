@@ -270,3 +270,71 @@ def test_grouped_mannwhitney_vs_direct_definition(ray_session):
         assert (row["n_a"], row["n_b"]) == (len(a), len(b))
         assert row["u2_a"] == u2, k
         assert row["u2_b"] == 2 * len(a) * len(b) - u2
+
+
+def test_grouped_geo_harmonic_vs_numpy(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import grouped_geo_harmonic_mean
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"k": rng.choice(["a", "b"], 2000), "v": rng.integers(1, 30, 2000)}
+    )
+    df.loc[df.index[:25], "v"] = None
+    got = grouped_geo_harmonic_mean(
+        ray.data.from_pandas(df).repartition(4), "k", "v"
+    ).to_pandas()
+    for k, sub in df.dropna(subset=["v"]).groupby("k"):
+        v = sub["v"].to_numpy(dtype=float)
+        row = got[got["k"] == k].iloc[0]
+        assert row["n"] == len(v)
+        assert abs(row["geomean6"] - np.exp(np.log(v).mean())) < 1e-5
+        assert abs(row["harmonic6"] - len(v) / (1.0 / v).sum()) < 1e-5
+
+
+def test_grouped_geo_harmonic_rejects_nonpositive(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import grouped_geo_harmonic_mean
+
+    df = pd.DataFrame({"k": ["a", "a"], "v": [3, 0]})
+    with pytest.raises(Exception, match="non-positive"):
+        grouped_geo_harmonic_mean(ray.data.from_pandas(df), "k", "v").to_pandas()
+
+
+def test_mutual_information_vs_direct(ray_session):
+    """MI contributions must sum to the direct Σ p_ij·ln(p_ij/(p_i·p_j))
+    and independence must give ≈0 MI."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import mutual_information
+
+    rng = np.random.default_rng(9)
+    # dependent: b copies a most of the time
+    a = rng.choice(["x", "y", "z"], 4000)
+    flip = rng.random(4000) < 0.2
+    b = np.where(flip, rng.choice(["x", "y", "z"], 4000), a)
+    df = pd.DataFrame({"a": a, "b": b})
+    got = mutual_information(
+        ray.data.from_pandas(df).repartition(4), "a", "b"
+    ).to_pandas()
+    joint = df.value_counts(["a", "b"]).rename("c").reset_index()
+    n = len(df)
+    pa_ = df["a"].value_counts() / n
+    pb_ = df["b"].value_counts() / n
+    mi_direct = sum(
+        (r.c / n) * np.log((r.c / n) / (pa_[r.a] * pb_[r.b]))
+        for r in joint.itertuples()
+    )
+    assert abs(got["mi_contrib6"].sum() - mi_direct) < 1e-4
+    assert mi_direct > 0.3  # genuinely dependent
+
+    indep = pd.DataFrame(
+        {"a": rng.choice(["x", "y"], 20000), "b": rng.choice(["u", "v"], 20000)}
+    )
+    got_i = mutual_information(ray.data.from_pandas(indep), "a", "b").to_pandas()
+    assert abs(got_i["mi_contrib6"].sum()) < 1e-3
