@@ -48,6 +48,14 @@ def oracle_sql() -> dict[str, str]:
         # signature / SimHash — the planted verbatim copies MUST come
         # back as pairs at similarity exactly 1.0 (see
         # minhash_planted_contract / simhash_planted_contract)
+        "auto_join_lineitem_part": r"""
+SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, p.p_brand, p.p_size
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+        "auto_join_shuffle_orders_customer": r"""
+SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
         "minhash_planted_contract": r"""
 SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
 FROM documents WHERE doc_id % 10 = 0

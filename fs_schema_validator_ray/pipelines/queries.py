@@ -651,6 +651,39 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def auto_join_lineitem_part(sf_dir: str):
+    """Cost-based join strategy pick — SMALL build side: lineitem ⋈ part
+    on part key. The pruned part read's metadata byte estimate sits far
+    under the broadcast bound, so :func:`join_auto` picks the
+    duplicate-aware broadcast plan (no shuffle at all); results are
+    strategy-independent and oracle-checked."""
+    from fs_schema_validator_ray.stages.joins import join_auto
+
+    left = _read(sf_dir, "lineitem", ["l_partkey", "l_orderkey", "l_linenumber"])
+    right = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    return join_auto(
+        left, right, "l_partkey", "p_partkey",
+        ["l_orderkey", "l_linenumber"], ["p_brand", "p_size"],
+    )
+
+
+def auto_join_shuffle_orders_customer(sf_dir: str):
+    """Cost-based join strategy pick — build side OVER the bound (forced
+    via ``broadcast_max_bytes=1``): orders LEFT JOIN customer falls to
+    the bucketed-shuffle :func:`hash_join` plan. Same entry point as
+    :func:`auto_join_lineitem_part`, opposite decision — both
+    driver-hash-checked so the dispatcher itself is correctness-gated."""
+    from fs_schema_validator_ray.stages.joins import join_auto
+
+    left = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return join_auto(
+        left, right, "o_custkey", "c_custkey",
+        ["o_orderkey"], ["c_mktsegment"],
+        how="left", broadcast_max_bytes=1,
+    )
+
+
 def hash_join_lineitem_orders(sf_dir: str):
     """Large-large inner equi-join (bucketed co-partitioned merge):
     lineitem ⋈ orders on order key — oracle-checked."""
@@ -4661,6 +4694,8 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "auto_join_lineitem_part": auto_join_lineitem_part,
+    "auto_join_shuffle_orders_customer": auto_join_shuffle_orders_customer,
     "minhash_planted_contract": minhash_planted_contract,
     "simhash_planted_contract": simhash_planted_contract,
     "triangles_parts": triangles_parts,

@@ -1296,3 +1296,201 @@ def broadcast_cross_join(ds, small_ds, small_columns: list[str]):
             return pa.table(out)
 
     return ds.map_batches(CrossStage(), batch_format="pyarrow")
+
+
+# --- duplicate-aware broadcast join + cost-based strategy pick ---------------
+
+
+class BroadcastJoinMultiStage:
+    """map_batches callable: duplicate-aware broadcast equi-join.
+
+    Unlike :class:`BroadcastJoinStage` (lookup semantics: last build row
+    per key wins), this stage emits the FULL per-key cross product like
+    SQL — a probe row matching ``k`` build rows emits ``k`` output rows —
+    so its results are identical to :func:`hash_join` and it can stand in
+    for the shuffle plan whenever the build side fits in worker memory.
+    ``how="left"`` emits unmatched probe rows once with null build
+    columns. Null probe keys never match (SQL equality), and null build
+    keys are dropped at build time.
+    """
+
+    def __init__(
+        self,
+        lookup_ref,
+        left_on: str,
+        left_value_columns: list[str],
+        right_value_columns: list[str],
+        how: str = "inner",
+    ) -> None:
+        if how not in ("inner", "left"):
+            raise ValueError(f"broadcast multi-join supports inner|left, got {how!r}")
+        self.lookup_ref = lookup_ref
+        self.left_on = left_on
+        self.left_value_columns = left_value_columns
+        self.right_value_columns = right_value_columns
+        self.how = how
+        self._side = None
+
+    def _resolve(self):
+        if self._side is None:
+            import ray
+
+            obj = self.lookup_ref
+            self._side = ray.get(obj) if hasattr(obj, "hex") else obj
+        return self._side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys_sorted, values, types = self._resolve()
+        out_cols = [self.left_on, *self.left_value_columns]
+        probe_tbl = batch.select(out_cols)
+        n = probe_tbl.num_rows
+        col = batch.column(self.left_on).combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        if len(keys_sorted) and n:
+            # fill nulls with an existing build key so the numpy dtype is
+            # comparable; those rows are masked to zero matches below
+            fill = keys_sorted[0]
+            probe = np.asarray(pc.fill_null(col, fill))
+            lo = np.searchsorted(keys_sorted, probe, side="left")
+            hi = np.searchsorted(keys_sorted, probe, side="right")
+            cnt = (hi - lo).astype(np.int64)
+            cnt[~valid] = 0
+            lo[~valid] = 0
+        else:
+            cnt = np.zeros(n, dtype=np.int64)
+            lo = np.zeros(n, dtype=np.int64)
+        rep = cnt if self.how == "inner" else np.maximum(cnt, 1)
+        total = int(rep.sum())
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+        out = probe_tbl.take(pa.array(row_idx, type=pa.int64()))
+        # position within each probe row's match range, vectorized
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        seq = np.arange(total, dtype=np.int64) - base
+        pos = np.repeat(lo, rep) + seq
+        matched = seq < np.repeat(cnt, rep)  # False only for left-nulls
+        safe_pos = np.clip(pos, 0, max(0, len(keys_sorted) - 1))
+        for c in self.right_value_columns:
+            if len(keys_sorted):
+                v = values[c][safe_pos]
+                if not matched.all():
+                    v = np.where(matched, v, None)
+            else:
+                v = np.full(total, None, dtype=object)
+            out = out.append_column(c, pa.array(v, type=types[c]))
+        return out
+
+
+def broadcast_join_multi(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    left_value_columns: list[str],
+    right_value_columns: list[str],
+    how: str = "inner",
+):
+    """Duplicate-aware broadcast equi-join: collect + sort the (pruned)
+    right side once, ``ray.put`` it, probe inside ``map_batches`` — no
+    shuffle. Output schema matches :func:`hash_join`:
+    ``[left_on, *left_value_columns, *right_value_columns]``."""
+    import ray
+
+    proj = right.select_columns([right_on, *right_value_columns])
+    batches = list(proj.iter_batches(batch_format="pyarrow"))
+    if batches:
+        tbl = pa.concat_tables(batches).combine_chunks()
+    else:
+        schema = proj.schema()
+        schema = schema.base_schema if hasattr(schema, "base_schema") else schema
+        tbl = pa.schema(
+            [(c, schema.field(c).type) for c in [right_on, *right_value_columns]]
+        ).empty_table()
+    tbl = tbl.filter(pc.is_valid(tbl.column(right_on)))  # null keys never match
+    keys = np.asarray(tbl.column(right_on).combine_chunks())
+    order = np.argsort(keys, kind="stable")
+    side = (
+        keys[order],
+        {
+            c: np.asarray(tbl.column(c), dtype=object)[order]
+            for c in right_value_columns
+        },
+        {c: tbl.schema.field(c).type for c in right_value_columns},
+    )
+    ref = ray.put(side)
+    return left.map_batches(
+        BroadcastJoinMultiStage(
+            ref, left_on, list(left_value_columns), list(right_value_columns), how=how
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# Build sides at or under this estimate broadcast by default: the side is
+# collected ONCE on the driver and ray.put once (workers read it zero-copy
+# from the local object store), so the bound is per-NODE memory, not
+# per-task — 64 MiB of pruned join columns is a few million dimension rows.
+DEFAULT_BROADCAST_MAX_BYTES = 64 * 2**20
+
+
+def join_auto(
+    left,
+    right,
+    left_on,
+    right_on,
+    left_value_columns: list[str],
+    right_value_columns: list[str],
+    how: str = "inner",
+    broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    _decision: dict | None = None,
+    **hash_join_kwargs,
+):
+    """Cost-based equi-join strategy pick (the reference has no planner;
+    a distributed engine must choose its exchange): BROADCAST the pruned
+    right side when its metadata-only byte estimate
+    (:func:`fs_schema_validator_ray.stages.dedup.estimate_dataset_bytes`,
+    a lineage walk to the column-pruned read — never executes) fits under
+    ``broadcast_max_bytes``; otherwise run the bucketed-shuffle
+    :func:`hash_join`. Unknown size, composite keys, ``right``/
+    ``full_outer``, and explicit salt/prefilter/skew options all fall to
+    the shuffle plan (conservative: a wrong "broadcast" OOMs a node, a
+    wrong "shuffle" only costs an exchange). The decision is logged
+    (no-silent-caps) and surfaced via ``_decision`` for tests. Results
+    are identical either way — parity is pytest-gated on duplicate keys,
+    null keys, and unmatched left rows."""
+    import logging
+
+    from fs_schema_validator_ray.stages.dedup import estimate_dataset_bytes
+
+    log = logging.getLogger("fs_schema_validator_ray.joins")
+    est = None
+    eligible = (
+        how in ("inner", "left")
+        and isinstance(left_on, str)
+        and isinstance(right_on, str)
+        and not hash_join_kwargs.get("salt", 1) > 1
+        and not hash_join_kwargs.get("prefilter")
+    )
+    if eligible:
+        est = estimate_dataset_bytes(
+            right.select_columns([right_on, *right_value_columns])
+        )
+    use_broadcast = eligible and est is not None and est <= broadcast_max_bytes
+    if _decision is not None:
+        _decision["strategy"] = "broadcast" if use_broadcast else "shuffle"
+        _decision["right_bytes_estimate"] = est
+    log.info(
+        "join_auto: %s (right-side estimate %s bytes, threshold %d)",
+        "broadcast" if use_broadcast else "shuffle",
+        est,
+        broadcast_max_bytes,
+    )
+    if use_broadcast:
+        return broadcast_join_multi(
+            left, right, left_on, right_on,
+            list(left_value_columns), list(right_value_columns), how=how,
+        )
+    return hash_join(
+        left, right, left_on, right_on,
+        list(left_value_columns), list(right_value_columns),
+        how=how, **hash_join_kwargs,
+    )
