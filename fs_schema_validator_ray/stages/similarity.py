@@ -434,6 +434,40 @@ class KmeansPartialStage:
         )
 
 
+def kmeans_centroids(
+    ds,
+    n_clusters: int,
+    iters: int = 5,
+    sample_size: int = 10_000,
+    vec_column: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """The centroid-fit half of :func:`kmeans_cluster` (init from a
+    bounded driver sample, then ``iters`` streaming partial-sum passes);
+    returns the unit-normalized (k × dim) centroid matrix so callers can
+    run their own assignment pass (``kmeans_cluster``, ``semdedup``)."""
+    import ray
+
+    sample = ds.limit(sample_size)
+    cent = kmeans_fit(collect_matrix(sample, vec_column), n_clusters, seed=seed)
+    vecs = ds.select_columns([vec_column])  # iteration passes never need ids
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        partials = vecs.map_batches(
+            KmeansPartialStage(cent_ref, vec_column), batch_format="pyarrow"
+        ).to_pandas()  # blocks × ≤k rows of (id, n, k-dim sum) — KBs
+        if not len(partials):
+            break
+        new = cent.copy()
+        grouped = partials.groupby("cluster_id")
+        for cid, g in grouped:
+            total = int(g["n"].sum())
+            if total:
+                new[int(cid)] = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / total
+        cent = _normalize(new)
+    return cent
+
+
 def kmeans_cluster(
     ds,
     n_clusters: int = 16,
@@ -456,23 +490,10 @@ def kmeans_cluster(
     """
     import ray
 
-    sample = ds.limit(sample_size)
-    cent = kmeans_fit(collect_matrix(sample, vec_column), n_clusters, seed=seed)
-    vecs = ds.select_columns([vec_column])  # iteration passes never need ids
-    for _ in range(iters):
-        cent_ref = ray.put(cent)
-        partials = vecs.map_batches(
-            KmeansPartialStage(cent_ref, vec_column), batch_format="pyarrow"
-        ).to_pandas()  # blocks × ≤k rows of (id, n, k-dim sum) — KBs
-        if not len(partials):
-            break
-        new = cent.copy()
-        grouped = partials.groupby("cluster_id")
-        for cid, g in grouped:
-            total = int(g["n"].sum())
-            if total:
-                new[int(cid)] = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / total
-        cent = _normalize(new)
+    cent = kmeans_centroids(
+        ds, n_clusters, iters=iters, sample_size=sample_size,
+        vec_column=vec_column, seed=seed,
+    )
 
     # final assignment = IvfAssignStage (the same broadcast
     # nearest-centroid kernel), relabeled list_id → cluster_id
@@ -903,4 +924,109 @@ def validate_embeddings(ds, vec_column: str, id_column: str, expected_dim: int):
 
     return ds.select_columns([id_column, vec_column]).map_batches(
         check, batch_format="pyarrow"
+    )
+
+
+# --- SemDeDup: semantic near-duplicate pruning -------------------------------
+
+
+def _semdedup_group(group: pa.Table, vec_column: str, id_column: str, eps: float):
+    """Greedy leader scan over ONE cluster, deterministic ascending-id
+    order: a row is kept iff its max cosine to every already-KEPT row in
+    the cluster stays below ``1 - eps``. Vectorized in chunks: each chunk
+    does one matmul against the kept matrix (the expensive part) plus a
+    triangular within-chunk pass, so the Python loop touches chunk rows,
+    not kept rows."""
+    from fs_schema_validator_ray.stages.dedup import _normalize, list_column_to_matrix
+
+    ids = np.asarray(group.column(id_column))
+    order = np.argsort(ids, kind="stable")
+    mat = _normalize(list_column_to_matrix(group.column(vec_column)))[order]
+    n = len(ids)
+    keep = np.ones(n, dtype=bool)
+    max_sim = np.full(n, -1.0)
+    thresh = 1.0 - eps
+    kept_rows: list[np.ndarray] = []
+    CHUNK = 512
+    for s0 in range(0, n, CHUNK):
+        chunk = mat[s0 : s0 + CHUNK]
+        m = len(chunk)
+        if kept_rows:
+            kept_mat = np.vstack(kept_rows)
+            best = (chunk @ kept_mat.T).max(axis=1)
+        else:
+            best = np.full(m, -1.0)
+        inner = chunk @ chunk.T
+        ck = np.ones(m, dtype=bool)
+        for i in range(m):  # ≤CHUNK rows; all heavy math is above
+            prev = best[i]
+            if i:
+                kept_in_chunk = ck[:i]
+                if kept_in_chunk.any():
+                    prev = max(prev, inner[i, :i][kept_in_chunk].max())
+            max_sim[s0 + i] = prev
+            if prev >= thresh:
+                ck[i] = False
+        keep[s0 : s0 + m] = ck
+        if ck.any():
+            kept_rows.append(chunk[ck])
+    cluster_id = group.column("cluster_id").chunk(0)[0].as_py() if group.num_rows else -1
+    return pa.table(
+        {
+            id_column: pa.array(ids[order], type=group.schema.field(id_column).type),
+            "cluster_id": pa.array(
+                np.full(n, cluster_id, dtype=np.int32), pa.int32()
+            ),
+            "keep": pa.array(keep),
+            "max_sim_kept": pa.array(np.round(max_sim, 6), pa.float64()),
+        }
+    )
+
+
+def semdedup(
+    ds,
+    eps: float = 0.05,
+    n_clusters: int = 16,
+    iters: int = 5,
+    sample_size: int = 10_000,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    seed: int = 11,
+):
+    """SemDeDup-style semantic dedup over an embedding column (Abbas et
+    al. 2023, public arXiv:2303.09540 — pattern only): k-means partitions
+    the corpus so near-duplicate candidates co-locate, then each cluster
+    is pruned independently by a DETERMINISTIC greedy leader scan
+    (ascending id; drop a row iff cosine ≥ ``1 - eps`` to a kept row).
+    Identical/near-identical vectors always share a cluster (same nearest
+    centroid), so exact semantic copies can never both survive.
+
+    Scale shape: centroid fit is ``iters`` streaming KB-partial passes
+    (:func:`kmeans_centroids`); assignment is one broadcast-centroid
+    pass; the prune is one ``groupby(cluster_id)`` shuffle of the
+    (id, vector) pairs and each cluster's greedy scan is chunked matmuls.
+    Partitioning assumption (documented, logged upstream by the groupby
+    sizing): one cluster's vectors fit in one task — size ``n_clusters ≈
+    corpus / target_cluster_rows`` accordingly; the in-cluster work is
+    O(rows × kept) but every flop is a blocked matmul.
+
+    Returns one row per input: ``(id, cluster_id, keep, max_sim_kept)``
+    (``max_sim_kept`` = cosine to the nearest earlier KEPT row, −1.0 for
+    the first row of a cluster, rounded to 6dp).
+    """
+    import ray
+
+    cent = kmeans_centroids(
+        ds, n_clusters, iters=iters, sample_size=sample_size,
+        vec_column=vec_column, seed=seed,
+    )
+    assigned = ds.select_columns([id_column, vec_column]).map_batches(
+        IvfAssignStage(ray.put(cent), vec_column), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.rename_columns([id_column, vec_column, "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    return assigned.groupby("cluster_id").map_groups(
+        lambda g: _semdedup_group(g, vec_column, id_column, eps),
+        batch_format="pyarrow",
     )

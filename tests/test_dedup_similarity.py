@@ -482,3 +482,79 @@ def test_substring_dup_no_false_pairs(ray_session):
     )
     out = substring_dup_pairs(ds, min_len=64, stride=4).to_pandas()
     assert len(out) == 0  # independent random docs share no 64-char span
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def _semdedup_corpus(n_extra=60, dim=16, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    # three planted near-identical families of 4 copies each (ids 0..11):
+    # the copies differ by a tiny jitter, far under any sane eps
+    for fam in range(3):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for c in range(4):
+            v = base + 1e-4 * rng.normal(size=dim)
+            rows.append((fam * 4 + c, (v / np.linalg.norm(v)).astype("float32")))
+    # well-separated singletons (random high-dim ⇒ near-orthogonal)
+    for i in range(n_extra):
+        v = rng.normal(size=dim)
+        rows.append((100 + i, (v / np.linalg.norm(v)).astype("float32")))
+    return rows
+
+
+def test_semdedup_planted_copies(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.similarity import semdedup
+
+    rows = _semdedup_corpus()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([list(map(float, r[1])) for r in rows],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = semdedup(ds, eps=0.1, n_clusters=4, iters=3).take_all()
+    assert len(out) == len(rows)
+    by_id = {r["vec_id"]: r for r in out}
+    # each planted family keeps EXACTLY its lowest id
+    for fam in range(3):
+        ids = [fam * 4 + c for c in range(4)]
+        kept = [i for i in ids if by_id[i]["keep"]]
+        assert kept == [ids[0]], (fam, kept)
+        # family members share a cluster (identical vectors, same centroid)
+        assert len({by_id[i]["cluster_id"] for i in ids}) == 1
+    # near-orthogonal singletons all survive
+    for i in range(60):
+        assert by_id[100 + i]["keep"], i
+
+
+def test_semdedup_deterministic_across_partitionings(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.similarity import semdedup
+
+    rows = _semdedup_corpus(n_extra=40, seed=9)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([list(map(float, r[1])) for r in rows],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+    def run(nparts):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = semdedup(ds, eps=0.08, n_clusters=3, iters=2).take_all()
+        return sorted((r["vec_id"], r["cluster_id"], r["keep"]) for r in out)
+
+    assert run(2) == run(7)
