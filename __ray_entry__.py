@@ -48,6 +48,20 @@ def oracle_sql() -> dict[str, str]:
         # signature / SimHash — the planted verbatim copies MUST come
         # back as pairs at similarity exactly 1.0 (see
         # minhash_planted_contract / simhash_planted_contract)
+        "audio_loudness_contract": r"""
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
+src AS (SELECT i,
+               CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+        FROM idx)
+SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS clip_id,
+       s % 509 NOT IN (17, 101) AS decode_ok,
+       CAST(CASE WHEN s % 509 IN (17, 101, 233) THEN NULL
+                 WHEN s % 9 = 4 THEN 0 ELSE 1 END AS BIGINT) AS loud_i
+FROM src
+""",
         "auto_join_lineitem_part": r"""
 SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, p.p_brand, p.p_size
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

@@ -4507,6 +4507,57 @@ def audio_levels_contract(sf_dir: str, n_rows: int = 1500):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def audio_loudness_contract(sf_dir: str, n_rows: int = 1500):
+    """K-weighted gated loudness (EBU-R128-style) CONTRACT gate: per-clip
+    ``loud`` verdicts (integrated LUFS > −20) over the synthetic corpus
+    with a PLANTED −24 dB attenuation on every ``idx % 9 == 4`` clip.
+    Measured margins over the full 1500-row corpus: unplanted LUFS ∈
+    [−10.27, −7.76] (9.7 dB above the bar), planted ∈ [−34.3, −31.8]
+    (11.8 dB below) — gating selection is scale-covariant, so the
+    planted shift is an exact −24.08 dB and both verdicts are closed-form
+    index functions. Undefined loudness (decode failure, empty decode /
+    ``dur_zero``: the only corpus rows under one block — unplanted
+    durations are ≥ 80 ms vs the 50 ms analysis block used for this
+    sub-second corpus) emits NULL, never dropped. The whole
+    decode → K-weighting biquads → gated integration path is
+    driver-hash-checked against the SQL corpus-contract derivation;
+    BS.1770 conformance itself (ITU 48 kHz coefficient table to 1e-13,
+    997 Hz full-scale sine = −3.01 LUFS, gain covariance, silence
+    gating) is pytest-gated in ``tests/test_loudness.py``."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import LoudnessStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    rpp = max(1, n_rows // 4)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("clip_id").to_pylist(), dtype=object)
+        s = _clip_index_from_id(ids, rpp)
+        gain = np.where(s % 9 == 4, 10.0 ** (-24.0 / 20.0), 1.0)
+        return t.append_column("gain", pa.array(gain))
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        LoudnessStage(loud_threshold_lufs=-20.0, block_sec=0.05, gain_column="gain"),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "clip_id": t.column("clip_id"),
+                "decode_ok": t.column("decode_ok"),
+                "loud_i": pc.cast(t.column("loud"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def wav_header_contract(sf_dir: str, n_rows: int = 1500):
     """WAV header conformance CONTRACT gate
     (``stages/decode.py::WavHeaderStage``): the real fmt chunk of every
@@ -4705,6 +4756,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_loudness_contract": audio_loudness_contract,
     "semdedup_embeddings": semdedup_embeddings,
     "auto_join_lineitem_part": auto_join_lineitem_part,
     "auto_join_shuffle_orders_customer": auto_join_shuffle_orders_customer,
