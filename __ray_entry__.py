@@ -48,6 +48,13 @@ def oracle_sql() -> dict[str, str]:
         # signature / SimHash — the planted verbatim copies MUST come
         # back as pairs at similarity exactly 1.0 (see
         # minhash_planted_contract / simhash_planted_contract)
+        "rolling_median_events": r"""
+SELECT event_id, user_id,
+  ROUND(median(CAST(ROUND(value*100) AS BIGINT)) OVER (
+     PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS median5_value_cents
+FROM events
+""",
         "audio_loudness_contract": r"""
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

@@ -651,6 +651,21 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def rolling_median_events(sf_dir: str):
+    """Per-user ROLLING MEDIAN of event value (cents) over the last 5
+    rows ordered by (ts, event_id) — SQL ``median() OVER (... ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW)`` parity via one bucketed
+    shuffle + sliding-window nanmedian — oracle-checked."""
+    from fs_schema_validator_ray.stages.window import per_key_rolling_median
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    return per_key_rolling_median(
+        ds, "user_id", ["ts", "event_id"], "value_cents",
+        id_columns=["event_id"], window=5,
+    )
+
+
 def semdedup_embeddings(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table: k-means
     co-locates candidates, per-cluster deterministic greedy cosine prune
@@ -4756,6 +4771,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "rolling_median_events": rolling_median_events,
     "audio_loudness_contract": audio_loudness_contract,
     "semdedup_embeddings": semdedup_embeddings,
     "auto_join_lineitem_part": auto_join_lineitem_part,

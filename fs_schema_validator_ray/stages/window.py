@@ -695,3 +695,105 @@ def throttle_per_key(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def per_key_rolling_median(
+    ds,
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    id_columns: list[str] | None = None,
+    window: int = 5,
+    n_buckets: int | None = None,
+):
+    """Per-key ROLLING MEDIAN — SQL ``median(v) OVER (PARTITION BY key
+    ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Same single bucketed shuffle as :func:`per_key_window` (key-hash
+    buckets, one vectorized ``map_groups`` per bucket). Inside a bucket
+    the frame extraction is one ``sliding_window_view`` over the
+    NaN-padded value array with a broadcast segment mask (rows never see
+    a neighboring key's values), then one ``np.nanmedian`` over the
+    (rows × window) matrix — no per-row Python. Null values are skipped
+    (SQL aggregate semantics; an all-null frame yields NULL). Interpolated
+    even-count medians match SQL ``median`` on integer inputs exactly
+    (both compute the midpoint in float64). Memory is O(rows × window)
+    per bucket — the right shape for the small windows rolling stats use;
+    a streaming two-heap scan is the documented path for window ≫ 10³.
+
+    Output: ``id_columns + [key_column, median{window}_<value>]`` with
+    the median rounded to 6dp (the repo's float protocol).
+    """
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+    id_columns = id_columns or []
+    cols = list(dict.fromkeys([key_column, *order_columns, value_column, *id_columns]))
+    med_col = f"median{window}_{value_column}"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        out = {"__bucket": pa.array(bucket)}
+        for c in cols:
+            col = t.column(c)
+            out[c] = pc.cast(col, pa.int64()) if c in order_columns else col
+        return pa.table(out)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        key_col = group.column(key_column).combine_chunks()
+        if n == 0:
+            empty = {c: group.column(c).slice(0, 0) for c in [*id_columns, key_column]}
+            empty[med_col] = pa.array([], pa.float64())
+            return pa.table(empty)
+        kcode = key_codes(key_col)
+        sig = [kcode]
+        for c in order_columns:
+            oc = group.column(c).combine_chunks()
+            sig.append(np.asarray(pc.is_null(oc)))
+            sig.append(np.asarray(pc.fill_null(oc, 0), dtype=np.int64))
+        order = np.lexsort(tuple(sig[::-1]))
+        kc = kcode[order]
+        val_col = group.column(value_column).combine_chunks()
+        valid = np.asarray(pc.is_valid(val_col))[order]
+        vals = np.asarray(
+            pc.cast(pc.fill_null(val_col, 0), pa.float64()), dtype=np.float64
+        )[order]
+        vals = np.where(valid, vals, np.nan)
+        seg_first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        row_start = np.flatnonzero(seg_first)[np.cumsum(seg_first) - 1]
+        padded = np.concatenate([np.full(window - 1, np.nan), vals])
+        frames = np.lib.stride_tricks.sliding_window_view(padded, window).copy()
+        # frame column j of row i is global index i - window + 1 + j;
+        # blank out positions before the row's own key segment starts
+        j = np.arange(window)[None, :]
+        lo = (row_start - (np.arange(n) - window + 1))[:, None]
+        frames[j < lo] = np.nan
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN frames
+            med = np.nanmedian(frames, axis=1)
+        take = pa.array(order, pa.int64())
+        out = {c: group.column(c).take(take) for c in id_columns}
+        out[key_column] = key_col.take(take)
+        out[med_col] = pa.array(np.round(med, 6), pa.float64(), mask=np.isnan(med))
+        return pa.table(out)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -838,3 +838,75 @@ def test_winsorize_ground_truth(ray_session):
     empty = ray.data.from_pandas(pd.DataFrame({"id": pd.array([], dtype="int64"),
                                                "v": pd.array([], dtype="int64")}))
     assert winsorize(empty, "v", ["id"]).count() == 0
+
+
+def test_per_key_rolling_median_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.window import per_key_rolling_median
+
+    rng = np.random.default_rng(5)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n),
+            "o": rng.permutation(n),
+            "v": rng.integers(-50, 50, n).astype("float64"),
+            "rid": np.arange(n),
+        }
+    )
+    df.loc[rng.random(n) < 0.1, "v"] = np.nan  # null values skipped
+    tbl = pa.table(
+        {
+            "k": pa.array(df.k, pa.int64()),
+            "o": pa.array(df.o, pa.int64()),
+            "v": pa.array(df.v, pa.float64()),
+            "rid": pa.array(df.rid, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out = per_key_rolling_median(
+        ds, "k", ["o"], "v", id_columns=["rid"], window=5
+    ).take_all()
+    got = {r["rid"]: r["median5_v"] for r in out}
+    exp = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .rolling(5, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    assert len(got) == n
+    for rid, e in zip(df.sort_values(["k", "o"]).rid, exp):
+        g = got[int(rid)]
+        if pd.isna(e):
+            assert g is None, rid
+        else:
+            assert g is not None and abs(g - round(e, 6)) < 1e-12, (rid, g, e)
+
+
+def test_per_key_rolling_median_all_null_key_and_window1(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.window import per_key_rolling_median
+
+    tbl = pa.table(
+        {
+            "k": pa.array([None, None, "a"], pa.string()),
+            "o": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([10, None, 7], pa.int64()),
+            "rid": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = per_key_rolling_median(ds, "k", ["o"], "v", id_columns=["rid"], window=2)
+    by = {r["rid"]: r["median2_v"] for r in out.take_all()}
+    # null keys form their own segment: rid1's frame = {10, NULL} → 10
+    assert by[0] == 10.0 and by[1] == 10.0 and by[2] == 7.0
+    out1 = per_key_rolling_median(ds, "k", ["o"], "v", id_columns=["rid"], window=1)
+    by1 = {r["rid"]: r["median1_v"] for r in out1.take_all()}
+    assert by1 == {0: 10.0, 1: None, 2: 7.0}
