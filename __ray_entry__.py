@@ -48,6 +48,30 @@ def oracle_sql() -> dict[str, str]:
         # signature / SimHash — the planted verbatim copies MUST come
         # back as pairs at similarity exactly 1.0 (see
         # minhash_planted_contract / simhash_planted_contract)
+        "kendall_tau_events": r"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS x,
+         CAST(ROUND(value*100) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+p AS (
+  SELECT a.user_id AS k,
+         COUNT(*) AS n0,
+         SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+             THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+             THEN 1 ELSE 0 END) AS d
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+  GROUP BY 1),
+cnt AS (SELECT user_id AS k, COUNT(*) AS n FROM e GROUP BY 1)
+SELECT cnt.k AS user_id, cnt.n,
+       CAST(COALESCE(p.c - p.d, 0) AS BIGINT) AS con_minus_dis,
+       CASE WHEN p.n0 - p.n1 > 0 AND p.n0 - p.n2 > 0
+            THEN ROUND((p.c - p.d) / sqrt(CAST((p.n0-p.n1)*(p.n0-p.n2) AS DOUBLE)), 6)
+            ELSE NULL END AS tau_b
+FROM cnt LEFT JOIN p ON cnt.k = p.k
+""",
         "rolling_median_events": r"""
 SELECT event_id, user_id,
   ROUND(median(CAST(ROUND(value*100) AS BIGINT)) OVER (

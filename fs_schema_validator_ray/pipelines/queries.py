@@ -651,6 +651,34 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def kendall_tau_events(sf_dir: str):
+    """Per-user Kendall τ-b between event time and value (cents), exact
+    with full tie correction — Knight's algorithm: one bucketed shuffle,
+    tie terms from run-length scans, discordant count from merge passes
+    vectorized across groups. ``con_minus_dis`` is an exact-integer hash
+    anchor; the oracle re-derives everything by SQL pair counting."""
+    from fs_schema_validator_ray.stages.agg import grouped_kendall_tau
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "x_us": pc.cast(t.column("ts"), pa.int64()),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_kendall_tau(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", "x_us", "value_cents"
+    )
+
+
 def rolling_median_events(sf_dir: str):
     """Per-user ROLLING MEDIAN of event value (cents) over the last 5
     rows ordered by (ts, event_id) — SQL ``median() OVER (... ROWS
@@ -4771,6 +4799,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "kendall_tau_events": kendall_tau_events,
     "rolling_median_events": rolling_median_events,
     "audio_loudness_contract": audio_loudness_contract,
     "semdedup_embeddings": semdedup_embeddings,

@@ -2014,3 +2014,154 @@ def grouped_geo_harmonic_mean(ds, key_column: str, value_column: str):
         )
 
     return counts.groupby(key_column).map_groups(finish, batch_format="pyarrow")
+
+
+def _padded_inversions(comp: np.ndarray, y_sorted: np.ndarray, k: int) -> np.ndarray:
+    """Exact strict-inversion counts of each group's ``y`` sequence,
+    vectorized ACROSS groups: pack the (already (group, x, y)-ordered)
+    values into a (groups × padded-len) +inf matrix and run iterative
+    merge passes — each pass is one stable ``argsort`` over 2w-wide
+    blocks plus a suffix-count, so the whole thing is O(n log² n) numpy
+    with no per-pair work. Stability makes equal values non-inversions
+    (left occurrences sort before right); +inf padding is excluded by a
+    finiteness mask, so trailing pad inside a merged left half can never
+    count against real right-half values."""
+    n = len(y_sorted)
+    counts = np.bincount(comp, minlength=k)
+    lmax = int(counts.max()) if k else 0
+    if lmax <= 1:
+        return np.zeros(k, dtype=np.int64)
+    L = 1 << (lmax - 1).bit_length()
+    if k * L > max(4 * n, 1 << 20):  # no-silent-caps: skewed padding blowup
+        import logging
+
+        logging.getLogger("fs_schema_validator_ray.agg").info(
+            "grouped_kendall_tau: padded matrix %d×%d ≫ %d rows "
+            "(skewed group sizes inflate the merge passes)", k, L, n
+        )
+    mat = np.full((k, L), np.inf)
+    pos = np.arange(n) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    mat[comp, pos] = y_sorted
+    inv = np.zeros(k, dtype=np.int64)
+    w = 1
+    while w < L:
+        blocks = mat.reshape(k, L // (2 * w), 2 * w)
+        idx = np.argsort(blocks, axis=2, kind="stable")
+        vals = np.take_along_axis(blocks, idx, axis=2)
+        from_left = idx < w
+        finite = np.isfinite(vals)
+        left_real = from_left & finite
+        right_real = (~from_left) & finite
+        suf = (
+            np.cumsum(left_real[:, :, ::-1], axis=2)[:, :, ::-1]
+            - left_real.astype(np.int64)
+        )
+        inv += (suf * right_real).sum(axis=(1, 2))
+        mat = vals.reshape(k, L)
+        w *= 2
+    return inv
+
+
+def grouped_kendall_tau(ds, key_column: str, x_column: str, y_column: str):
+    """Per-key Kendall τ-b rank correlation, EXACT with full tie
+    correction (Knight's algorithm) in ONE bucketed key shuffle: per
+    bucket, tie terms come from vectorized run-length scans over two
+    lexsorts and the discordant-pair count from
+    :func:`_padded_inversions` (O(n log² n) merge passes vectorized
+    across every group in the bucket — never an all-pairs loop).
+
+    Exactness: ``con_minus_dis = n0 − n1 − n2 + n3 − 2·swaps`` is pure
+    int64 arithmetic (emitted as its own column — a hash-stable integer
+    anchor for the oracle's pair-counting derivation); only the final
+    ``τ_b = (C−D)/√((n0−n1)(n0−n2))`` division is float, under the
+    ROUND(·,6) protocol. SQL semantics: null-in-either rows excluded;
+    keys where either factor of the denominator is zero emit NULL τ.
+
+    Output ``(key, n, con_minus_dis, tau_b)``."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets(ds)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(x_column)), pc.is_valid(t.column(y_column)))
+        t = t.select([key_column, x_column, y_column]).filter(mask)
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def tie_pairs(comp: np.ndarray, run_first: np.ndarray, k: int) -> np.ndarray:
+        run_start = np.flatnonzero(run_first)
+        run_lens = np.diff(np.concatenate([run_start, [len(comp)]]))
+        pairs = run_lens * (run_lens - 1) // 2
+        return np.bincount(comp[run_start], weights=pairs, minlength=k).astype(
+            np.int64
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        key_col = group.column(key_column).combine_chunks()
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_column: key_col.slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                    "con_minus_dis": pa.array([], pa.int64()),
+                    "tau_b": pa.array([], pa.float64()),
+                }
+            )
+        seg = key_codes(key_col)
+        x = np.asarray(pc.cast(group.column(x_column), pa.float64()))
+        y = np.asarray(pc.cast(group.column(y_column), pa.float64()))
+        # dense segment ids 0..k-1 + deterministic representative rows
+        order0 = np.argsort(seg, kind="stable")
+        seg_s0 = seg[order0]
+        first = np.flatnonzero(np.concatenate([[True], seg_s0[1:] != seg_s0[:-1]]))
+        rep = order0[first]
+        k = len(rep)
+        comp_all = np.searchsorted(seg_s0[first], seg)
+
+        ordx = np.lexsort((y, x, comp_all))
+        c_x, x_s, y_s = comp_all[ordx], x[ordx], y[ordx]
+        seg_first = np.concatenate([[True], c_x[1:] != c_x[:-1]])
+        xt_first = seg_first | np.concatenate([[True], x_s[1:] != x_s[:-1]])
+        xyt_first = xt_first | np.concatenate([[True], y_s[1:] != y_s[:-1]])
+        n_arr = np.bincount(c_x, minlength=k).astype(np.int64)
+        n0 = n_arr * (n_arr - 1) // 2
+        n1 = tie_pairs(c_x, xt_first, k)
+        n3 = tie_pairs(c_x, xyt_first, k)
+        ordy = np.lexsort((y, comp_all))
+        c_y, y_s2 = comp_all[ordy], y[ordy]
+        yt_first = np.concatenate([[True], c_y[1:] != c_y[:-1]]) | np.concatenate(
+            [[True], y_s2[1:] != y_s2[:-1]]
+        )
+        n2 = tie_pairs(c_y, yt_first, k)
+        swaps = _padded_inversions(c_x, y_s, k)
+        cmd = n0 - n1 - n2 + n3 - 2 * swaps
+        den = np.sqrt((n0 - n1).astype(np.float64) * (n0 - n2).astype(np.float64))
+        ok = den > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tau = np.round(cmd / den, 6)
+        return pa.table(
+            {
+                key_column: key_col.take(pa.array(rep, pa.int64())),
+                "n": pa.array(n_arr),
+                "con_minus_dis": pa.array(cmd),
+                "tau_b": pa.array(
+                    [float(t) if o else None for o, t in zip(ok, tau)], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -338,3 +338,92 @@ def test_mutual_information_vs_direct(ray_session):
     )
     got_i = mutual_information(ray.data.from_pandas(indep), "a", "b").to_pandas()
     assert abs(got_i["mi_contrib6"].sum()) < 1e-3
+
+
+# --- Kendall tau-b ----------------------------------------------------------
+
+
+def _brute_tau(x, y):
+    """O(n²) ground truth: concordant/discordant/tie pair counts."""
+    import numpy as np
+
+    n = len(x)
+    c = d = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            if dx == 0 and dy == 0:
+                txy += 1; tx += 1; ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) // 2
+    den = ((n0 - tx) * (n0 - ty)) ** 0.5
+    return c - d, (None if den == 0 else (c - d) / den)
+
+
+def test_grouped_kendall_tau_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.agg import grouped_kendall_tau
+
+    rng = np.random.default_rng(17)
+    ks, xs, ys = [], [], []
+    sizes = {0: 1, 1: 2, 2: 37, 3: 64, 4: 101, 5: 5}
+    for key, size in sizes.items():
+        ks += [key] * size
+        xs += list(rng.integers(0, 12, size))  # heavy ties
+        ys += list(rng.integers(-6, 6, size))
+    # null pairs excluded
+    tbl = pa.table(
+        {
+            "k": pa.array(ks + [0, 1], pa.int64()),
+            "x": pa.array(xs + [None, 3], pa.int64()),
+            "y": pa.array(ys + [1, None], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = {r["k"]: r for r in grouped_kendall_tau(ds, "k", "x", "y").take_all()}
+    assert set(out) == set(sizes)
+    i = 0
+    for key, size in sizes.items():
+        gx, gy = xs[i : i + size], ys[i : i + size]
+        i += size
+        cmd, tau = _brute_tau(gx, gy)
+        assert out[key]["n"] == size
+        assert out[key]["con_minus_dis"] == cmd, key
+        if tau is None:
+            assert out[key]["tau_b"] is None, key
+        else:
+            assert abs(out[key]["tau_b"] - round(tau, 6)) < 1e-9, key
+
+
+def test_grouped_kendall_tau_perfect_orders(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.agg import grouped_kendall_tau
+
+    n = 50
+    tbl = pa.table(
+        {
+            "k": pa.array(["up"] * n + ["down"] * n, pa.string()),
+            "x": pa.array(list(range(n)) * 2, pa.int64()),
+            "y": pa.array(list(range(n)) + list(range(n, 0, -1)), pa.int64()),
+        }
+    )
+    out = {
+        r["k"]: r
+        for r in grouped_kendall_tau(
+            ray.data.from_arrow(tbl), "k", "x", "y"
+        ).take_all()
+    }
+    assert out["up"]["tau_b"] == 1.0
+    assert out["down"]["tau_b"] == -1.0
