@@ -4267,6 +4267,42 @@ def audio_dedup_clusters(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
     return sizes
 
 
+def _plant_recode_copies(t: "pa.Table", plant_mod: int) -> "pa.Table":
+    """Shared planted-copy rule for the audio near-dup queries: every
+    ``plant_mod``-th clean clip re-emitted under a ``-re`` id after a
+    decode → re-encode through a DIFFERENT codec (same audio, different
+    bytes)."""
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.decode import binary_views
+
+    ids = t.column("clip_id").to_pylist()
+    views = binary_views(t.column("bytes"))
+    extra_ids, extra_bytes = [], []
+    for cid, view in zip(ids, views):
+        if cid is None or view is None or len(view) == 0:
+            continue
+        try:
+            idx = int(cid.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            continue
+        if idx % plant_mod != 0:
+            continue
+        try:
+            x, sr_hz, codec = audio.decode(view)
+        except (audio.AudioDecodeError, ValueError):
+            continue
+        other = "ulaw" if codec != "ulaw" else "alaw"
+        extra_ids.append(f"{cid}-re")
+        extra_bytes.append(audio.encode(x, sr_hz, other))
+    extra = pa.table(
+        {
+            "clip_id": pa.array(extra_ids, pa.string()),
+            "bytes": pa.array(extra_bytes, pa.binary()),
+        }
+    )
+    return pa.concat_tables([t.select(["clip_id", "bytes"]), extra])
+
+
 def dedup_audio_fingerprint_clips(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
     """Cross-codec audio dedup: every ``plant_mod``-th clean clip is
     re-emitted under a ``-re`` id, decoded and re-encoded through a
@@ -4282,41 +4318,50 @@ def dedup_audio_fingerprint_clips(sf_dir: str, n_rows: int = 1500, plant_mod: in
 
     clips_dir, _ = _clips_corpus(n_rows)
 
-    def plant_recodes(t: pa.Table) -> pa.Table:
-        from fs_schema_validator_ray.stages.decode import binary_views
-
-        ids = t.column("clip_id").to_pylist()
-        views = binary_views(t.column("bytes"))
-        extra_ids, extra_bytes = [], []
-        for cid, view in zip(ids, views):
-            if cid is None or view is None or len(view) == 0:
-                continue
-            # deterministic selection on the id's numeric suffix
-            try:
-                idx = int(cid.rsplit("-", 1)[1])
-            except (IndexError, ValueError):
-                continue
-            if idx % plant_mod != 0:
-                continue
-            try:
-                x, sr_hz, codec = audio.decode(view)
-            except (audio.AudioDecodeError, ValueError):
-                continue
-            other = "ulaw" if codec != "ulaw" else "alaw"
-            extra_ids.append(f"{cid}-re")
-            extra_bytes.append(audio.encode(x, sr_hz, other))
-        extra = pa.table(
-            {
-                "clip_id": pa.array(extra_ids, pa.string()),
-                "bytes": pa.array(extra_bytes, pa.binary()),
-            }
-        )
-        return pa.concat_tables([t.select(["clip_id", "bytes"]), extra])
-
     ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"]).map_batches(
-        plant_recodes, batch_format="pyarrow", batch_size=512
+        lambda t: _plant_recode_copies(t, plant_mod),
+        batch_format="pyarrow", batch_size=512,
     )
     return audio_near_dup_pairs(ds)
+
+
+def audio_dtw_verify_clips(sf_dir: str, n_rows: int = 1500, plant_mod: int = 20):
+    """DTW alignment verify over the audio near-dup CANDIDATE pairs:
+    fingerprint LSH proposes (a, b), then each pair's banded-DTW cost
+    over z-normalized log-energy envelopes confirms temporal alignment
+    (the planted cross-codec ``-re`` copies align at cost ≈ 0; unrelated
+    collisions do not). Envelopes are computed once per clip and
+    broadcast (KBs per clip); the two-hash_join attach is the documented
+    >10⁶-clip path. Rows-only: decode + DP are not SQL-expressible;
+    planted-pair and negative-control behavior is pytest-gated."""
+    import ray
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import (
+        DtwPairVerifyStage,
+        EnergyEnvelopeStage,
+        audio_near_dup_pairs,
+    )
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"]).map_batches(
+        lambda t: _plant_recode_copies(t, plant_mod),
+        batch_format="pyarrow", batch_size=512,
+    )
+    pairs = audio_near_dup_pairs(ds)
+    env_tbl = pa.concat_tables(
+        ds.map_batches(EnergyEnvelopeStage(), batch_format="pyarrow", batch_size=512)
+        .iter_batches(batch_format="pyarrow")
+    )
+    env = {
+        k: v
+        for k, v in zip(
+            env_tbl.column("clip_id").to_pylist(), env_tbl.column("envelope").to_pylist()
+        )
+    }
+    return pairs.map_batches(
+        DtwPairVerifyStage(ray.put(env)), batch_format="pyarrow", batch_size=1024
+    )
 
 
 def audio_resample_clips(sf_dir: str, n_rows: int = 1500, target_sr: int = 16_000):
@@ -4799,6 +4844,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_dtw_verify_clips": audio_dtw_verify_clips,
     "kendall_tau_events": kendall_tau_events,
     "rolling_median_events": rolling_median_events,
     "audio_loudness_contract": audio_loudness_contract,

@@ -658,3 +658,65 @@ def test_audio_dedup_clusters_recovers_plants(ray_session):
         if cid in reps:
             planted += 1
     assert planted >= 10
+
+
+# --- DTW alignment -----------------------------------------------------------
+
+
+def test_dtw_band_matches_full_dp():
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.audio_features import dtw_band
+
+    def brute(a, b):
+        a = np.asarray(a, float).reshape(len(a), -1)
+        b = np.asarray(b, float).reshape(len(b), -1)
+        n, m = len(a), len(b)
+        c = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(2))
+        D = np.full((n, m), np.inf)
+        for i in range(n):
+            for j in range(m):
+                if i == 0 and j == 0:
+                    D[0, 0] = c[0, 0]
+                    continue
+                prev = min(
+                    D[i - 1, j] if i else np.inf,
+                    D[i, j - 1] if j else np.inf,
+                    D[i - 1, j - 1] if i and j else np.inf,
+                )
+                D[i, j] = c[i, j] + prev
+        return D[-1, -1] / (n + m)
+
+    rng = np.random.default_rng(2)
+    for _ in range(60):
+        n, m = rng.integers(1, 14, 2)
+        a, b = rng.normal(size=(int(n), 3)), rng.normal(size=(int(m), 3))
+        assert abs(dtw_band(a, b, band_frac=10.0) - brute(a, b)) < 1e-12
+
+
+def test_dtw_band_alignment_properties():
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.audio_features import dtw_band
+
+    x = np.sin(np.linspace(0, 12, 60))
+    assert dtw_band(x, x) == 0.0
+    warped = np.interp(np.linspace(0, 59, 54), np.arange(60), x)
+    rng = np.random.default_rng(0)
+    assert dtw_band(x, warped) < 0.05  # 10% time-compression aligns cheaply
+    assert dtw_band(x, rng.normal(size=60)) > 0.2
+    assert dtw_band(np.zeros(0), x) == float("inf")
+
+
+def test_dtw_verify_separates_planted_pairs(ray_session):
+    from fs_schema_validator_ray.pipelines.queries import audio_dtw_verify_clips
+
+    out = audio_dtw_verify_clips("unused", n_rows=300, plant_mod=10).to_pandas()
+    planted = out[out.b == out.a + "-re"]
+    others = out[out.b != out.a + "-re"]
+    assert len(planted) >= 20  # the LSH recovered the planted copies
+    assert planted.dtw_cost.notna().all()
+    # alignment cost separates true duplicates from hash-band collisions
+    assert planted.dtw_cost.max() < 0.2
+    if len(others):
+        assert others.dtw_cost.dropna().min() > planted.dtw_cost.max()
