@@ -48,6 +48,20 @@ def oracle_sql() -> dict[str, str]:
         # signature / SimHash — the planted verbatim copies MUST come
         # back as pairs at similarity exactly 1.0 (see
         # minhash_planted_contract / simhash_planted_contract)
+        "activity_islands_events": r"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS epoch_day
+  FROM events WHERE ts IS NOT NULL),
+g AS (
+  SELECT user_id, epoch_day,
+         epoch_day - row_number() OVER (PARTITION BY user_id ORDER BY epoch_day)
+           AS grp
+  FROM d)
+SELECT user_id, MIN(epoch_day) AS island_start, MAX(epoch_day) AS island_end,
+       COUNT(*) AS island_len
+FROM g GROUP BY user_id, grp
+""",
         "kendall_tau_events": r"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS x,

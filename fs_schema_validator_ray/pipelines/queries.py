@@ -651,6 +651,27 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def activity_islands_events(sf_dir: str):
+    """Per-user activity STREAKS (gaps-and-islands): maximal runs of
+    consecutive distinct epoch-days with at least one event — one
+    bucketed shuffle, vectorized distinct + gap masks — oracle-checked
+    against the classic ``day − row_number()`` SQL grouping trick."""
+    from fs_schema_validator_ray.stages.agg import sequence_islands
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()), 86400e6)), pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "epoch_day": day})
+
+    return sequence_islands(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", "epoch_day"
+    )
+
+
 def kendall_tau_events(sf_dir: str):
     """Per-user Kendall τ-b between event time and value (cents), exact
     with full tie correction — Knight's algorithm: one bucketed shuffle,
@@ -4844,6 +4865,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "activity_islands_events": activity_islands_events,
     "audio_dtw_verify_clips": audio_dtw_verify_clips,
     "kendall_tau_events": kendall_tau_events,
     "rolling_median_events": rolling_median_events,

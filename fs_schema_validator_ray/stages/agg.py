@@ -2165,3 +2165,76 @@ def grouped_kendall_tau(ds, key_column: str, x_column: str, y_column: str):
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def sequence_islands(ds, key_column: str, value_column: str):
+    """Per-key ISLANDS of consecutive integers (the SQL gaps-and-islands
+    problem): for each key, the maximal runs of consecutive distinct
+    ``value_column`` ints — activity-streak analysis when the value is
+    an epoch-day. ONE bucketed key shuffle; inside a bucket a single
+    lexsort gives (a) per-segment distinct values (consecutive-duplicate
+    drop) and (b) island boundaries (``diff != 1``) — two vectorized
+    masks, no per-key Python. Nulls are excluded (SQL DISTINCT + WHERE
+    NOT NULL semantics). Output ``(key, island_start, island_end,
+    island_len)``; oracle parity with the classic
+    ``value − row_number()`` grouping trick."""
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        key_codes,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    n_buckets = default_n_buckets(ds)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([key_column, value_column]).filter(
+            pc.is_valid(t.column(value_column))
+        )
+        bucket = mix_to_buckets(
+            hash64(stable_key_array(t.column(key_column))), n_buckets
+        )
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        key_col = group.column(key_column).combine_chunks()
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_column: key_col.slice(0, 0),
+                    "island_start": pa.array([], pa.int64()),
+                    "island_end": pa.array([], pa.int64()),
+                    "island_len": pa.array([], pa.int64()),
+                }
+            )
+        seg = key_codes(key_col)
+        vals = np.asarray(pc.cast(group.column(value_column), pa.int64()))
+        order = np.lexsort((vals, seg))
+        seg_s, val_s = seg[order], vals[order]
+        # distinct (key, value) rows only
+        keep = np.concatenate(
+            [[True], (seg_s[1:] != seg_s[:-1]) | (val_s[1:] != val_s[:-1])]
+        )
+        seg_d, val_d, rows_d = seg_s[keep], val_s[keep], order[keep]
+        # island starts: new key OR value gap > 1
+        start = np.concatenate(
+            [[True], (seg_d[1:] != seg_d[:-1]) | (val_d[1:] != val_d[:-1] + 1)]
+        )
+        start_idx = np.flatnonzero(start)
+        lens = np.diff(np.concatenate([start_idx, [len(val_d)]]))
+        ends = val_d[start_idx + lens - 1]
+        return pa.table(
+            {
+                key_column: key_col.take(pa.array(rows_d[start_idx], pa.int64())),
+                "island_start": pa.array(val_d[start_idx]),
+                "island_end": pa.array(ends),
+                "island_len": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

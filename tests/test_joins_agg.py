@@ -966,3 +966,31 @@ def test_asof_join_tolerance(ray_session):
     assert run("nearest", 12) == [(1, 10), (2, 20)]
     # no tolerance: previous behavior intact
     assert run("backward", None) == [(1, 10), (2, 20), (3, 20)]
+
+
+def test_sequence_islands(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.agg import sequence_islands
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["a"] * 7 + ["b"] * 3 + [None] * 2, pa.string()),
+            "v": pa.array([5, 3, 4, 4, 9, 10, None, 1, 2, 7, 1, 2], pa.int64()),
+        }
+    )
+    out = sequence_islands(ray.data.from_arrow(tbl).repartition(3), "k", "v")
+    rows = sorted(
+        (r["k"] or "", r["island_start"], r["island_end"], r["island_len"])
+        for r in out.take_all()
+    )
+    # "a": {3,4,5} and {9,10} (dup 4 deduped, null dropped); "b": {1,2},{7};
+    # the null key forms its own group with {1,2}
+    assert rows == [
+        ("", 1, 2, 2),
+        ("a", 3, 5, 3),
+        ("a", 9, 10, 2),
+        ("b", 1, 2, 2),
+        ("b", 7, 7, 1),
+    ]
