@@ -651,6 +651,16 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def kcore_parts(sf_dir: str):
+    """k-core decomposition of the part co-order graph — the density
+    peel a curation pipeline uses to find tightly-connected duplicate
+    neighborhoods. Rows-only (iterative peeling is not SQL-expressible);
+    brute-force parity + planted-clique gates in tests/test_graph.py."""
+    from fs_schema_validator_ray.stages.graph import k_core
+
+    return k_core(_coorder_edges(sf_dir), "src", "dst")
+
+
 def activity_islands_events(sf_dir: str):
     """Per-user activity STREAKS (gaps-and-islands): maximal runs of
     consecutive distinct epoch-days with at least one event — one
@@ -4865,6 +4875,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "kcore_parts": kcore_parts,
     "activity_islands_events": activity_islands_events,
     "audio_dtw_verify_clips": audio_dtw_verify_clips,
     "kendall_tau_events": kendall_tau_events,

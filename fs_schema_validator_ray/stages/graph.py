@@ -575,3 +575,133 @@ def triangle_counts(
     return counts.map_batches(
         lambda t: t.rename_columns(["node", "triangles"]), batch_format="pyarrow"
     )
+
+
+def k_core(
+    edges,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    driver_pin_max: int = 5_000_000,
+    _force_distributed: bool = False,
+):
+    """Exact k-core DECOMPOSITION (core number per node) of the simple
+    undirected graph induced by an edge Dataset: self-loops dropped,
+    parallel edges deduped (one ``unique`` shuffle on the canonical
+    packed pair), then iterative peeling — remove nodes of degree < k
+    until stable, assign the removed nodes core ``k−1``, increment k.
+
+    Same layout as :func:`pagerank`: node ids coded once (the per-node
+    alive/core arrays are the broadcast-state assumption — the
+    co-partitioned degree-join is the >10⁸-node path), coded simple
+    edges pinned once; each peel wave recomputes degrees among alive
+    nodes as per-block ``bincount`` partials with the alive mask
+    broadcast via ``ray.put`` (≤ ``driver_pin_max`` edges skip the task
+    wave and peel on compressed driver arrays). Wave count is the peel
+    depth of the graph (≤ max-degree worst case, tiny in practice) and
+    each wave is one pass over the pinned blocks — the fixed-point
+    escape hatch documented at ``pagerank``.
+
+    Returns a Dataset ``(node, core)``; isolated / self-loop-only nodes
+    get core 0. Brute-force parity is pytest-gated."""
+    import ray
+    import ray.data
+
+    edges = edges.select_columns([src_column, dst_column]).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [
+                t.column(src_column).combine_chunks(),
+                t.column(dst_column).combine_chunks(),
+            ]
+        ).combine_chunks()
+        both = pc.unique(both.filter(pc.is_valid(both)))
+        return pa.table({"node": both})
+
+    uniq = edges.map_batches(endpoints, batch_format="pyarrow").unique("node")
+    node_col = pa.array(sorted(uniq or []))
+    n_nodes = len(node_col)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": node_col, "core": pa.array([], pa.int64())})
+        )
+    lookup_ref = ray.put(node_col)
+
+    def code_pack(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        s = pc.index_in(t.column(src_column).combine_chunks(), value_set=lk)
+        d = pc.index_in(t.column(dst_column).combine_chunks(), value_set=lk)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        sa = np.asarray(pc.cast(s, pa.int64()).filter(ok))
+        da = np.asarray(pc.cast(d, pa.int64()).filter(ok))
+        u = np.minimum(sa, da)
+        v = np.maximum(sa, da)
+        keep = u != v  # self-loops never count toward coreness
+        # canonical packed pair (fits int64 while n_nodes < 3×10⁹)
+        packed = u[keep] * np.int64(n_nodes) + v[keep]
+        return pa.table({"packed": pa.array(np.unique(packed), pa.int64())})
+
+    simple = (
+        edges.map_batches(code_pack, batch_format="pyarrow").unique("packed")
+    )  # global parallel-edge dedup
+    packed = np.asarray(sorted(simple or []), dtype=np.int64)
+    n_edges = len(packed)
+
+    core = np.zeros(n_nodes, dtype=np.int64)
+    alive = np.ones(n_nodes, dtype=bool)
+
+    if n_edges <= driver_pin_max and not _force_distributed:
+        u = packed // n_nodes
+        v = packed % n_nodes
+        k = 1
+        while alive.any():
+            while True:
+                keep = alive[u] & alive[v]
+                u, v = u[keep], v[keep]  # dead edges never resurrect
+                deg = np.bincount(u, minlength=n_nodes) + np.bincount(
+                    v, minlength=n_nodes
+                )
+                drop = alive & (deg < k)
+                if not drop.any():
+                    break
+                core[drop] = k - 1
+                alive &= ~drop
+            k += 1
+    else:
+        # distributed peel: pinned coded edge blocks + broadcast alive mask
+        n_blocks = max(1, n_edges // 2_000_000)
+        refs = [
+            ray.put(packed[i::n_blocks].copy()) for i in range(n_blocks)
+        ]
+        del packed
+
+        @ray.remote
+        def _deg_partial(block: np.ndarray, alive_mask: np.ndarray, n: int):
+            u = block // n
+            v = block % n
+            keep = alive_mask[u] & alive_mask[v]
+            dense = np.bincount(u[keep], minlength=n) + np.bincount(
+                v[keep], minlength=n
+            )
+            nz = np.flatnonzero(dense)
+            return nz, dense[nz]
+
+        k = 1
+        while alive.any():
+            while True:
+                alive_ref = ray.put(alive)
+                deg = np.zeros(n_nodes, dtype=np.int64)
+                for nz, w in ray.get(
+                    [_deg_partial.remote(r, alive_ref, n_nodes) for r in refs]
+                ):
+                    deg[nz] += w
+                drop = alive & (deg < k)
+                if not drop.any():
+                    break
+                core[drop] = k - 1
+                alive &= ~drop
+            k += 1
+
+    return ray.data.from_arrow(
+        pa.table({"node": node_col, "core": pa.array(core, pa.int64())})
+    )

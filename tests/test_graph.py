@@ -244,3 +244,81 @@ def test_triangle_counts_join_path_parity(ray_session):
     assert _triangles_brute(list(zip(df["src"], df["dst"]))) == dict(
         zip(bc["node"], bc["triangles"])
     )
+
+
+# --- k-core ------------------------------------------------------------------
+
+
+def _brute_kcore(pairs, nodes):
+    """Serial reference peeling (simple graph: dedup + no self loops)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {v: 0 for v in nodes}
+    alive = set(nodes)
+    k = 1
+    while alive:
+        while True:
+            drop = {v for v in alive if sum(1 for w in adj[v] if w in alive) < k}
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+            alive -= drop
+        k += 1
+    return core
+
+
+def test_k_core_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(23)
+    for force in (False, True):
+        n, m = 60, 300
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        # string ids, parallel edges and self loops included on purpose
+        tbl = pa.table(
+            {
+                "src": pa.array([f"n{x}" for x in a], pa.string()),
+                "dst": pa.array([f"n{x}" for x in b], pa.string()),
+            }
+        )
+        out = k_core(
+            ray.data.from_arrow(tbl).repartition(4), _force_distributed=force
+        ).take_all()
+        got = {r["node"]: r["core"] for r in out}
+        nodes = {f"n{x}" for x in np.concatenate([a, b])}
+        exp = _brute_kcore(
+            [(f"n{x}", f"n{y}") for x, y in zip(a, b)], nodes
+        )
+        assert got == exp, f"force={force}"
+
+
+def test_k_core_planted_clique(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.graph import k_core
+
+    # a 5-clique (core 4) hanging off a chain (core 1)
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = clique + chain
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    out = {r["node"]: r["core"] for r in k_core(ray.data.from_arrow(tbl)).take_all()}
+    assert all(out[i] == 4 for i in range(5))
+    assert out[10] == 1 and out[11] == 1 and out[12] == 1
