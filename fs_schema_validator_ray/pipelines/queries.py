@@ -651,6 +651,22 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def audio_time_stretch_clips(sf_dir: str, n_rows: int = 1500):
+    """WSOLA tempo augmentation over the clips corpus: deterministic
+    per-id rate from {0.9, 1.0, 1.1}, duration scales 1/rate with PITCH
+    PRESERVED (the dual of ``audio_speed_perturb_clips``; pure-tone f0
+    invariance and the resample contrast are pytest-gated). Rows-only:
+    overlap-add DSP is not SQL-expressible."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.audio_features import TimeStretchStage
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    out = ds.map_batches(TimeStretchStage(), batch_format="pyarrow", batch_size=256)
+    return out.select_columns(["clip_id", "rate", "decode_ok", "n_samples"])
+
+
 def kcore_parts(sf_dir: str):
     """k-core decomposition of the part co-order graph — the density
     peel a curation pipeline uses to find tightly-connected duplicate
@@ -4875,6 +4891,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_time_stretch_clips": audio_time_stretch_clips,
     "kcore_parts": kcore_parts,
     "activity_islands_events": activity_islands_events,
     "audio_dtw_verify_clips": audio_dtw_verify_clips,

@@ -2023,3 +2023,139 @@ class DtwPairVerifyStage:
                                    self.band_frac), 6)
                 )
         return batch.append_column("dtw_cost", pa.array(costs, pa.float64()))
+
+
+# --- WSOLA time stretch (tempo change, pitch preserved) -----------------------
+
+
+def wsola_stretch(
+    x: np.ndarray,
+    sr: int,
+    rate: float,
+    frame_ms: float = 25.0,
+    search_ms: float = 5.0,
+) -> np.ndarray:
+    """Waveform-Similarity Overlap-Add time stretch: change tempo by
+    ``rate`` (>1 = faster/shorter) WITHOUT shifting pitch — the dual of
+    resample-based speed perturbation (which shifts both). Hann-windowed
+    frames at 50% synthesis overlap; each analysis frame is picked
+    within ±``search_ms`` of its nominal position by maximizing
+    normalized cross-correlation with the natural continuation of the
+    previous frame (the WSOLA criterion). The per-output-frame loop is
+    over frames, not samples, and every inner op (correlation via one
+    matmul over the candidate matrix, OLA) is vectorized.
+
+    Returns float64 samples of length ≈ ``len(x)/rate``; empty or
+    shorter-than-one-frame inputs pass through unchanged."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    frame = max(4, int(sr * frame_ms / 1000) & ~1)  # even
+    hs = frame // 2  # synthesis hop (50% overlap)
+    ha = hs * rate  # analysis hop
+    delta = max(1, int(sr * search_ms / 1000))
+    if n < frame + 2 * delta + 1 or abs(rate - 1.0) < 1e-12:
+        return x.copy()
+    win = np.hanning(frame)
+    out_len = int(round(n / rate)) + frame
+    out = np.zeros(out_len + frame)
+    norm = np.zeros(out_len + frame)
+    n_frames = max(1, int((n - frame - delta) / ha))
+    # first frame anchors at 0
+    prev_start = 0
+    seg = x[0:frame]
+    out[0:frame] += seg * win
+    norm[0:frame] += win
+    for k in range(1, n_frames):
+        nominal = int(round(k * ha))
+        lo = max(0, nominal - delta)
+        hi = min(n - frame, nominal + delta)
+        if hi < lo:
+            break
+        # natural continuation of the previous pick: its second half
+        target = x[prev_start + hs : prev_start + hs + frame]
+        if len(target) < frame:
+            break
+        cand_starts = np.arange(lo, hi + 1)
+        cand = x[cand_starts[:, None] + np.arange(frame)[None, :]]
+        scores = cand @ target  # one matmul per frame, no sample loop
+        e = np.sqrt((cand * cand).sum(axis=1)) * np.sqrt(target @ target)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ncc = np.where(e > 0, scores / e, 0.0)
+        best = int(cand_starts[np.argmax(ncc)])
+        pos = k * hs
+        out[pos : pos + frame] += x[best : best + frame] * win
+        norm[pos : pos + frame] += win
+        prev_start = best
+    y = out[: int(round(n / rate))]
+    nz = norm[: len(y)] > 1e-8
+    y[nz] = y[nz] / norm[: len(y)][nz]
+    return y
+
+
+class TimeStretchStage:
+    """``map_batches`` callable: WSOLA tempo augmentation — per-clip
+    deterministic rate pick (stable id hash, same convention as
+    ``SpeedPerturbStage``) or all rates via ``emit_all``; output clips
+    re-encoded at the ORIGINAL sample rate so duration scales by
+    ``1/rate`` while pitch is preserved (the property pytest gates:
+    stretched pure tones keep f0 within 2% while resample-based speed
+    perturbation shifts it by the factor). Undecodable payloads emit
+    ``decode_ok=false`` rows with null bytes."""
+
+    def __init__(
+        self,
+        rates: tuple = (0.9, 1.0, 1.1),
+        emit_all: bool = False,
+        bytes_column: str = "bytes",
+        key_column: str = "clip_id",
+    ) -> None:
+        if not rates or any(r <= 0 for r in rates):
+            raise ValueError("rates must be positive and non-empty")
+        self.rates = tuple(float(r) for r in rates)
+        self.emit_all = emit_all
+        self.bytes_column = bytes_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.state.sketches import hash64
+
+        views = binary_views(batch.column(self.bytes_column))
+        keys = batch.column(self.key_column).to_pylist()
+        kh = hash64(np.asarray([str(k) for k in keys], dtype=object))
+        picked = np.asarray(self.rates)[
+            (kh % np.uint64(len(self.rates))).astype(np.int64)
+        ]
+        ids, rates_out, blobs, oks, nsamp = [], [], [], [], []
+        for key, view, pick in zip(keys, views, picked):
+            kid = None if key is None else str(key)
+            rates = self.rates if self.emit_all else (float(pick),)
+            decoded = None
+            if view is not None and len(view) > 0:
+                try:
+                    decoded = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    decoded = None
+            for r in rates:
+                ids.append(kid)
+                rates_out.append(float(r))
+                if decoded is None:
+                    blobs.append(None)
+                    oks.append(False)
+                    nsamp.append(None)
+                else:
+                    xx, sr, _ = decoded
+                    y = wsola_stretch(np.asarray(xx, np.float64), sr, r)
+                    blobs.append(audio.encode(y, sr, "pcm_s16le"))
+                    oks.append(True)
+                    nsamp.append(len(y))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "rate": pa.array(rates_out, pa.float64()),
+                "decode_ok": pa.array(oks, pa.bool_()),
+                "n_samples": pa.array(nsamp, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )

@@ -720,3 +720,75 @@ def test_dtw_verify_separates_planted_pairs(ray_session):
     assert planted.dtw_cost.max() < 0.2
     if len(others):
         assert others.dtw_cost.dropna().min() > planted.dtw_cost.max()
+
+
+# --- WSOLA time stretch -------------------------------------------------------
+
+
+def _lag_f0(y, sr):
+    import numpy as np
+
+    y = np.asarray(y, float) - np.mean(y)
+    ac = np.correlate(y, y, "full")[len(y) - 1 :]
+    lo = int(sr / 1000)
+    pk = lo + int(np.argmax(ac[lo : int(sr / 80)]))
+    return sr / pk
+
+
+def test_wsola_preserves_pitch_and_scales_duration():
+    import numpy as np
+
+    from fs_schema_validator_ray.stages.audio_features import wsola_stretch
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    f0_ref = _lag_f0(x, sr)
+    for rate in (0.8, 0.9, 1.1, 1.25):
+        y = wsola_stretch(x, sr, rate)
+        assert abs(len(y) / len(x) - 1 / rate) < 0.01, rate
+        # pitch preserved within 2% — the property a plain resample breaks
+        assert abs(_lag_f0(y, sr) - f0_ref) / f0_ref < 0.02, rate
+    # contrast: resampling to the same duration WOULD shift pitch by the rate
+    resampled = np.interp(
+        np.linspace(0, len(x) - 1, int(len(x) / 1.25)), np.arange(len(x)), x
+    )
+    assert abs(_lag_f0(resampled, sr) - 1.25 * f0_ref) / (1.25 * f0_ref) < 0.05
+    # identity + degenerate inputs pass through
+    assert np.array_equal(wsola_stretch(x, sr, 1.0), x)
+    assert len(wsola_stretch(np.zeros(10), sr, 1.3)) == 10
+
+
+def test_time_stretch_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import TimeStretchStage
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    payload = audio.encode(0.4 * np.sin(2 * np.pi * 330 * t), sr, "pcm_s16le")
+    tbl = pa.table(
+        {
+            "clip_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([payload, b"junk"], pa.binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            TimeStretchStage(rates=(0.9, 1.1), emit_all=True), batch_format="pyarrow"
+        )
+        .take_all()
+    )
+    assert len(out) == 4
+    by = {(r["clip_id"], r["rate"]): r for r in out}
+    for rate in (0.9, 1.1):
+        r = by[("a", rate)]
+        assert r["decode_ok"] and abs(r["n_samples"] - sr / rate) < sr * 0.01
+        y, sr2, _ = audio.decode(r["bytes"])
+        assert sr2 == sr and len(y) == r["n_samples"]
+        assert abs(_lag_f0(y, sr) - 330) / 330 < 0.03
+        assert by[("b", rate)]["decode_ok"] is False
