@@ -62,6 +62,18 @@ SELECT user_id, MIN(epoch_day) AS island_start, MAX(epoch_day) AS island_end,
        COUNT(*) AS island_len
 FROM g GROUP BY user_id, grp
 """,
+        "per_key_sample_events": r"""
+WITH h AS (
+  SELECT user_id, event_id,
+         ((xor((event_id * 2654435761) % 4294967296,
+               ((event_id * 2654435761) % 4294967296) // 65536)) * 40503)
+         % 4294967296 AS hk
+  FROM events)
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY hk, event_id) AS rn
+  FROM h) WHERE rn <= 5
+""",
         "kendall_tau_events": r"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS x,

@@ -651,6 +651,35 @@ def setop_union_all_keys(sf_dir: str):
     return set_op_bag(left, right, ["o_custkey"], "union_all")
 
 
+def per_key_sample_events(sf_dir: str, k: int = 5):
+    """Deterministic per-key k-sample (reservoir-free): each user keeps
+    the k events with the smallest SQL-replicable integer hash of
+    event_id — reproducible across reruns/restarts with no RNG state,
+    uniform-like via hash dispersion. Rides the salted top-k's two-phase
+    skew-safe scan (value = −hash ⇒ bottom-k) — oracle-checked against
+    the identical hash expression + ROW_NUMBER in SQL."""
+    from fs_schema_validator_ray.stages.agg import salted_topk_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        neg = -_shuffle_hash(ids)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "neg_hk": pa.array(neg, pa.int64()),
+            }
+        )
+
+    out = salted_topk_per_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "neg_hk", k, "event_id",
+    )
+    return out.select_columns(["user_id", "event_id"])
+
+
 def audio_time_stretch_clips(sf_dir: str, n_rows: int = 1500):
     """WSOLA tempo augmentation over the clips corpus: deterministic
     per-id rate from {0.9, 1.0, 1.1}, duration scales 1/rate with PITCH
@@ -4891,6 +4920,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "per_key_sample_events": per_key_sample_events,
     "audio_time_stretch_clips": audio_time_stretch_clips,
     "kcore_parts": kcore_parts,
     "activity_islands_events": activity_islands_events,
