@@ -44,6 +44,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tpch_q3_shipping_priority": r"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS rev_micros
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY rev_micros DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q5_local_supplier_volume": r"""
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS rev_micros,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+        "tpch_q18_large_volume_customers": r"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150)
+SELECT c.c_name, o.o_custkey, b.l_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       b.qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "event_transitions_markov": r"""
+WITH s AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS cnt
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY prev_type), 6)
+         AS prob6
+FROM c
+""",
         # LSH recall contracts: identical text => identical MinHash
         # signature / SimHash — the planted verbatim copies MUST come
         # back as pairs at similarity exactly 1.0 (see

@@ -2898,6 +2898,345 @@ def mannwhitney_lineitem(sf_dir: str):
     return grouped_mannwhitney(ds, "l_linestatus", "l_quantity", "l_returnflag", "R")
 
 
+def tpch_q3_shipping_priority(sf_dir: str):
+    """The TPC-H Q3 shipping-priority plan shape: selective filters
+    pushed INTO all three reads (segment, order date, ship date — the
+    date predicates as parquet row-group pruning expressions), one
+    distributed hash join of the two big filtered sides, a broadcast
+    semi-filter against the small qualifying-customer set, a
+    high-cardinality combiner group-sum per order, then a global top-10
+    by revenue taken as per-block local heads merged on the driver
+    (driver holds ≤10 rows per block, never the full group table).
+    Revenue is INTEGER-exact micros (the 4-decimal
+    ``extprice·(1−disc)`` product is integral, no rounding-mode
+    hazard — cf. ``join3_revenue_segment_priority``)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    cutoff = np.datetime64("1996-01-01").item()
+
+    cust = _read(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_mktsegment"],
+        filter=(pds.field("c_mktsegment") == "BUILDING"),
+    ).map_batches(
+        lambda t: t.select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pds.field("o_orderdate") < cutoff),
+    )
+    # broadcast semi-filter: qualifying custkeys are the tiny side
+    orders = broadcast_join(orders, cust, "o_custkey", [])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_micros": pc.cast(pc.round(pc.multiply(r, 10000.0)), pa.int64()),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pds.field("l_shipdate") > cutoff),
+    ).map_batches(rev, batch_format="pyarrow")
+
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["rev_micros"], ["o_orderdate", "o_orderpriority"],
+    )
+    per_order = group_sum(
+        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"], ["rev_micros"]
+    )
+
+    sort_keys = [
+        ("rev_micros", "descending"),
+        ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending"),
+    ]
+    out_cols = ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_micros"]
+
+    def local_head(t: pa.Table) -> pa.Table:
+        t = t.select(out_cols)
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys).slice(0, 10))
+
+    parts = list(
+        per_order.map_batches(local_head, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+                "rev_micros": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    return merged.take(pc.sort_indices(merged, sort_keys=sort_keys).slice(0, 10))
+
+
+def tpch_q5_local_supplier_volume(sf_dir: str):
+    """The TPC-H Q5 local-supplier-volume plan shape: the dimension
+    chain (region → nation) is a driver-side read of a few dozen rows,
+    qualifying customers and suppliers broadcast as key→nationkey maps
+    (``ray.put`` once, probed per batch), ONE distributed hash join of
+    the two big sides (lineitem ⋈ date-filtered orders), the
+    same-nation predicate applied vectorized post-broadcast, and a tiny
+    final group-sum by nation name. Revenue integer-exact micros."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    # dimension chain: region(5) ⋈ nation(25) — driver-side by design
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    asia_keys = set(
+        region.filter(pc.equal(region.column("r_name"), "ASIA"))
+        .column("r_regionkey")
+        .to_pylist()
+    )
+    nat_mask = pc.is_in(
+        nation.column("n_regionkey"),
+        value_set=pa.array(sorted(asia_keys), pa.int32()),
+    )
+    nation_asia = nation.filter(nat_mask)
+    asia_nationkeys = pa.array(
+        sorted(nation_asia.column("n_nationkey").to_pylist()), pa.int32()
+    )
+    name_by_key = dict(
+        zip(
+            nation_asia.column("n_nationkey").to_pylist(),
+            nation_asia.column("n_name").to_pylist(),
+        )
+    )
+
+    def in_asia(key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column(key_col), value_set=asia_nationkeys))
+
+        return fn
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(in_asia("c_nationkey"), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(in_asia("s_nationkey"), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    lo = np.datetime64("1996-01-01").item()
+    hi = np.datetime64("1998-01-01").item()
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi)),
+    )
+    orders = broadcast_join(orders, cust, "o_custkey", ["c_nationkey"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_micros": pc.cast(pc.round(pc.multiply(r, 10000.0)), pa.int64()),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(rev, batch_format="pyarrow")
+
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["rev_micros", "l_suppkey"], ["c_nationkey"],
+    )
+    joined = broadcast_join(joined, supp, "l_suppkey", ["s_nationkey"])
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_nationkey"), t.column("s_nationkey")))
+        # nationkey → name via the 25-entry dim map (vectorized take)
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pa.array([name_by_key[int(k)] for k in keys], pa.string())
+        return pa.table({"n_name": names, "rev_micros": t.column("rev_micros")})
+
+    out = group_sum(
+        joined.map_batches(local_only, batch_format="pyarrow"),
+        ["n_name"],
+        ["rev_micros"],
+    )
+    return out.map_batches(
+        lambda t: t.select(["n_name", "rev_micros", "n"]), batch_format="pyarrow"
+    )
+
+
+def tpch_q18_large_volume_customers(sf_dir: str):
+    """The TPC-H Q18 large-volume-customer plan shape: a
+    high-cardinality combiner group-sum of quantity per order
+    (``group_sum_bucketed`` — partials shuffle on a coarse int bucket,
+    never raw near-unique keys), a vectorized HAVING filter, ONE
+    distributed hash join back to orders, and a broadcast of customer
+    names. Quantities are whole-number doubles → summed as int64
+    (INTEGER-exact); order totals emit as cents."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        qty, batch_format="pyarrow"
+    )
+    per_order = group_sum_bucketed(lineitem, "l_orderkey", ["qty"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("qty"), 150)).select(
+            ["l_orderkey", "qty"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    joined = hash_join(
+        per_order, orders, "l_orderkey", "o_orderkey",
+        ["qty"], ["o_custkey", "o_orderdate", "price_cents"],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]), batch_format="pyarrow"
+    )
+    out = broadcast_join(joined, cust, "o_custkey", ["c_name"])
+    return out.map_batches(
+        lambda t: t.select(
+            ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "price_cents", "qty"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def event_transitions_markov(sf_dir: str):
+    """First-order Markov transition matrix over the event stream: per
+    user ordered by ``(ts, event_id)``, each event pairs with its
+    successor (``stages/window.py::per_key_shift`` — ONE coarse-bucket
+    shuffle, vectorized lexsort + segment scan per bucket), pairs
+    group-count via the per-batch combiner, and the per-prev-state
+    probability normalizes on the driver over the ≤|types|² result
+    (ROUND(·,6) protocol). The sequence-model sanity check a training
+    pipeline runs over clickstream/event data."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.window import per_key_shift
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    shifted = per_key_shift(
+        ds,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        id_columns=["event_type"],
+        lead=1,
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("lead_event_type")))
+        return pa.table(
+            {
+                "prev_type": t.column("event_type"),
+                "next_type": t.column("lead_event_type"),
+            }
+        )
+
+    counts = group_sum(
+        shifted.map_batches(pairs, batch_format="pyarrow"),
+        ["prev_type", "next_type"],
+        [],
+    )
+    parts = list(counts.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "prob6": pa.array([], pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    prev = merged.column("prev_type").to_pylist()
+    cnt = np.asarray(merged.column("n").to_pylist(), dtype=np.int64)
+    totals: dict[str, int] = {}
+    for p, c in zip(prev, cnt):
+        totals[p] = totals.get(p, 0) + int(c)
+    prob = np.round(
+        cnt / np.array([totals[p] for p in prev], dtype=np.float64), 6
+    )
+    return pa.table(
+        {
+            "prev_type": merged.column("prev_type"),
+            "next_type": merged.column("next_type"),
+            "cnt": pa.array(cnt, pa.int64()),
+            "prob6": pa.array(prob, pa.float64()),
+        }
+    )
+
+
 def geo_harmonic_lineitem(sf_dir: str):
     """Per-returnflag GEOMETRIC + HARMONIC mean of quantity — the
     rate/ratio-correct averages (tokens/sec, compression ratios) a
@@ -4920,6 +5259,10 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
+    "event_transitions_markov": event_transitions_markov,
     "per_key_sample_events": per_key_sample_events,
     "audio_time_stretch_clips": audio_time_stretch_clips,
     "kcore_parts": kcore_parts,

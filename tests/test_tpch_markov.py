@@ -1,0 +1,56 @@
+"""Round-4 additions: TPC-H Q3/Q5/Q18 plan shapes + the first-order
+Markov event-transition matrix (all four are also hash-exact vs their
+DuckDB oracles at sf0.001/sf0.01 — tools/check_oracles.py; these tests
+assert the semantic invariants the hash alone doesn't spell out)."""
+
+import numpy as np
+import pyarrow as pa
+
+from fs_schema_validator_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _table(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    return pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+
+
+def test_q3_top10_sorted_and_bounded(ray_session):
+    t = _table(QUERIES["tpch_q3_shipping_priority"](SF))
+    assert t.num_rows == 10
+    rev = t.column("rev_micros").to_pylist()
+    assert rev == sorted(rev, reverse=True)
+    # keys unique (one row per order)
+    keys = t.column("l_orderkey").to_pylist()
+    assert len(set(keys)) == len(keys)
+
+
+def test_q5_same_nation_only(ray_session):
+    t = _table(QUERIES["tpch_q5_local_supplier_volume"](SF))
+    assert t.num_rows >= 1
+    assert set(t.column_names) == {"n_name", "rev_micros", "n"}
+    assert all(v > 0 for v in t.column("rev_micros").to_pylist())
+
+
+def test_q18_having_threshold(ray_session):
+    t = _table(QUERIES["tpch_q18_large_volume_customers"](SF))
+    assert t.num_rows >= 1
+    assert min(t.column("qty").to_pylist()) > 150
+    # one row per qualifying order
+    keys = t.column("l_orderkey").to_pylist()
+    assert len(set(keys)) == len(keys)
+
+
+def test_markov_rows_are_probability_distributions(ray_session):
+    t = _table(QUERIES["event_transitions_markov"](SF))
+    assert t.num_rows >= 1
+    prev = t.column("prev_type").to_pylist()
+    prob = np.asarray(t.column("prob6").to_pylist())
+    cnt = np.asarray(t.column("cnt").to_pylist())
+    assert (cnt > 0).all()
+    for p in set(prev):
+        mask = np.array([x == p for x in prev])
+        # rounded-to-6 probabilities sum to 1 within rounding slack
+        assert abs(prob[mask].sum() - 1.0) < 1e-4
