@@ -44,6 +44,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "audio_adpcm_transcode_contract": r"""
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
+src AS (SELECT i,
+               CASE WHEN i % 509 = 461 AND i > 0 THEN i - 1 ELSE i END AS s
+        FROM idx)
+SELECT CASE WHEN s % 509 = 331 THEN 'CLIP_' || CAST(s AS VARCHAR)
+            ELSE 'clip-' || lpad(CAST(s // 375 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(s % 375 AS VARCHAR), 6, '0')
+       END AS clip_id,
+       s % 509 NOT IN (17, 101) AS adpcm_ok
+FROM src
+""",
         "tpch_q3_shipping_priority": r"""
 SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
        CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)

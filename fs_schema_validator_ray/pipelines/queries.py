@@ -1962,6 +1962,70 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def audio_adpcm_transcode_contract(sf_dir: str, n_rows: int = 1500):
+    """(clip_id, adpcm_ok) — IMA-ADPCM transcode fidelity verdict per
+    corpus clip: every decodable clip must survive encode→decode with
+    SNR ≥ 10 dB (the corpus's worst decodable clip measures 13.9 dB, a
+    broken step table or predictor craters toward 0 dB; silent clips
+    pass by definition, undecodable rows report false). ORACLE-CHECKED
+    via the corpus contract (ok ⇔ the planted class decodes), so the
+    driver value-hash-gates the whole ADPCM codec path — the lossy
+    complement of ``audio_flac_roundtrip_contract``. Vectorized: the
+    batch encoder stacks every clip's blocks into ONE kernel call and
+    returns the reconstruction for free (``audio.encode_adpcm_many``)."""
+    import numpy as np
+    import ray.data
+
+    from fs_schema_validator_ray import audio
+    from fs_schema_validator_ray.stages.audio_features import binary_views
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t.column("clip_id").to_pylist()
+        sigs: list[np.ndarray] = []
+        srs: list[int] = []
+        decodable: list[bool] = []
+        for view in binary_views(t.column("bytes")):
+            ok = False
+            if view is not None and len(view) > 0:
+                try:
+                    x, sr_hz, _ = audio.decode(view)
+                except (audio.AudioDecodeError, ValueError):
+                    pass
+                else:
+                    ok = True
+                    sigs.append(x)
+                    srs.append(sr_hz)
+            decodable.append(ok)
+        verdicts = np.zeros(len(keys), dtype=bool)
+        if sigs:
+            _, recons = audio.encode_adpcm_many(sigs, srs)
+            j = 0
+            for i, dec in enumerate(decodable):
+                if not dec:
+                    continue
+                pcm = np.round(np.clip(sigs[j], -1.0, 1.0) * 32767.0)
+                rec = np.round(np.clip(recons[j], -1.0, 1.0) * 32767.0)
+                n = min(len(pcm), len(rec))
+                sig_pow = float(np.sum(pcm[:n] * pcm[:n]))
+                if sig_pow == 0.0:
+                    verdicts[i] = True
+                else:
+                    err = pcm[:n] - rec[:n]
+                    err_pow = max(float(np.sum(err * err)), 1e-12)
+                    verdicts[i] = 10.0 * np.log10(sig_pow / err_pow) >= 10.0
+                j += 1
+        return pa.table(
+            {
+                "clip_id": pa.array([str(k) for k in keys], pa.string()),
+                "adpcm_ok": pa.array(verdicts.tolist(), pa.bool_()),
+            }
+        )
+
+    clips_dir, _ = _clips_corpus(n_rows)
+    ds = ray.data.read_parquet(clips_dir, columns=["clip_id", "bytes"])
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
 _SHUFFLE_SALT_MULT = 2654435761  # Knuth multiplicative hash constant
 
 
@@ -5259,6 +5323,7 @@ def psi_nchars_by_source(sf_dir: str):
 # oracle-bearing queries lead; previously-green and rows-only entries follow
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
+    "audio_adpcm_transcode_contract": audio_adpcm_transcode_contract,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
