@@ -44,6 +44,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "label_centroid_cosine_embeddings": r"""
+WITH u AS (
+  SELECT label,
+         CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INT) AS pos,
+         CAST(round_even(CAST(UNNEST(embedding) AS DOUBLE) * 1048576.0, 0)
+              AS BIGINT) AS q
+  FROM embeddings),
+s AS (SELECT label, pos, SUM(q) AS s FROM u GROUP BY 1, 2),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2),
+n AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM s GROUP BY 1)
+SELECT p.label_a, p.label_b,
+       round_even(CAST(p.dot AS DOUBLE)
+                  / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+                  6) AS cos6
+FROM p JOIN n na ON p.label_a = na.label JOIN n nb ON p.label_b = nb.label
+""",
         "audio_adpcm_transcode_contract": r"""
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 1499) t(x)),
 src AS (SELECT i,

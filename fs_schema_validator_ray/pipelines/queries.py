@@ -1962,6 +1962,97 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def label_centroid_cosine_embeddings(sf_dir: str):
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the class-separation audit a curation pipeline runs over labeled
+    embeddings. INTEGER-exact protocol: components quantize to
+    ``round_even(v · 2^20)`` int64 (float32→float64 and the
+    power-of-two multiply are both exact, so both engines round the
+    IDENTICAL double with the IDENTICAL half-to-even rule), per-label
+    component sums combine per batch (vectorized ``np.add.at``) and the
+    driver merges ≤|labels|·dim partial rows with arbitrary-precision
+    ints; cosine is scale-invariant so the centroid division cancels
+    and both engines divide the same exact integers (ROUND(·,6))."""
+    import math
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    SCALE = float(1 << 20)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int32()),
+                    "pos": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        dim = int(widths[0])
+        if not (widths == dim).all():
+            raise ValueError("ragged embedding column")
+        q = np.round(flat * SCALE).astype(np.int64).reshape(-1, dim)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq, dim).astype(np.int32), pa.int32()
+                ),
+                "pos": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int32), len(uniq)), pa.int32()
+                ),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    acc: dict[tuple[int, int], int] = {}
+    for t in parts:
+        for lb, pos, s in zip(
+            t.column("label").to_pylist(),
+            t.column("pos").to_pylist(),
+            t.column("s").to_pylist(),
+        ):
+            acc[(lb, pos)] = acc.get((lb, pos), 0) + s  # exact (Python int)
+    vecs: dict[int, dict[int, int]] = {}
+    for (lb, pos), s in acc.items():
+        vecs.setdefault(lb, {})[pos] = s
+    labels_sorted = sorted(vecs)
+    out_a, out_b, out_cos = [], [], []
+    norms2 = {
+        lb: sum(v * v for v in vec.values()) for lb, vec in vecs.items()
+    }
+    for i, la in enumerate(labels_sorted):
+        for lb in labels_sorted[i + 1:]:
+            va, vb = vecs[la], vecs[lb]
+            dot = sum(va.get(p, 0) * vb.get(p, 0) for p in va)
+            cos = float(dot) / (
+                math.sqrt(float(norms2[la])) * math.sqrt(float(norms2[lb]))
+            )
+            out_a.append(la)
+            out_b.append(lb)
+            out_cos.append(round(cos, 6))
+    return pa.table(
+        {
+            "label_a": pa.array(out_a, pa.int32()),
+            "label_b": pa.array(out_b, pa.int32()),
+            "cos6": pa.array(out_cos, pa.float64()),
+        }
+    )
+
+
 def audio_adpcm_transcode_contract(sf_dir: str, n_rows: int = 1500):
     """(clip_id, adpcm_ok) — IMA-ADPCM transcode fidelity verdict per
     corpus clip: every decodable clip must survive encode→decode with
@@ -5324,6 +5415,7 @@ def psi_nchars_by_source(sf_dir: str):
 # (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
 QUERIES = {
     "audio_adpcm_transcode_contract": audio_adpcm_transcode_contract,
+    "label_centroid_cosine_embeddings": label_centroid_cosine_embeddings,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,

@@ -54,3 +54,21 @@ def test_markov_rows_are_probability_distributions(ray_session):
         mask = np.array([x == p for x in prev])
         # rounded-to-6 probabilities sum to 1 within rounding slack
         assert abs(prob[mask].sum() - 1.0) < 1e-4
+
+
+def test_label_centroid_cosine_bounds(ray_session):
+    t = _table(QUERIES["label_centroid_cosine_embeddings"](SF))
+    # 10 labels -> 45 unordered pairs, every cosine in [-1, 1]
+    assert t.num_rows == 45
+    cos = t.column("cos6").to_pylist()
+    assert all(-1.0 <= c <= 1.0 for c in cos)
+    pairs = list(zip(t.column("label_a").to_pylist(), t.column("label_b").to_pylist()))
+    assert all(a < b for a, b in pairs)
+    assert len(set(pairs)) == 45
+
+
+def test_adpcm_contract_matches_decodability(ray_session):
+    t = _table(QUERIES["audio_adpcm_transcode_contract"](SF))
+    assert t.num_rows == 1500
+    # exactly the two planted undecodable classes fail (6 rows at n=1500)
+    assert t.column("adpcm_ok").to_pylist().count(False) == 6
