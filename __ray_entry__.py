@@ -44,6 +44,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "key_skew_audit_lineitem": r"""
+WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+SELECT COUNT(*) AS n_keys,
+       CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt,
+       CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt
+FROM c
+""",
         "label_centroid_cosine_embeddings": r"""
 WITH u AS (
   SELECT label,

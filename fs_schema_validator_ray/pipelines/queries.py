@@ -1962,6 +1962,76 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def key_skew_audit_lineitem(sf_dir: str):
+    """Key-skew audit over the join key a pipeline is about to shuffle
+    on: the exact distribution of per-key row counts (key count, min /
+    max / median / p99 — discrete quantiles at rank ``ceil(q·n)``, SQL
+    ``quantile_disc``). This is the pre-flight check that decides
+    salting / adaptive splitting before a 100-TB exchange. Scale shape:
+    per-key counts come from the coarse-bucket combiner
+    (``group_sum_bucketed`` — raw keys never shuffle), then only the
+    COUNT-OF-COUNTS histogram (≤ max-multiplicity rows) leaves the
+    cluster; quantiles read off the cumulative histogram exactly."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    per_key = group_sum_bucketed(ds, "l_orderkey", [])
+
+    def count_hist(t: pa.Table) -> pa.Table:
+        vc = t.column("n").value_counts()
+        return pa.table(
+            {
+                "cnt": vc.field("values"),
+                "keys": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    parts = list(
+        per_key.map_batches(count_hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    hist: dict[int, int] = {}
+    for t in parts:
+        for c, k in zip(t.column("cnt").to_pylist(), t.column("keys").to_pylist()):
+            hist[int(c)] = hist.get(int(c), 0) + int(k)
+    if not hist:
+        return pa.table(
+            {
+                "n_keys": pa.array([0], pa.int64()),
+                "min_cnt": pa.array([None], pa.int64()),
+                "max_cnt": pa.array([None], pa.int64()),
+                "p50_cnt": pa.array([None], pa.int64()),
+                "p99_cnt": pa.array([None], pa.int64()),
+            }
+        )
+    cnts = sorted(hist)
+    n_keys = sum(hist.values())
+
+    def disc_quantile(num: int, den: int) -> int:
+        # 1-based rank = ceil(q·n) with q exact-rational (duckdb
+        # quantile_disc semantics, verified at the n%den==0 knife edge)
+        rank = -((-num * n_keys) // den)
+        acc = 0
+        for c in cnts:
+            acc += hist[c]
+            if acc >= rank:
+                return c
+        return cnts[-1]
+
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "min_cnt": pa.array([cnts[0]], pa.int64()),
+            "max_cnt": pa.array([cnts[-1]], pa.int64()),
+            "p50_cnt": pa.array([disc_quantile(1, 2)], pa.int64()),
+            "p99_cnt": pa.array([disc_quantile(99, 100)], pa.int64()),
+        }
+    )
+
+
 def label_centroid_cosine_embeddings(sf_dir: str):
     """Pairwise cosine similarity between per-label embedding centroids
     — the class-separation audit a curation pipeline runs over labeled
@@ -5416,6 +5486,7 @@ def psi_nchars_by_source(sf_dir: str):
 QUERIES = {
     "audio_adpcm_transcode_contract": audio_adpcm_transcode_contract,
     "label_centroid_cosine_embeddings": label_centroid_cosine_embeddings,
+    "key_skew_audit_lineitem": key_skew_audit_lineitem,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,

@@ -72,3 +72,10 @@ def test_adpcm_contract_matches_decodability(ray_session):
     assert t.num_rows == 1500
     # exactly the two planted undecodable classes fail (6 rows at n=1500)
     assert t.column("adpcm_ok").to_pylist().count(False) == 6
+
+
+def test_key_skew_audit_consistency(ray_session):
+    t = _table(QUERIES["key_skew_audit_lineitem"](SF))
+    r = t.to_pylist()[0]
+    assert r["min_cnt"] <= r["p50_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
+    assert r["n_keys"] > 0
