@@ -44,6 +44,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "welch_ttest_lineitem": r"""
+WITH m AS (
+  SELECT l_linestatus,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(round(l_quantity) AS BIGINT)
+                            * CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS ss_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN 0 ELSE CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN 0 ELSE CAST(round(l_quantity) AS BIGINT)
+                                   * CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS ss_b
+  FROM lineitem GROUP BY l_linestatus)
+SELECT l_linestatus, n_a, n_b,
+       round_even(
+         (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / SQRT(
+             ((CAST(ss_a AS DOUBLE)
+               - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+             + ((CAST(ss_b AS DOUBLE)
+                 - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)),
+         6) AS t6
+FROM m WHERE n_a >= 2 AND n_b >= 2
+""",
         "key_skew_audit_lineitem": r"""
 WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
 SELECT COUNT(*) AS n_keys,

@@ -1962,6 +1962,81 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def welch_ttest_lineitem(sf_dir: str):
+    """Per-linestatus Welch two-sample t statistic comparing quantity
+    between returned (``l_returnflag='R'``) and kept lineitems — the
+    parametric complement of ``mannwhitney_lineitem`` over the same
+    cohorts. INTEGER-exact moments: quantities are whole numbers, so
+    ``n/Σq/Σq²`` per cohort accumulate as int64 (Σq² ≤ 2500·rows — holds
+    to ~2^51 rows) via ONE tiny combiner group-sum; only the final t
+    computes in float, with the expression shape mirrored term-for-term
+    in the SQL oracle so both engines execute the identical double ops
+    on the identical integers (round-even to 6)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity", "l_returnflag"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        is_a = pc.cast(
+            pc.equal(t.column("l_returnflag"), pa.scalar("R")), pa.int64()
+        )
+        is_b = pc.subtract(pa.scalar(1, pa.int64()), is_a)
+        qq = pc.multiply(q, q)
+        return pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "n_a": is_a,
+                "s_a": pc.multiply(is_a, q),
+                "ss_a": pc.multiply(is_a, qq),
+                "n_b": is_b,
+                "s_b": pc.multiply(is_b, q),
+                "ss_b": pc.multiply(is_b, qq),
+            }
+        )
+
+    agg = group_sum(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["l_linestatus"],
+        ["n_a", "s_a", "ss_a", "n_b", "s_b", "ss_b"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out_k, out_na, out_nb, out_t6 = [], [], [], []
+        for r in rows:
+            na, sa, ssa = r["n_a"], r["s_a"], r["ss_a"]
+            nb, sb, ssb = r["n_b"], r["s_b"], r["ss_b"]
+            if na < 2 or nb < 2:
+                continue
+            # mirror the oracle's double expression term for term
+            mean_a = float(sa) / float(na)
+            mean_b = float(sb) / float(nb)
+            var_a = (float(ssa) - float(sa) * float(sa) / float(na)) / float(na - 1)
+            var_b = (float(ssb) - float(sb) * float(sb) / float(nb)) / float(nb - 1)
+            tstat = (mean_a - mean_b) / math.sqrt(
+                var_a / float(na) + var_b / float(nb)
+            )
+            out_k.append(r["l_linestatus"])
+            out_na.append(na)
+            out_nb.append(nb)
+            out_t6.append(round(tstat, 6))
+        return pa.table(
+            {
+                "l_linestatus": pa.array(out_k, pa.string()),
+                "n_a": pa.array(out_na, pa.int64()),
+                "n_b": pa.array(out_nb, pa.int64()),
+                "t6": pa.array(out_t6, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def key_skew_audit_lineitem(sf_dir: str):
     """Key-skew audit over the join key a pipeline is about to shuffle
     on: the exact distribution of per-key row counts (key count, min /
@@ -5487,6 +5562,7 @@ QUERIES = {
     "audio_adpcm_transcode_contract": audio_adpcm_transcode_contract,
     "label_centroid_cosine_embeddings": label_centroid_cosine_embeddings,
     "key_skew_audit_lineitem": key_skew_audit_lineitem,
+    "welch_ttest_lineitem": welch_ttest_lineitem,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,

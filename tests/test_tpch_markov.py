@@ -79,3 +79,21 @@ def test_key_skew_audit_consistency(ray_session):
     r = t.to_pylist()[0]
     assert r["min_cnt"] <= r["p50_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
     assert r["n_keys"] > 0
+
+
+def test_welch_t_matches_direct_computation(ray_session):
+    import pyarrow.parquet as pq
+
+    t = _table(QUERIES["welch_ttest_lineitem"](SF))
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_linestatus", "l_quantity", "l_returnflag"])
+    df_status = li.column("l_linestatus").to_pylist()
+    q = np.round(np.asarray(li.column("l_quantity").to_pylist()))
+    flag = np.asarray([f == "R" for f in li.column("l_returnflag").to_pylist()])
+    for row in t.to_pylist():
+        mask = np.array([s == row["l_linestatus"] for s in df_status])
+        a, b = q[mask & flag], q[mask & ~flag]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        expect = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
+        assert abs(row["t6"] - expect) < 1e-5
