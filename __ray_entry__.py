@@ -44,6 +44,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "minmax_scale_events": r"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT event_id, event_type, cents,
+         MIN(cents) OVER (PARTITION BY event_type) AS lo,
+         MAX(cents) OVER (PARTITION BY event_type) AS hi
+  FROM c)
+SELECT event_id, event_type,
+       CASE WHEN hi > lo
+            THEN round_even((CAST(cents AS DOUBLE) - CAST(lo AS DOUBLE))
+                            / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)), 6)
+            ELSE 0.0 END AS scaled6
+FROM b
+""",
+        "mom_change_events": r"""
+WITH m AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS "window", event_type,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT "window", event_type, value_cents,
+         LAG(value_cents) OVER (PARTITION BY event_type ORDER BY "window")
+           AS prev_cents
+  FROM m)
+SELECT "window", event_type, value_cents,
+       value_cents - prev_cents AS delta_cents,
+       CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+            THEN round_even(CAST(value_cents - prev_cents AS DOUBLE)
+                            / CAST(prev_cents AS DOUBLE), 6)
+            END AS pct6
+FROM l
+""",
         "welch_ttest_lineitem": r"""
 WITH m AS (
   SELECT l_linestatus,

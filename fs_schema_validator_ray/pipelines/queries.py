@@ -1962,6 +1962,137 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def minmax_scale_events(sf_dir: str):
+    """Per-event-type min-max feature normalization — the classic
+    two-pass scaler: pass 1 reduces each type's exact value bounds
+    (cents, integer-exact) to a tiny table, which broadcasts into the
+    pass-2 map (``ray.put`` once, probed per batch — never a shuffle of
+    the big side). Scaled value rounds even to 6; both engines divide
+    the identical integer cents so the doubles match bit-for-bit."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "cents"]), ["event_type"]).aggregate(
+            [("cents", "min"), ("cents", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "lo": g.column("cents_min"),
+                "hi": g.column("cents_max"),
+            }
+        )
+
+    parts = list(
+        ds.map_batches(bounds_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    for t in parts:
+        for k, a, b in zip(
+            t.column("event_type").to_pylist(),
+            t.column("lo").to_pylist(),
+            t.column("hi").to_pylist(),
+        ):
+            lo[k] = min(lo.get(k, a), a)
+            hi[k] = max(hi.get(k, b), b)
+    bounds_ref = ray.put((lo, hi))
+
+    def scale(t: pa.Table) -> pa.Table:
+        blo, bhi = ray.get(bounds_ref)
+        keys = t.column("event_type").to_pylist()
+        c = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        lo_arr = np.array([blo[k] for k in keys], dtype=np.float64)
+        hi_arr = np.array([bhi[k] for k in keys], dtype=np.float64)
+        span = hi_arr - lo_arr
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = np.where(span > 0, (c - lo_arr) / span, 0.0)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "scaled6": pa.array(np.round(scaled, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def mom_change_events(sf_dir: str):
+    """Month-over-month change per event type: tumbling MONTH window
+    counts + cents sums (the existing combiner aggregate) and the lag /
+    delta / percent-change computed on the driver over the tiny
+    (months × types) result — the trend report every ingestion
+    dashboard needs. Percent change divides the identical integer cents
+    in both engines (round-even 6); the first month per type emits NULL
+    deltas like SQL ``LAG``."""
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(_with_value_cents, batch_format="pyarrow")
+    ds = tumbling_window(ds, "ts", "month")
+    agg = group_sum(ds, ["window", "event_type"], ["value_cents"])
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "window": pa.array([], pa.string()),
+                "event_type": pa.array([], pa.string()),
+                "value_cents": pa.array([], pa.int64()),
+                "delta_cents": pa.array([], pa.int64()),
+                "pct6": pa.array([], pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts).to_pylist()
+    merged.sort(key=lambda r: (r["event_type"], r["window"]))
+    out = {k: [] for k in ("window", "event_type", "value_cents", "delta_cents", "pct6")}
+    prev_key = None
+    prev_cents = None
+    for r in merged:
+        out["window"].append(r["window"])
+        out["event_type"].append(r["event_type"])
+        out["value_cents"].append(r["value_cents"])
+        if prev_key == r["event_type"]:
+            delta = r["value_cents"] - prev_cents
+            out["delta_cents"].append(delta)
+            out["pct6"].append(
+                round(float(delta) / float(prev_cents), 6) if prev_cents != 0 else None
+            )
+        else:
+            out["delta_cents"].append(None)
+            out["pct6"].append(None)
+        prev_key = r["event_type"]
+        prev_cents = r["value_cents"]
+    return pa.table(
+        {
+            "window": pa.array(out["window"], pa.string()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "value_cents": pa.array(out["value_cents"], pa.int64()),
+            "delta_cents": pa.array(out["delta_cents"], pa.int64()),
+            "pct6": pa.array(out["pct6"], pa.float64()),
+        }
+    )
+
+
 def welch_ttest_lineitem(sf_dir: str):
     """Per-linestatus Welch two-sample t statistic comparing quantity
     between returned (``l_returnflag='R'``) and kept lineitems — the
@@ -5563,6 +5694,8 @@ QUERIES = {
     "label_centroid_cosine_embeddings": label_centroid_cosine_embeddings,
     "key_skew_audit_lineitem": key_skew_audit_lineitem,
     "welch_ttest_lineitem": welch_ttest_lineitem,
+    "minmax_scale_events": minmax_scale_events,
+    "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,

@@ -97,3 +97,25 @@ def test_welch_t_matches_direct_computation(ray_session):
         va, vb = a.var(ddof=1), b.var(ddof=1)
         expect = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
         assert abs(row["t6"] - expect) < 1e-5
+
+
+def test_minmax_scale_range(ray_session):
+    t = _table(QUERIES["minmax_scale_events"](SF))
+    s = np.asarray(t.column("scaled6").to_pylist())
+    assert len(s) == 1000
+    assert s.min() >= 0.0 and s.max() <= 1.0
+    # each type hits both bounds (min->0, max->1)
+    types = t.column("event_type").to_pylist()
+    for ty in set(types):
+        vals = s[np.array([x == ty for x in types])]
+        assert vals.min() == 0.0 and vals.max() == 1.0
+
+
+def test_mom_change_first_month_null(ray_session):
+    t = _table(QUERIES["mom_change_events"](SF))
+    rows = sorted(t.to_pylist(), key=lambda r: (r["event_type"], r["window"]))
+    seen = set()
+    for r in rows:
+        first = r["event_type"] not in seen
+        seen.add(r["event_type"])
+        assert (r["delta_cents"] is None) == first
