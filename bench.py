@@ -98,6 +98,13 @@ HEADLINE_QUERIES = [
     "chi2_events_type_bucket",
     "pagerank_parts",
     "pack_documents_chars",
+    # round-4 continuation-4 additions
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume_customers",
+    "event_transitions_markov",
+    "audio_adpcm_transcode_contract",
+    "label_centroid_cosine_embeddings",
+    "minmax_scale_events",
 ]
 
 

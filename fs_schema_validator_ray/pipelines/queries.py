@@ -1962,6 +1962,49 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def tpch_q4_order_priority(sf_dir: str):
+    """The TPC-H Q4 order-priority-checking plan shape: a quarter of
+    orders (read-filter pushdown), EXISTS against lineitem with a
+    non-equi residual (``l_shipdate > o_orderdate`` — the equality on
+    the order key runs as the distributed hash join, the date residual
+    filters the matches vectorized), collapsed back to one row per
+    order by the per-key argmax combiner, then a tiny count by
+    priority. The non-equi-EXISTS composition ``semi_anti_join``'s
+    pure-equality contract can't express."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from fs_schema_validator_ray.stages.agg import group_argmax, group_sum
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01").item()
+    hi = np.datetime64("1996-04-01").item()
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi)),
+    )
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["l_shipdate"], ["o_orderdate", "o_orderpriority"],
+    )
+
+    def residual(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), t.column("o_orderdate")))
+        return t.select(["l_orderkey", "o_orderpriority"])
+
+    witnesses = joined.map_batches(residual, batch_format="pyarrow")
+    # EXISTS: one row per surviving order (priority is functionally
+    # dependent on the key, so any witness works)
+    per_order = group_argmax(witnesses, "l_orderkey", ["o_orderpriority"])
+    out = group_sum(per_order, ["o_orderpriority"], [])
+    return out.map_batches(
+        lambda t: t.select(["o_orderpriority", "n"]), batch_format="pyarrow"
+    )
+
+
 def minmax_scale_events(sf_dir: str):
     """Per-event-type min-max feature normalization — the classic
     two-pass scaler: pass 1 reduces each type's exact value bounds
@@ -5695,6 +5738,7 @@ QUERIES = {
     "key_skew_audit_lineitem": key_skew_audit_lineitem,
     "welch_ttest_lineitem": welch_ttest_lineitem,
     "minmax_scale_events": minmax_scale_events,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
