@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hour_profile_events": r"""
+SELECT event_type, CAST(hour(ts) AS INT) AS hour, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
         "tpch_q4_order_priority": r"""
 SELECT o_orderpriority, COUNT(*) AS n
 FROM orders o

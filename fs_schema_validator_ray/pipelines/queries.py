@@ -1962,6 +1962,32 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def hour_profile_events(sf_dir: str):
+    """Hour-of-day seasonality profile per event type (the calendar
+    feature a training pipeline derives before time-based splits):
+    vectorized ``pc.hour`` extraction + the tiny combiner group-sum —
+    at most ``types × 24`` rows ever leave the cluster."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.int32()),
+            }
+        )
+
+    out = group_sum(ds.map_batches(hour, batch_format="pyarrow"),
+                    ["event_type", "hour"], [])
+    return out.map_batches(
+        lambda t: t.select(["event_type", "hour", "n"]), batch_format="pyarrow"
+    )
+
+
 def tpch_q4_order_priority(sf_dir: str):
     """The TPC-H Q4 order-priority-checking plan shape: a quarter of
     orders (read-filter pushdown), EXISTS against lineitem with a
@@ -5739,6 +5765,7 @@ QUERIES = {
     "welch_ttest_lineitem": welch_ttest_lineitem,
     "minmax_scale_events": minmax_scale_events,
     "tpch_q4_order_priority": tpch_q4_order_priority,
+    "hour_profile_events": hour_profile_events,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
