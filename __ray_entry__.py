@@ -44,6 +44,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tpch_q6_forecast_revenue": r"""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_4dp
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+        "tpch_q14_promo_share": r"""
+WITH m AS (
+  SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_rev_micros,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS total_rev_micros
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00')
+SELECT promo_rev_micros, total_rev_micros,
+       round_even(100.0 * CAST(promo_rev_micros AS DOUBLE)
+                  / CAST(total_rev_micros AS DOUBLE), 6) AS promo_share6
+FROM m
+""",
         "hour_profile_events": r"""
 SELECT event_type, CAST(hour(ts) AS INT) AS hour, COUNT(*) AS n
 FROM events GROUP BY 1, 2

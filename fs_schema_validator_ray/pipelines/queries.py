@@ -1962,6 +1962,108 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def tpch_q6_forecast_revenue(sf_dir: str):
+    """The TPC-H Q6 forecasting-revenue-change plan shape — the purest
+    scan-dominated aggregate: every predicate (ship year, discount
+    band, quantity cap) pushes INTO the parquet read as a dataset
+    expression (row groups that can't match never leave storage), each
+    batch reduces to one partial int64 revenue sum, one scalar out.
+    Revenue = Σ cents·d (discount in integer percent) — INTEGER-exact,
+    unit 10⁻⁴ dollars."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    lo = np.datetime64("1997-01-01").item()
+    hi = np.datetime64("1998-01-01").item()
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pds.field("l_shipdate") >= lo)
+            & (pds.field("l_shipdate") < hi)
+            & (pds.field("l_quantity") < 24)
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        d = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64())
+        keep = pc.and_(pc.greater_equal(d, 5), pc.less_equal(d, 7))
+        rev = pc.multiply(cents.filter(keep), d.filter(keep))
+        s = pc.sum(rev)
+        return pa.table(
+            {"rev": pa.array([s.as_py() if s.is_valid else 0], pa.int64())}
+        )
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    total = sum(v for t in parts for v in t.column("rev").to_pylist())
+    return pa.table({"revenue_4dp": pa.array([total], pa.int64())})
+
+
+def tpch_q14_promo_share(sf_dir: str):
+    """The TPC-H Q14 promotion-effect plan shape: one month of lineitem
+    (read-filter pushdown) against a BROADCAST part side (the dimension
+    table ships once via ``ray.put``, never a shuffle), per-batch
+    partial sums of promo / total revenue micros, and the share divides
+    the two identical integers at the very end (round-even 6)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    lo = np.datetime64("1997-01-01").item()
+    hi = np.datetime64("1997-02-01").item()
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_type"]), batch_format="pyarrow"
+    )
+    joined = broadcast_join(li, part, "l_partkey", ["p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        micros = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        promo = pc.starts_with(t.column("p_type"), "PROMO")
+        sp = pc.sum(micros.filter(promo))
+        st = pc.sum(micros)
+        return pa.table(
+            {
+                "promo": pa.array([sp.as_py() if sp.is_valid else 0], pa.int64()),
+                "total": pa.array([st.as_py() if st.is_valid else 0], pa.int64()),
+            }
+        )
+
+    parts = list(
+        joined.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    sp = sum(v for t in parts for v in t.column("promo").to_pylist())
+    st = sum(v for t in parts for v in t.column("total").to_pylist())
+    share = round(100.0 * float(sp) / float(st), 6) if st else None
+    return pa.table(
+        {
+            "promo_rev_micros": pa.array([sp], pa.int64()),
+            "total_rev_micros": pa.array([st], pa.int64()),
+            "promo_share6": pa.array([share], pa.float64()),
+        }
+    )
+
+
 def hour_profile_events(sf_dir: str):
     """Hour-of-day seasonality profile per event type (the calendar
     feature a training pipeline derives before time-based splits):
@@ -5766,6 +5868,8 @@ QUERIES = {
     "minmax_scale_events": minmax_scale_events,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "hour_profile_events": hour_profile_events,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q14_promo_share": tpch_q14_promo_share,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
