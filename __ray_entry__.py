@@ -44,6 +44,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zipf_slope_documents": r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+top AS (SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS r
+        FROM cnt ORDER BY c DESC, t ASC LIMIT 200),
+s AS (SELECT COUNT(*) AS n,
+             SUM(ln(CAST(r AS DOUBLE))) AS sx,
+             SUM(ln(CAST(c AS DOUBLE))) AS sy,
+             SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+             SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy
+      FROM top)
+SELECT n AS n_terms,
+       round_even((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope6,
+       round_even((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n AS DOUBLE), 6) AS intercept6
+FROM s
+""",
         "tpch_q6_forecast_revenue": r"""
 SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                 * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)

@@ -1962,6 +1962,70 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def zipf_slope_documents(sf_dir: str, k: int = 200):
+    """Zipf power-law fit over the corpus vocabulary: OLS slope /
+    intercept of ``ln(count)`` on ``ln(rank)`` across the top-k terms —
+    the heavy-tail diagnostic a text-curation pipeline runs to detect
+    template/boilerplate corpora (natural text ⇒ slope ≈ −1). Scale
+    shape: the combiner term-frequency pass (``corpus_token_counts``,
+    token-bucketed), per-block local heads, and a ≤k-row driver fit;
+    counts and ranks are identical integers in both engines, the log
+    sums follow the repo's ROUND(·,6) protocol (cf.
+    ``entropy_lang_by_source``)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.textindex import corpus_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = corpus_token_counts(ds)
+    sort_keys = [("cnt", "descending"), ("token", "ascending")]
+
+    def local_head(t: pa.Table) -> pa.Table:
+        t = t.select(["token", "cnt"])
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys).slice(0, k))
+
+    parts = list(
+        counts.map_batches(local_head, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return pa.table(
+            {
+                "n_terms": pa.array([0], pa.int64()),
+                "slope6": pa.array([None], pa.float64()),
+                "intercept6": pa.array([None], pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    top = merged.take(pc.sort_indices(merged, sort_keys=sort_keys).slice(0, k))
+    cnts = top.column("cnt").to_pylist()
+    n = len(cnts)
+    sx = sy = sxx = sxy = 0.0
+    for rank, c in enumerate(cnts, start=1):
+        x, y = math.log(float(rank)), math.log(float(c))
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    denom = float(n) * sxx - sx * sx
+    if denom == 0.0:
+        slope = intercept = None
+    else:
+        slope = (float(n) * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / float(n)
+        slope, intercept = round(slope, 6), round(intercept, 6)
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "slope6": pa.array([slope], pa.float64()),
+            "intercept6": pa.array([intercept], pa.float64()),
+        }
+    )
+
+
 def tpch_q6_forecast_revenue(sf_dir: str):
     """The TPC-H Q6 forecasting-revenue-change plan shape — the purest
     scan-dominated aggregate: every predicate (ship year, discount
@@ -5870,6 +5934,7 @@ QUERIES = {
     "hour_profile_events": hour_profile_events,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q14_promo_share": tpch_q14_promo_share,
+    "zipf_slope_documents": zipf_slope_documents,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
