@@ -2254,10 +2254,14 @@ def minmax_scale_events(sf_dir: str):
 
     def scale(t: pa.Table) -> pa.Table:
         blo, bhi = ray.get(bounds_ref)
-        keys = t.column("event_type").to_pylist()
+        # dictionary-encode the key column: per-row work is ONE take
+        # kernel; the Python dict probes run once per DISTINCT type
+        enc = pc.dictionary_encode(t.column("event_type")).combine_chunks()
+        cats = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
         c = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
-        lo_arr = np.array([blo[k] for k in keys], dtype=np.float64)
-        hi_arr = np.array([bhi[k] for k in keys], dtype=np.float64)
+        lo_arr = np.array([blo[k] for k in cats], dtype=np.float64)[idx]
+        hi_arr = np.array([bhi[k] for k in cats], dtype=np.float64)[idx]
         span = hi_arr - lo_arr
         with np.errstate(invalid="ignore", divide="ignore"):
             scaled = np.where(span > 0, (c - lo_arr) / span, 0.0)
@@ -3757,11 +3761,17 @@ def tpch_q5_local_supplier_volume(sf_dir: str):
     )
     joined = broadcast_join(joined, supp, "l_suppkey", ["s_nationkey"])
 
+    max_key = max(name_by_key) if name_by_key else 0
+    name_lookup = pa.array(
+        [name_by_key.get(i) for i in range(max_key + 1)], pa.string()
+    )
+
     def local_only(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("c_nationkey"), t.column("s_nationkey")))
-        # nationkey → name via the 25-entry dim map (vectorized take)
-        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-        names = pa.array([name_by_key[int(k)] for k in keys], pa.string())
+        # nationkey → name via the dense 25-entry dim map: ONE take
+        # kernel, no per-row Python
+        idx = pc.cast(t.column("c_nationkey"), pa.int64())
+        names = name_lookup.take(idx)
         return pa.table({"n_name": names, "rev_micros": t.column("rev_micros")})
 
     out = group_sum(
