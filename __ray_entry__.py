@@ -44,6 +44,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tpch_q10_returned_items": r"""
+WITH r AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_micros
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY o.o_custkey)
+SELECT r.o_custkey, c.c_name, c.c_nationkey,
+       CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       r.rev_micros
+FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+ORDER BY r.rev_micros DESC, r.o_custkey ASC
+LIMIT 20
+""",
         "zipf_slope_documents": r"""
 WITH tok AS (
   SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),

@@ -1962,6 +1962,101 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def tpch_q10_returned_items(sf_dir: str):
+    """The TPC-H Q10 returned-item-reporting plan shape: a quarter of
+    orders and the RETURNED lineitems (both filters pushed into the
+    reads), ONE distributed hash join, revenue grouped per customer
+    (combiner group-sum), the customer dimension broadcast for the name
+    / balance / nation enrichment, and the global top-20 by revenue as
+    per-block local heads merged on the driver. Revenue integer-exact
+    micros; ties broken by custkey for a deterministic head."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    lo = np.datetime64("1996-01-01").item()
+    hi = np.datetime64("1996-04-01").item()
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi)),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_micros": pc.cast(pc.round(pc.multiply(r, 10000.0)), pa.int64()),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pds.field("l_returnflag") == "R"),
+    ).map_batches(rev, batch_format="pyarrow")
+
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey", ["rev_micros"], ["o_custkey"]
+    )
+    per_cust = group_sum(joined, ["o_custkey"], ["rev_micros"])
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    enriched = broadcast_join(
+        per_cust, cust, "o_custkey", ["c_name", "c_acctbal", "c_nationkey"]
+    )
+
+    sort_keys = [("rev_micros", "descending"), ("o_custkey", "ascending")]
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int32()),
+                "acctbal_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("c_acctbal"), 100.0)), pa.int64()
+                ),
+                "rev_micros": t.column("rev_micros"),
+            }
+        )
+
+    def local_head(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys).slice(0, 20))
+
+    parts = list(
+        enriched.map_batches(shape, batch_format="pyarrow")
+        .map_batches(local_head, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_nationkey": pa.array([], pa.int32()),
+                "acctbal_cents": pa.array([], pa.int64()),
+                "rev_micros": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    return merged.take(pc.sort_indices(merged, sort_keys=sort_keys).slice(0, 20))
+
+
 def zipf_slope_documents(sf_dir: str, k: int = 200):
     """Zipf power-law fit over the corpus vocabulary: OLS slope /
     intercept of ``ln(count)`` on ``ln(rank)`` across the top-k terms —
@@ -5945,6 +6040,7 @@ QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q14_promo_share": tpch_q14_promo_share,
     "zipf_slope_documents": zipf_slope_documents,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
