@@ -44,6 +44,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "interevent_gap_median_events": r"""
+WITH s AS (
+  SELECT user_id,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap
+  FROM events),
+g AS (SELECT user_id, gap FROM s WHERE gap IS NOT NULL)
+SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS q_50
+FROM g GROUP BY user_id
+""",
         "tpch_q10_returned_items": r"""
 WITH r AS (
   SELECT o.o_custkey,

@@ -1962,6 +1962,37 @@ def audio_flac_roundtrip_contract(sf_dir: str, n_rows: int = 1500):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def interevent_gap_median_events(sf_dir: str):
+    """Per-user inter-event gap median (µs) — the burstiness /
+    bot-detection feature over the event stream: successor timestamps
+    from ``per_key_shift`` (ONE coarse-bucket shuffle, vectorized
+    lexsort per bucket), gaps as exact int64 µs, then the EXACT
+    per-key discrete median via the (key, value)-count combiner
+    (``grouped_quantile_disc`` — dyadic q, bit-exact vs SQL
+    ``quantile_disc``). Single-event users emit no gap row, like the
+    SQL inner group."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+    from fs_schema_validator_ray.stages.window import per_key_shift
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    shifted = per_key_shift(
+        ds, "user_id", ["ts", "event_id"], "ts", id_columns=["ts"], lead=1
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("lead_ts")))
+        gap = pc.cast(
+            pc.subtract(t.column("lead_ts"), t.column("ts")), pa.int64()
+        )
+        return pa.table({"user_id": t.column("user_id"), "gap": gap})
+
+    return grouped_quantile_disc(
+        shifted.map_batches(gaps, batch_format="pyarrow"), "user_id", "gap", [0.5]
+    )
+
+
 def tpch_q10_returned_items(sf_dir: str):
     """The TPC-H Q10 returned-item-reporting plan shape: a quarter of
     orders and the RETURNED lineitems (both filters pushed into the
@@ -6041,6 +6072,7 @@ QUERIES = {
     "tpch_q14_promo_share": tpch_q14_promo_share,
     "zipf_slope_documents": zipf_slope_documents,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "interevent_gap_median_events": interevent_gap_median_events,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
