@@ -44,6 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "weekday_profile_orders": r"""
+SELECT o_orderpriority, CAST(isodow(o_orderdate) AS INT) AS isodow,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+""",
         "interevent_gap_median_events": r"""
 WITH s AS (
   SELECT user_id,

@@ -2152,6 +2152,36 @@ def zipf_slope_documents(sf_dir: str, k: int = 200):
     )
 
 
+def weekday_profile_orders(sf_dir: str):
+    """ISO-weekday profile of order volume per priority — gates the
+    cross-engine weekday-numbering hazard explicitly: Arrow
+    ``day_of_week`` counts Monday=0, SQL ``isodow`` Monday=1, so the
+    engine emits ``day_of_week + 1`` and the oracle uses ``isodow`` —
+    one wrong convention shifts every row. Tiny combiner group-sum."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def dow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "isodow": pc.cast(
+                    pc.add(pc.day_of_week(t.column("o_orderdate")), 1), pa.int32()
+                ),
+            }
+        )
+
+    out = group_sum(ds.map_batches(dow, batch_format="pyarrow"),
+                    ["o_orderpriority", "isodow"], [])
+    return out.map_batches(
+        lambda t: t.select(["o_orderpriority", "isodow", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 def tpch_q6_forecast_revenue(sf_dir: str):
     """The TPC-H Q6 forecasting-revenue-change plan shape — the purest
     scan-dominated aggregate: every predicate (ship year, discount
@@ -6073,6 +6103,7 @@ QUERIES = {
     "zipf_slope_documents": zipf_slope_documents,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "interevent_gap_median_events": interevent_gap_median_events,
+    "weekday_profile_orders": weekday_profile_orders,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
