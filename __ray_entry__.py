@@ -44,6 +44,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tpch_q19_disjunctive_revenue": r"""
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 10000) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_micros,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+       AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 25 AND 50)
+""",
         "weekday_profile_orders": r"""
 SELECT o_orderpriority, CAST(isodow(o_orderdate) AS INT) AS isodow,
        COUNT(*) AS n

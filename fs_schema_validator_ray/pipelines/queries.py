@@ -2152,6 +2152,76 @@ def zipf_slope_documents(sf_dir: str, k: int = 200):
     )
 
 
+def tpch_q19_disjunctive_revenue(sf_dir: str):
+    """The TPC-H Q19 discounted-revenue plan shape — DISJUNCTIVE
+    cross-table predicates (three (brand, size-band, quantity-band)
+    alternatives that each need columns from BOTH sides): part
+    broadcasts its predicate columns once, the OR-of-ANDs evaluates as
+    three vectorized boolean masks post-join, one scalar revenue sum
+    out. Integer-exact micros."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.joins import broadcast_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(li, part, "l_partkey", ["p_brand", "p_size"])
+
+    BANDS = [("Brand#1", 1, 10, 1, 20), ("Brand#2", 5, 25, 10, 35), ("Brand#3", 20, 50, 25, 50)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        size = t.column("p_size")
+        brand = t.column("p_brand")
+        keep = None
+        for b, slo, shi, qlo, qhi in BANDS:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(brand, pa.scalar(b)),
+                    pc.and_(
+                        pc.greater_equal(size, slo), pc.less_equal(size, shi)
+                    ),
+                ),
+                pc.and_(pc.greater_equal(q, qlo), pc.less_equal(q, qhi)),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        t = t.filter(keep)
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        micros = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        s = pc.sum(micros)
+        n = pa.array([t.num_rows], pa.int64())
+        return pa.table(
+            {
+                "rev": pa.array([s.as_py() if s.is_valid else 0], pa.int64()),
+                "n": n,
+            }
+        )
+
+    parts = list(
+        joined.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    rev = sum(v for t in parts for v in t.column("rev").to_pylist())
+    n = sum(v for t in parts for v in t.column("n").to_pylist())
+    return pa.table(
+        {
+            "revenue_micros": pa.array([rev], pa.int64()),
+            "n_lineitems": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def weekday_profile_orders(sf_dir: str):
     """ISO-weekday profile of order volume per priority — gates the
     cross-engine weekday-numbering hazard explicitly: Arrow
@@ -6104,6 +6174,7 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "interevent_gap_median_events": interevent_gap_median_events,
     "weekday_profile_orders": weekday_profile_orders,
+    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
