@@ -119,3 +119,46 @@ def test_mom_change_first_month_null(ray_session):
         first = r["event_type"] not in seen
         seen.add(r["event_type"])
         assert (r["delta_cents"] is None) == first
+
+
+def test_q10_top20_sorted(ray_session):
+    t = _table(QUERIES["tpch_q10_returned_items"](SF))
+    assert 0 < t.num_rows <= 20
+    rev = t.column("rev_micros").to_pylist()
+    assert rev == sorted(rev, reverse=True)
+
+
+def test_q19_scalar_consistent(ray_session):
+    t = _table(QUERIES["tpch_q19_disjunctive_revenue"](SF))
+    r = t.to_pylist()[0]
+    assert (r["revenue_micros"] > 0) == (r["n_lineitems"] > 0)
+
+
+def test_q6_and_q14_scalars(ray_session):
+    q6 = _table(QUERIES["tpch_q6_forecast_revenue"](SF)).to_pylist()[0]
+    assert q6["revenue_4dp"] >= 0
+    q14 = _table(QUERIES["tpch_q14_promo_share"](SF)).to_pylist()[0]
+    assert 0.0 <= q14["promo_share6"] <= 100.0
+    assert q14["promo_rev_micros"] <= q14["total_rev_micros"]
+
+
+def test_gap_median_positive(ray_session):
+    t = _table(QUERIES["interevent_gap_median_events"](SF))
+    assert t.num_rows >= 1
+    assert all(v >= 0 for v in t.column("q_50").to_pylist())
+
+
+def test_calendar_profiles_cover_domain(ray_session):
+    h = _table(QUERIES["hour_profile_events"](SF))
+    assert set(h.column("hour").to_pylist()) <= set(range(24))
+    w = _table(QUERIES["weekday_profile_orders"](SF))
+    assert set(w.column("isodow").to_pylist()) <= set(range(1, 8))
+    # counts re-sum to the full table sizes
+    assert sum(h.column("n").to_pylist()) == 1000
+    assert sum(w.column("n").to_pylist()) == 1500
+
+
+def test_zipf_slope_negative(ray_session):
+    t = _table(QUERIES["zipf_slope_documents"](SF)).to_pylist()[0]
+    # term frequencies decay with rank => negative slope
+    assert t["n_terms"] > 10 and t["slope6"] < 0
