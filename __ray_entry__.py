@@ -44,6 +44,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cumulative_daily_share_events": r"""
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window",
+         COUNT(*) AS n
+  FROM events GROUP BY 1)
+SELECT "window", n,
+       CAST(SUM(n) OVER (ORDER BY "window") AS BIGINT) AS cum_n,
+       round_even(CAST(SUM(n) OVER (ORDER BY "window") AS DOUBLE)
+                  / CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_share6
+FROM d
+""",
         "tpch_q19_disjunctive_revenue": r"""
 SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
                                     * 10000) AS BIGINT)), 0) AS BIGINT)

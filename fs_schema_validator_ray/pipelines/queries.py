@@ -2152,6 +2152,47 @@ def zipf_slope_documents(sf_dir: str, k: int = 200):
     )
 
 
+def cumulative_daily_share_events(sf_dir: str):
+    """Cumulative daily share of event volume (the Pareto / ingestion
+    burn-down curve): tumbling DAY window counts from the combiner
+    aggregate, then the running total and share computed on the driver
+    over the ≤days-sized result — cum share divides identical integers
+    in both engines (round-even 6)."""
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts"])
+    ds = tumbling_window(ds, "ts", "day")
+    agg = group_sum(ds, ["window"], [])
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "window": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cum_n": pa.array([], pa.int64()),
+                "cum_share6": pa.array([], pa.float64()),
+            }
+        )
+    rows = sorted(pa.concat_tables(parts).to_pylist(), key=lambda r: r["window"])
+    total = sum(r["n"] for r in rows)
+    out_w, out_n, out_c, out_s = [], [], [], []
+    cum = 0
+    for r in rows:
+        cum += r["n"]
+        out_w.append(r["window"])
+        out_n.append(r["n"])
+        out_c.append(cum)
+        out_s.append(round(float(cum) / float(total), 6))
+    return pa.table(
+        {
+            "window": pa.array(out_w, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "cum_n": pa.array(out_c, pa.int64()),
+            "cum_share6": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def tpch_q19_disjunctive_revenue(sf_dir: str):
     """The TPC-H Q19 discounted-revenue plan shape — DISJUNCTIVE
     cross-table predicates (three (brand, size-band, quantity-band)
@@ -6175,6 +6216,7 @@ QUERIES = {
     "interevent_gap_median_events": interevent_gap_median_events,
     "weekday_profile_orders": weekday_profile_orders,
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
+    "cumulative_daily_share_events": cumulative_daily_share_events,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
