@@ -44,6 +44,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nearest_centroid_confusion_embeddings": r"""
+WITH u AS (
+  SELECT vec_id, label,
+         CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INT) AS pos,
+         CAST(round_even(CAST(UNNEST(embedding) AS DOUBLE) * 1048576.0, 0)
+              AS BIGINT) AS q
+  FROM embeddings),
+c AS (SELECT label AS clabel, pos, SUM(q) AS s FROM u GROUP BY 1, 2),
+cn AS (SELECT clabel, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM c GROUP BY 1),
+qn AS (SELECT vec_id,
+              SUM(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) AS q2
+       FROM u GROUP BY 1),
+d AS (SELECT u.vec_id, c.clabel, SUM(CAST(u.q AS HUGEINT) * c.s) AS dot
+      FROM u JOIN c ON u.pos = c.pos GROUP BY 1, 2),
+sc AS (SELECT d.vec_id, d.clabel,
+              CAST(d.dot AS DOUBLE)
+                / (SQRT(qn.q2) * SQRT(CAST(cn.n2 AS DOUBLE))) AS cosv
+       FROM d JOIN qn USING (vec_id) JOIN cn USING (clabel)),
+pick AS (SELECT vec_id, clabel,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosv DESC, clabel ASC) AS rn
+         FROM sc)
+SELECT e.label, CAST(p.clabel AS INT) AS assigned, COUNT(*) AS n
+FROM pick p JOIN embeddings e ON p.vec_id = e.vec_id
+WHERE p.rn = 1
+GROUP BY 1, 2
+""",
         "cumulative_daily_share_events": r"""
 WITH d AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window",

@@ -2835,6 +2835,127 @@ def label_centroid_cosine_embeddings(sf_dir: str):
     )
 
 
+def nearest_centroid_confusion_embeddings(sf_dir: str):
+    """Nearest-centroid classification confusion matrix over the
+    labeled embeddings — the quick separability probe before training a
+    real classifier. Reuses the integer-exact centroid protocol
+    (``label_centroid_cosine_embeddings``): components quantize
+    round-even at 2^20, per-label integer component sums broadcast into
+    the scoring pass, each batch scores via ONE int64 matmul (dot of
+    quantized vector × centroid sum — exact, fits int64 to ~2^13 dims ×
+    2^50 sum magnitude), and cosine ordering divides identical integers
+    (all float sums are of exactly-representable integers < 2^53, so
+    summation order cannot matter) — both engines pick the identical
+    argmax (ties break label-ASC). Output: (label, assigned, n)."""
+    import math
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    SCALE = float(1 << 20)
+
+    def quantize(col) -> tuple[np.ndarray, int]:
+        c = col.combine_chunks()
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = c.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        dim = int(widths[0]) if len(widths) else 0
+        if len(widths) and not (widths == dim).all():
+            raise ValueError("ragged embedding column")
+        return np.round(flat * SCALE).astype(np.int64).reshape(-1, dim), dim
+
+    # pass 1: per-label integer component sums (same combiner as the
+    # centroid-cosine query), merged exactly on the driver
+    def partial(t: pa.Table) -> pa.Table:
+        q, dim = quantize(t.column("embedding"))
+        if not len(q):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int32()),
+                    "pos": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim).astype(np.int32), pa.int32()),
+                "pos": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int32), len(uniq)), pa.int32()
+                ),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    acc: dict[tuple[int, int], int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lb, pos, s in zip(
+            t.column("label").to_pylist(),
+            t.column("pos").to_pylist(),
+            t.column("s").to_pylist(),
+        ):
+            acc[(lb, pos)] = acc.get((lb, pos), 0) + s
+    if not acc:
+        return pa.table(
+            {
+                "label": pa.array([], pa.int32()),
+                "assigned": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    labels_sorted = sorted({lb for lb, _ in acc})
+    dim = max(pos for _, pos in acc) + 1
+    cent = np.zeros((len(labels_sorted), dim), dtype=np.int64)
+    for (lb, pos), s in acc.items():
+        cent[labels_sorted.index(lb), pos] = s
+    # Σs² ≤ 64·2^50 — exact in int64
+    cent_norm = np.sqrt((cent * cent).sum(axis=1).astype(np.float64))
+
+    import ray
+
+    cent_ref = ray.put((np.array(labels_sorted, dtype=np.int32), cent, cent_norm))
+
+    def score(t: pa.Table) -> pa.Table:
+        labs, c, cn = ray.get(cent_ref)
+        q, _ = quantize(t.column("embedding"))
+        if not len(q):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int32()),
+                    "assigned": pa.array([], pa.int32()),
+                }
+            )
+        dots = q @ c.T  # int64-exact
+        qn = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dots.astype(np.float64) / (qn[:, None] * cn[None, :])
+        # argmax = first max → lowest label index on exact ties
+        best = labs[np.argmax(cos, axis=1)]
+        return pa.table(
+            {
+                "label": pa.array(
+                    t.column("label").to_numpy(zero_copy_only=False).astype(np.int32),
+                    pa.int32(),
+                ),
+                "assigned": pa.array(best, pa.int32()),
+            }
+        )
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    out = group_sum(
+        ds.map_batches(score, batch_format="pyarrow"), ["label", "assigned"], []
+    )
+    return out.map_batches(
+        lambda t: t.select(["label", "assigned", "n"]), batch_format="pyarrow"
+    )
+
+
 def audio_adpcm_transcode_contract(sf_dir: str, n_rows: int = 1500):
     """(clip_id, adpcm_ok) — IMA-ADPCM transcode fidelity verdict per
     corpus clip: every decodable clip must survive encode→decode with
@@ -6217,6 +6338,7 @@ QUERIES = {
     "weekday_profile_orders": weekday_profile_orders,
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
     "cumulative_daily_share_events": cumulative_daily_share_events,
+    "nearest_centroid_confusion_embeddings": nearest_centroid_confusion_embeddings,
     "mom_change_events": mom_change_events,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
