@@ -138,18 +138,27 @@ cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
 top AS (SELECT c,
                ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS r
         FROM cnt ORDER BY c DESC, t ASC LIMIT 200),
+-- integer-anchored OLS: each ln term quantized to int64 with the same
+-- round_even(ln*1e6) kernel the engine calls through duckdb, then exact
+-- (order-independent) integer sums; each cast operand fits int64 so the
+-- HUGEINT->DOUBLE casts are single correctly-rounded conversions
+q AS (SELECT CAST(round_even(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx,
+             CAST(round_even(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ly
+      FROM top),
 s AS (SELECT COUNT(*) AS n,
-             SUM(ln(CAST(r AS DOUBLE))) AS sx,
-             SUM(ln(CAST(c AS DOUBLE))) AS sy,
-             SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
-             SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy
-      FROM top)
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM q)
 SELECT n AS n_terms,
-       round_even((CAST(n AS DOUBLE) * sxy - sx * sy)
-                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope6,
-       round_even((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-                  / CAST(n AS DOUBLE), 6) AS intercept6
+       round_even((CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                  / NULLIF(CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE), 0),
+                  6) AS slope6,
+       round_even((CAST(sy AS DOUBLE)
+                   - ((CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                      / NULLIF(CAST(n * sxx AS DOUBLE)
+                               - CAST(sx * sx AS DOUBLE), 0))
+                     * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1000000.0), 6) AS intercept6
 FROM s
 """,
         "tpch_q6_forecast_revenue": r"""
@@ -350,7 +359,7 @@ c AS (
   SELECT prev_type, next_type, COUNT(*) AS cnt
   FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
 SELECT prev_type, next_type, cnt,
-       ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY prev_type), 6)
+       round_even(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY prev_type), 6)
          AS prob6
 FROM c
 """,

@@ -2094,12 +2094,14 @@ def zipf_slope_documents(sf_dir: str, k: int = 200):
     the heavy-tail diagnostic a text-curation pipeline runs to detect
     template/boilerplate corpora (natural text ⇒ slope ≈ −1). Scale
     shape: the combiner term-frequency pass (``corpus_token_counts``,
-    token-bucketed), per-block local heads, and a ≤k-row driver fit;
-    counts and ranks are identical integers in both engines, the log
-    sums follow the repo's ROUND(·,6) protocol (cf.
-    ``entropy_lang_by_source``)."""
-    import math
-
+    token-bucketed), per-block local heads, and a ≤k-row driver fit.
+    INTEGER-ANCHORED exactness (round-5 ADVICE): each ln term is
+    quantized to int64 via the SAME duckdb ``round_even(ln(x)*1e6)``
+    kernel on both sides (the driver calls duckdb as its scalar math
+    library over the ≤2k values, so the doubles are bit-identical);
+    the OLS sums are then exact integers — order-independent — and the
+    final division mirrors the SQL double expression term-for-term, so
+    hash-exactness no longer depends on DuckDB's float-SUM order."""
     import pyarrow.compute as pc
 
     from fs_schema_validator_ray.stages.textindex import corpus_token_counts
@@ -2129,19 +2131,38 @@ def zipf_slope_documents(sf_dir: str, k: int = 200):
     top = merged.take(pc.sort_indices(merged, sort_keys=sort_keys).slice(0, k))
     cnts = top.column("cnt").to_pylist()
     n = len(cnts)
-    sx = sy = sxx = sxy = 0.0
-    for rank, c in enumerate(cnts, start=1):
-        x, y = math.log(float(rank)), math.log(float(c))
-        sx += x
-        sy += y
-        sxx += x * x
-        sxy += x * y
-    denom = float(n) * sxx - sx * sx
-    if denom == 0.0:
+    # quantize ln(rank) / ln(count) to int64 with duckdb's own
+    # round_even(ln(x)*1e6) so both engines see bit-identical terms
+    import duckdb
+
+    vals = [float(r) for r in range(1, n + 1)] + [float(c) for c in cnts]
+    if vals:
+        qints = [
+            row[0]
+            for row in duckdb.sql(
+                "SELECT CAST(round_even(ln(v) * 1000000, 0) AS BIGINT) AS q "
+                "FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+                params=[vals],
+            ).fetchall()
+        ]
+    else:
+        qints = []
+    lx, ly = qints[:n], qints[n:]
+    sx = sum(lx)
+    sy = sum(ly)
+    sxx = sum(v * v for v in lx)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    # the four cast operands below must each fit int64 for the SQL-side
+    # HUGEINT->DOUBLE cast to be a single correctly-rounded conversion
+    for v in (n * sxy, sx * sy, n * sxx, sx * sx):
+        if abs(v) >= 2**63:
+            raise OverflowError("zipf_slope: OLS sums exceed the int64 cast bound")
+    den = float(n * sxx) - float(sx * sx)
+    if den == 0.0:
         slope = intercept = None
     else:
-        slope = (float(n) * sxy - sx * sy) / denom
-        intercept = (sy - slope * sx) / float(n)
+        slope = (float(n * sxy) - float(sx * sy)) / den
+        intercept = (float(sy) - slope * float(sx)) / (float(n) * 1000000.0)
         slope, intercept = round(slope, 6), round(intercept, 6)
     return pa.table(
         {
@@ -2915,6 +2936,17 @@ def nearest_centroid_confusion_embeddings(sf_dir: str):
         cent[labels_sorted.index(lb), pos] = s
     # Σs² ≤ 64·2^50 — exact in int64
     cent_norm = np.sqrt((cent * cent).sum(axis=1).astype(np.float64))
+    # Overflow guard (driver side, nominal |q| ≈ 2^20·|x| with |x| ≲ 2):
+    # the int64 matmul wraps SILENTLY if Σ_j q_j·cent_j exceeds 2^63; the
+    # centroid sums grow linearly with rows-per-label, so at ~2^17
+    # rows/label (dim 64) the argmax could be wrong with no error. Bail
+    # loudly and point at the exact path instead.
+    if int(np.abs(cent).max(initial=0)) * (1 << 21) * max(cent.shape[1], 1) >= 2**62:
+        raise OverflowError(
+            "nearest_centroid_confusion: centroid sums too large for the "
+            "int64 matmul shortcut — fall back to the exact Python-int "
+            "merge used by label_centroid_cosine_embeddings"
+        )
 
     import ray
 
@@ -2930,7 +2962,18 @@ def nearest_centroid_confusion_embeddings(sf_dir: str):
                     "assigned": pa.array([], pa.int32()),
                 }
             )
-        dots = q @ c.T  # int64-exact
+        # exact per-batch bound with the REAL |q| (driver guard assumed ≤2^21)
+        if (
+            int(np.abs(q).max(initial=0))
+            * int(np.abs(c).max(initial=0))
+            * q.shape[1]
+            >= 2**62
+        ):
+            raise OverflowError(
+                "nearest_centroid_confusion: |q|·|cent|·dim exceeds int64 — "
+                "use the exact centroid-cosine path"
+            )
+        dots = q @ c.T  # int64-exact (guarded above)
         qn = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = dots.astype(np.float64) / (qn[:, None] * cn[None, :])
