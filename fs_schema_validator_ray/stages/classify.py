@@ -95,20 +95,33 @@ def nb_label_doc_counts(ds, label_column: str = "label"):
     from fs_schema_validator_ray.stages.agg import group_sum
 
     out = group_sum(ds.select_columns([label_column]), [label_column], [])
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+        or [pa.table({label_column: pa.array([], pa.string()), "n": pa.array([], pa.int64())})]
+    )
     return t.select([label_column, "n"]).rename_columns([label_column, "docs"])
+
+
+def _prior_arrays(priors: pa.Table, label_column: str):
+    """Shared L-sized prior assembly: sorted labels, label→index map,
+    per-label doc counts and log priors (used by both the broadcast and
+    the co-partitioned scoring paths)."""
+    labels = sorted(priors.column(label_column).to_pylist())
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    docs = np.zeros(len(labels), np.float64)
+    for l, d in zip(
+        priors.column(label_column).to_pylist(), priors.column("docs").to_pylist()
+    ):
+        docs[lab_idx[l]] = d
+    log_prior = np.log(docs / docs.sum()) if docs.sum() else docs
+    return labels, lab_idx, docs, log_prior
 
 
 def _collect_model(counts_ds, priors: pa.Table, label_column: str):
     """Driver-side assembly of the broadcastable model: sorted labels,
     log priors, vocab, and the dense ``V×L`` token log-prob matrix
     ``ln((c+1)/(tot_l+V))`` plus the L OOV constants ``ln(1/(tot_l+V))``."""
-    labels = sorted(priors.column(label_column).to_pylist())
-    lab_idx = {l: i for i, l in enumerate(labels)}
-    docs = np.zeros(len(labels), np.float64)
-    for l, d in zip(priors.column(label_column).to_pylist(), priors.column("docs").to_pylist()):
-        docs[lab_idx[l]] = d
-    log_prior = np.log(docs / docs.sum()) if docs.sum() else docs
+    labels, lab_idx, docs, log_prior = _prior_arrays(priors, label_column)
 
     blocks = [
         b
@@ -268,24 +281,19 @@ def nb_classify_copartitioned(
     if priors is None:
         priors = nb_label_doc_counts(ds, label_column)
 
-    labels = sorted(priors.column(label_column).to_pylist())
-    lab_idx = {l: i for i, l in enumerate(labels)}
-    docs = np.zeros(len(labels), np.float64)
-    for l, d in zip(
-        priors.column(label_column).to_pylist(), priors.column("docs").to_pylist()
-    ):
-        docs[lab_idx[l]] = d
-    log_prior = np.log(docs / docs.sum()) if docs.sum() else docs
+    labels, lab_idx, docs, log_prior = _prior_arrays(priors, label_column)
 
     # per-label token totals: L-sized combiner count over the count table
     from fs_schema_validator_ray.stages.agg import group_sum
 
-    tot_pd = group_sum(
-        counts_ds.select_columns([label_column, "cnt"]), [label_column], ["cnt"]
-    ).to_pandas()
     tot = np.zeros(len(labels), np.float64)
-    for l, c in zip(tot_pd[label_column], tot_pd["cnt"]):
-        tot[lab_idx[l]] = c
+    for b in group_sum(
+        counts_ds.select_columns([label_column, "cnt"]), [label_column], ["cnt"]
+    ).iter_batches(batch_format="pyarrow"):
+        for l, c in zip(
+            b.column(label_column).to_pylist(), b.column("cnt").to_pylist()
+        ):
+            tot[lab_idx[l]] = c
     # V = distinct tokens across labels: one bucketed distinct pass over
     # the (vocab×L)-sized count table — never over the corpus
     v = group_sum_bucketed(
