@@ -2078,6 +2078,219 @@ class _SubstringWindowStage:
         )
 
 
+def _extend_span(sa: bytes, i0: int, sb: bytes, j0: int, min_len: int):
+    """Verify a candidate window match and extend it maximally left and
+    right. Returns ``(a_start, b_start, length)`` or ``None`` on a hash
+    collision (window bytes differ). Shared by the broadcast and the
+    co-partitioned verify paths so the two are byte-identical."""
+    if sa[i0 : i0 + min_len] != sb[j0 : j0 + min_len]:
+        return None
+    i, j = i0, j0
+    while i > 0 and j > 0 and sa[i - 1] == sb[j - 1]:
+        i -= 1
+        j -= 1
+    ie, je = i0 + min_len, j0 + min_len
+    while ie < len(sa) and je < len(sb) and sa[ie] == sb[je]:
+        ie += 1
+        je += 1
+    return i, j, ie - i
+
+
+def substring_verify_join(
+    ds,
+    cands,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_len: int = 64,
+    n_buckets: int | None = None,
+):
+    """Co-partitioned exact-substring verify+extend for candidate sets
+    too large to broadcast (the 10^12-doc path): no driver text dict, no
+    corpus broadcast. Mirrors ``minhash_verify_join``'s two bucketed
+    exchanges, both with vectorized group bodies:
+
+    1. ``groupby(hash(doc) % P)``: candidate-pair role rows
+       ``(doc, a, a_pos, b, b_pos, side)`` meet the corpus' ``(doc,
+       text)`` rows; a sorted ``searchsorted`` join attaches each doc's
+       text to its role rows (Arrow ``take``). Docs without candidates
+       emit nothing.
+    2. ``groupby(hash(a,b) % P)``: the two sides of each candidate meet;
+       every candidate window of a pair lands in the SAME group, so the
+       maximal verified span per ``(a, b)`` is final within the group —
+       no third exchange. The extend loop is per-candidate (inherently
+       sequential byte comparison, same as the broadcast path).
+
+    Output schema and spans are byte-identical to the broadcast verify
+    (pytest forced-switch parity gate)."""
+    if n_buckets is None:
+        n_buckets = default_n_buckets(ds)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def roles(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        ap = np.asarray(t.column("a_pos"), dtype=np.int64)
+        bp = np.asarray(t.column("b_pos"), dtype=np.int64)
+        doc = np.concatenate([a, b])
+        bucket = mix_to_buckets(doc.view(np.uint64), n_buckets)
+        n = len(a)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc": pa.array(doc),
+                "a": pa.array(np.concatenate([a, a])),
+                "a_pos": pa.array(np.concatenate([ap, ap])),
+                "b": pa.array(np.concatenate([b, b])),
+                "b_pos": pa.array(np.concatenate([bp, bp])),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "text": pa.nulls(2 * n, pa.large_string()),
+            }
+        )
+
+    def texts(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column), dtype=np.int64)
+        bucket = mix_to_buckets(ids.view(np.uint64), n_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc": pa.array(ids),
+                "a": pa.nulls(len(ids), pa.int64()),
+                "a_pos": pa.nulls(len(ids), pa.int64()),
+                "b": pa.nulls(len(ids), pa.int64()),
+                "b_pos": pa.nulls(len(ids), pa.int64()),
+                "side": pa.nulls(len(ids), pa.int8()),
+                "text": pc.cast(
+                    pc.fill_null(t.column(text_column), ""), pa.large_string()
+                ),
+            }
+        )
+
+    role_rows = cands.map_batches(roles, batch_format="pyarrow")
+    text_rows = ds.select_columns([id_column, text_column]).map_batches(
+        texts, batch_format="pyarrow"
+    )
+    tagged = role_rows.union(text_rows)
+
+    attached_schema = pa.schema(
+        [
+            ("pair_bucket", pa.int32()),
+            ("a", pa.int64()),
+            ("a_pos", pa.int64()),
+            ("b", pa.int64()),
+            ("b_pos", pa.int64()),
+            ("side", pa.int8()),
+            ("text", pa.large_string()),
+        ]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_text = pc.is_null(group.column("side"))
+        tx = group.filter(is_text)
+        ro = group.filter(pc.invert(is_text))
+        if tx.num_rows == 0 or ro.num_rows == 0:
+            return attached_schema.empty_table()
+        tdocs = np.asarray(tx.column("doc"), dtype=np.int64)
+        torder = np.argsort(tdocs, kind="stable")
+        tdocs_s = tdocs[torder]
+        rdocs = np.asarray(ro.column("doc"), dtype=np.int64)
+        pos = np.searchsorted(tdocs_s, rdocs)
+        pos = np.clip(pos, 0, len(tdocs_s) - 1)
+        hit = tdocs_s[pos] == rdocs
+        ro = ro.filter(pa.array(hit))
+        take = pa.array(torder[pos[hit]], pa.int64())
+        a = np.asarray(ro.column("a"), dtype=np.int64)
+        b = np.asarray(ro.column("b"), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            pb = mix_to_buckets(
+                (a.view(np.uint64) * mix) ^ b.view(np.uint64), n_buckets
+            )
+        return pa.table(
+            {
+                "pair_bucket": pa.array(pb),
+                "a": ro.column("a"),
+                "a_pos": ro.column("a_pos"),
+                "b": ro.column("b"),
+                "b_pos": ro.column("b_pos"),
+                "side": ro.column("side"),
+                "text": tx.column("text").take(take),
+            }
+        )
+
+    per_pair = tagged.groupby("bucket").map_groups(attach, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("a_start", pa.int64()),
+            ("b_start", pa.int64()),
+            ("length", pa.int64()),
+        ]
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        a = np.asarray(group.column("a"), dtype=np.int64)
+        b = np.asarray(group.column("b"), dtype=np.int64)
+        ap = np.asarray(group.column("a_pos"), dtype=np.int64)
+        bp = np.asarray(group.column("b_pos"), dtype=np.int64)
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        order = np.lexsort((side, bp, ap, b, a))
+        a, b, ap, bp, side = a[order], b[order], ap[order], bp[order], side[order]
+        text_col = group.column("text").take(pa.array(order, pa.int64()))
+        first = np.concatenate(
+            [
+                [True],
+                (a[1:] != a[:-1])
+                | (b[1:] != b[:-1])
+                | (ap[1:] != ap[:-1])
+                | (bp[1:] != bp[:-1]),
+            ]
+        )
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:], [len(a)]])
+        # complete candidates: both sides' texts found in the corpus
+        ok = (ends - starts == 2) & (side[starts] != side[ends - 1])
+        starts = starts[ok]
+        best: dict[tuple[int, int], tuple[int, int, int]] = {}
+        enc_cache: dict[int, bytes] = {}
+
+        def enc(doc: int, s) -> bytes:
+            v = enc_cache.get(doc)
+            if v is None:
+                v = s.as_py().encode("utf-8", "surrogatepass")
+                enc_cache[doc] = v
+            return v
+
+        for s in starts:
+            sa = enc(int(a[s]), text_col[s])
+            sb = enc(int(b[s]), text_col[s + 1])
+            span = _extend_span(sa, int(ap[s]), sb, int(bp[s]), min_len)
+            if span is None:
+                continue
+            key = (int(a[s]), int(b[s]))
+            cur = best.get(key)
+            if cur is None or (span[2], -span[0], -span[1]) > (
+                cur[2], -cur[0], -cur[1]
+            ):  # longest wins; ties -> smallest (a_start, b_start)
+                best[key] = span
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in best], pa.int64()),
+                "b": pa.array([k[1] for k in best], pa.int64()),
+                "a_start": pa.array([v[0] for v in best.values()], pa.int64()),
+                "b_start": pa.array([v[1] for v in best.values()], pa.int64()),
+                "length": pa.array([v[2] for v in best.values()], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return per_pair.groupby("pair_bucket").map_groups(
+        verify, batch_format="pyarrow"
+    )
+
+
 def substring_dup_pairs(
     ds,
     text_column: str = "text",
@@ -2159,8 +2372,12 @@ def substring_dup_pairs(
             ).empty_table()
         )
 
-    # distinct candidate doc ids (bounded broadcast — same switchover
-    # caveat as minhash_verify_join; co-partition above the cap)
+    # Verify-path switchover (same convention as minhash_near_dup_pairs):
+    # a bounded candidate-doc set broadcasts a {id: text} lookup; beyond
+    # ``max_broadcast_docs`` distinct candidate docs the verify runs as
+    # the fully distributed co-partitioned join (substring_verify_join).
+    # The distinct COUNT is computed distributed (bucketed over int64
+    # ids) so the driver never pulls an unbounded id list just to decide.
     def id_partial(t: pa.Table) -> pa.Table:
         u = np.unique(
             np.concatenate(
@@ -2172,17 +2389,15 @@ def substring_dup_pairs(
         ) if t.num_rows else np.zeros(0, np.int64)
         return pa.table({"doc": pa.array(u)})
 
-    cand_ids = np.unique(
-        np.asarray(
-            cands.map_batches(id_partial, batch_format="pyarrow")
-            .to_pandas()["doc"]
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    ids_ds = cands.map_batches(id_partial, batch_format="pyarrow")
+    n_cand = group_sum_bucketed(ids_ds, "doc", [], n_buckets=n_buckets).count()
+    if n_cand > max_broadcast_docs:
+        return substring_verify_join(
+            ds, cands, text_column, id_column, min_len, n_buckets
         )
-    )
-    if len(cand_ids) > max_broadcast_docs:
-        raise ValueError(
-            f"{len(cand_ids)} candidate docs exceed max_broadcast_docs="
-            f"{max_broadcast_docs}; raise the cap or pre-filter"
-        )
+    cand_ids = np.unique(np.asarray(ids_ds.to_pandas()["doc"]))
     id_set = set(int(x) for x in cand_ids)
 
     def text_partial(t: pa.Table) -> pa.Table:
@@ -2213,26 +2428,21 @@ def substring_dup_pairs(
             tb = lookup.get(int(b))
             if ta is None or tb is None:
                 continue
-            ea = (ta.encode("utf-8", "surrogatepass"), int(ap))
-            eb = (tb.encode("utf-8", "surrogatepass"), int(bp))
-            sa, i0 = ea
-            sb, j0 = eb
-            if sa[i0 : i0 + min_len] != sb[j0 : j0 + min_len]:
+            span = _extend_span(
+                ta.encode("utf-8", "surrogatepass"),
+                int(ap),
+                tb.encode("utf-8", "surrogatepass"),
+                int(bp),
+                min_len,
+            )
+            if span is None:
                 continue  # hash collision
-            # extend maximally left and right
-            i, j = i0, j0
-            while i > 0 and j > 0 and sa[i - 1] == sb[j - 1]:
-                i -= 1
-                j -= 1
-            ie, je = i0 + min_len, j0 + min_len
-            while ie < len(sa) and je < len(sb) and sa[ie] == sb[je]:
-                ie += 1
-                je += 1
-            length = ie - i
             key = (int(a), int(b))
             cur = best.get(key)
-            if cur is None or length > cur[2]:
-                best[key] = (i, j, length)
+            if cur is None or (span[2], -span[0], -span[1]) > (
+                cur[2], -cur[0], -cur[1]
+            ):  # longest wins; ties -> smallest (a_start, b_start)
+                best[key] = span
         return pa.table(
             {
                 "a": pa.array([k[0] for k in best], pa.int64()),
@@ -2260,7 +2470,10 @@ def substring_dup_pairs(
         a = np.asarray(g.column("a"), np.int64)
         b = np.asarray(g.column("b"), np.int64)
         ln = np.asarray(g.column("length"), np.int64)
-        order = np.lexsort((-ln, b, a))
+        a_st = np.asarray(g.column("a_start"), np.int64)
+        b_st = np.asarray(g.column("b_start"), np.int64)
+        # longest first; ties -> smallest (a_start, b_start): deterministic
+        order = np.lexsort((b_st, a_st, -ln, b, a))
         a_s, b_s = a[order], b[order]
         first = np.concatenate(
             [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]

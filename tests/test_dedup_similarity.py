@@ -468,6 +468,44 @@ def test_substring_dup_pairs_planted(ray_session):
     assert (2, 3) not in got
 
 
+def test_substring_dup_forced_copartitioned_parity(ray_session):
+    """max_broadcast_docs=0 forces the co-partitioned verify
+    (substring_verify_join); spans must be byte-identical to the
+    broadcast path on the same corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(0)
+    base = "".join(rng.choice(list("abcdefgh "), 400))
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-" * 4
+    docs = {
+        0: base[:150] + shared + base[150:300],
+        1: "zzz " + shared + base[300:],
+        2: base[:390],
+        3: shared + " tail",
+        4: base[40:120] + "unique middle " + shared[:80] + base[200:280],
+    }
+
+    def run(**kw):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(docs), "text": list(docs.values())})
+        ).repartition(2)
+        return (
+            substring_dup_pairs(ds, min_len=64, stride=8, **kw)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    copart = run(max_broadcast_docs=0)
+    assert len(broadcast) > 0
+    assert broadcast.equals(copart)
+
+
 def test_substring_dup_no_false_pairs(ray_session):
     import numpy as np
     import pyarrow as pa
