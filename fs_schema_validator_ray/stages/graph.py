@@ -219,6 +219,19 @@ def connected_components(
     )
 
 
+def _distinct_node_count(edges, endpoints_fn) -> int:
+    """Distributed distinct-endpoint count (bucketed over the node hash)
+    — O(1) driver memory, used only to pick broadcast vs co-partitioned
+    node state before anything touches the driver."""
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    return int(
+        group_sum_bucketed(
+            edges.map_batches(endpoints_fn, batch_format="pyarrow"), "node", []
+        ).count()
+    )
+
+
 def pagerank(
     edges,
     src_column: str = "src",
@@ -227,15 +240,21 @@ def pagerank(
     max_iter: int = 200,
     tol: float = 1e-9,
     driver_pin_max: int = 5_000_000,
+    max_broadcast_nodes: int = 50_000_000,
+    _force_copartitioned: bool = False,
 ):
     """Distributed PageRank over an edge Dataset (broadcast-rank power
     iteration) → Dataset of ``(node, rank)``, ranks summing to 1.
 
     Layout: node ids are coded once (driver holds the unique-node table —
     the rank VECTOR must fit one machine, the standing assumption of
-    broadcast PageRank; the co-partitioned rank-join is the >10⁸-node
-    upgrade path, same switchover pattern as
-    ``textindex.py::unigram_logprob_copartitioned``). Coded edges are
+    broadcast PageRank up to ``max_broadcast_nodes``; beyond it the node
+    state is SHARDED and the run switches to
+    :func:`pagerank_copartitioned` — same auto-switchover convention as
+    ``textindex.py::unigram_logprob_copartitioned``. The distinct-node
+    count that decides is computed distributed, so the driver never
+    pulls an unbounded node list just to discover it should not have).
+    Coded edges are
     pinned in the object store ONCE; each of the ~``log(tol)/log(d)``
     rounds broadcasts the per-node outgoing mass via ``ray.put`` (read
     zero-copy in every task, never re-shipped per batch) and runs one
@@ -254,7 +273,7 @@ def pagerank(
 
     edges = edges.select_columns([src_column, dst_column]).materialize()
 
-    # --- code the node space once (driver-held, bounded by n_nodes) ---
+    # --- switchover: distributed distinct-node count decides the path ---
     def endpoints(t: pa.Table) -> pa.Table:
         both = pa.chunked_array(
             [
@@ -264,6 +283,13 @@ def pagerank(
         ).combine_chunks()
         both = pc.unique(both.filter(pc.is_valid(both)))
         return pa.table({"node": both})
+
+    if _force_copartitioned or _distinct_node_count(
+        edges, endpoints
+    ) > max_broadcast_nodes:
+        return pagerank_copartitioned(
+            edges, src_column, dst_column, damping, max_iter, tol
+        )
 
     # Dataset.unique() collects the distinct values to the driver — the
     # node table is exactly what broadcast PageRank must hold anyway
@@ -583,6 +609,8 @@ def k_core(
     dst_column: str = "dst",
     driver_pin_max: int = 5_000_000,
     _force_distributed: bool = False,
+    max_broadcast_nodes: int = 50_000_000,
+    _force_copartitioned: bool = False,
 ):
     """Exact k-core DECOMPOSITION (core number per node) of the simple
     undirected graph induced by an edge Dataset: self-loops dropped,
@@ -591,8 +619,10 @@ def k_core(
     until stable, assign the removed nodes core ``k−1``, increment k.
 
     Same layout as :func:`pagerank`: node ids coded once (the per-node
-    alive/core arrays are the broadcast-state assumption — the
-    co-partitioned degree-join is the >10⁸-node path), coded simple
+    alive/core arrays are the broadcast-state assumption up to
+    ``max_broadcast_nodes`` — beyond it the run switches to the sharded
+    :func:`kcore_copartitioned`, decided by a distributed distinct-node
+    count exactly like ``pagerank``), coded simple
     edges pinned once; each peel wave recomputes degrees among alive
     nodes as per-block ``bincount`` partials with the alive mask
     broadcast via ``ray.put`` (≤ ``driver_pin_max`` edges skip the task
@@ -617,6 +647,11 @@ def k_core(
         ).combine_chunks()
         both = pc.unique(both.filter(pc.is_valid(both)))
         return pa.table({"node": both})
+
+    if _force_copartitioned or _distinct_node_count(
+        edges, endpoints
+    ) > max_broadcast_nodes:
+        return kcore_copartitioned(edges, src_column, dst_column)
 
     uniq = edges.map_batches(endpoints, batch_format="pyarrow").unique("node")
     node_col = pa.array(sorted(uniq or []))
@@ -704,4 +739,637 @@ def k_core(
 
     return ray.data.from_arrow(
         pa.table({"node": node_col, "core": pa.array(core, pa.int64())})
+    )
+
+
+# --- co-partitioned node-state graph engine (round 5) ------------------------
+#
+# The broadcast pagerank / k_core paths above hold per-node arrays on the
+# driver (rank, outdeg, alive, core) — the standing assumption is "the node
+# vector fits one machine", fine to ~5×10^7 nodes. Beyond that the node
+# state must itself be sharded. The layout here:
+#
+# * nodes are hash-bucketed (`mix_to_buckets(hash64(node)) % B`); each
+#   bucket's sorted unique node array is pinned ONCE in the object store
+#   and defines that bucket's local code space (`pc.index_in`);
+# * edges are coded to (sb, db, scode, dcode) via two grouped exchanges
+#   (one per endpoint — each group task reads exactly ONE node shard),
+#   then pinned as Arrow block refs for the whole iteration;
+# * every iteration is a scatter/gather wave of raw @ray.remote tasks —
+#   the documented fixed-point escape hatch (see `pagerank`): scatter
+#   tasks run per pinned edge block and return ONE output slot per
+#   destination bucket (`options(num_returns=B)`), so each gather task
+#   fetches only its own slot — a real shuffle, not an all-gather;
+# * the driver touches only O(B) scalars per wave (deltas, drop counts,
+#   dangling mass); per-node state lives in the object store as B shard
+#   arrays handed task-to-task by reference.
+#
+# Per-task memory: one edge block + O(n/B) shard arrays. Per-wave traffic:
+# pagerank moves the sparse inflow partials (≤ touched dst nodes);
+# k-core moves only the per-wave DROP sets (Σ over the whole run = n
+# rows), never the alive mask. At 10^9+ nodes the one remaining
+# driver-streamed step (the shard build flushes one bucket at a time)
+# would write per-bucket parquet instead — noted inline.
+
+
+def _node_buckets(col, n_buckets: int) -> np.ndarray:
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    return mix_to_buckets(hash64(stable_key_array(col)), n_buckets)
+
+
+def _build_node_shards(edges, src_column, dst_column, n_buckets):
+    """Per-bucket sorted unique node arrays, pinned in the object store.
+
+    Returns ``(shard_refs: dict[bucket, ObjectRef[pa.Array]], sizes)``.
+    The driver streams the grouped output ONE bucket at a time (peak
+    driver memory = one shard); at 10^9+ nodes this flush would
+    ``write_parquet`` per bucket instead and tasks would read their
+    shard from storage.
+    """
+    import ray
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [
+                t.column(src_column).combine_chunks(),
+                t.column(dst_column).combine_chunks(),
+            ]
+        ).combine_chunks()
+        both = pc.unique(both.filter(pc.is_valid(both)))
+        return pa.table(
+            {
+                "bucket": pa.array(_node_buckets(both, n_buckets)),
+                "node": both,
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        nodes = pc.unique(g.column("node").combine_chunks())
+        nodes = nodes.take(pc.sort_indices(nodes))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.full(len(nodes), g.column("bucket")[0].as_py(), np.int32)
+                ),
+                "node": nodes,
+            }
+        )
+
+    merged = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+    shard_refs: dict[int, object] = {}
+    sizes: dict[int, int] = {}
+    cur_b, parts = None, []
+
+    def flush():
+        if cur_b is None:
+            return
+        arr = pa.concat_arrays(parts)
+        arr = pc.unique(arr)  # idempotent if Ray sliced a group's block
+        arr = arr.take(pc.sort_indices(arr))
+        shard_refs[cur_b] = ray.put(arr)
+        sizes[cur_b] = len(arr)
+
+    for t in merged.iter_batches(batch_format="pyarrow"):
+        if not t.num_rows:
+            continue
+        b_arr = np.asarray(t.column("bucket"), np.int64)
+        node_col = t.column("node").combine_chunks()
+        starts = np.flatnonzero(np.concatenate([[True], b_arr[1:] != b_arr[:-1]]))
+        ends = np.concatenate([starts[1:], [len(b_arr)]])
+        for s, e in zip(starts, ends):
+            b = int(b_arr[s])
+            if b != cur_b:
+                flush()
+                cur_b, parts = b, []
+            parts.append(node_col.slice(s, e - s))
+    flush()
+    return shard_refs, sizes
+
+
+def _code_edge_blocks(edge_rows, shard_refs, n_buckets):
+    """Code raw ``(sb, src, db, dst)`` rows to pinned ``(sb, db, scode,
+    dcode)`` Arrow block refs via two grouped exchanges — each group
+    task reads exactly one node shard (its bucket's)."""
+    import ray
+
+    coded_schema = pa.schema(
+        [
+            ("sb", pa.int32()),
+            ("db", pa.int32()),
+            ("scode", pa.int64()),
+            ("dcode", pa.int64()),
+        ]
+    )
+
+    def code_dst(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {
+                    "sb": pa.array([], pa.int32()),
+                    "src": g.column("src").slice(0, 0),
+                    "db": pa.array([], pa.int32()),
+                    "dcode": pa.array([], pa.int64()),
+                }
+            )
+        db = int(g.column("db")[0].as_py())
+        shard = ray.get(shard_refs[db])
+        dcode = pc.cast(
+            pc.index_in(g.column("dst").combine_chunks(), value_set=shard),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "sb": g.column("sb"),
+                "src": g.column("src"),
+                "db": g.column("db"),
+                "dcode": dcode,
+            }
+        )
+
+    def code_src(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return coded_schema.empty_table()
+        sb = int(g.column("sb")[0].as_py())
+        shard = ray.get(shard_refs[sb])
+        scode = pc.cast(
+            pc.index_in(g.column("src").combine_chunks(), value_set=shard),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "sb": g.column("sb"),
+                "db": g.column("db"),
+                "scode": scode,
+                "dcode": g.column("dcode"),
+            }
+        )
+
+    coded = (
+        edge_rows.groupby("db")
+        .map_groups(code_dst, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(code_src, batch_format="pyarrow")
+        .materialize()
+    )
+    return [r for r in coded.to_arrow_refs()]
+
+
+def pagerank_copartitioned(
+    edges,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 200,
+    tol: float = 1e-9,
+    n_buckets: int | None = None,
+):
+    """PageRank with SHARDED node state (see module-tail design note):
+    no driver-held node arrays, no per-wave broadcast of the rank
+    vector. Ranks match the broadcast :func:`pagerank` to float
+    round-off (summation order differs across shards); the forced-switch
+    pytest gates allclose(1e-12) + identical node sets."""
+    import ray
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+
+    edges = edges.select_columns([src_column, dst_column]).materialize()
+    if n_buckets is None:
+        n_buckets = default_n_buckets(edges)
+    B = int(n_buckets)
+
+    shard_refs, sizes = _build_node_shards(edges, src_column, dst_column, B)
+    n_nodes = int(sum(sizes.values()))
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
+            )
+        )
+    buckets = sorted(shard_refs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = t.column(src_column).combine_chunks()
+        dst = t.column(dst_column).combine_chunks()
+        ok = pc.and_(pc.is_valid(src), pc.is_valid(dst))
+        src, dst = src.filter(ok), dst.filter(ok)
+        return pa.table(
+            {
+                "sb": pa.array(_node_buckets(src, B)),
+                "src": src,
+                "db": pa.array(_node_buckets(dst, B)),
+                "dst": dst,
+            }
+        )
+
+    block_refs = _code_edge_blocks(
+        edges.map_batches(tag, batch_format="pyarrow"), shard_refs, B
+    )
+
+    @ray.remote
+    def _deg_scatter(tab: pa.Table, nb: int):
+        out = [None] * nb
+        if tab.num_rows:
+            sb = np.asarray(tab.column("sb"), np.int64)
+            sc = np.asarray(tab.column("scode"), np.int64)
+            order = np.argsort(sb, kind="stable")
+            sb_s, sc_s = sb[order], sc[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], sb_s[1:] != sb_s[:-1]])
+            )
+            ends = np.concatenate([starts[1:], [len(sb_s)]])
+            for s, e in zip(starts, ends):
+                codes, cnts = np.unique(sc_s[s:e], return_counts=True)
+                out[int(sb_s[s])] = (codes, cnts.astype(np.int64))
+        return tuple(out)
+
+    @ray.remote
+    def _deg_gather(size: int, *partials):
+        deg = np.zeros(size, np.int64)
+        for p in partials:
+            if p is not None:
+                deg[p[0]] += p[1]
+        return deg
+
+    deg_parts = [
+        _deg_scatter.options(num_returns=B).remote(r, B) for r in block_refs
+    ]
+    if B == 1:  # num_returns=1 returns the bare ref, not a list
+        deg_parts = [[p] for p in deg_parts]
+    outdeg_refs = {
+        b: _deg_gather.remote(sizes[b], *[dp[b] for dp in deg_parts])
+        for b in buckets
+    }
+
+    @ray.remote(num_returns=2)
+    def _init(size: int, n: int, outdeg: np.ndarray):
+        rank = np.full(size, 1.0 / n)
+        mass = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
+        dangling = float(rank[outdeg == 0].sum())
+        return (mass, rank), (0.0, dangling)
+
+    @ray.remote
+    def _scatter(tab: pa.Table, nb: int, state_refs: list):
+        out: list = [None] * nb
+        if not tab.num_rows:
+            return tuple(out)
+        sb = np.asarray(tab.column("sb"), np.int64)
+        db = np.asarray(tab.column("db"), np.int64)
+        sc = np.asarray(tab.column("scode"), np.int64)
+        dc = np.asarray(tab.column("dcode"), np.int64)
+        order = np.lexsort((dc, db, sb))
+        sb, db, sc, dc = sb[order], db[order], sc[order], dc[order]
+        acc: list = [[] for _ in range(nb)]
+        s_starts = np.flatnonzero(np.concatenate([[True], sb[1:] != sb[:-1]]))
+        s_ends = np.concatenate([s_starts[1:], [len(sb)]])
+        for ss, se in zip(s_starts, s_ends):
+            import ray as _ray
+
+            mass = _ray.get(state_refs[int(sb[ss])])[0]
+            w = mass[sc[ss:se]]
+            db_seg, dc_seg = db[ss:se], dc[ss:se]
+            d_starts = np.flatnonzero(
+                np.concatenate([[True], db_seg[1:] != db_seg[:-1]])
+            )
+            d_ends = np.concatenate([d_starts[1:], [len(db_seg)]])
+            for ds_, de in zip(d_starts, d_ends):
+                codes = dc_seg[ds_:de]
+                uniq, inv = np.unique(codes, return_inverse=True)
+                sums = np.bincount(inv, weights=w[ds_:de])
+                acc[int(db_seg[ds_])].append((uniq, sums))
+        for i in range(nb):
+            if acc[i]:
+                out[i] = acc[i]
+        return tuple(out)
+
+    @ray.remote(num_returns=2)
+    def _gather(
+        size: int,
+        n: int,
+        d: float,
+        dangling_prev: float,
+        state,
+        outdeg: np.ndarray,
+        *partials,
+    ):
+        inflow = np.zeros(size, np.float64)
+        for plist in partials:
+            if plist is not None:
+                for codes, w in plist:
+                    inflow[codes] += w
+        prev_rank = state[1]
+        new_rank = (1.0 - d) / n + d * (inflow + dangling_prev / n)
+        delta = float(np.abs(new_rank - prev_rank).sum())
+        mass = np.where(outdeg > 0, new_rank / np.maximum(outdeg, 1), 0.0)
+        dangling = float(new_rank[outdeg == 0].sum())
+        return (mass, new_rank), (delta, dangling)
+
+    init_out = {b: _init.remote(sizes[b], n_nodes, outdeg_refs[b]) for b in buckets}
+    state_by_bucket = {b: init_out[b][0] for b in buckets}
+    dangling = sum(s[1] for s in ray.get([init_out[b][1] for b in buckets]))
+
+    # state_refs list indexed by bucket id for scatter tasks
+    def state_list():
+        return [state_by_bucket.get(b) for b in range(B)]
+
+    for _ in range(max_iter):
+        sc_out = [
+            _scatter.options(num_returns=B).remote(r, B, state_list())
+            for r in block_refs
+        ]
+        if B == 1:
+            sc_out = [[p] for p in sc_out]
+        gout = {
+            b: _gather.remote(
+                sizes[b],
+                n_nodes,
+                damping,
+                dangling,
+                state_by_bucket[b],
+                outdeg_refs[b],
+                *[so[b] for so in sc_out],
+            )
+            for b in buckets
+        }
+        state_by_bucket = {b: gout[b][0] for b in buckets}
+        scalars = ray.get([gout[b][1] for b in buckets])
+        delta = sum(s[0] for s in scalars)
+        dangling = sum(s[1] for s in scalars)
+        if delta < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"pagerank_copartitioned did not converge in {max_iter} iterations "
+            f"(last L1 delta {delta:.3e} ≥ tol {tol:.1e})"
+        )
+
+    @ray.remote
+    def _emit(nodes: pa.Array, state):
+        return pa.table({"node": nodes, "rank": pa.array(state[1], pa.float64())})
+
+    return ray.data.from_arrow_refs(
+        [_emit.remote(shard_refs[b], state_by_bucket[b]) for b in buckets]
+    )
+
+
+def kcore_copartitioned(
+    edges,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    n_buckets: int | None = None,
+):
+    """k-core decomposition with SHARDED node state (see module-tail
+    design note). Per-wave traffic is only the DROP sets (Σ = n over the
+    whole run) — the alive mask never leaves its shard. Integer-exact:
+    byte-identical cores to the broadcast :func:`k_core` (forced-switch
+    pytest gate)."""
+    import ray
+    import ray.data
+
+    from fs_schema_validator_ray.stages.dedup import default_n_buckets
+
+    edges = edges.select_columns([src_column, dst_column]).materialize()
+    if n_buckets is None:
+        n_buckets = default_n_buckets(edges)
+    B = int(n_buckets)
+
+    shard_refs, sizes = _build_node_shards(edges, src_column, dst_column, B)
+    n_nodes = int(sum(sizes.values()))
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "core": pa.array([], pa.int64())}
+            )
+        )
+    buckets = sorted(shard_refs)
+
+    # simple-graph canonical dedup (distributed: pair-hash buckets), then
+    # both orientations so scode-degree == node degree
+    from fs_schema_validator_ray.state.sketches import (
+        hash64,
+        mix_to_buckets,
+        stable_key_array,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = t.column(src_column).combine_chunks()
+        dst = t.column(dst_column).combine_chunks()
+        ok = pc.and_(pc.is_valid(src), pc.is_valid(dst))
+        src, dst = src.filter(ok), dst.filter(ok)
+        sa = np.asarray(stable_key_array(src))
+        da = np.asarray(stable_key_array(dst))
+        lt = sa <= da
+        keep = sa != da  # drop self-loops
+        u = pa.chunked_array(
+            [src.filter(pa.array(lt & keep)), dst.filter(pa.array(~lt & keep))]
+        ).combine_chunks()
+        v = pa.chunked_array(
+            [dst.filter(pa.array(lt & keep)), src.filter(pa.array(~lt & keep))]
+        ).combine_chunks()
+        with np.errstate(over="ignore"):
+            pb = mix_to_buckets(
+                hash64(stable_key_array(u))
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ hash64(stable_key_array(v)),
+                B,
+            )
+        return pa.table({"pb": pa.array(pb), "u": u, "v": v})
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("u"), dtype=object)
+        v = np.asarray(g.column("v"), dtype=object)
+        if not len(u):
+            return pa.table(
+                {"u": g.column("u").slice(0, 0), "v": g.column("v").slice(0, 0)}
+            )
+        order = np.lexsort((v, u))
+        u_s, v_s = u[order], v[order]
+        first = np.concatenate(
+            [[True], (u_s[1:] != u_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        )
+        take = pa.array(order[np.flatnonzero(first)], pa.int64())
+        return pa.table(
+            {"u": g.column("u").take(take), "v": g.column("v").take(take)}
+        )
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+    )
+
+    def orient_both(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        src = pa.chunked_array([u, v]).combine_chunks()
+        dst = pa.chunked_array([v, u]).combine_chunks()
+        return pa.table(
+            {
+                "sb": pa.array(_node_buckets(src, B)),
+                "src": src,
+                "db": pa.array(_node_buckets(dst, B)),
+                "dst": dst,
+            }
+        )
+
+    block_refs = _code_edge_blocks(
+        simple.map_batches(orient_both, batch_format="pyarrow"), shard_refs, B
+    )
+
+    @ray.remote
+    def _deg_scatter(tab: pa.Table, nb: int):
+        out = [None] * nb
+        if tab.num_rows:
+            sb = np.asarray(tab.column("sb"), np.int64)
+            sc = np.asarray(tab.column("scode"), np.int64)
+            order = np.argsort(sb, kind="stable")
+            sb_s, sc_s = sb[order], sc[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], sb_s[1:] != sb_s[:-1]])
+            )
+            ends = np.concatenate([starts[1:], [len(sb_s)]])
+            for s, e in zip(starts, ends):
+                codes, cnts = np.unique(sc_s[s:e], return_counts=True)
+                out[int(sb_s[s])] = (codes, cnts.astype(np.int64))
+        return tuple(out)
+
+    @ray.remote
+    def _state_init(size: int, *partials):
+        deg = np.zeros(size, np.int64)
+        for p in partials:
+            if p is not None:
+                deg[p[0]] += p[1]
+        return deg, np.ones(size, bool), np.zeros(size, np.int64)
+
+    deg_parts = [
+        _deg_scatter.options(num_returns=B).remote(r, B) for r in block_refs
+    ]
+    if B == 1:
+        deg_parts = [[p] for p in deg_parts]
+    state_by_bucket = {
+        b: _state_init.remote(sizes[b], *[dp[b] for dp in deg_parts])
+        for b in buckets
+    }
+
+    @ray.remote(num_returns=2)
+    def _drop(state, k: int):
+        deg, alive, core = state
+        drop = alive & (deg < k)
+        if drop.any():
+            core = core.copy()
+            alive = alive.copy()
+            core[drop] = k - 1
+            alive[drop] = False
+        return (deg, alive, core), (
+            np.flatnonzero(drop),
+            int(drop.sum()),
+            int(alive.sum()),
+        )
+
+    @ray.remote
+    def _kc_scatter(tab: pa.Table, nb: int, drop_refs: list):
+        out: list = [None] * nb
+        if not tab.num_rows:
+            return tuple(out)
+        import ray as _ray
+
+        sb = np.asarray(tab.column("sb"), np.int64)
+        db = np.asarray(tab.column("db"), np.int64)
+        sc = np.asarray(tab.column("scode"), np.int64)
+        dc = np.asarray(tab.column("dcode"), np.int64)
+        acc: list = [[] for _ in range(nb)]
+        order = np.argsort(db, kind="stable")
+        db_s = db[order]
+        starts = np.flatnonzero(np.concatenate([[True], db_s[1:] != db_s[:-1]]))
+        ends = np.concatenate([starts[1:], [len(db_s)]])
+        for s, e in zip(starts, ends):
+            b = int(db_s[s])
+            dropped = drop_refs[b]
+            if dropped is None:
+                continue
+            dropped = _ray.get(dropped)
+            if not len(dropped):
+                continue
+            idx = order[s:e]
+            hit = np.isin(dc[idx], dropped)
+            if not hit.any():
+                continue
+            idx = idx[hit]
+            # decrement scode's degree in its own bucket
+            sb_h, sc_h = sb[idx], sc[idx]
+            o2 = np.argsort(sb_h, kind="stable")
+            sb_h, sc_h = sb_h[o2], sc_h[o2]
+            st2 = np.flatnonzero(np.concatenate([[True], sb_h[1:] != sb_h[:-1]]))
+            en2 = np.concatenate([st2[1:], [len(sb_h)]])
+            for s2, e2 in zip(st2, en2):
+                codes, cnts = np.unique(sc_h[s2:e2], return_counts=True)
+                acc[int(sb_h[s2])].append((codes, cnts.astype(np.int64)))
+        for i in range(nb):
+            if acc[i]:
+                out[i] = acc[i]
+        return tuple(out)
+
+    @ray.remote
+    def _kc_apply(state, *partials):
+        deg, alive, core = state
+        dec = np.zeros(len(deg), np.int64)
+        any_dec = False
+        for plist in partials:
+            if plist is not None:
+                for codes, cnts in plist:
+                    dec[codes] += cnts
+                    any_dec = True
+        if not any_dec:
+            return state
+        return deg - dec, alive, core
+
+    @ray.remote
+    def _drop_codes(drop_out):
+        return drop_out[0]
+
+    k = 1
+    n_alive = n_nodes
+    while n_alive > 0:
+        while True:
+            d_out = {
+                b: _drop.remote(state_by_bucket[b], k) for b in buckets
+            }
+            info = ray.get([d_out[b][1] for b in buckets])
+            n_drop = sum(i[1] for i in info)
+            n_alive = sum(i[2] for i in info)
+            state_by_bucket = {b: d_out[b][0] for b in buckets}
+            if n_drop == 0:
+                break
+            drop_list: list = [None] * B
+            for b, i in zip(buckets, info):
+                if i[1]:
+                    drop_list[b] = _drop_codes.remote(d_out[b][1])
+            sc_out = [
+                _kc_scatter.options(num_returns=B).remote(r, B, drop_list)
+                for r in block_refs
+            ]
+            if B == 1:
+                sc_out = [[p] for p in sc_out]
+            state_by_bucket = {
+                b: _kc_apply.remote(state_by_bucket[b], *[so[b] for so in sc_out])
+                for b in buckets
+            }
+        k += 1
+
+    @ray.remote
+    def _emit(nodes: pa.Array, state):
+        return pa.table({"node": nodes, "core": pa.array(state[2], pa.int64())})
+
+    return ray.data.from_arrow_refs(
+        [_emit.remote(shard_refs[b], state_by_bucket[b]) for b in buckets]
     )

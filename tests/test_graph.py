@@ -322,3 +322,111 @@ def test_k_core_planted_clique(ray_session):
     out = {r["node"]: r["core"] for r in k_core(ray.data.from_arrow(tbl)).take_all()}
     assert all(out[i] == 4 for i in range(5))
     assert out[10] == 1 and out[11] == 1 and out[12] == 1
+
+
+# --- co-partitioned node-state paths (round 5) -------------------------------
+
+
+def test_pagerank_copartitioned_parity(ray_session):
+    """Forcing the sharded-node-state path (_force_copartitioned=True)
+    matches the broadcast fixed point: identical node set, ranks
+    allclose to float round-off (shard summation order differs)."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 80, 900), "dst": rng.integers(0, 80, 900)}
+    )
+    # leave some dangling nodes: remove out-edges of a few ids
+    edges = edges[~edges["src"].isin([3, 17, 42])].reset_index(drop=True)
+    ds = ray.data.from_pandas(edges).repartition(5)
+    broad = (
+        pagerank(ds, "src", "dst").to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    copart = (
+        pagerank(ds, "src", "dst", _force_copartitioned=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert broad["node"].tolist() == copart["node"].tolist()
+    np.testing.assert_allclose(
+        broad["rank"].values, copart["rank"].values, atol=1e-12
+    )
+    assert abs(copart["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_copartitioned_string_nodes(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import pagerank
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": ["a", "b", "c"], "dst": ["b", "a", "a"]})
+    )
+    broad = pagerank(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    copart = (
+        pagerank(ds, _force_copartitioned=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert broad["node"].tolist() == copart["node"].tolist()
+    np.testing.assert_allclose(broad["rank"].values, copart["rank"].values, atol=1e-12)
+
+
+def test_k_core_copartitioned_parity(ray_session):
+    """Sharded-node-state k-core is byte-identical to the broadcast
+    peel (integer-exact) — string ids, parallel edges and self-loops
+    included."""
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(29)
+    n, m = 70, 400
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    tbl = pa.table(
+        {
+            "src": pa.array([f"n{x}" for x in a], pa.string()),
+            "dst": pa.array([f"n{x}" for x in b], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    broad = {r["node"]: r["core"] for r in k_core(ds).take_all()}
+    copart = {
+        r["node"]: r["core"]
+        for r in k_core(ds, _force_copartitioned=True).take_all()
+    }
+    assert broad == copart
+
+
+def test_k_core_copartitioned_planted_clique(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fs_schema_validator_ray.stages.graph import k_core
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = clique + chain
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    out = {
+        r["node"]: r["core"]
+        for r in k_core(
+            ray.data.from_arrow(tbl), _force_copartitioned=True
+        ).take_all()
+    }
+    assert all(out[i] == 4 for i in range(5))
+    assert out[10] == 1 and out[11] == 1 and out[12] == 1
