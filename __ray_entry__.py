@@ -446,6 +446,12 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """,
+        # SemDeDup planted-duplicate contract: identical vector => same
+        # cluster => the ascending-id greedy prune drops the later copy
+        "semdedup_contract_embeddings": r"""
+SELECT vec_id + 1000000 AS vec_id, CAST(false AS BOOLEAN) AS keep
+FROM embeddings WHERE vec_id % 7 = 0
+""",
         "minhash_planted_contract": r"""
 SELECT doc_id AS a, doc_id + 10000000 AS b, CAST(1.0 AS DOUBLE) AS similarity
 FROM documents WHERE doc_id % 10 = 0

@@ -781,6 +781,48 @@ def semdedup_embeddings(sf_dir: str):
     return semdedup(ds, eps=0.05, n_clusters=8, iters=3)
 
 
+def semdedup_contract_embeddings(sf_dir: str):
+    """SemDeDup PLANTED-DUPLICATE contract (ORACLE-CHECKED): every 7th
+    embedding row is re-appended verbatim under ``vec_id + 1_000_000``,
+    the union runs through the full ``semdedup`` pipeline, and the
+    output is the planted rows' verdicts — an identical vector always
+    lands in the SAME cluster as its original (same nearest centroid)
+    and the ascending-id greedy scan meets the original (or whatever
+    pruned it) first, so every planted id MUST come back
+    ``keep = false``. Closed-form in SQL from the corpus index set, so
+    the driver value-hash gates clustering + assignment + greedy prune
+    end-to-end — the graduation of the rows-only ``semdedup_embeddings``
+    (cf. the audio/image corpus contracts)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.similarity import semdedup
+
+    OFFSET = 1_000_000
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id"), np.int64)
+        dup = t.filter(pa.array(ids % 7 == 0))
+        dup = dup.set_column(
+            0, "vec_id", pc.add(dup.column("vec_id"), pa.scalar(OFFSET, pa.int64()))
+        )
+        return pa.concat_tables([t, dup])
+
+    out = semdedup(ds.map_batches(plant, batch_format="pyarrow"), eps=0.05,
+                   n_clusters=8, iters=3)
+
+    def planted_only(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            t.column("vec_id"), pa.scalar(OFFSET, pa.int64())
+        )
+        sel = t.filter(keep)
+        return pa.table(
+            {"vec_id": sel.column("vec_id"), "keep": sel.column("keep")}
+        )
+
+    return out.map_batches(planted_only, batch_format="pyarrow")
+
+
 def auto_join_lineitem_part(sf_dir: str):
     """Cost-based join strategy pick — SMALL build side: lineitem ⋈ part
     on part key. The pruned part read's metadata byte estimate sits far
@@ -6396,6 +6438,7 @@ QUERIES = {
     "rolling_median_events": rolling_median_events,
     "audio_loudness_contract": audio_loudness_contract,
     "semdedup_embeddings": semdedup_embeddings,
+    "semdedup_contract_embeddings": semdedup_contract_embeddings,
     "auto_join_lineitem_part": auto_join_lineitem_part,
     "auto_join_shuffle_orders_customer": auto_join_shuffle_orders_customer,
     "minhash_planted_contract": minhash_planted_contract,
