@@ -5083,7 +5083,7 @@ def multimodal_violations(sf_dir: str):
     img = image_validate_corpus(sf_dir).map_batches(
         lambda t: pa.table(
             {
-                "modality": pa.array(["image"] * t.num_rows),
+                "modality": pa.array(["image"] * t.num_rows, pa.string()),
                 "key": t.column("key"),
                 "reason": t.column("reason"),
             }
@@ -5094,10 +5094,11 @@ def multimodal_violations(sf_dir: str):
         lambda t: (
             lambda f: pa.table(
                 {
-                    "modality": pa.array(["audio"] * f.num_rows),
+                    "modality": pa.array(["audio"] * f.num_rows, pa.string()),
                     "key": f.column("clip_id"),
                     "reason": pa.array(
-                        ["payload failed to decode"] * f.num_rows
+                        ["payload failed to decode"] * f.num_rows,
+                        pa.string(),
                     ),
                 }
             )
@@ -5108,14 +5109,15 @@ def multimodal_violations(sf_dir: str):
         lambda t: (
             lambda f: pa.table(
                 {
-                    "modality": pa.array(["video"] * f.num_rows),
+                    "modality": pa.array(["video"] * f.num_rows, pa.string()),
                     "key": pc.binary_join_element_wise(
                         f.column("key"),
                         pc.cast(f.column("frame_index"), pa.string()),
                         "#",
                     ),
                     "reason": pa.array(
-                        ["frame failed to decode"] * f.num_rows
+                        ["frame failed to decode"] * f.num_rows,
+                        pa.string(),
                     ),
                 }
             )
@@ -5125,7 +5127,7 @@ def multimodal_violations(sf_dir: str):
     ast = asset_validate_corpus(sf_dir).map_batches(
         lambda t: pa.table(
             {
-                "modality": pa.array(["asset"] * t.num_rows),
+                "modality": pa.array(["asset"] * t.num_rows, pa.string()),
                 "key": t.column("key"),
                 "reason": t.column("reason"),
             }
@@ -5138,14 +5140,15 @@ def multimodal_violations(sf_dir: str):
         dc = t.filter(pc.equal(t.column("dc_ok"), 0))
         return pa.table(
             {
-                "modality": pa.array(["audio"] * (clip.num_rows + dc.num_rows)),
+                "modality": pa.array(["audio"] * (clip.num_rows + dc.num_rows), pa.string()),
                 "key": pa.chunked_array(
                     [clip.column("clip_id").combine_chunks(),
                      dc.column("clip_id").combine_chunks()]
                 ).combine_chunks(),
                 "reason": pa.array(
                     ["signal clipped"] * clip.num_rows
-                    + ["dc offset out of range"] * dc.num_rows
+                    + ["dc offset out of range"] * dc.num_rows,
+                    pa.string(),
                 ),
             }
         )
@@ -5157,11 +5160,12 @@ def multimodal_violations(sf_dir: str):
         lambda t: (
             lambda f: pa.table(
                 {
-                    "modality": pa.array(["audio"] * f.num_rows),
+                    "modality": pa.array(["audio"] * f.num_rows, pa.string()),
                     "key": f.column("clip_id"),
                     "reason": pa.array(
                         ["container codec does not match declared codec"]
-                        * f.num_rows
+                        * f.num_rows,
+                        pa.string(),
                     ),
                 }
             )
