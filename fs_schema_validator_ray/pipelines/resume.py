@@ -276,3 +276,167 @@ def audio_dedup_clusters_resumable(
             )
         )
     return ray.data.read_parquet(files)
+
+
+def semdedup_resumable(
+    ds_factory,
+    output_dir: str,
+    *,
+    eps: float = 0.05,
+    n_clusters: int = 8,
+    iters: int = 3,
+    sample_size: int = 10_000,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    seed: int = 11,
+    n_parts: int = 4,
+    _fail_after_units: int | None = None,
+):
+    """Crash-safe SemDeDup (VERDICT r4 item 7 — the manifest pattern
+    applied to the centroid-FIT + per-cluster-PRUNE pipeline class).
+
+    Unit layout:
+
+    * ``centroids/iter=I/`` + manifest ``centroids-I.json`` for I in
+      ``0..iters`` — the k-means state AFTER pass I (I=0 is the sample
+      init), so a killed fit resumes from its last completed streaming
+      pass via ``kmeans_centroids(init_centroids=...)`` — this is the
+      "sketch state in the manifest" lineage story applied to model
+      state.
+    * ``keep/part=K/`` + manifest ``prune-K.json`` for K in
+      ``range(n_parts)`` — the assignment + greedy prune split by
+      ``cluster_id % n_parts``; each part re-runs the (stateless,
+      broadcast-centroid) assignment for only ITS clusters, so at most
+      one part's prune work is lost on a crash.
+
+    Everything downstream of the checkpointed centroids is
+    deterministic, so a resumed run is byte-identical to an
+    uninterrupted one (pytest kill-and-resume gate).
+    ``_fail_after_units`` injects a crash after that many units
+    complete (centroid passes count as units)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from fs_schema_validator_ray.stages.similarity import (
+        IvfAssignStage,
+        _semdedup_group,
+        collect_matrix,
+        kmeans_centroids,
+        kmeans_fit,
+    )
+
+    units_done = 0
+
+    def maybe_crash():
+        nonlocal units_done
+        units_done += 1
+        if _fail_after_units is not None and units_done >= _fail_after_units:
+            raise RuntimeError(f"injected crash after {units_done} units")
+
+    def cent_path(i: int) -> str:
+        return os.path.join(output_dir, "centroids", f"iter={i}", "cent.parquet")
+
+    def save_cent(i: int, cent: np.ndarray) -> None:
+        os.makedirs(os.path.dirname(cent_path(i)), exist_ok=True)
+        k, dim = cent.shape
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster_id": pa.array(
+                        np.repeat(np.arange(k, dtype=np.int64), dim)
+                    ),
+                    "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+                    "value": pa.array(cent.reshape(-1), pa.float64()),
+                }
+            ),
+            cent_path(i),
+        )
+
+    def load_cent(i: int) -> np.ndarray:
+        t = pq.read_table(cent_path(i))
+        k = int(np.asarray(t.column("cluster_id")).max()) + 1
+        return (
+            np.asarray(t.column("value"), np.float64).reshape(k, -1)
+        )
+
+    # --- units 0..iters: centroid passes -----------------------------------
+    last_done = -1
+    for i in range(iters + 1):
+        if _unit_done(output_dir, f"centroids-{i}"):
+            last_done = i
+        else:
+            break
+    cent = load_cent(last_done) if last_done >= 0 else None
+    for i in range(last_done + 1, iters + 1):
+        _clear_unit_output(os.path.dirname(cent_path(i)))
+        if i == 0:
+            sample = ds_factory().limit(sample_size)
+            cent = kmeans_fit(
+                collect_matrix(sample, vec_column), n_clusters, seed=seed
+            )
+        else:
+            cent = kmeans_centroids(
+                ds_factory(), n_clusters, iters=1, vec_column=vec_column,
+                seed=seed, init_centroids=cent,
+            )
+        save_cent(i, cent)
+        _write_unit_manifest(
+            output_dir, f"centroids-{i}", {"iter": i, "k": int(cent.shape[0])}
+        )
+        maybe_crash()
+
+    # --- units: per-part assignment + prune --------------------------------
+    keep_dir = os.path.join(output_dir, "keep")
+    for k in range(n_parts):
+        unit = f"prune-{k}"
+        part_dir = os.path.join(keep_dir, f"part={k}")
+        if _unit_done(output_dir, unit):
+            continue
+        _clear_unit_output(part_dir)
+        assigned = (
+            ds_factory()
+            .select_columns([id_column, vec_column])
+            .map_batches(
+                IvfAssignStage(ray.put(cent), vec_column), batch_format="pyarrow"
+            )
+            .map_batches(
+                lambda t: t.rename_columns([id_column, vec_column, "cluster_id"]),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                lambda t, part=k: t.filter(
+                    pa.array(
+                        np.asarray(t.column("cluster_id"), np.int64)
+                        % n_parts
+                        == part
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        pruned = assigned.groupby("cluster_id").map_groups(
+            lambda g: _semdedup_group(g, vec_column, id_column, eps),
+            batch_format="pyarrow",
+        )
+        n_rows = pruned.count()
+        if n_rows:
+            pruned.write_parquet(part_dir)
+        _write_unit_manifest(output_dir, unit, {"rows": n_rows, "part": k})
+        maybe_crash()
+
+    out_files = glob.glob(os.path.join(keep_dir, "part=*", "*.parquet"))
+    if not out_files:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    ("cluster_id", pa.int64()),
+                    ("keep", pa.bool_()),
+                    ("max_sim_kept", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    return ray.data.read_parquet(out_files)

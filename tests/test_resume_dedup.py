@@ -188,3 +188,95 @@ def test_audio_clusters_kill_and_resume(ray_session, tmp_path):
     # resume did not redo the finished parts
     for m in manifests:
         assert os.path.getmtime(m) == mtimes[m]
+
+
+# --- SemDeDup resumable (round 5) --------------------------------------------
+
+
+def _emb_corpus(tmp_path) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs, ids = [], []
+    # planted families of 3 identical vectors + noise rows
+    for fam in range(6):
+        v = rng.normal(size=12)
+        for c in range(3):
+            ids.append(fam * 10 + c)
+            vecs.append(list(v))
+    for i in range(60):
+        ids.append(1000 + i)
+        vecs.append(list(rng.normal(size=12)))
+    path = os.path.join(tmp_path, "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _keep_map(ds) -> dict:
+    return {
+        r["vec_id"]: (r["cluster_id"], r["keep"], round(r["max_sim_kept"], 9))
+        for r in ds.take_all()
+    }
+
+
+def test_semdedup_kill_and_resume_identical(ray_session, tmp_path):
+    from fs_schema_validator_ray.pipelines.resume import semdedup_resumable
+    from fs_schema_validator_ray.stages.similarity import semdedup
+
+    path = _emb_corpus(tmp_path)
+    factory = lambda: ray.data.read_parquet(path)  # noqa: E731
+
+    ref_dir = str(tmp_path / "sd_ref")
+    ref = _keep_map(
+        semdedup_resumable(
+            factory, ref_dir, eps=0.05, n_clusters=4, iters=3, n_parts=4
+        )
+    )
+    assert ref and len(ref) == 78
+    # matches the non-resumable pipeline exactly
+    direct = _keep_map(semdedup(factory(), eps=0.05, n_clusters=4, iters=3))
+    assert ref == direct
+    # planted identical triples: later two ids never kept
+    for fam in range(6):
+        assert ref[fam * 10 + 1][1] is False
+        assert ref[fam * 10 + 2][1] is False
+
+    # crash mid-fit (after 2 centroid passes), resume, then crash
+    # mid-prune, resume again — final output byte-identical
+    crash_dir = str(tmp_path / "sd_crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        semdedup_resumable(
+            factory, crash_dir, eps=0.05, n_clusters=4, iters=3, n_parts=4,
+            _fail_after_units=2,
+        )
+    manifests = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(crash_dir, "manifest", "*.json"))
+    )
+    assert manifests == ["centroids-0.json", "centroids-1.json"]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        semdedup_resumable(
+            factory, crash_dir, eps=0.05, n_clusters=4, iters=3, n_parts=4,
+            _fail_after_units=4,  # 2 remaining centroid passes + 2 prunes... counts resume-local
+        )
+    resumed = _keep_map(
+        semdedup_resumable(
+            factory, crash_dir, eps=0.05, n_clusters=4, iters=3, n_parts=4
+        )
+    )
+    assert resumed == ref
+    # finished units were not redone: all 4+4 manifests now present
+    manifests = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(crash_dir, "manifest", "*.json"))
+    )
+    assert sum(m.startswith("centroids-") for m in manifests) == 4
+    assert sum(m.startswith("prune-") for m in manifests) == 4
