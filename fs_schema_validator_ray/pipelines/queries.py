@@ -6410,8 +6410,61 @@ def psi_nchars_by_source(sf_dir: str):
 # Ordering policy: the round driver's CORRECTNESS window samples the FIRST
 # 50 entries in insertion order. Rotate each round so never-driver-checked
 # oracle-bearing queries lead; previously-green and rows-only entries follow
-# (round 4: the 60 round-2/3 oracles the driver has not yet gated go first).
+# (round 5: 50 oracles with no driver row in CORRECTNESS_r01–r04 lead —
+# zero overlap with the 116 keys already driver-checked across rounds —
+# headed by the r4-verdict-named shuffle/shard/wav/winsorize/multimodal
+# entries plus the new semdedup planted-duplicate contract).
 QUERIES = {
+    "shuffle_deterministic_documents": shuffle_deterministic_documents,
+    "shard_export_documents": shard_export_documents,
+    "wav_header_contract": wav_header_contract,
+    "winsorize_orders_totalprice": winsorize_orders_totalprice,
+    "multimodal_violations": multimodal_violations,
+    "interval_overlap_events": interval_overlap_events,
+    "semdedup_contract_embeddings": semdedup_contract_embeddings,
+    "nb_train_counts_documents": nb_train_counts_documents,
+    "nb_classify_documents": nb_classify_documents,
+    "dedup_paragraphs_documents": dedup_paragraphs_documents,
+    "audio_flac_roundtrip_contract": audio_flac_roundtrip_contract,
+    "audio_decode_contract": audio_decode_contract,
+    "audio_resample_contract": audio_resample_contract,
+    "audio_chunk_contract": audio_chunk_contract,
+    "video_frames_contract": video_frames_contract,
+    "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
+    "bool_agg_orders": bool_agg_orders,
+    "ann_topk_pq": ann_topk_pq,
+    "windowed_events_watermark": windowed_events_watermark,
+    "upsert_orders_snapshot": upsert_orders_snapshot,
+    "unnest_embeddings": unnest_embeddings,
+    "limit_offset_orders": limit_offset_orders,
+    "value_band_join_events": value_band_join_events,
+    "mix_sources_documents": mix_sources_documents,
+    "leakage_free_split_documents": leakage_free_split_documents,
+    "asset_validate_corpus": asset_validate_corpus,
+    "image_validate_corpus": image_validate_corpus,
+    "image_resize_corpus": image_resize_corpus,
+    "mad_lineitem_quantity": mad_lineitem_quantity,
+    "spearman_lineitem": spearman_lineitem,
+    "bigram_logprob_documents": bigram_logprob_documents,
+    "setop_except_all_custkeys": setop_except_all_custkeys,
+    "setop_intersect_all_user_type": setop_intersect_all_user_type,
+    "ntile_orders_desc": ntile_orders_desc,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "range_window_events": range_window_events,
+    "right_join_orders_customer": right_join_orders_customer,
+    "percentile_cont_lineitem": percentile_cont_lineitem,
+    "throttle_events_per_user": throttle_events_per_user,
+    "top_bigrams_documents": top_bigrams_documents,
+    "distinct_users_by_type": distinct_users_by_type,
+    "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
+    "histogram_orders_totalprice": histogram_orders_totalprice,
+    "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
+    "rollup_lineitem_status": rollup_lineitem_status,
+    "cube_lineitem_status": cube_lineitem_status,
+    "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
+    "regr_slope_price_by_flag": regr_slope_price_by_flag,
+    "regr_intercept_price_by_flag": regr_intercept_price_by_flag,
+    "regr_r2_qty_discount": regr_r2_qty_discount,
     "audio_adpcm_transcode_contract": audio_adpcm_transcode_contract,
     "label_centroid_cosine_embeddings": label_centroid_cosine_embeddings,
     "key_skew_audit_lineitem": key_skew_audit_lineitem,
@@ -6442,7 +6495,6 @@ QUERIES = {
     "rolling_median_events": rolling_median_events,
     "audio_loudness_contract": audio_loudness_contract,
     "semdedup_embeddings": semdedup_embeddings,
-    "semdedup_contract_embeddings": semdedup_contract_embeddings,
     "auto_join_lineitem_part": auto_join_lineitem_part,
     "auto_join_shuffle_orders_customer": auto_join_shuffle_orders_customer,
     "minhash_planted_contract": minhash_planted_contract,
@@ -6463,62 +6515,13 @@ QUERIES = {
     "pack_documents_chars": pack_documents_chars,
     "embedding_validate_contract": embedding_validate_contract,
     "schema_drift_orders": schema_drift_orders,
-    "wav_header_contract": wav_header_contract,
-    "winsorize_orders_totalprice": winsorize_orders_totalprice,
     "cms_user_counts_events": cms_user_counts_events,
-    "nb_train_counts_documents": nb_train_counts_documents,
-    "nb_classify_documents": nb_classify_documents,
-    "dedup_paragraphs_documents": dedup_paragraphs_documents,
-    "audio_flac_roundtrip_contract": audio_flac_roundtrip_contract,
-    "shuffle_deterministic_documents": shuffle_deterministic_documents,
-    "shard_export_documents": shard_export_documents,
-    "audio_decode_contract": audio_decode_contract,
-    "audio_resample_contract": audio_resample_contract,
-    "audio_chunk_contract": audio_chunk_contract,
-    "video_frames_contract": video_frames_contract,
-    "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
-    "bool_agg_orders": bool_agg_orders,
-    "ann_topk_pq": ann_topk_pq,
-    "windowed_events_watermark": windowed_events_watermark,
-    "upsert_orders_snapshot": upsert_orders_snapshot,
-    "unnest_embeddings": unnest_embeddings,
-    "multimodal_violations": multimodal_violations,
-    "limit_offset_orders": limit_offset_orders,
-    "value_band_join_events": value_band_join_events,
-    "mix_sources_documents": mix_sources_documents,
-    "leakage_free_split_documents": leakage_free_split_documents,
-    "asset_validate_corpus": asset_validate_corpus,
-    "image_validate_corpus": image_validate_corpus,
-    "image_resize_corpus": image_resize_corpus,
-    "mad_lineitem_quantity": mad_lineitem_quantity,
-    "spearman_lineitem": spearman_lineitem,
-    "interval_overlap_events": interval_overlap_events,
-    "bigram_logprob_documents": bigram_logprob_documents,
-    "setop_except_all_custkeys": setop_except_all_custkeys,
-    "setop_intersect_all_user_type": setop_intersect_all_user_type,
-    "ntile_orders_desc": ntile_orders_desc,
     "join3_revenue_segment_priority": join3_revenue_segment_priority,
     "latest_order_per_customer": latest_order_per_customer,
     "entropy_lang_by_source": entropy_lang_by_source,
-    "mode_event_type_per_user": mode_event_type_per_user,
-    "range_window_events": range_window_events,
-    "right_join_orders_customer": right_join_orders_customer,
-    "percentile_cont_lineitem": percentile_cont_lineitem,
-    "throttle_events_per_user": throttle_events_per_user,
-    "top_bigrams_documents": top_bigrams_documents,
-    "distinct_users_by_type": distinct_users_by_type,
-    "orderkeys_agg_per_customer": orderkeys_agg_per_customer,
-    "histogram_orders_totalprice": histogram_orders_totalprice,
     "dedup_exact_documents": dedup_exact_documents,
-    "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_embeddings": ann_topk_embeddings,
-    "rollup_lineitem_status": rollup_lineitem_status,
-    "cube_lineitem_status": cube_lineitem_status,
-    "corr_lineitem_qty_discount": corr_lineitem_qty_discount,
-    "regr_slope_price_by_flag": regr_slope_price_by_flag,
-    "regr_intercept_price_by_flag": regr_intercept_price_by_flag,
-    "regr_r2_qty_discount": regr_r2_qty_discount,
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
     "bm25_contrib_documents": bm25_contrib_documents,
