@@ -1182,10 +1182,15 @@ def _write_entropy_image(
                 bw.write(dev, dnb)
 
 
-def _pack_argb(rgb: np.ndarray) -> np.ndarray:
+def _pack_argb(rgb: np.ndarray, alpha: np.ndarray | None = None) -> np.ndarray:
     px = rgb.astype(np.uint32)
+    a = (
+        np.uint32(0xFF)
+        if alpha is None
+        else np.asarray(alpha, np.uint8).astype(np.uint32)
+    )
     return (
-        np.uint32(0xFF) << 24
+        a << 24
         | px[..., 0] << 16
         | px[..., 1] << 8
         | px[..., 2]
@@ -1201,10 +1206,13 @@ def encode_webp(
     color_cache_bits: int = 0,
     lz77: bool = True,
     meta_blocks: bool = False,
+    alpha: np.ndarray | None = None,
 ) -> bytes:
     """Lossless VP8L bytes for an ``(h, w, 3)`` uint8 RGB array (alpha
-    emitted opaque). Transform options exist to exercise every decoder
-    path; ``palette`` is mutually exclusive with the pixel transforms."""
+    emitted opaque unless an ``(h, w)`` uint8 ``alpha`` plane is given —
+    VP8L carries A natively in the ARGB pixels). Transform options exist
+    to exercise every decoder path; ``palette`` is mutually exclusive
+    with the pixel transforms."""
     px = np.asarray(rgb, np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
@@ -1213,14 +1221,16 @@ def encode_webp(
         raise ValueError("dims out of VP8L range")
     if palette and (subtract_green or predictor):
         raise ValueError("palette excludes the pixel transforms")
+    if alpha is not None and (palette or subtract_green or predictor):
+        raise ValueError("alpha plane only with the plain-literal path")
 
     bw = _BitWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # no alpha
+    bw.write(1 if alpha is not None else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
 
-    argb = _pack_argb(px)
+    argb = _pack_argb(px, alpha)
     coded_w = w
 
     if subtract_green:
@@ -1312,3 +1322,275 @@ def encode_webp(
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --- animated WebP (VP8X + ANIM/ANMF, public container spec) -----------------
+#
+# Frame PIXELS reuse the still decoders above (VP8L bit-exact vs libwebp;
+# lossy VP8 via functions/vp8.py, same gate) — the code here is only the
+# demux + canvas composition: frame rects, ANIM background/loop, per-frame
+# blend (alpha-blend vs overwrite) and dispose (none vs to-background)
+# semantics. VP8 INTER (P-) frames inside ANMF are NOT decoded: this
+# sandbox has no independent oracle for them (no libvpx / ffmpeg /
+# libwebpdemux — libwebp.so.7 decodes stills only), and a self-gated
+# from-scratch inter decoder would be unverifiable; such frames raise the
+# typed WebpError per the codec-totality convention.
+
+
+def _raw_chunks(data: bytes) -> list[tuple[bytes, bytes]]:
+    """FourCC chunk walk WITHOUT a RIFF header (ANMF frame-data area)."""
+    out = []
+    pos, n = 0, len(data)
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise WebpError("truncated ANMF subchunk")
+        out.append((tag, body))
+        pos += 8 + ln + (ln & 1)
+    return out
+
+
+def _decode_alpha_body(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk BODY → (h, w) uint8 plane (shared by the still path
+    and ANMF frames, which carry their own ALPH)."""
+    if not body:
+        raise WebpError("empty ALPH chunk")
+    head = body[0]
+    compression = head & 3
+    filter_method = (head >> 2) & 3
+    if compression == 0:
+        if len(body) - 1 < w * h:
+            raise WebpError("raw ALPH chunk shorter than w*h")
+        res = np.frombuffer(body, np.uint8, count=w * h, offset=1).reshape(h, w)
+    elif compression == 1:
+        br = _BitReader(body[1:])
+        argb = _decode_vp8l_stream(br, w, h)
+        res = ((argb >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    else:
+        raise WebpError(f"invalid ALPH compression method {compression}")
+    return _unfilter_alpha(res, filter_method)
+
+
+def _decode_subchunks_rgba(
+    sub: list[tuple[bytes, bytes]], w: int, h: int
+) -> np.ndarray:
+    """(ALPH?, VP8|VP8L) subchunk list → (h, w, 4) RGBA uint8."""
+    vp8l = next((b for t, b in sub if t == b"VP8L"), None)
+    if vp8l is not None:
+        if len(vp8l) < 5 or vp8l[0] != 0x2F:
+            raise WebpError("bad VP8L signature in frame")
+        br = _BitReader(vp8l[1:])
+        fw = br.read(14) + 1
+        fh = br.read(14) + 1
+        if (fw, fh) != (w, h):
+            raise WebpError("ANMF frame dims disagree with VP8L header")
+        br.read(1)
+        if br.read(3) != 0:
+            raise WebpError("unsupported VP8L version")
+        argb = _decode_vp8l_stream(br, fw, fh).reshape(fh, fw)
+        out = np.empty((fh, fw, 4), np.uint8)
+        out[..., 0] = (argb >> 16) & 0xFF
+        out[..., 1] = (argb >> 8) & 0xFF
+        out[..., 2] = argb & 0xFF
+        out[..., 3] = (argb >> 24) & 0xFF
+        return out
+    vp8 = next((b for t, b in sub if t == b"VP8 "), None)
+    if vp8 is None:
+        raise WebpError("ANMF frame carries neither VP8L nor VP8 data")
+    from fs_schema_validator_ray.functions.vp8 import Vp8Error, decode_vp8_rgb
+
+    try:
+        rgb = decode_vp8_rgb(vp8)
+    except Vp8Error as exc:
+        raise WebpError(f"malformed lossy ANMF frame: {exc}") from exc
+    if rgb.shape[:2] != (h, w):
+        raise WebpError("ANMF frame dims disagree with VP8 header")
+    out = np.empty((h, w, 4), np.uint8)
+    out[..., :3] = rgb
+    alph = next((b for t, b in sub if t == b"ALPH"), None)
+    out[..., 3] = 255 if alph is None else _decode_alpha_body(alph, w, h)
+    return out
+
+
+def webp_is_animated(data: bytes) -> bool:
+    """True when the container is a VP8X file with the animation flag
+    and at least one ANMF frame."""
+    try:
+        chunks = _webp_chunks(data)
+    except WebpError:
+        return False
+    vp8x = next((b for t, b in chunks if t == b"VP8X"), None)
+    if vp8x is None or len(vp8x) < 10 or not (vp8x[0] & 0x02):
+        return False
+    return any(t == b"ANMF" for t, _ in chunks)
+
+
+def _blend_px(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Container-spec alpha blending over a rect, vectorized. The spec
+    gives the real-valued formula; we fix the rounding as round-half-up
+    on the exact rational (documented determinism choice):
+
+        A = Sa*255 + Da*(255-Sa)                 (numerator of a*255)
+        out.a   = (A + 127) // 255
+        out.rgb = (Src*Sa*255 + Dst*Da*(255-Sa) + A//2) // A   (0 if A=0)
+    """
+    sa = src[..., 3].astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    an = sa * 255 + da * (255 - sa)
+    out = np.empty_like(dst)
+    out[..., 3] = ((an + 127) // 255).astype(np.uint8)
+    for c in range(3):
+        num = (
+            src[..., c].astype(np.int64) * sa * 255
+            + dst[..., c].astype(np.int64) * da * (255 - sa)
+        )
+        safe = np.maximum(an, 1)
+        out[..., c] = np.where(an > 0, (num + safe // 2) // safe, 0).astype(
+            np.uint8
+        )
+    return out
+
+
+def decode_webp_anim(data: bytes) -> dict:
+    """Decode an animated WebP to composited canvases.
+
+    Returns ``{"canvas_w", "canvas_h", "bg_rgba", "loop_count",
+    "frames": [{"rgba", "duration_ms", "rect", "blend", "dispose"}]}``
+    where each ``rgba`` is the FULL canvas after compositing that frame
+    (what a renderer shows), ``rect`` = (x, y, w, h). Composition per
+    the container spec: canvas starts as the ANIM background color;
+    each frame either alpha-blends (blend flag 0) or overwrites (1) its
+    rect; dispose-to-background refills the rect with the background
+    before the next frame. Raises :class:`WebpError` on malformed
+    containers (totality convention)."""
+    try:
+        return _decode_webp_anim_impl(data)
+    except WebpError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise WebpError(f"malformed animated webp ({type(exc).__name__}): {exc}") from exc
+
+
+def _decode_webp_anim_impl(data: bytes) -> dict:
+    chunks = _webp_chunks(data)
+    vp8x = next((b for t, b in chunks if t == b"VP8X"), None)
+    if vp8x is None or len(vp8x) < 10:
+        raise WebpError("not an extended (VP8X) webp")
+    if not (vp8x[0] & 0x02):
+        raise WebpError("VP8X animation flag not set")
+    cw = int.from_bytes(vp8x[4:7], "little") + 1
+    ch = int.from_bytes(vp8x[7:10], "little") + 1
+    anim = next((b for t, b in chunks if t == b"ANIM"), None)
+    if anim is None or len(anim) < 6:
+        raise WebpError("animated webp without ANIM chunk")
+    # background color is stored B, G, R, A
+    bg = (anim[2], anim[1], anim[0], anim[3])
+    loop = struct.unpack("<H", anim[4:6])[0]
+
+    canvas = np.empty((ch, cw, 4), np.uint8)
+    canvas[..., 0] = bg[0]
+    canvas[..., 1] = bg[1]
+    canvas[..., 2] = bg[2]
+    canvas[..., 3] = bg[3]
+
+    frames = []
+    for tag, body in chunks:
+        if tag != b"ANMF":
+            continue
+        if len(body) < 16:
+            raise WebpError("ANMF header truncated")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        dispose = bool(flags & 0x01)
+        no_blend = bool(flags & 0x02)
+        if fx + fw > cw or fy + fh > ch:
+            raise WebpError("ANMF frame rect outside canvas")
+        rgba = _decode_subchunks_rgba(_raw_chunks(body[16:]), fw, fh)
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        if no_blend:
+            rect[:] = rgba
+        else:
+            rect[:] = _blend_px(rect, rgba)
+        frames.append(
+            {
+                "rgba": canvas.copy(),
+                "duration_ms": dur,
+                "rect": (fx, fy, fw, fh),
+                "blend": not no_blend,
+                "dispose": dispose,
+            }
+        )
+        if dispose:
+            rect[:] = np.array(bg, np.uint8)
+    if not frames:
+        raise WebpError("animated webp with zero ANMF frames")
+    return {
+        "canvas_w": cw,
+        "canvas_h": ch,
+        "bg_rgba": bg,
+        "loop_count": loop,
+        "frames": frames,
+    }
+
+
+def encode_webp_anim(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    *,
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop_count: int = 0,
+) -> bytes:
+    """Assemble an animated WebP container (fixture/test support — the
+    inverse of :func:`decode_webp_anim`). Each frame dict: ``rgb``
+    (fh, fw, 3), optional ``alpha`` (fh, fw), ``x``/``y`` (even),
+    ``duration_ms``, ``blend`` (default True), ``dispose`` (default
+    False). Frames are encoded as lossless VP8L (alpha carried in the
+    ARGB pixels), so a round-trip through :func:`decode_webp_anim`
+    reproduces the composited canvases exactly."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+        return out
+
+    payload = b""
+    vp8x_body = (
+        bytes([0x02, 0, 0, 0])
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little")
+    )
+    payload += chunk(b"VP8X", vp8x_body)
+    payload += chunk(
+        b"ANIM",
+        bytes([bg_rgba[2], bg_rgba[1], bg_rgba[0], bg_rgba[3]])
+        + struct.pack("<H", loop_count),
+    )
+    for f in frames:
+        rgb = np.asarray(f["rgb"], np.uint8)
+        fh, fw = rgb.shape[:2]
+        x, y = int(f.get("x", 0)), int(f.get("y", 0))
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        still = encode_webp(rgb, alpha=f.get("alpha"))
+        vp8l_body = next(b for t, b in _webp_chunks(still) if t == b"VP8L")
+        flags = (0 if f.get("blend", True) else 0x02) | (
+            0x01 if f.get("dispose", False) else 0
+        )
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(f.get("duration_ms", 100)).to_bytes(3, "little")
+            + bytes([flags])
+        )
+        payload += chunk(b"ANMF", head + chunk(b"VP8L", vp8l_body))
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload

@@ -3,9 +3,10 @@
 The sf0.1 suite resolves every exchange to the 2xCPU bucket floor, so the
 data-aware branch of ``dedup.default_n_buckets`` (ceil(bytes/256MiB)) only
 had a shrunk-target unit test. This script generates a multi-GiB synthetic
-high-cardinality grouped-sum input (incompressible pad column so in-memory
-~= on-disk bytes), runs the REAL ``group_sum_bucketed`` exchange, and
-reports:
+high-cardinality grouped-sum input (64-char STRING keys — the wide-key
+shape where a raw-key shuffle hurts most; ~76 B/row in memory, so the
+exchange input is ~9 GiB at the default 120M rows regardless of on-disk
+compression), runs the REAL ``group_sum_bucketed`` exchange, and reports:
 
 * the engaged bucket count vs the 2xCPU floor,
 * per-bucket input-row balance (max/mean),
@@ -23,7 +24,10 @@ import argparse
 import glob
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
@@ -33,6 +37,11 @@ MOD = (1 << 61) - 1
 
 
 def generate(dirpath: str, rows: int, n_files: int, n_keys: int) -> None:
+    """64-char STRING keys — the wide-key high-cardinality shape where
+    shuffling raw keys hurts most (in-memory ~76 B/row, so 120M rows is
+    a ~9 GiB exchange input regardless of on-disk compression)."""
+    import pyarrow.compute as pc
+
     os.makedirs(dirpath, exist_ok=True)
     per = rows // n_files
     for i in range(n_files):
@@ -40,15 +49,11 @@ def generate(dirpath: str, rows: int, n_files: int, n_keys: int) -> None:
         if os.path.exists(path):
             continue
         rng = np.random.default_rng(1000 + i)
-        k = rng.integers(0, n_keys, per, dtype=np.int64)
+        kint = rng.integers(0, n_keys, per, dtype=np.int64)
+        k = pc.utf8_lpad(pc.cast(pa.array(kint), pa.string()), 64, "x")
         v = rng.integers(0, 1_000_000, per, dtype=np.int64)
-        pad = np.frombuffer(
-            rng.integers(0, 256, per * 64, dtype=np.uint8).tobytes(), dtype="S64"
-        )
         pq.write_table(
-            pa.table({"k": k, "v": v, "pad": pa.array(pad)}),
-            path,
-            compression="zstd",
+            pa.table({"k": k, "v": v}), path, compression="zstd"
         )
         print(f"wrote {path} ({per} rows)", flush=True)
 
@@ -81,8 +86,10 @@ def main() -> None:
 
     # per-bucket input balance (cheap key-only pass with the same mix)
     def bucket_counts(t: pa.Table) -> pa.Table:
+        from fs_schema_validator_ray.state.sketches import stable_key_array
+
         b = mix_to_buckets(
-            hash64(np.asarray(t.column("k"), np.int64)), n_buckets
+            hash64(stable_key_array(t.column("k"))), n_buckets
         )
         cnt = np.bincount(b, minlength=n_buckets)
         return pa.table(
@@ -105,13 +112,16 @@ def main() -> None:
     grouped = group_sum_bucketed(ds, "k", ["v"], n_buckets=n_buckets)
 
     def check_partial(t: pa.Table) -> pa.Table:
-        k = np.asarray(t.column("k"), np.int64)
+        from fs_schema_validator_ray.state.sketches import stable_key_array
+
         sv = np.asarray(t.column("v"), np.int64)
-        h = (hash64(k) % np.uint64(MOD)).astype(np.int64)
+        h = (hash64(stable_key_array(t.column("k"))) % np.uint64(MOD)).astype(
+            np.int64
+        )
         chk = int(np.sum((h.astype(object) * sv.astype(object)) % MOD) % MOD)
         return pa.table(
             {
-                "groups": pa.array([len(k)], pa.int64()),
+                "groups": pa.array([t.num_rows], pa.int64()),
                 "sum_v": pa.array([int(sv.sum())], pa.int64()),
                 "chk": pa.array([chk], pa.int64()),
             }
@@ -121,7 +131,7 @@ def main() -> None:
     wall = time.time() - t0
     n_groups = int(parts["groups"].sum())
     sum_v = int(parts["sum_v"].sum())
-    chk = int(parts["chk"].sum() % MOD)
+    chk = int(parts["chk"].astype(object).sum()) % MOD
     ray.shutdown()
 
     # DuckDB oracle over the same parquet (identical hash via the engine's
