@@ -1816,6 +1816,32 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        # animated WebP demux contracts: closed form from the corpus
+        # index functions (sources/webpanim.py) — n = 1 + i%4,
+        # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)
+        "webp_anim_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 399) t(x)),
+n AS (SELECT i, 1 + i % 4 AS nf FROM idx)
+SELECT 'anim-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       (i % 13 <> 0) AS ok,
+       CAST(CASE WHEN i % 13 = 0 THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN i % 13 = 0 THEN 0
+            ELSE 10 * nf + 7 * nf * (nf - 1) // 2 + nf * (i % 5)
+            END AS BIGINT) AS total_duration_ms
+FROM n
+""",
+        "webp_anim_frames_contract": """
+WITH v AS (SELECT CAST(x AS BIGINT) AS i, 1 + CAST(x AS BIGINT) % 4 AS nf
+           FROM generate_series(0, 399) t(x)
+           WHERE CAST(x AS BIGINT) % 13 <> 0),
+f AS (SELECT i, CAST(s.x AS BIGINT) AS j
+      FROM v, generate_series(0, 7) s(x)
+      WHERE CAST(s.x AS BIGINT) < nf)
+SELECT 'anim-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       CAST(j AS INTEGER) AS frame_index,
+       CAST(true AS BOOLEAN) AS decode_ok
+FROM f
+""",
         "video_frames_contract": """
 WITH v AS (SELECT CAST(x AS BIGINT) AS i, 3 + CAST(x AS BIGINT) % 6 AS nf
            FROM generate_series(0, 299) t(x)

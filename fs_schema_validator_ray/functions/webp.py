@@ -613,6 +613,10 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 
 def _decode_webp_impl(data: bytes) -> np.ndarray:
+    if webp_is_animated(data):
+        raise WebpError(
+            "animated webp still-decode refused: use decode_webp_anim"
+        )
     try:
         payload = _vp8l_payload(data)
     except WebpLossyError:

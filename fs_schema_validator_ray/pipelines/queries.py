@@ -5694,6 +5694,94 @@ def _videos_corpus(n_rows: int) -> str:
     return path
 
 
+def _webpanim_corpus(n_rows: int) -> str:
+    """Deterministic cached synthetic animated-WebP corpus → parquet
+    path (same build-once pattern as ``_videos_corpus``)."""
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.sources.webpanim import (
+        WEBPANIM_CORPUS_VERSION,
+        build_webpanim_table,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"fsvr_webpanim_v{WEBPANIM_CORPUS_VERSION}_{n_rows}"
+    )
+    path = os.path.join(cache, "webpanim.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(build_webpanim_table(n_rows), tmp, row_group_size=64)
+        os.replace(tmp, path)
+    return path
+
+
+def webp_anim_contract(sf_dir: str, n_rows: int = 400):
+    """Animated-WebP demux gate (ORACLE-CHECKED): every container in
+    the deterministic ANIM/ANMF corpus decodes through
+    ``functions/webp.py::decode_webp_anim`` (VP8X flags, frame rects,
+    composition, durations); output ``(key, ok, n_frames,
+    total_duration_ms)`` is SQL-derivable closed-form from the corpus
+    index functions (``sources/webpanim.py``) — planted truncated
+    containers gate ``ok=false`` with zero frames, everything else must
+    report the exact index-derived frame count and duration sum. Frame
+    PIXELS ride the libwebp-gated VP8L still decoder; the composition
+    arithmetic is pytest-gated analytically (test_webp_anim.py)."""
+    import ray.data
+
+    from fs_schema_validator_ray.functions.webp import (
+        WebpError,
+        decode_webp_anim,
+    )
+
+    ds = ray.data.read_parquet(_webpanim_corpus(n_rows)).repartition(8)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, oks, nfs, durs = [], [], [], []
+        for i in range(t.num_rows):
+            keys.append(t.column("key")[i].as_py())
+            payload = t.column("bytes")[i].as_py() or b""
+            try:
+                anim = decode_webp_anim(payload)
+            except WebpError:
+                oks.append(False)
+                nfs.append(0)
+                durs.append(0)
+            else:
+                oks.append(True)
+                nfs.append(len(anim["frames"]))
+                durs.append(sum(f["duration_ms"] for f in anim["frames"]))
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "total_duration_ms": pa.array(durs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def webp_anim_frames_contract(sf_dir: str, n_rows: int = 400):
+    """Animated-WebP FRAME-SAMPLE gate (ORACLE-CHECKED): the same
+    ``FrameSampleStage`` that samples MJPEG-AVI / Y4M handles animated
+    WebP — composited canvases per frame, per-frame ``decode_ok`` —
+    hash-compared against the corpus closed form (corrupt containers
+    emit NO rows; valid ones emit exactly ``1 + i % 4`` true rows)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.multimodal import FrameSampleStage
+
+    ds = ray.data.read_parquet(_webpanim_corpus(n_rows)).repartition(8)
+    out = ds.map_batches(
+        FrameSampleStage(stride=1, max_frames=8, decode=True),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return out.select_columns(["key", "frame_index", "decode_ok"])
+
+
 def video_frames_contract(sf_dir: str, n_rows: int = 300):
     """REAL video frame-sample gate over the MJPEG-AVI corpus
     (``functions/video.py`` + ``FrameSampleStage(decode=True)``): every
@@ -6430,6 +6518,8 @@ QUERIES = {
     "audio_resample_contract": audio_resample_contract,
     "audio_chunk_contract": audio_chunk_contract,
     "video_frames_contract": video_frames_contract,
+    "webp_anim_contract": webp_anim_contract,
+    "webp_anim_frames_contract": webp_anim_frames_contract,
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
     "ann_topk_pq": ann_topk_pq,

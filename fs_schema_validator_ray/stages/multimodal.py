@@ -445,13 +445,20 @@ class ImageValidateStage:
                     WebpError,
                     decode_webp,
                     decode_webp_alpha,
+                    decode_webp_anim,
+                    webp_is_animated,
                 )
 
                 # both halves decode for real (VP8L in webp.py, lossy
-                # VP8 key frames in vp8.py), plus the ALPH alpha plane
+                # VP8 key frames in vp8.py), plus the ALPH alpha plane;
+                # animated containers validate through the ANMF
+                # composition path (every frame must decode)
                 try:
-                    decode_webp(p)
-                    decode_webp_alpha(p)
+                    if webp_is_animated(p):
+                        decode_webp_anim(p)
+                    else:
+                        decode_webp(p)
+                        decode_webp_alpha(p)
                 except WebpError:
                     emit(i, "file does not contain a valid image")
             elif self.deep_decode and actual == "avif":
@@ -739,6 +746,41 @@ class FrameSampleStage:
                         off,
                         b"",  # planes stay in the payload; no per-frame copy
                         decoder=lambda _fb, _i=fi: decode_y4m_frame(p, info, _i),
+                    )
+            elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                # REAL: animated WebP — composited canvases via the
+                # ANIM/ANMF path (functions/webp.py); frame pixels go
+                # through the libwebp-gated still decoders
+                from fs_schema_validator_ray.functions.webp import (
+                    WebpError,
+                    decode_webp_anim,
+                    webp_is_animated,
+                )
+
+                if not webp_is_animated(p):
+                    continue
+                try:
+                    anim = decode_webp_anim(p)
+                except WebpError:
+                    continue  # corrupt container: no frames (audit =
+                    # ImageValidateStage's animated branch)
+                # ANMF chunk byte offsets for per-frame lineage
+                anmf_offs = []
+                pos = 12
+                while pos + 8 <= len(p):
+                    ln = int.from_bytes(p[pos + 4 : pos + 8], "little")
+                    if p[pos : pos + 4] == b"ANMF":
+                        anmf_offs.append(pos)
+                    pos += 8 + ln + (ln & 1)
+                sampled = list(enumerate(anim["frames"]))[:: self.stride][
+                    : self.max_frames
+                ]
+                for j, (fi, fr) in enumerate(sampled):
+                    emit(
+                        j,
+                        anmf_offs[fi] if fi < len(anmf_offs) else -1,
+                        b"",  # canvases are derived; no per-frame copy
+                        decoder=lambda _fb, _f=fr: _f["rgba"],
                     )
             else:
                 # STUB fallback for containers without a from-scratch
