@@ -1816,6 +1816,48 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        "tpch_q7_volume_shipping": r"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01')
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, l_year,
+       CAST(SUM(rev) AS BIGINT) AS rev_micros, COUNT(*) AS n
+FROM l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+   OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+""",
+        "tpch_q8_market_share": r"""
+WITH v AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS vol,
+         (ns.n_name = 'NATION_5') AS is_target
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+SELECT o_year,
+       round_even(CAST(SUM(CASE WHEN is_target THEN vol ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share6
+FROM v GROUP BY 1
+""",
         # animated WebP demux contracts: closed form from the corpus
         # index functions (sources/webpanim.py) — n = 1 + i%4,
         # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)

@@ -2256,6 +2256,308 @@ def cumulative_daily_share_events(sf_dir: str):
     )
 
 
+def tpch_q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 volume-shipping plan shape: the two qualifying nations'
+    customers/suppliers broadcast as key→nationkey maps, the lineitem
+    fact pruned at the read (shipdate ∈ [1996, 1998)), ONE distributed
+    hash join to the customer-resolved orders, supplier nation attached
+    by broadcast, the nation-pair disjunction applied vectorized, and a
+    tiny (2×2×|years|) final group-sum. Revenue integer-exact micros
+    (cents × percent-complement)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    pair = ("NATION_3", "NATION_8")
+    keys = {
+        name: nation.filter(pc.equal(nation.column("n_name"), name))
+        .column("n_nationkey")
+        .to_pylist()[0]
+        for name in pair
+    }
+    k1, k2 = keys[pair[0]], keys[pair[1]]
+    both = pa.array(sorted((k1, k2)), pa.int32())
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=both)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_nat"]),
+            batch_format="pyarrow",
+        )
+    )
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=both)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["l_suppkey", "s_nat"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    lo = np.datetime64("1996-01-01").item()
+    hi = np.datetime64("1998-01-01").item()
+
+    def fact(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int32()),
+                "rev_micros": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+                ),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)),
+    ).map_batches(fact, batch_format="pyarrow")
+
+    orders = broadcast_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        "o_custkey",
+        ["c_nat"],
+    )
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["rev_micros", "l_suppkey", "l_year"], ["c_nat"],
+    )
+    joined = broadcast_join(joined, supp, "l_suppkey", ["s_nat"])
+
+    name_of = {k1: pair[0], k2: pair[1]}
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("s_nat"), np.int64)
+        c = np.asarray(t.column("c_nat"), np.int64)
+        keep = ((s == k1) & (c == k2)) | ((s == k2) & (c == k1))
+        t = t.filter(pa.array(keep))
+        s = np.asarray(t.column("s_nat"), np.int64)
+        c = np.asarray(t.column("c_nat"), np.int64)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [name_of[int(x)] for x in s], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [name_of[int(x)] for x in c], pa.string()
+                ),
+                "l_year": t.column("l_year"),
+                "rev_micros": t.column("rev_micros"),
+            }
+        )
+
+    out = group_sum(
+        joined.map_batches(pair_filter, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        ["rev_micros"],
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["supp_nation", "cust_nation", "l_year", "rev_micros", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def tpch_q8_market_share(sf_dir: str):
+    """TPC-H Q8 national-market-share plan shape: AMERICA customers and
+    PROMO-type parts broadcast as key sets, order-date window pruned at
+    the read, ONE distributed hash join (part-filtered lineitem ⋈
+    qualifying orders), supplier nation by broadcast, then the per-year
+    share = Σ(volume where supp_nation = NATION_5) / Σ(volume) divides
+    identical int64 micros sums in both engines (round_even 6)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import broadcast_join, hash_join
+
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    )
+    amer = set(
+        region.filter(pc.equal(region.column("r_name"), "AMERICA"))
+        .column("r_regionkey")
+        .to_pylist()
+    )
+    amer_nat = pa.array(
+        sorted(
+            nation.filter(
+                pc.is_in(
+                    nation.column("n_regionkey"),
+                    value_set=pa.array(sorted(amer), pa.int32()),
+                )
+            )
+            .column("n_nationkey")
+            .to_pylist()
+        ),
+        pa.int32(),
+    )
+    target_key = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_5")
+    ).column("n_nationkey").to_pylist()[0]
+
+    part_keys = None  # broadcast part filter (PROMO type)
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    part_keys = pa.array(
+        sorted(
+            part.filter(pc.equal(part.column("p_type"), "PROMO"))
+            .column("p_partkey")
+            .to_pylist()
+        ),
+        pa.int64(),
+    )
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("c_nationkey"), value_set=amer_nat)
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey"]).append_column(
+                "c_ok", pa.array(np.ones(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nat"]), batch_format="pyarrow"
+    )
+
+    lo = np.datetime64("1996-01-01").item()
+    hi = np.datetime64("1998-01-01").item()
+    orders = broadcast_join(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(
+                (pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi)
+            ),
+        ),
+        cust,
+        "o_custkey",
+        ["c_ok"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fact(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=part_keys))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "vol_micros": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+                ),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(fact, batch_format="pyarrow")
+
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["vol_micros", "l_suppkey"], ["o_year"],
+    )
+    joined = broadcast_join(joined, supp, "l_suppkey", ["s_nat"])
+
+    def split(t: pa.Table) -> pa.Table:
+        vol = np.asarray(t.column("vol_micros"), np.int64)
+        is_target = (
+            np.asarray(t.column("s_nat"), np.int64) == int(target_key)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "target_micros": pa.array(vol * is_target, pa.int64()),
+                "vol_micros": t.column("vol_micros"),
+            }
+        )
+
+    agg = group_sum(
+        joined.map_batches(split, batch_format="pyarrow"),
+        ["o_year"],
+        ["target_micros", "vol_micros"],
+    )
+    parts_tbls = list(agg.iter_batches(batch_format="pyarrow"))
+    if not parts_tbls:
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int32()),
+                "mkt_share6": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts_tbls)
+    years = t.column("o_year").to_pylist()
+    tgt = t.column("target_micros").to_pylist()
+    tot = t.column("vol_micros").to_pylist()
+    order = np.argsort(np.asarray(years))
+    return pa.table(
+        {
+            "o_year": pa.array(
+                [years[i] for i in order], pa.int32()
+            ),
+            "mkt_share6": pa.array(
+                [
+                    round(float(tgt[i]) / float(tot[i]), 6) if tot[i] else None
+                    for i in order
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def tpch_q19_disjunctive_revenue(sf_dir: str):
     """The TPC-H Q19 discounted-revenue plan shape — DISJUNCTIVE
     cross-table predicates (three (brand, size-band, quantity-band)
@@ -6520,6 +6822,8 @@ QUERIES = {
     "video_frames_contract": video_frames_contract,
     "webp_anim_contract": webp_anim_contract,
     "webp_anim_frames_contract": webp_anim_frames_contract,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
     "ann_topk_pq": ann_topk_pq,
