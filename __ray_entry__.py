@@ -1858,6 +1858,61 @@ SELECT o_year,
                   / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share6
 FROM v GROUP BY 1
 """,
+        "tpch_q12_priority_class": r"""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+        "tpch_q13_customer_distribution": r"""
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY 1
+""",
+        "tpch_q15_top_supplier": r"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_rev_micros
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_rev_micros
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_micros = (SELECT MAX(total_rev_micros) FROM rev)
+""",
+        # Q17 threshold qty < 0.2*avg evaluated as the EXACT integer
+        # inequality 5*qty*cnt < sum_qty in both engines
+        "tpch_q17_small_quantity_revenue": r"""
+WITH pk AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'),
+f AS (
+  SELECT l.l_partkey,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey),
+st AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+  FROM f GROUP BY 1)
+SELECT CAST(COALESCE(SUM(CASE WHEN 5 * f.qty * st.cnt < st.sum_qty
+                              THEN f.cents ELSE 0 END), 0) AS BIGINT)
+         AS total_cents,
+       CAST(COALESCE(SUM(CASE WHEN 5 * f.qty * st.cnt < st.sum_qty
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows
+FROM f JOIN st ON f.l_partkey = st.l_partkey
+""",
         # animated WebP demux contracts: closed form from the corpus
         # index functions (sources/webpanim.py) — n = 1 + i%4,
         # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)

@@ -2558,6 +2558,285 @@ def tpch_q8_market_share(sf_dir: str):
     )
 
 
+def tpch_q12_priority_class(sf_dir: str):
+    """TPC-H Q12 shipmode/priority plan shape, ADAPTED to this corpus's
+    lineitem schema (no ``l_shipmode``/``l_commitdate``/``l_receiptdate``
+    columns): the mode stand-in is ``l_linestatus`` and the date
+    predicate is a shipdate year window — the PLAN is preserved
+    verbatim: pruned fact read → ONE distributed hash join to orders →
+    vectorized CASE split on order priority → tiny conditional-count
+    group-sum."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1997-01-01").item()
+    hi = np.datetime64("1998-01-01").item()
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)),
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "l_linestatus"]), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["l_linestatus"], ["o_orderpriority"],
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        hi_mask = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        hi64 = pc.cast(hi_mask, pa.int64())
+        return pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high_line_count": hi64,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi64),
+            }
+        )
+
+    out = group_sum(
+        joined.map_batches(split, batch_format="pyarrow"),
+        ["l_linestatus"],
+        ["high_line_count", "low_line_count"],
+    )
+    return out.map_batches(
+        lambda t: t.select(["l_linestatus", "high_line_count", "low_line_count"]),
+        batch_format="pyarrow",
+    )
+
+
+def tpch_q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 customer-order-distribution plan shape (the comment
+    LIKE-filter adapted to an order-priority filter — this corpus's
+    orders carry no comment column): per-customer order counts from the
+    high-cardinality combiner (``group_sum_bucketed`` — never raw-key
+    shuffles), customers WITHOUT orders kept by a distributed LEFT hash
+    join (count null → 0), then the tiny second-level distribution
+    group-count ``(c_count, custdist)``."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum, group_sum_bucketed
+    from fs_schema_validator_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("o_orderpriority"), "4-NOT SPECIFIED")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    counts = group_sum_bucketed(orders, "o_custkey", [])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(
+        cust, counts, "c_custkey", "o_custkey", [], ["n"], how="left"
+    )
+
+    def ccount(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.cast(
+                    pc.fill_null(t.column("n"), 0), pa.int64()
+                )
+            }
+        )
+
+    out = group_sum(
+        joined.map_batches(ccount, batch_format="pyarrow"), ["c_count"], []
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"c_count": t.column("c_count"), "custdist": t.column("n")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def tpch_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 top-supplier plan shape: per-supplier revenue over the
+    quarter window via the high-cardinality combiner
+    (``group_sum_bucketed`` on ``l_suppkey`` — the view in the original
+    query), the |suppliers|-sized result reduced on the driver (max +
+    ties), supplier names attached from the driver-side dim read.
+    Revenue integer-exact micros."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+
+    lo = np.datetime64("1997-01-01").item()
+    hi = np.datetime64("1997-04-01").item()
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_micros": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+                ),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)),
+    ).map_batches(rev, batch_format="pyarrow")
+    per_supp = group_sum_bucketed(lineitem, "l_suppkey", ["rev_micros"])
+
+    parts = [
+        b for b in per_supp.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_rev_micros": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    rev_np = np.asarray(t.column("rev_micros"), np.int64)
+    best = int(rev_np.max())
+    winners = np.asarray(t.column("l_suppkey"), np.int64)[rev_np == best]
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    name_of = dict(
+        zip(
+            supplier.column("s_suppkey").to_pylist(),
+            supplier.column("s_name").to_pylist(),
+        )
+    )
+    order = np.argsort(winners)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners[order], pa.int64()),
+            "s_name": pa.array(
+                [name_of.get(int(k)) for k in winners[order]], pa.string()
+            ),
+            "total_rev_micros": pa.array(
+                [best] * len(winners), pa.int64()
+            ),
+        }
+    )
+
+
+def tpch_q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 small-quantity-order plan shape (the container filter
+    adapted to ``p_type = 'SMALL'`` — this corpus's part table has no
+    container column): qualifying part keys broadcast from the dim
+    read, per-part (Σqty, cnt) from the combiner, the threshold
+    ``l_quantity < 0.2·avg(part)`` evaluated EXACTLY as the integer
+    cross-product inequality ``5·qty·cnt < Σqty`` (quantities are
+    whole-number doubles) in BOTH engines, and the qualifying revenue
+    reduced to one scalar row ``(total_cents, n_rows)``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type"],
+    )
+    keys = pa.array(
+        sorted(
+            part.filter(
+                pc.and_(
+                    pc.equal(part.column("p_brand"), "Brand#13"),
+                    pc.equal(part.column("p_type"), "SMALL"),
+                )
+            )
+            .column("p_partkey")
+            .to_pylist()
+        ),
+        pa.int64(),
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=keys))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    fact = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(narrow, batch_format="pyarrow").materialize()
+
+    stats = group_sum(
+        fact.map_batches(
+            lambda t: t.select(["l_partkey", "qty"]), batch_format="pyarrow"
+        ),
+        ["l_partkey"],
+        ["qty"],
+    )
+    sum_cnt: dict[int, tuple[int, int]] = {}
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        for k, s, n in zip(
+            b.column("l_partkey").to_pylist(),
+            b.column("qty").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            sum_cnt[int(k)] = (int(s), int(n))
+
+    import ray
+
+    ref = ray.put(sum_cnt)
+
+    def qualify(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        k = np.asarray(t.column("l_partkey"), np.int64)
+        q = np.asarray(t.column("qty"), np.int64)
+        c = np.asarray(t.column("cents"), np.int64)
+        sums = np.array([lk[int(x)][0] for x in k], np.int64)
+        cnts = np.array([lk[int(x)][1] for x in k], np.int64)
+        keep = 5 * q * cnts < sums
+        return pa.table(
+            {
+                "total_cents": pa.array([int(c[keep].sum())], pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    total = 0
+    n = 0
+    for p in fact.map_batches(qualify, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # blocks may merge several per-batch partial rows — sum the COLUMN
+        total += int(np.asarray(p.column("total_cents"), np.int64).sum())
+        n += int(np.asarray(p.column("n_rows"), np.int64).sum())
+    return pa.table(
+        {
+            "total_cents": pa.array([total], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def tpch_q19_disjunctive_revenue(sf_dir: str):
     """The TPC-H Q19 discounted-revenue plan shape — DISJUNCTIVE
     cross-table predicates (three (brand, size-band, quantity-band)
@@ -6824,6 +7103,10 @@ QUERIES = {
     "webp_anim_frames_contract": webp_anim_frames_contract,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q12_priority_class": tpch_q12_priority_class,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
     "ann_topk_pq": ann_topk_pq,
