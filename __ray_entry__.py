@@ -1913,6 +1913,44 @@ SELECT CAST(COALESCE(SUM(CASE WHEN 5 * f.qty * st.cnt < st.sum_qty
                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows
 FROM f JOIN st ON f.l_partkey = st.l_partkey
 """,
+        # Q21 lateness marker adapted to l_returnflag='R' (no
+        # commit/receipt dates in this corpus)
+        "tpch_q21_waiting_supplier": r"""
+WITH pair AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2),
+po AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+         SUM(l_suppkey * late) AS late_sk
+  FROM pair GROUP BY 1)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM po
+JOIN supplier s ON po.late_sk = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE po.n_supp >= 2 AND po.n_late = 1
+GROUP BY 1
+""",
+        # Q22 cntrycode adapted to c_nationkey; threshold exact as
+        # cents*cnt > sum_cents
+        "tpch_q22_global_sales_opportunity": r"""
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS cntrycode,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+avgpos AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS k
+  FROM c WHERE cents > 0)
+SELECT c.cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(c.cents) AS BIGINT) AS totacctbal_cents
+FROM c, avgpos
+WHERE c.cents * avgpos.k > avgpos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
         # animated WebP demux contracts: closed form from the corpus
         # index functions (sources/webpanim.py) — n = 1 + i%4,
         # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)

@@ -2837,6 +2837,223 @@ def tpch_q17_small_quantity_revenue(sf_dir: str):
     )
 
 
+def tpch_q21_waiting_supplier(sf_dir: str):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting plan shape, ADAPTED
+    (no commit/receipt dates in this corpus — the lateness marker is
+    ``l_returnflag = 'R'``): the EXISTS / NOT EXISTS pair collapses to
+    per-order supplier aggregates — ONE bucketed composite-key combiner
+    builds per-(order, supplier) lateness flags, one bucketed per-order
+    pass derives (n_supp, n_late, blamed supplier via the Σ(sk·late)
+    trick when n_late = 1), and the final per-supplier count joins the
+    driver-side NATION_3 supplier dim. Packed pair key guarded to
+    int64 (suppkey < 2^20, orderkey < 2^43)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.stages.agg import group_sum_bucketed
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nat_key = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_3")
+    ).column("n_nationkey").to_pylist()[0]
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    supplier = supplier.filter(
+        pc.equal(pc.cast(supplier.column("s_nationkey"), pa.int64()), nat_key)
+    )
+    name_of = dict(
+        zip(
+            supplier.column("s_suppkey").to_pylist(),
+            supplier.column("s_name").to_pylist(),
+        )
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "is_r": pc.cast(
+                    pc.equal(t.column("l_returnflag"), "R"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders_f = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = semi_anti_join(
+        li, orders_f, "l_orderkey", "o_orderkey",
+        ["l_suppkey", "is_r"], how="semi",
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("l_orderkey"), np.int64)
+        sk = np.asarray(t.column("l_suppkey"), np.int64)
+        if len(ok) and (int(sk.max(initial=0)) >= 1 << 20 or int(ok.max(initial=0)) >= 1 << 43):
+            raise OverflowError("q21 packed pair key out of int64 headroom")
+        return pa.table(
+            {
+                "pair": pa.array((ok << np.int64(20)) | sk, pa.int64()),
+                "is_r": t.column("is_r"),
+            }
+        )
+
+    pairs = group_sum_bucketed(
+        li.map_batches(pack, batch_format="pyarrow"), "pair", ["is_r"]
+    )
+
+    def per_order(t: pa.Table) -> pa.Table:
+        pair = np.asarray(t.column("pair"), np.int64)
+        late = (np.asarray(t.column("is_r"), np.int64) > 0).astype(np.int64)
+        ok = pair >> np.int64(20)
+        sk = pair & np.int64((1 << 20) - 1)
+        return pa.table(
+            {
+                "o": pa.array(ok),
+                "n_supp": pa.array(np.ones(len(ok), np.int64)),
+                "n_late": pa.array(late),
+                "late_sk_sum": pa.array(sk * late),
+            }
+        )
+
+    per_o = group_sum_bucketed(
+        pairs.map_batches(per_order, batch_format="pyarrow"),
+        "o",
+        ["n_supp", "n_late", "late_sk_sum"],
+    )
+
+    def blamed(t: pa.Table) -> pa.Table:
+        ns = np.asarray(t.column("n_supp"), np.int64)
+        nl = np.asarray(t.column("n_late"), np.int64)
+        sks = np.asarray(t.column("late_sk_sum"), np.int64)
+        keep = (ns >= 2) & (nl == 1)
+        return pa.table({"s_suppkey": pa.array(sks[keep], pa.int64())})
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    counts = group_sum(
+        per_o.map_batches(blamed, batch_format="pyarrow"), ["s_suppkey"], []
+    )
+    out_rows: dict[int, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(
+            b.column("s_suppkey").to_pylist(), b.column("n").to_pylist()
+        ):
+            if int(k) in name_of:  # NATION_3 suppliers only
+                out_rows[int(k)] = int(n)
+    ks = sorted(out_rows)
+    return pa.table(
+        {
+            "s_name": pa.array([name_of[k] for k in ks], pa.string()),
+            "numwait": pa.array([out_rows[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def tpch_q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 global-sales-opportunity plan shape (the phone
+    country-code adapted to ``c_nationkey`` — this corpus's customers
+    carry no phone): the positive-balance average is a scalar combiner
+    pass, the ``c_acctbal > avg`` threshold evaluates EXACTLY as the
+    integer cross-product ``cents·cnt > Σcents`` in both engines, the
+    no-orders predicate is one distributed ANTI join, and the final
+    ``(cntrycode, numcust, totacctbal_cents)`` group-sum is tiny."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+    from fs_schema_validator_ray.stages.joins import semi_anti_join
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "cntrycode": pc.cast(t.column("c_nationkey"), pa.int32()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("c_acctbal"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # global avg over positive balances: scalar integer combiner
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cents"), np.int64)
+        pos = c[c > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "k": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    s_tot = 0
+    k_tot = 0
+    for b in cust.map_batches(pos_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        s_tot += int(np.asarray(b.column("s"), np.int64).sum())
+        k_tot += int(np.asarray(b.column("k"), np.int64).sum())
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cents"), np.int64)
+        keep = c * k_tot > s_tot  # cents > sum/cnt, exact integers
+        return t.filter(pa.array(keep))
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    # "no recent orders" (the corpus's order coverage is dense, so the
+    # original no-orders-at-all predicate would gate an empty result;
+    # the ANTI-join shape is identical)
+    import pyarrow.dataset as pds
+
+    cutoff = np.datetime64("2000-01-01").item()
+    no_orders = semi_anti_join(
+        rich,
+        _read(
+            sf_dir,
+            "orders",
+            ["o_custkey", "o_orderdate"],
+            filter=(pds.field("o_orderdate") >= cutoff),
+        ).map_batches(lambda t: t.select(["o_custkey"]), batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        ["cntrycode", "cents"],
+        how="anti",
+    )
+    out = group_sum(
+        no_orders.map_batches(
+            lambda t: t.select(["cntrycode", "cents"]), batch_format="pyarrow"
+        ),
+        ["cntrycode"],
+        ["cents"],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "cntrycode": t.column("cntrycode"),
+                "numcust": t.column("n"),
+                "totacctbal_cents": t.column("cents"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def tpch_q19_disjunctive_revenue(sf_dir: str):
     """The TPC-H Q19 discounted-revenue plan shape — DISJUNCTIVE
     cross-table predicates (three (brand, size-band, quantity-band)
@@ -7107,6 +7324,8 @@ QUERIES = {
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "bool_agg_orders": bool_agg_orders,
     "ann_topk_pq": ann_topk_pq,
