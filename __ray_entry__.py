@@ -1816,6 +1816,56 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        "covar_lineitem_qty_discount": r"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy
+      FROM m GROUP BY 1)
+SELECT l_returnflag, n,
+       round_even(CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop6,
+       CASE WHEN n > 1 THEN
+         round_even(CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6)
+       END AS covar_samp6
+FROM s
+""",
+        "bitagg_orders_keys": r"""
+SELECT o_orderpriority,
+       bit_and(o_orderkey) AS band,
+       bit_or(o_orderkey) AS bor,
+       bit_xor(o_orderkey) AS bxor,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""",
+        "embedding_quantize_error": r"""
+SELECT vec_id,
+       round_even(MAX(ABS(CAST(x AS DOUBLE)
+                          - LEAST(GREATEST(round_even(CAST(x AS DOUBLE) * 127, 0),
+                                           -127), 127) / 127.0)), 6) AS max_err6
+FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+GROUP BY 1
+""",
+        "matryoshka_cosine_embeddings": r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round_even(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qq
+  FROM embeddings),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(qq, v -> v * v)) AS fullsq,
+         list_sum(list_transform(qq[1:16], v -> v * v)) AS headsq
+  FROM q)
+SELECT vec_id,
+       round_even(sqrt(CAST(headsq AS DOUBLE)) / sqrt(CAST(fullsq AS DOUBLE)),
+                  6) AS cos_trunc6
+FROM s
+""",
         "tpch_q7_volume_shipping": r"""
 WITH l AS (
   SELECT l_orderkey, l_suppkey,

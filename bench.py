@@ -105,6 +105,14 @@ HEADLINE_QUERIES = [
     "audio_adpcm_transcode_contract",
     "label_centroid_cosine_embeddings",
     "minmax_scale_events",
+    # round-5 additions
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_supplier",
+    "webp_anim_frames_contract",
+    "semdedup_contract_embeddings",
+    "substring_dup_documents",
 ]
 
 

@@ -2256,6 +2256,141 @@ def cumulative_daily_share_events(sf_dir: str):
     )
 
 
+def covar_lineitem_qty_discount(sf_dir: str):
+    """Population + sample covariance of (quantity, discount-cents) per
+    return flag — SQL ``COVAR_POP``/``COVAR_SAMP`` via the exact-integer
+    moment combiner (``group_moments``): cov numerator ``n·Σxy − Σx·Σy``
+    is exact int64, finals divide identical doubles (round-even 6)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_moments
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "x": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mom = group_moments(ds, ["l_returnflag"], "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("n"), np.int64).astype(np.float64)
+        cov_num = np.asarray(t.column("cov_num"), np.int64).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pop = cov_num / (n * n)
+            samp = np.where(n > 1, cov_num / (n * (n - 1.0)), np.nan)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": t.column("n"),
+                "covar_pop6": pa.array(np.round(pop, 6), pa.float64()),
+                "covar_samp6": pa.array(
+                    np.where(np.isnan(samp), None, np.round(samp, 6)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return mom.map_batches(finish, batch_format="pyarrow")
+
+
+def bitagg_orders_keys(sf_dir: str):
+    """BIT_AND / BIT_OR / BIT_XOR aggregates of the order key per order
+    priority — the bitwise aggregate family (fingerprint folding, flag
+    unioning). Per-batch vectorized ``np.bitwise_*.reduceat`` partials,
+    one tiny grouped final fold — bit ops are associative and
+    commutative and every row folds exactly once, so partial merges are
+    exact in any order."""
+    from fs_schema_validator_ray.stages.agg import group_bitagg
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey"])
+    return group_bitagg(ds, ["o_orderpriority"], "o_orderkey")
+
+
+def embedding_quantize_error(sf_dir: str):
+    """Symmetric int8 embedding quantization audit: per vector, the
+    worst-component dequantization error of ``q = round_even(x·127)``
+    clipped to [−127, 127] — the storage-shrink QA gate before shipping
+    quantized vectors to an ANN index. Vectorized flat-buffer math; the
+    max is order-independent and the per-component double expression is
+    mirrored term-for-term in SQL (round-even 6)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        q = np.clip(np.round(flat * 127.0), -127.0, 127.0)
+        err = np.abs(flat - q / 127.0)
+        # segment max via reduceat (empty segments impossible: dim fixed)
+        starts = offs[:-1].astype(np.int64)
+        mx = (
+            np.maximum.reduceat(err, starts)
+            if len(flat)
+            else np.zeros(0, np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "max_err6": pa.array(np.round(mx, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def matryoshka_cosine_embeddings(sf_dir: str, k: int = 16):
+    """Matryoshka truncation probe: cosine similarity between each full
+    embedding and its first-``k``-components truncation — which equals
+    ‖v₁..k‖ / ‖v‖ — computed over 2^20 round-even quantized integer
+    components (exact int64 squared sums ⇒ identical doubles ⇒
+    identical round-even 6 in both engines, summation order
+    irrelevant). The dimensionality-reduction QA check run before
+    serving truncated embeddings."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    SCALE = float(1 << 20)
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(flat * SCALE).astype(np.int64)
+        sq = q * q  # |q| ≲ 2^21 ⇒ exact
+        widths = np.diff(offs)
+        if len(widths) and not (widths == widths[0]).all():
+            raise ValueError("ragged embedding column")
+        dim = int(widths[0]) if len(widths) else 0
+        kk = min(k, dim)
+        m = sq.reshape(-1, dim) if dim else sq.reshape(0, 0)
+        full = m.sum(axis=1)  # exact int64 (dim·2^42 ≪ 2^63)
+        head = m[:, :kk].sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.sqrt(head.astype(np.float64)) / np.sqrt(
+                full.astype(np.float64)
+            )
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cos_trunc6": pa.array(np.round(cos, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def tpch_q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 volume-shipping plan shape: the two qualifying nations'
     customers/suppliers broadcast as key→nationkey maps, the lineitem
@@ -7318,6 +7453,10 @@ QUERIES = {
     "video_frames_contract": video_frames_contract,
     "webp_anim_contract": webp_anim_contract,
     "webp_anim_frames_contract": webp_anim_frames_contract,
+    "covar_lineitem_qty_discount": covar_lineitem_qty_discount,
+    "bitagg_orders_keys": bitagg_orders_keys,
+    "embedding_quantize_error": embedding_quantize_error,
+    "matryoshka_cosine_embeddings": matryoshka_cosine_embeddings,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q12_priority_class": tpch_q12_priority_class,

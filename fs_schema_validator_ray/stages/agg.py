@@ -2238,3 +2238,79 @@ def sequence_islands(ds, key_column: str, value_column: str):
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def group_bitagg(ds, keys: list[str], col: str):
+    """Grouped BIT_AND / BIT_OR / BIT_XOR of an int64 column.
+
+    Per-batch vectorized fold: lexsort rows by key code, one
+    ``np.bitwise_*.reduceat`` per op over the key segments — a single
+    partial row per (batch, key). Bit ops are associative and
+    commutative and each input row is folded exactly once, so partials
+    merge exactly in the tiny final grouped fold (``map_groups``).
+    Output: ``keys + [band, bor, bxor, n]``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = t.select([*keys, col])
+        v = np.asarray(tbl.column(col), np.int64)
+        if not len(v):
+            return pa.table(
+                {
+                    **{k: tbl.column(k) for k in keys},
+                    "band": pa.array([], pa.int64()),
+                    "bor": pa.array([], pa.int64()),
+                    "bxor": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays(
+                [np.asarray(tbl.column(k), dtype=object) for k in keys]
+            )
+            if len(keys) > 1
+            else pd.Index(np.asarray(tbl.column(keys[0]), dtype=object))
+        )
+        order = np.argsort(codes, kind="stable")
+        v_s, c_s = v[order], codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], c_s[1:] != c_s[:-1]]))
+        take = pa.array(order[starts], pa.int64())
+        ends = np.concatenate([starts[1:], [len(v_s)]])
+        return pa.table(
+            {
+                **{k: tbl.column(k).take(take) for k in keys},
+                "band": pa.array(np.bitwise_and.reduceat(v_s, starts), pa.int64()),
+                "bor": pa.array(np.bitwise_or.reduceat(v_s, starts), pa.int64()),
+                "bxor": pa.array(np.bitwise_xor.reduceat(v_s, starts), pa.int64()),
+                "n": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{k: g.column(k).slice(0, 1) for k in keys},
+                "band": pa.array(
+                    [int(np.bitwise_and.reduce(np.asarray(g.column("band"), np.int64)))],
+                    pa.int64(),
+                ),
+                "bor": pa.array(
+                    [int(np.bitwise_or.reduce(np.asarray(g.column("bor"), np.int64)))],
+                    pa.int64(),
+                ),
+                "bxor": pa.array(
+                    [int(np.bitwise_xor.reduce(np.asarray(g.column("bxor"), np.int64)))],
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    [int(np.asarray(g.column("n"), np.int64).sum())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(final, batch_format="pyarrow")
+    )
