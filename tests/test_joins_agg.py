@@ -994,3 +994,58 @@ def test_sequence_islands(ray_session):
         ("b", 1, 2, 2),
         ("b", 7, 7, 1),
     ]
+
+
+# --- round-5 aggregate additions ---------------------------------------------
+
+
+def test_group_bitagg_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_bitagg
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(list("abc"), 500)
+    vals = rng.integers(0, 1 << 40, 500, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(6)
+    out = {
+        r["k"]: (r["band"], r["bor"], r["bxor"], r["n"])
+        for r in group_bitagg(ds, ["k"], "v").take_all()
+    }
+    for k in "abc":
+        sel = vals[keys == k]
+        assert out[k] == (
+            int(np.bitwise_and.reduce(sel)),
+            int(np.bitwise_or.reduce(sel)),
+            int(np.bitwise_xor.reduce(sel)),
+            len(sel),
+        ), k
+
+
+def test_group_bitagg_composite_keys_and_single_row(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.stages.agg import group_bitagg
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y"],
+            "b": [1, 2, 1],
+            "v": pa.array([0b1100, 0b1010, 0b0111], pa.int64()),
+        }
+    )
+    out = {
+        (r["a"], r["b"]): (r["band"], r["bor"], r["bxor"])
+        for r in group_bitagg(
+            ray.data.from_arrow(t).repartition(2), ["a", "b"], "v"
+        ).take_all()
+    }
+    assert out[("x", 1)] == (0b1100, 0b1100, 0b1100)
+    assert out[("x", 2)] == (0b1010, 0b1010, 0b1010)
+    assert out[("y", 1)] == (0b0111, 0b0111, 0b0111)
