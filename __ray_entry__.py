@@ -1816,6 +1816,37 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        "benford_orders_totalprice": r"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+d AS (
+  SELECT CAST(LEFT(CAST(cents AS VARCHAR), 1) AS INTEGER) AS digit
+  FROM c WHERE cents > 0),
+g AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+t AS (SELECT SUM(cnt) AS total FROM g)
+SELECT CAST(g.digit AS INTEGER) AS digit, g.cnt,
+       round_even(CAST(g.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share6
+FROM g, t
+""",
+        "gini_orders_by_priority": r"""
+WITH x AS (
+  SELECT o_orderpriority AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+r AS (
+  SELECT k, c,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY c) AS i,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM x),
+s AS (
+  SELECT k, MAX(n) AS n,
+         CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS num,
+         CAST(MAX(n) * SUM(c) AS BIGINT) AS den
+  FROM r GROUP BY k)
+SELECT k AS o_orderpriority, n,
+       round_even(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS gini6
+FROM s
+""",
         "covar_lineitem_qty_discount": r"""
 WITH m AS (
   SELECT l_returnflag,

@@ -2256,6 +2256,106 @@ def cumulative_daily_share_events(sf_dir: str):
     )
 
 
+def benford_orders_totalprice(sf_dir: str):
+    """Benford first-significant-digit profile of order totals (cents)
+    — the classic fabricated-data / unit-drift audit. Digit extraction
+    is exact integer arithmetic (log10-free: repeated power scaling with
+    correction, no float-boundary hazard), counts via the combiner, and
+    ``share6`` divides identical integers (round-even 6). Expected
+    Benford mass is left to the analyst — emitting it would hinge on
+    bit-identical ``log`` across engines (documented exactness
+    boundary, cf. the entropy family)."""
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    def digit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        )
+        cents = cents[cents > 0]
+        # first significant digit via exact integer division
+        d = cents.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        return pa.table({"digit": pa.array(d.astype(np.int32), pa.int32())})
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    counts = group_sum(
+        ds.map_batches(digit, batch_format="pyarrow"), ["digit"], []
+    )
+    parts = [
+        b for b in counts.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "digit": pa.array([], pa.int32()),
+                "cnt": pa.array([], pa.int64()),
+                "share6": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    digs = np.asarray(t.column("digit"), np.int32)
+    cnts = np.asarray(t.column("n"), np.int64)
+    total = int(cnts.sum())
+    order = np.argsort(digs)
+    return pa.table(
+        {
+            "digit": pa.array(digs[order], pa.int32()),
+            "cnt": pa.array(cnts[order], pa.int64()),
+            "share6": pa.array(
+                [round(float(c) / float(total), 6) for c in cnts[order]],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def gini_orders_by_priority(sf_dir: str):
+    """Per-priority Gini coefficient of order totals — the inequality /
+    concentration audit (is revenue dominated by a few giant orders?).
+    ``G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)`` over the ascending sort: numerator
+    and denominator are EXACT integers in both engines (ties commute,
+    so the sort order among equals cannot matter), the final division
+    mirrors term-for-term (round-even 6). Partitioning: one grouped
+    exchange; each priority's cents sort is a vectorized in-task pass
+    (groups ≤ |orders|/5 — the grouped-median assumption)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t.column("o_orderpriority"),
+                "c": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def gini(g: pa.Table) -> pa.Table:
+        c = np.sort(np.asarray(g.column("c"), np.int64))
+        n = len(c)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * c).sum())
+        den = int(n) * int(c.sum())
+        if abs(num) >= 2**63 or abs(den) >= 2**63:
+            raise OverflowError("gini sums exceed int64 — shard the group")
+        g6 = round(float(num) / float(den), 6) if den else None
+        return pa.table(
+            {
+                "o_orderpriority": g.column("k").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "gini6": pa.array([g6], pa.float64()),
+            }
+        )
+
+    return ds.groupby("k").map_groups(gini, batch_format="pyarrow")
+
+
 def covar_lineitem_qty_discount(sf_dir: str):
     """Population + sample covariance of (quantity, discount-cents) per
     return flag — SQL ``COVAR_POP``/``COVAR_SAMP`` via the exact-integer
@@ -7453,6 +7553,8 @@ QUERIES = {
     "video_frames_contract": video_frames_contract,
     "webp_anim_contract": webp_anim_contract,
     "webp_anim_frames_contract": webp_anim_frames_contract,
+    "benford_orders_totalprice": benford_orders_totalprice,
+    "gini_orders_by_priority": gini_orders_by_priority,
     "covar_lineitem_qty_discount": covar_lineitem_qty_discount,
     "bitagg_orders_keys": bitagg_orders_keys,
     "embedding_quantize_error": embedding_quantize_error,

@@ -2314,3 +2314,35 @@ def group_bitagg(ds, keys: list[str], col: str):
         .groupby(keys)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def scrub_empty_blocks(ds):
+    """Drop Ray-internal schema-less EMPTY blocks from a MATERIALIZED
+    dataset, zero-copy (block refs are re-listed, data never moves).
+
+    Ray 2.49's sort-based groupby/aggregate emits schema-less empty
+    blocks for empty reduce partitions (reproduced with a bare
+    aggregate — see tools/check_oracles.py docstring); map operators
+    SKIP empty blocks, so those blocks survive any number of map stages
+    and intermittently break a DOWNSTREAM ``groupby`` with
+    ``KeyError: Field "..." does not exist in schema``. Call this at
+    every grouped-output → grouped-input boundary that materializes.
+    Returns a dataset over the non-empty blocks only (or the input
+    unchanged when nothing to scrub)."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    def _nrows(tab: pa.Table) -> int:
+        return tab.num_rows
+
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return ds
+    lens = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, lens) if n]
+    if len(keep) == len(refs):
+        return ds
+    if not keep:
+        keep = [refs[0]]  # keep one (possibly empty) block: never zero blocks
+    return ray.data.from_arrow_refs(keep)

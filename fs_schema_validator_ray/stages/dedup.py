@@ -867,7 +867,11 @@ def minhash_near_dup_pairs(
     # materialize the candidate set ONCE (object store, not driver) —
     # counting and re-consuming a lazy Dataset would re-execute the whole
     # band+groupby pipeline per consumer
-    cands = candidate_pairs(band_rows, id_column).materialize()
+    from fs_schema_validator_ray.stages.agg import scrub_empty_blocks
+
+    cands = scrub_empty_blocks(
+        candidate_pairs(band_rows, id_column).materialize()
+    )
     return verify_candidate_pairs(
         ds,
         cands,
@@ -1284,7 +1288,9 @@ def _ngram_candidates(
     pairs = prefix_rows.groupby("bucket").map_groups(
         lambda g: _token_bucket_pairs(g, threshold), batch_format="pyarrow"
     )
-    return ds, dedup_pairs_distinct(pairs).materialize()
+    from fs_schema_validator_ray.stages.agg import scrub_empty_blocks
+
+    return ds, scrub_empty_blocks(dedup_pairs_distinct(pairs).materialize())
 
 
 def verify_candidate_pairs(
@@ -1804,7 +1810,9 @@ def edit_distance_pairs(
         )
 
     pairs = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    cands = dedup_pairs_distinct(pairs).materialize()
+    from fs_schema_validator_ray.stages.agg import scrub_empty_blocks
+
+    cands = scrub_empty_blocks(dedup_pairs_distinct(pairs).materialize())
 
     import ray
     import ray.data as rd

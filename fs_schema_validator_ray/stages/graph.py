@@ -451,6 +451,9 @@ def triangle_counts(
     und = dedup_pairs_distinct(
         edges.map_batches(normalize, batch_format="pyarrow"), n_buckets
     ).materialize()  # consumed three times (degrees, orientation, closure)
+    from fs_schema_validator_ray.stages.agg import scrub_empty_blocks
+
+    und = scrub_empty_blocks(und)
 
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -465,7 +468,7 @@ def triangle_counts(
         und.map_batches(endpoints, batch_format="pyarrow"), "node", [], n_buckets
     )
 
-    deg = deg.materialize()  # consumed once or twice below
+    deg = scrub_empty_blocks(deg.materialize())  # consumed once or twice below
     n_nodes = deg.count()
     if n_nodes <= max_broadcast_nodes:
         # broadcast path: one sorted (node, deg) index in the object
