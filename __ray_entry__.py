@@ -2035,6 +2035,31 @@ GROUP BY 1
         # animated WebP demux contracts: closed form from the corpus
         # index functions (sources/webpanim.py) — n = 1 + i%4,
         # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)
+        # APNG demux contracts: closed form from sources/apng.py — n =
+        # 1 + i%3, delay_num(i,j) = 1 + j + i%4 => sum = n + n(n-1)/2 + n*(i%4)
+        "apng_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 399) t(x)),
+n AS (SELECT i, 1 + i % 3 AS nf FROM idx)
+SELECT 'apng-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       (i % 11 <> 0) AS ok,
+       CAST(CASE WHEN i % 11 = 0 THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN i % 11 = 0 THEN 0
+            ELSE nf + nf * (nf - 1) // 2 + nf * (i % 4)
+            END AS BIGINT) AS delay_num_sum
+FROM n
+""",
+        "apng_frames_contract": """
+WITH v AS (SELECT CAST(x AS BIGINT) AS i, 1 + CAST(x AS BIGINT) % 3 AS nf
+           FROM generate_series(0, 399) t(x)
+           WHERE CAST(x AS BIGINT) % 11 <> 0),
+f AS (SELECT i, CAST(s.x AS BIGINT) AS j
+      FROM v, generate_series(0, 7) s(x)
+      WHERE CAST(s.x AS BIGINT) < nf)
+SELECT 'apng-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       CAST(j AS INTEGER) AS frame_index,
+       CAST(true AS BOOLEAN) AS decode_ok
+FROM f
+""",
         "webp_anim_contract": """
 WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 399) t(x)),
 n AS (SELECT i, 1 + i % 4 AS nf FROM idx)

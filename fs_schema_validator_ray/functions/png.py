@@ -194,8 +194,26 @@ def decode_png(data: bytes) -> np.ndarray:
     if not idat_parts:
         raise PngError("missing IDAT chunk")
 
+    return _decode_pixels(
+        b"".join(idat_parts), w, h, depth, color_type, interlace, plte
+    )[..., :3]
+
+
+def _decode_pixels(
+    zdata: bytes,
+    w: int,
+    h: int,
+    depth: int,
+    color_type: int,
+    interlace: int,
+    plte: np.ndarray | None,
+) -> np.ndarray:
+    """Shared IDAT/fdAT pixel core: inflate → unfilter → unpack →
+    ``(h, w, 4)`` uint8 RGBA (alpha 255 for alpha-less color types;
+    palette tRNS not modelled — documented). Used by the still decoder
+    (which drops A) and the APNG frame decoder (which keeps it)."""
     try:
-        decomp = zlib.decompress(b"".join(idat_parts))
+        decomp = zlib.decompress(zdata)
     except zlib.error as exc:
         raise PngError(f"corrupt zlib stream: {exc}") from None
     raw = np.frombuffer(decomp, dtype=np.uint8)
@@ -227,24 +245,32 @@ def decode_png(data: bytes) -> np.ndarray:
         samples = _unpack_samples(rows, pw, channels, depth)
         img[y0::dy, x0::dx] = samples
 
-    # → 8-bit RGB
+    # → 8-bit RGBA
+    out = np.empty((h, w, 4), np.uint8)
     if color_type == 3:
         idx = img[..., 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise PngError("palette index out of range")
-        return plte[idx]
+        out[..., :3] = plte[idx]
+        out[..., 3] = 255
+        return out
     if depth == 16:
         img = img >> 8
     elif depth < 8 and color_type == 0:
         img = img * (255 // ((1 << depth) - 1))
     img = img.astype(np.uint8)
     if color_type == 0:
-        return np.repeat(img, 3, axis=2)
-    if color_type == 4:
-        return np.repeat(img[..., :1], 3, axis=2)
-    if color_type == 6:
-        return img[..., :3]
-    return img  # color_type == 2
+        out[..., :3] = np.repeat(img, 3, axis=2)
+        out[..., 3] = 255
+    elif color_type == 2:
+        out[..., :3] = img
+        out[..., 3] = 255
+    elif color_type == 4:
+        out[..., :3] = np.repeat(img[..., :1], 3, axis=2)
+        out[..., 3] = img[..., 1]
+    else:  # color_type == 6
+        out[:] = img
+    return out
 
 
 # --- encoding ---------------------------------------------------------------
@@ -377,3 +403,216 @@ class PngPixelDecoder:
         raise NotImplementedError(
             f"no from-scratch decoder for {fmt!r} (png only in this sandbox)"
         )
+
+
+# --- APNG (animated PNG, public spec) ----------------------------------------
+#
+# Same honesty model as functions/webp.py's animated path: frame PIXELS go
+# through the gated still core (`_decode_pixels` — the exact code path the
+# reference-fixture-gated still decoder uses); the code here is only the
+# acTL/fcTL/fdAT demux, sequence validation and canvas composition
+# (dispose none/background/previous, blend source/over). The OVER blend
+# imports webp's integer formula so the repo has ONE deterministic
+# alpha-blend definition.
+
+
+def decode_apng(data: bytes) -> dict:
+    """Decode an APNG to composited canvases.
+
+    Returns ``{"canvas_w", "canvas_h", "num_plays", "frames": [{"rgba",
+    "delay_num", "delay_den", "rect", "dispose_op", "blend_op"}]}`` —
+    each ``rgba`` is the full canvas after that frame (what a renderer
+    shows). Composition per the APNG spec: output buffer starts fully
+    transparent black; ``blend_op`` 0 replaces the rect, 1 composites
+    OVER; ``dispose_op`` 0 keeps, 1 clears the rect to transparent,
+    2 reverts it to its pre-render content (first frame: treated as 1).
+    Sequence numbers are validated strictly. Raises :class:`PngError`
+    on malformed containers (totality convention)."""
+    if not data.startswith(_SIGNATURE):
+        raise PngError("bad png signature")
+    ihdr = None
+    plte: np.ndarray | None = None
+    actl = None
+    default_idat: list[bytes] = []
+    frames_raw: list[dict] = []  # per fcTL: {"seq", "hdr", "data": [bytes]}
+    seen_idat = False
+    for ctype, payload in _iter_chunks(data):
+        if ihdr is None:
+            if ctype != b"IHDR":
+                raise PngError("first chunk is not IHDR")
+            if len(payload) != 13:
+                raise PngError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            if len(payload) % 3 or not payload:
+                raise PngError("bad PLTE length")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif ctype == b"acTL":
+            if len(payload) != 8:
+                raise PngError("bad acTL length")
+            if seen_idat:
+                raise PngError("acTL after IDAT")
+            actl = struct.unpack(">II", payload)
+        elif ctype == b"fcTL":
+            if len(payload) != 26:
+                raise PngError("bad fcTL length")
+            seq = struct.unpack(">I", payload[:4])[0]
+            frames_raw.append(
+                {"seq": seq, "hdr": struct.unpack(">IIIIHHBB", payload[4:]),
+                 "data": [], "uses_idat": not seen_idat}
+            )
+        elif ctype == b"IDAT":
+            seen_idat = True
+            default_idat.append(payload)
+            if frames_raw and frames_raw[0]["uses_idat"]:
+                frames_raw[0]["data"].append(payload)
+        elif ctype == b"fdAT":
+            if len(payload) < 4:
+                raise PngError("bad fdAT length")
+            if not frames_raw:
+                raise PngError("fdAT before any fcTL")
+            frames_raw[-1]["seq_d"] = frames_raw[-1].get(
+                "seq_d", []
+            ) + [struct.unpack(">I", payload[:4])[0]]
+            frames_raw[-1]["data"].append(payload[4:])
+    if ihdr is None:
+        raise PngError("missing IHDR chunk")
+    if actl is None:
+        raise PngError("not an APNG (no acTL chunk)")
+    num_frames, num_plays = actl
+    w, h, depth, color_type, compression, filter_method, interlace = ihdr
+    if compression != 0 or filter_method != 0:
+        raise PngError("unknown compression/filter method")
+    if color_type not in _CHANNELS or depth not in _ALLOWED_DEPTHS.get(
+        color_type, ()
+    ):
+        raise PngError("bad color type / depth")
+    if num_frames != len(frames_raw):
+        raise PngError(
+            f"acTL num_frames {num_frames} != {len(frames_raw)} fcTL chunks"
+        )
+    # strict sequence validation: fcTL and fdAT share one 0-based counter
+    expect = 0
+    for fr in frames_raw:
+        if fr["seq"] != expect:
+            raise PngError(f"fcTL sequence {fr['seq']} != expected {expect}")
+        expect += 1
+        for s in fr.get("seq_d", []):
+            if s != expect:
+                raise PngError(f"fdAT sequence {s} != expected {expect}")
+            expect += 1
+
+    from fs_schema_validator_ray.functions.webp import _blend_px
+
+    canvas = np.zeros((h, w, 4), np.uint8)
+    out_frames = []
+    for i, fr in enumerate(frames_raw):
+        fw, fh, fx, fy, dnum, dden, dispose, blend = fr["hdr"]
+        if fx + fw > w or fy + fh > h or not fw or not fh:
+            raise PngError("fcTL frame rect outside canvas")
+        if fr["uses_idat"] and (fw, fh, fx, fy) != (w, h, 0, 0):
+            raise PngError("IDAT-backed first frame must cover the canvas")
+        if not fr["data"]:
+            raise PngError("frame without pixel data")
+        if blend not in (0, 1) or dispose not in (0, 1, 2):
+            raise PngError("bad fcTL blend/dispose op")
+        rgba = _decode_pixels(
+            b"".join(fr["data"]), fw, fh, depth, color_type, interlace, plte
+        )
+        if i == 0 and dispose == 2:
+            dispose = 1  # spec: first-frame dispose PREVIOUS -> BACKGROUND
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        saved = rect.copy() if dispose == 2 else None
+        if blend == 0:
+            rect[:] = rgba
+        else:
+            rect[:] = _blend_px(rect, rgba)
+        out_frames.append(
+            {
+                "rgba": canvas.copy(),
+                "delay_num": dnum,
+                "delay_den": dden,
+                "rect": (fx, fy, fw, fh),
+                "dispose_op": dispose,
+                "blend_op": blend,
+            }
+        )
+        if dispose == 1:
+            rect[:] = 0
+        elif dispose == 2:
+            rect[:] = saved
+    if not out_frames:
+        raise PngError("APNG with zero frames")
+    return {
+        "canvas_w": w,
+        "canvas_h": h,
+        "num_plays": num_plays,
+        "frames": out_frames,
+    }
+
+
+def png_is_animated(data: bytes) -> bool:
+    """True when the payload is a PNG with an acTL chunk before IDAT."""
+    if not data.startswith(_SIGNATURE):
+        return False
+    try:
+        for ctype, _ in _iter_chunks(data):
+            if ctype == b"acTL":
+                return True
+            if ctype == b"IDAT":
+                return False
+    except PngError:
+        return False
+    return False
+
+
+def encode_apng(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    *,
+    num_plays: int = 0,
+) -> bytes:
+    """Assemble an APNG (fixture/test support — inverse of
+    :func:`decode_apng`). Each frame dict: ``rgba`` (fh, fw, 4) uint8,
+    ``x``/``y``, ``delay_num``/``delay_den``, ``dispose_op``,
+    ``blend_op``. The first frame must cover the canvas (it doubles as
+    the still default image via IDAT); later frames ship as fdAT.
+    Frames encode as color type 6 / depth 8 (RGBA), so a round trip
+    through :func:`decode_apng` reproduces composited canvases
+    exactly."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    f0 = np.asarray(frames[0]["rgba"], np.uint8)
+    if f0.shape[:2] != (canvas_h, canvas_w) or frames[0].get("x", 0) or frames[0].get("y", 0):
+        raise ValueError("first frame must cover the whole canvas at (0, 0)")
+
+    def frame_zdata(rgba: np.ndarray) -> bytes:
+        fh, fw = rgba.shape[:2]
+        rows = _pack_samples(rgba, fw, 4, 8)
+        row_bytes = fw * 4
+        return zlib.compress(bytes(_filter_rows(rows, row_bytes, 4, 0)), 6)
+
+    ihdr = struct.pack(">IIBBBBB", canvas_w, canvas_h, 8, 6, 0, 0, 0)
+    out = [_SIGNATURE, _chunk(b"IHDR", ihdr)]
+    out.append(_chunk(b"acTL", struct.pack(">II", len(frames), num_plays)))
+    seq = 0
+    for i, f in enumerate(frames):
+        rgba = np.asarray(f["rgba"], np.uint8)
+        fh, fw = rgba.shape[:2]
+        fctl = struct.pack(
+            ">IIIIIHHBB",
+            seq, fw, fh, int(f.get("x", 0)), int(f.get("y", 0)),
+            int(f.get("delay_num", 1)), int(f.get("delay_den", 10)),
+            int(f.get("dispose_op", 0)), int(f.get("blend_op", 0)),
+        )
+        out.append(_chunk(b"fcTL", fctl))
+        seq += 1
+        z = frame_zdata(rgba)
+        if i == 0:
+            out.append(_chunk(b"IDAT", z))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + z))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)

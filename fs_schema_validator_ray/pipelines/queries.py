@@ -6815,6 +6815,86 @@ def webp_anim_frames_contract(sf_dir: str, n_rows: int = 400):
     return out.select_columns(["key", "frame_index", "decode_ok"])
 
 
+def _apng_corpus(n_rows: int) -> str:
+    """Deterministic cached synthetic APNG corpus → parquet path."""
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.sources.apng import (
+        APNG_CORPUS_VERSION,
+        build_apng_table,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"fsvr_apng_v{APNG_CORPUS_VERSION}_{n_rows}"
+    )
+    path = os.path.join(cache, "apng.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(build_apng_table(n_rows), tmp, row_group_size=64)
+        os.replace(tmp, path)
+    return path
+
+
+def apng_contract(sf_dir: str, n_rows: int = 400):
+    """APNG demux gate (ORACLE-CHECKED): every container in the
+    deterministic acTL/fcTL/fdAT corpus decodes through
+    ``functions/png.py::decode_apng``; output ``(key, ok, n_frames,
+    delay_num_sum)`` is closed-form from the corpus index functions
+    (``sources/apng.py``) — truncated containers gate ``ok=false``.
+    Frame pixels ride the fixture-gated still core; composition
+    arithmetic is pytest-gated analytically (test_apng.py)."""
+    import ray.data
+
+    from fs_schema_validator_ray.functions.png import PngError, decode_apng
+
+    ds = ray.data.read_parquet(_apng_corpus(n_rows)).repartition(8)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, oks, nfs, dsum = [], [], [], []
+        for i in range(t.num_rows):
+            keys.append(t.column("key")[i].as_py())
+            payload = t.column("bytes")[i].as_py() or b""
+            try:
+                anim = decode_apng(payload)
+            except PngError:
+                oks.append(False)
+                nfs.append(0)
+                dsum.append(0)
+            else:
+                oks.append(True)
+                nfs.append(len(anim["frames"]))
+                dsum.append(sum(f["delay_num"] for f in anim["frames"]))
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "delay_num_sum": pa.array(dsum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def apng_frames_contract(sf_dir: str, n_rows: int = 400):
+    """APNG FRAME-SAMPLE gate (ORACLE-CHECKED): ``FrameSampleStage``'s
+    animated-PNG branch — composited canvases per frame, per-frame
+    ``decode_ok`` — against the corpus closed form (corrupt containers
+    emit NO rows; valid ones emit exactly ``1 + i % 3`` true rows)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.multimodal import FrameSampleStage
+
+    ds = ray.data.read_parquet(_apng_corpus(n_rows)).repartition(8)
+    out = ds.map_batches(
+        FrameSampleStage(stride=1, max_frames=8, decode=True),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return out.select_columns(["key", "frame_index", "decode_ok"])
+
+
 def video_frames_contract(sf_dir: str, n_rows: int = 300):
     """REAL video frame-sample gate over the MJPEG-AVI corpus
     (``functions/video.py`` + ``FrameSampleStage(decode=True)``): every
@@ -7553,6 +7633,8 @@ QUERIES = {
     "video_frames_contract": video_frames_contract,
     "webp_anim_contract": webp_anim_contract,
     "webp_anim_frames_contract": webp_anim_frames_contract,
+    "apng_contract": apng_contract,
+    "apng_frames_contract": apng_frames_contract,
     "benford_orders_totalprice": benford_orders_totalprice,
     "gini_orders_by_priority": gini_orders_by_priority,
     "covar_lineitem_qty_discount": covar_lineitem_qty_discount,

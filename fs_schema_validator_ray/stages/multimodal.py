@@ -400,10 +400,20 @@ class ImageValidateStage:
                 emit(i, f"image dimensions {w}x{h} outside bounds")
                 continue
             if self.deep_decode and actual == "png":
-                from fs_schema_validator_ray.functions.png import PngError, decode_png
+                from fs_schema_validator_ray.functions.png import (
+                    PngError,
+                    decode_apng,
+                    decode_png,
+                    png_is_animated,
+                )
 
+                # APNG validates through the frame-composition path
+                # (every fcTL/fdAT frame must decode); stills as before
                 try:
-                    decode_png(p)
+                    if png_is_animated(p):
+                        decode_apng(p)
+                    else:
+                        decode_png(p)
                 except PngError:
                     emit(i, "file does not contain a valid image")
             elif self.deep_decode and actual == "gif":
@@ -746,6 +756,32 @@ class FrameSampleStage:
                         off,
                         b"",  # planes stay in the payload; no per-frame copy
                         decoder=lambda _fb, _i=fi: decode_y4m_frame(p, info, _i),
+                    )
+            elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                # REAL: APNG — composited canvases via the acTL/fcTL/fdAT
+                # path (functions/png.py); still PNGs emit no frames here
+                from fs_schema_validator_ray.functions.png import (
+                    PngError,
+                    decode_apng,
+                    png_is_animated,
+                )
+
+                if not png_is_animated(p):
+                    continue
+                try:
+                    anim = decode_apng(p)
+                except PngError:
+                    continue  # corrupt container: no frames (audit =
+                    # ImageValidateStage's animated branch)
+                sampled = list(enumerate(anim["frames"]))[:: self.stride][
+                    : self.max_frames
+                ]
+                for j, (fi, fr) in enumerate(sampled):
+                    emit(
+                        j,
+                        fi,  # frame ordinal (chunk offsets are per-fdAT)
+                        b"",
+                        decoder=lambda _fb, _f=fr: _f["rgba"],
                     )
             elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
                 # REAL: animated WebP — composited canvases via the
