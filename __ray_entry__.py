@@ -2035,6 +2035,35 @@ GROUP BY 1
         # animated WebP demux contracts: closed form from the corpus
         # index functions (sources/webpanim.py) — n = 1 + i%4,
         # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)
+        # animated-GIF demux contracts: closed form from
+        # sources/gifanim.py — n = 1 + i%5, delay(i,j) = 2 + 3j + i%6
+        # => sum = 2n + 3n(n-1)/2 + n*(i%6); FrameSampleStage caps at 8
+        "gif_anim_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 399) t(x)),
+n AS (SELECT i, 1 + i % 5 AS nf FROM idx)
+SELECT 'gifa-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       (i % 9 <> 0) AS ok,
+       CAST(CASE WHEN i % 9 = 0 THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN i % 9 = 0 THEN 0
+            ELSE 2 * nf + 3 * nf * (nf - 1) // 2 + nf * (i % 6)
+            END AS BIGINT) AS delay_cs_sum
+FROM n
+""",
+        # still GIFs (n=1) emit NO rows in the frame-sample stage (the
+        # animated branch requires >1 image descriptor)
+        "gif_anim_frames_contract": """
+WITH v AS (SELECT CAST(x AS BIGINT) AS i, 1 + CAST(x AS BIGINT) % 5 AS nf
+           FROM generate_series(0, 399) t(x)
+           WHERE CAST(x AS BIGINT) % 9 <> 0
+             AND 1 + CAST(x AS BIGINT) % 5 > 1),
+f AS (SELECT i, CAST(s.x AS BIGINT) AS j
+      FROM v, generate_series(0, 7) s(x)
+      WHERE CAST(s.x AS BIGINT) < nf)
+SELECT 'gifa-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       CAST(j AS INTEGER) AS frame_index,
+       CAST(true AS BOOLEAN) AS decode_ok
+FROM f
+""",
         # APNG demux contracts: closed form from sources/apng.py — n =
         # 1 + i%3, delay_num(i,j) = 1 + j + i%4 => sum = n + n(n-1)/2 + n*(i%4)
         "apng_contract": """

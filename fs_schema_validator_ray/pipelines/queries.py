@@ -6895,6 +6895,87 @@ def apng_frames_contract(sf_dir: str, n_rows: int = 400):
     return out.select_columns(["key", "frame_index", "decode_ok"])
 
 
+def _gifanim_corpus(n_rows: int) -> str:
+    """Deterministic cached synthetic animated-GIF corpus → parquet."""
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.sources.gifanim import (
+        GIFANIM_CORPUS_VERSION,
+        build_gifanim_table,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"fsvr_gifanim_v{GIFANIM_CORPUS_VERSION}_{n_rows}"
+    )
+    path = os.path.join(cache, "gifanim.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(build_gifanim_table(n_rows), tmp, row_group_size=64)
+        os.replace(tmp, path)
+    return path
+
+
+def gif_anim_contract(sf_dir: str, n_rows: int = 400):
+    """Animated-GIF demux gate (ORACLE-CHECKED): every container in the
+    deterministic GCE/Netscape corpus decodes through
+    ``functions/gif.py::decode_gif_anim``; output ``(key, ok, n_frames,
+    delay_cs_sum)`` is closed-form from the corpus index functions
+    (``sources/gifanim.py``) — truncated containers gate ``ok=false``.
+    The third leg of the animation family (webp / apng / gif), pixels
+    through the gated LZW core, composition pytest-gated analytically
+    (test_gif_anim.py)."""
+    import ray.data
+
+    from fs_schema_validator_ray.functions.gif import GifError, decode_gif_anim
+
+    ds = ray.data.read_parquet(_gifanim_corpus(n_rows)).repartition(8)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, oks, nfs, dsum = [], [], [], []
+        for i in range(t.num_rows):
+            keys.append(t.column("key")[i].as_py())
+            payload = t.column("bytes")[i].as_py() or b""
+            try:
+                anim = decode_gif_anim(payload)
+            except GifError:
+                oks.append(False)
+                nfs.append(0)
+                dsum.append(0)
+            else:
+                oks.append(True)
+                nfs.append(len(anim["frames"]))
+                dsum.append(sum(f["delay_cs"] for f in anim["frames"]))
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "delay_cs_sum": pa.array(dsum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def gif_anim_frames_contract(sf_dir: str, n_rows: int = 400):
+    """Animated-GIF FRAME-SAMPLE gate (ORACLE-CHECKED): the
+    ``FrameSampleStage`` GIF branch — per-frame composited canvases,
+    ``decode_ok`` — against the corpus closed form (corrupt containers
+    emit NO rows; valid ones emit ``min(1 + i % 5, 8)`` true rows)."""
+    import ray.data
+
+    from fs_schema_validator_ray.stages.multimodal import FrameSampleStage
+
+    ds = ray.data.read_parquet(_gifanim_corpus(n_rows)).repartition(8)
+    out = ds.map_batches(
+        FrameSampleStage(stride=1, max_frames=8, decode=True),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return out.select_columns(["key", "frame_index", "decode_ok"])
+
+
 def video_frames_contract(sf_dir: str, n_rows: int = 300):
     """REAL video frame-sample gate over the MJPEG-AVI corpus
     (``functions/video.py`` + ``FrameSampleStage(decode=True)``): every
@@ -7635,6 +7716,8 @@ QUERIES = {
     "webp_anim_frames_contract": webp_anim_frames_contract,
     "apng_contract": apng_contract,
     "apng_frames_contract": apng_frames_contract,
+    "gif_anim_contract": gif_anim_contract,
+    "gif_anim_frames_contract": gif_anim_frames_contract,
     "benford_orders_totalprice": benford_orders_totalprice,
     "gini_orders_by_priority": gini_orders_by_priority,
     "covar_lineitem_qty_discount": covar_lineitem_qty_discount,

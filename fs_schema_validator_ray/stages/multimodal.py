@@ -417,8 +417,20 @@ class ImageValidateStage:
                 except PngError:
                     emit(i, "file does not contain a valid image")
             elif self.deep_decode and actual == "gif":
-                from fs_schema_validator_ray.functions.gif import GifError, decode_gif
+                from fs_schema_validator_ray.functions.gif import (
+                    GifError,
+                    decode_gif,
+                    decode_gif_anim,
+                    gif_is_animated,
+                )
 
+                if gif_is_animated(p):
+                    # every frame must decode + compose
+                    try:
+                        decode_gif_anim(p)
+                    except GifError:
+                        emit(i, "file does not contain a valid image")
+                    continue
                 try:
                     decode_gif(p)
                 except GifError:
@@ -756,6 +768,31 @@ class FrameSampleStage:
                         off,
                         b"",  # planes stay in the payload; no per-frame copy
                         decoder=lambda _fb, _i=fi: decode_y4m_frame(p, info, _i),
+                    )
+            elif p[:6] in (b"GIF87a", b"GIF89a"):
+                # REAL: animated GIF — composited canvases via the
+                # GCE/Netscape path (functions/gif.py)
+                from fs_schema_validator_ray.functions.gif import (
+                    GifError,
+                    decode_gif_anim,
+                    gif_is_animated,
+                )
+
+                if not gif_is_animated(p):
+                    continue
+                try:
+                    anim = decode_gif_anim(p)
+                except GifError:
+                    continue
+                sampled = list(enumerate(anim["frames"]))[:: self.stride][
+                    : self.max_frames
+                ]
+                for j, (fi, fr) in enumerate(sampled):
+                    emit(
+                        j,
+                        fi,  # frame ordinal
+                        b"",
+                        decoder=lambda _fb, _f=fr: _f["rgba"],
                     )
             elif p[:8] == b"\x89PNG\r\n\x1a\n":
                 # REAL: APNG — composited canvases via the acTL/fcTL/fdAT
