@@ -131,11 +131,24 @@ def _word_table(ds, text_column: str, min_count: int):
     return wc
 
 
-def _distributed_train(words_ds, n_merges: int) -> list[tuple[str, str]]:
+def _distributed_train(
+    words_ds,
+    n_merges: int,
+    *,
+    init_state=None,
+    init_merges: list[tuple[str, str]] | None = None,
+    checkpoint_cb=None,
+    checkpoint_every: int = 0,
+) -> list[tuple[str, str]]:
     """Merge loop over a word-table Dataset that must not land on the
     driver. Per iteration: per-block pre-aggregated pair counts → small
     groupby sum → per-block argmax → driver merge of block winners →
-    broadcast rewrite + materialize of the (small) word table."""
+    broadcast rewrite + materialize of the (small) word table.
+
+    Resume hooks (``pipelines/resume.py::bpe_train_resumable``):
+    ``init_state`` (a ``(syms, cnt)`` Dataset from a checkpoint) +
+    ``init_merges`` continue the loop mid-way; ``checkpoint_cb(merges,
+    cur_ds)`` fires after every ``checkpoint_every`` completed merges."""
 
     def explode(batch: pa.Table) -> pa.Table:
         toks = batch.column("token").to_pylist()
@@ -146,8 +159,11 @@ def _distributed_train(words_ds, n_merges: int) -> list[tuple[str, str]]:
             }
         )
 
-    cur = words_ds.map_batches(explode, batch_format="pyarrow").materialize()
-    merges: list[tuple[str, str]] = []
+    if init_state is not None:
+        cur = init_state.materialize()
+    else:
+        cur = words_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    merges: list[tuple[str, str]] = list(init_merges or [])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         counts: dict[tuple[str, str], int] = {}
@@ -190,7 +206,7 @@ def _distributed_train(words_ds, n_merges: int) -> list[tuple[str, str]]:
         )
         return tb.slice(0, 1)
 
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pair_ds = (
             cur.map_batches(pair_partial, batch_format="pyarrow")
             .groupby(["left", "right"])
@@ -222,6 +238,13 @@ def _distributed_train(words_ds, n_merges: int) -> list[tuple[str, str]]:
             )
 
         cur = cur.map_batches(rewrite, batch_format="pyarrow").materialize()
+        if (
+            checkpoint_cb is not None
+            and checkpoint_every
+            and len(merges) % checkpoint_every == 0
+            and len(merges) < n_merges
+        ):
+            checkpoint_cb(list(merges), cur)
     return merges
 
 

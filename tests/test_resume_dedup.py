@@ -280,3 +280,65 @@ def test_semdedup_kill_and_resume_identical(ray_session, tmp_path):
     )
     assert sum(m.startswith("centroids-") for m in manifests) == 4
     assert sum(m.startswith("prune-") for m in manifests) == 4
+
+
+# --- BPE train resumable (round 5) -------------------------------------------
+
+
+def _text_corpus(tmp_path) -> str:
+    texts = [
+        "the cat sat on the mat and the cat ate",
+        "a dog and a cat and a dog sat",
+        "mats and dogs and cats sat on mats",
+        "the dog sat on the cat mat",
+    ] * 15
+    path = os.path.join(tmp_path, "texts.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        ),
+        path,
+    )
+    return path
+
+
+def test_bpe_kill_and_resume_identical(ray_session, tmp_path):
+    from fs_schema_validator_ray.pipelines.resume import bpe_train_resumable
+    from fs_schema_validator_ray.stages.bpe import bpe_train
+
+    path = _text_corpus(tmp_path)
+    factory = lambda: ray.data.read_parquet(path)  # noqa: E731
+
+    ref_dir = str(tmp_path / "bpe_ref")
+    ref = bpe_train_resumable(
+        factory, ref_dir, n_merges=12, checkpoint_every=4
+    ).to_pydict()
+    assert len(ref["rank"]) == 12
+    # matches the non-resumable DISTRIBUTED path exactly
+    direct = bpe_train(factory(), n_merges=12, pin=False).to_pydict()
+    assert ref == direct
+    # ... and the driver fast path (path parity is already its own test)
+    serial = bpe_train(factory(), n_merges=12, pin=True).to_pydict()
+    assert ref == serial
+
+    # crash after the word table + first checkpoint, resume to identical
+    crash_dir = str(tmp_path / "bpe_crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bpe_train_resumable(
+            factory, crash_dir, n_merges=12, checkpoint_every=4,
+            _fail_after_units=2,
+        )
+    manifests = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(crash_dir, "manifest", "*.json"))
+    )
+    assert manifests == ["ckpt-4.json", "words.json"]
+    resumed = bpe_train_resumable(
+        factory, crash_dir, n_merges=12, checkpoint_every=4
+    ).to_pydict()
+    assert resumed == ref
+    manifests = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(crash_dir, "manifest", "*.json"))
+    )
+    assert "final.json" in manifests and "ckpt-8.json" in manifests
