@@ -1816,6 +1816,24 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        "grouping_sets_lineitem": r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus))
+""",
+        # distinctness by 64-bit content fingerprint == COUNT(DISTINCT
+        # text) absent collisions (~n^2/2^65 — the exact-dedup convention)
+        "dedup_report_documents": r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_unique,
+       round_even(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate6
+FROM documents GROUP BY 1
+""",
         "benford_orders_totalprice": r"""
 WITH c AS (
   SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

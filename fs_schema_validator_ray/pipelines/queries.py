@@ -2256,6 +2256,109 @@ def cumulative_daily_share_events(sf_dir: str):
     )
 
 
+def grouping_sets_lineitem(sf_dir: str):
+    """``GROUP BY GROUPING SETS ((flag, status), (flag), (status))`` —
+    the generic mixed-granularity aggregate (``agg.grouping_sets_sum``,
+    the machinery ROLLUP/CUBE delegate to): finest level from ONE
+    combiner pass, coarser sets cascade from the finest aggregate,
+    absent keys emit typed nulls."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import grouping_sets_sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouping_sets_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        ["qty"],
+    )
+    return out.map_batches(
+        lambda t: t.select(["l_returnflag", "l_linestatus", "qty", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_report_documents(sf_dir: str):
+    """Per-source deduplication report: document count, distinct-text
+    count and the duplication rate — the dataset-shrinkage summary a
+    curation run publishes. Distinctness via the 64-bit content
+    fingerprint (collision odds ~n²/2⁶⁵ — the exact-dedup convention),
+    counted with ONE bucketed distinct pass over (source, fp) and a tiny
+    per-source roll-up; ``dup_rate6`` divides identical integers
+    (round-even 6)."""
+    from fs_schema_validator_ray.stages.agg import group_sum, group_sum_bucketed
+    from fs_schema_validator_ray.state.sketches import hash64, stable_key_array
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = hash64(stable_key_array(t.column("text")))
+        src = t.column("source").combine_chunks()
+        packed = [
+            f"{s}\x00{v:016x}" for s, v in zip(src.to_pylist(), h)
+        ]
+        return pa.table(
+            {
+                "source": src,
+                "pk": pa.array(packed, pa.string()),
+            }
+        )
+
+    distinct = group_sum_bucketed(
+        ds.map_batches(fp, batch_format="pyarrow"), "pk", []
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "source": pa.array(
+                    [p.split("\x00", 1)[0] for p in t.column("pk").to_pylist()],
+                    pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    uniq = group_sum(distinct, ["source"], [])
+    total = group_sum(ds.select_columns(["source"]), ["source"], [])
+
+    u = {
+        r["source"]: r["n"]
+        for b in uniq.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    t = {
+        r["source"]: r["n"]
+        for b in total.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    srcs = sorted(t)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array([t[s] for s in srcs], pa.int64()),
+            "n_unique": pa.array([u.get(s, 0) for s in srcs], pa.int64()),
+            "dup_rate6": pa.array(
+                [
+                    round(1.0 - float(u.get(s, 0)) / float(t[s]), 6)
+                    for s in srcs
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def benford_orders_totalprice(sf_dir: str):
     """Benford first-significant-digit profile of order totals (cents)
     — the classic fabricated-data / unit-drift audit. Digit extraction
@@ -7718,6 +7821,8 @@ QUERIES = {
     "apng_frames_contract": apng_frames_contract,
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
+    "grouping_sets_lineitem": grouping_sets_lineitem,
+    "dedup_report_documents": dedup_report_documents,
     "benford_orders_totalprice": benford_orders_totalprice,
     "gini_orders_by_priority": gini_orders_by_priority,
     "covar_lineitem_qty_discount": covar_lineitem_qty_discount,
