@@ -2053,6 +2053,19 @@ GROUP BY 1
         # animated WebP demux contracts: closed form from the corpus
         # index functions (sources/webpanim.py) — n = 1 + i%4,
         # dur(i,j) = 10 + 7j + i%5 => total = 10n + 7n(n-1)/2 + n*(i%5)
+        # EXIF extraction contract: closed form from sources/exifjpeg.py
+        # (i%7==0 -> no exif; else i%13==0 -> truncated IFD -> invalid)
+        "exif_contract": """
+WITH idx AS (SELECT CAST(x AS BIGINT) AS i FROM generate_series(0, 399) t(x))
+SELECT 'exif-' || lpad(CAST(i AS VARCHAR), 5, '0') AS "key",
+       (i % 7 <> 0) AS has_exif,
+       (i % 7 <> 0 AND i % 13 <> 0) AS valid,
+       CAST(CASE WHEN i % 7 <> 0 AND i % 13 <> 0 THEN 1 + i % 8 END
+            AS INTEGER) AS orientation,
+       CASE WHEN i % 7 <> 0 AND i % 13 <> 0
+            THEN 'CAMERA_MAKER_' || CAST(i % 5 AS VARCHAR) END AS make
+FROM idx
+""",
         # animated-GIF demux contracts: closed form from
         # sources/gifanim.py — n = 1 + i%5, delay(i,j) = 2 + 3j + i%6
         # => sum = 2n + 3n(n-1)/2 + n*(i%6); FrameSampleStage caps at 8

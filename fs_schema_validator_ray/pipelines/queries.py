@@ -7079,6 +7079,68 @@ def gif_anim_frames_contract(sf_dir: str, n_rows: int = 400):
     return out.select_columns(["key", "frame_index", "decode_ok"])
 
 
+def exif_contract(sf_dir: str, n_rows: int = 400):
+    """JPEG EXIF metadata-extraction gate (ORACLE-CHECKED): every row of
+    the deterministic APP1 corpus runs through
+    ``functions/jpeg.py::jpeg_exif`` (both byte orders planted); output
+    ``(key, has_exif, valid, orientation, make)`` is closed-form from
+    the corpus index functions (``sources/exifjpeg.py``) — exif-less
+    rows gate ``has_exif=false``, truncated-IFD rows ``valid=false``.
+    The camera-metadata QA pass of an image-curation pipeline."""
+    import ray.data
+
+    from fs_schema_validator_ray.functions.jpeg import JpegError, jpeg_exif
+
+    cache = os.path.join(tempfile.gettempdir(), "fsvr_exifjpeg_v1_" + str(n_rows))
+    path = os.path.join(cache, "exif.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        from fs_schema_validator_ray.sources.exifjpeg import build_exifjpeg_table
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(build_exifjpeg_table(n_rows), tmp, row_group_size=64)
+        os.replace(tmp, path)
+
+    ds = ray.data.read_parquet(path).repartition(8)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, has, valid, ori, make = [], [], [], [], []
+        for i in range(t.num_rows):
+            keys.append(t.column("key")[i].as_py())
+            payload = t.column("bytes")[i].as_py() or b""
+            try:
+                e = jpeg_exif(payload)
+            except JpegError:
+                has.append(True)
+                valid.append(False)
+                ori.append(None)
+                make.append(None)
+                continue
+            if e is None:
+                has.append(False)
+                valid.append(False)
+                ori.append(None)
+                make.append(None)
+            else:
+                has.append(True)
+                valid.append(True)
+                ori.append(e.get("orientation"))
+                make.append(e.get("make"))
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "has_exif": pa.array(has, pa.bool_()),
+                "valid": pa.array(valid, pa.bool_()),
+                "orientation": pa.array(ori, pa.int32()),
+                "make": pa.array(make, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
 def video_frames_contract(sf_dir: str, n_rows: int = 300):
     """REAL video frame-sample gate over the MJPEG-AVI corpus
     (``functions/video.py`` + ``FrameSampleStage(decode=True)``): every
@@ -7821,6 +7883,7 @@ QUERIES = {
     "apng_frames_contract": apng_frames_contract,
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
+    "exif_contract": exif_contract,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "dedup_report_documents": dedup_report_documents,
     "benford_orders_totalprice": benford_orders_totalprice,

@@ -173,3 +173,57 @@ def test_progressive_rejects_subsample_encode():
     img = np.zeros((16, 16, 3), np.uint8)
     with pytest.raises(ValueError, match="4:4:4"):
         encode_jpeg(img, progressive=True, subsample=True)
+
+
+# --- EXIF (round 5) ----------------------------------------------------------
+
+
+def test_exif_roundtrip_both_endians():
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.jpeg import (
+        build_exif_app1,
+        encode_jpeg,
+        insert_exif,
+        jpeg_exif,
+        decode_jpeg,
+    )
+
+    px = np.full((12, 16, 3), 90, np.uint8)
+    j = encode_jpeg(px, quality=75)
+    assert jpeg_exif(j) is None
+    for be in (False, True):
+        app1 = build_exif_app1(
+            orientation=6, make="ACME Industrial Cameras", model="X1",
+            datetime="2026:01:01 00:00:00", pixel_x=16, pixel_y=12,
+            big_endian=be,
+        )
+        j2 = insert_exif(j, app1)
+        assert jpeg_exif(j2) == {
+            "make": "ACME Industrial Cameras", "model": "X1",
+            "orientation": 6, "datetime": "2026:01:01 00:00:00",
+            "pixel_x": 16, "pixel_y": 12,
+        }
+        # splicing APP1 must not disturb the pixel path
+        np.testing.assert_array_equal(decode_jpeg(j2), decode_jpeg(j))
+
+
+def test_exif_truncated_ifd_raises_typed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from fs_schema_validator_ray.functions.jpeg import (
+        JpegError,
+        build_exif_app1,
+        encode_jpeg,
+        insert_exif,
+        jpeg_exif,
+    )
+
+    j = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    body = build_exif_app1(orientation=3, make="Z")[4:][:14]
+    bad = insert_exif(j, b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body)
+    with pytest.raises(JpegError, match="exif"):
+        jpeg_exif(bad)
