@@ -1816,6 +1816,34 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        # shared counting rule: words=[a-z0-9]+ runs on lower(text),
+        # syllables=[aeiouy]+ runs, sentences=[.!?]+ runs floored at 1
+        "readability_by_source": r"""
+WITH c AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+              AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+              AS BIGINT) AS s,
+         GREATEST(CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))
+                       AS BIGINT), 1) AS se
+  FROM documents),
+g AS (SELECT source, SUM(w) AS n_words, SUM(s) AS n_syllables,
+             SUM(se) AS n_sentences
+      FROM c GROUP BY 1)
+SELECT source,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CASE WHEN n_words > 0 THEN
+         round_even(206.835
+                    - 1.015 * (CAST(n_words AS DOUBLE)
+                               / CAST(n_sentences AS DOUBLE))
+                    - 84.6 * (CAST(n_syllables AS DOUBLE)
+                              / CAST(n_words AS DOUBLE)), 6)
+       END AS flesch6
+FROM g
+""",
         "grouping_sets_lineitem": r"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,

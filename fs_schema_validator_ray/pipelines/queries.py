@@ -2256,6 +2256,69 @@ def cumulative_daily_share_events(sf_dir: str):
     )
 
 
+def readability_by_source(sf_dir: str):
+    """Per-source Flesch reading-ease estimate — the readability gate of
+    a text-curation pipeline. All three inputs are EXACT integers in
+    both engines (words = ``[a-z0-9]+`` runs on the lowercased text,
+    syllables = ``[aeiouy]+`` vowel-group runs, sentences = ``[.!?]+``
+    runs, floored at 1 per doc), summed per source via the combiner;
+    the Flesch formula then divides identical integers term-for-term
+    (round-even 6). A heuristic metric by definition — the CONTRACT is
+    the shared counting rule, stated here and mirrored in SQL."""
+    import re
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    word_re = re.compile(r"[a-z0-9]+")
+    syl_re = re.compile(r"[aeiouy]+")
+    sent_re = re.compile(r"[.!?]+")
+
+    def counts(t: pa.Table) -> pa.Table:
+        srcs = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        w, s, se = [], [], []
+        for txt in texts:
+            low = (txt or "").lower()
+            w.append(len(word_re.findall(low)))
+            s.append(len(syl_re.findall(low)))
+            se.append(max(1, len(sent_re.findall(low))))
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_words": pa.array(w, pa.int64()),
+                "n_syllables": pa.array(s, pa.int64()),
+                "n_sentences": pa.array(se, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    agg = group_sum(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source"],
+        ["n_words", "n_syllables", "n_sentences"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("n_words"), np.int64).astype(np.float64)
+        s = np.asarray(t.column("n_syllables"), np.int64).astype(np.float64)
+        se = np.asarray(t.column("n_sentences"), np.int64).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = 206.835 - 1.015 * (w / se) - 84.6 * (s / w)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_words": t.column("n_words"),
+                "n_syllables": t.column("n_syllables"),
+                "n_sentences": t.column("n_sentences"),
+                "flesch6": pa.array(
+                    np.where(w > 0, np.round(f, 6), None), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def grouping_sets_lineitem(sf_dir: str):
     """``GROUP BY GROUPING SETS ((flag, status), (flag), (status))`` —
     the generic mixed-granularity aggregate (``agg.grouping_sets_sum``,
@@ -7884,6 +7947,7 @@ QUERIES = {
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
+    "readability_by_source": readability_by_source,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "dedup_report_documents": dedup_report_documents,
     "benford_orders_totalprice": benford_orders_totalprice,
