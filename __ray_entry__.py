@@ -1816,6 +1816,23 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        # equi-depth: boundaries = exact octile quantile_disc values
+        # (dyadic q => bit-exact rank rule), buckets half-open (lb, ub]
+        "histogram_equidepth_lineitem": r"""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (SELECT quantile_disc(cents,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qs FROM c),
+e AS (SELECT CAST(t.x AS BIGINT) AS k, b.qs[CAST(t.x AS INTEGER)] AS ub
+      FROM b, generate_series(1, 8) t(x)),
+b2 AS (SELECT k, ub, lag(ub) OVER (ORDER BY k) AS lb FROM e)
+SELECT CAST(k AS INTEGER) AS bucket,
+       CAST(ub AS BIGINT) AS upper_cents,
+       (SELECT COUNT(*) FROM c
+        WHERE cents <= b2.ub AND (b2.lb IS NULL OR cents > b2.lb)) AS cnt
+FROM b2
+""",
         # shared counting rule: words=[a-z0-9]+ runs on lower(text),
         # syllables=[aeiouy]+ runs, sentences=[.!?]+ runs floored at 1
         "readability_by_source": r"""

@@ -2256,6 +2256,76 @@ def cumulative_daily_share_events(sf_dir: str):
     )
 
 
+def histogram_equidepth_lineitem(sf_dir: str, n_buckets_hist: int = 8):
+    """EQUI-DEPTH histogram of lineitem extended price (cents): bucket
+    boundaries are the exact discrete octile values
+    (``grouped_quantile_disc`` — the ceil(q·n) rank rule, verified at
+    knife edges), then one vectorized counting pass per bucket
+    ``(k-1)/8 < rank-value ≤ k/8`` expressed as half-open value ranges
+    ``(b_{k-1}, b_k]`` with the first bucket closed below. Counts are
+    exact integers; complements the existing equi-WIDTH
+    ``histogram_orders_totalprice``."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "g": pa.array(np.zeros(t.num_rows, np.int8)),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    qs = [k / n_buckets_hist for k in range(1, n_buckets_hist + 1)]
+    qt = grouped_quantile_disc(ds, "g", "cents", qs)
+    row = next(
+        r
+        for b in qt.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    bounds = [int(row[f"q_{int(round(q * 100))}"]) for q in qs]
+
+    def count_buckets(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cents"), np.int64)
+        lo = np.concatenate([[np.iinfo(np.int64).min], np.asarray(bounds[:-1])])
+        hi = np.asarray(bounds)
+        cnt = [
+            int(((c > l) & (c <= h)).sum()) for l, h in zip(lo, hi)
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(1, n_buckets_hist + 1, dtype=np.int32)
+                ),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = list(
+        ds.map_batches(count_buckets, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    agg = np.zeros(n_buckets_hist, np.int64)
+    for p in parts:
+        # blocks may merge several per-batch 8-row outputs: scatter-ADD
+        b = np.asarray(p.column("bucket"), np.int32)
+        np.add.at(agg, b - 1, np.asarray(p.column("cnt"), np.int64))
+    return pa.table(
+        {
+            "bucket": pa.array(np.arange(1, n_buckets_hist + 1, dtype=np.int32)),
+            "upper_cents": pa.array(bounds, pa.int64()),
+            "cnt": pa.array(agg, pa.int64()),
+        }
+    )
+
+
 def readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease estimate — the readability gate of
     a text-curation pipeline. All three inputs are EXACT integers in
@@ -7948,6 +8018,7 @@ QUERIES = {
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
     "readability_by_source": readability_by_source,
+    "histogram_equidepth_lineitem": histogram_equidepth_lineitem,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "dedup_report_documents": dedup_report_documents,
     "benford_orders_totalprice": benford_orders_totalprice,
