@@ -113,6 +113,9 @@ HEADLINE_QUERIES = [
     "webp_anim_frames_contract",
     "semdedup_contract_embeddings",
     "substring_dup_documents",
+    "apng_frames_contract",
+    "gif_anim_frames_contract",
+    "exif_contract",
 ]
 
 
