@@ -2326,6 +2326,36 @@ def histogram_equidepth_lineitem(sf_dir: str, n_buckets_hist: int = 8):
     )
 
 
+def curation_e2e_documents(sf_dir: str):
+    """End-to-end curation composition over the documents table
+    (``pipelines/curate.py``): quality gate → exact dedup fused with the
+    leakage-free split → per-split next-fit packing → hash-sharded
+    parquet export with a manifest. Rows-only (the quality heuristic is
+    not SQL-expressible); determinism, leakage-freedom and exact
+    accounting are pytest-gated (test_curate.py). Returns the per-split
+    row counts."""
+    from fs_schema_validator_ray.pipelines.curate import curate_documents
+
+    out_dir = tempfile.mkdtemp(prefix="fsvr_curate_")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    summary = curate_documents(ds, out_dir)
+    splits = sorted(summary["splits"])
+    return pa.table(
+        {
+            "split": pa.array(splits, pa.string()),
+            "rows": pa.array(
+                [summary["splits"][s]["rows"] for s in splits], pa.int64()
+            ),
+            "n_input": pa.array(
+                [summary["n_input"]] * len(splits), pa.int64()
+            ),
+            "n_after_dedup": pa.array(
+                [summary["n_after_dedup"]] * len(splits), pa.int64()
+            ),
+        }
+    )
+
+
 def readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease estimate — the readability gate of
     a text-curation pipeline. All three inputs are EXACT integers in
@@ -8018,6 +8048,7 @@ QUERIES = {
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
     "readability_by_source": readability_by_source,
+    "curation_e2e_documents": curation_e2e_documents,
     "histogram_equidepth_lineitem": histogram_equidepth_lineitem,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "dedup_report_documents": dedup_report_documents,
