@@ -1816,6 +1816,20 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        # incremental-dedup store contract: accepted = distinct new
+        # content per ingest (nulls fingerprint as '' in the engine)
+        "dedup_incremental_documents": r"""
+WITH h1 AS (SELECT coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 0),
+h2 AS (SELECT coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 1)
+SELECT CAST(1 AS INTEGER) AS ingest,
+       (SELECT COUNT(*) FROM h1) AS n_batch,
+       (SELECT COUNT(DISTINCT t) FROM h1) AS n_accepted
+UNION ALL
+SELECT CAST(2 AS INTEGER),
+       (SELECT COUNT(*) FROM h2),
+       (SELECT COUNT(DISTINCT t) FROM h2
+        WHERE t NOT IN (SELECT t FROM h1))
+""",
         # equi-depth: boundaries = exact octile quantile_disc values
         # (dyadic q => bit-exact rank rule), buckets half-open (lb, ub]
         "histogram_equidepth_lineitem": r"""

@@ -2326,6 +2326,38 @@ def histogram_equidepth_lineitem(sf_dir: str, n_buckets_hist: int = 8):
     )
 
 
+def dedup_incremental_documents(sf_dir: str):
+    """Incremental dedup against a persistent fingerprint store
+    (ORACLE-CHECKED): the documents table ingests as two "days" (even
+    ids then odd ids) into a fresh store
+    (``pipelines/incremental.py::dedup_ingest`` — per-bucket
+    partition-pruned ANTI join, append-only fingerprint partitions);
+    output ``(ingest, n_batch, n_accepted)`` is SQL-derivable as the
+    distinct-new-content counts, so the driver value-hash gates the
+    store round trip end-to-end."""
+    from fs_schema_validator_ray.pipelines.incremental import dedup_ingest
+
+    store = tempfile.mkdtemp(prefix="fsvr_dedupstore_")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = []
+    for ing, parity in ((1, 0), (2, 1)):
+        batch = ds.map_batches(
+            lambda t, p=parity: t.filter(
+                pa.array(np.asarray(t.column("doc_id"), np.int64) % 2 == p)
+            ),
+            batch_format="pyarrow",
+        )
+        _, stats = dedup_ingest(batch, store, n_buckets=16)
+        rows.append((ing, stats["n_batch"], stats["n_accepted"]))
+    return pa.table(
+        {
+            "ingest": pa.array([r[0] for r in rows], pa.int32()),
+            "n_batch": pa.array([r[1] for r in rows], pa.int64()),
+            "n_accepted": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def curation_e2e_documents(sf_dir: str):
     """End-to-end curation composition over the documents table
     (``pipelines/curate.py``): quality gate → exact dedup fused with the
@@ -8048,6 +8080,7 @@ QUERIES = {
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
     "readability_by_source": readability_by_source,
+    "dedup_incremental_documents": dedup_incremental_documents,
     "curation_e2e_documents": curation_e2e_documents,
     "histogram_equidepth_lineitem": histogram_equidepth_lineitem,
     "grouping_sets_lineitem": grouping_sets_lineitem,
