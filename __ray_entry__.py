@@ -1816,6 +1816,12 @@ SELECT o_orderpriority,
        CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_f
 FROM orders GROUP BY o_orderpriority
 """,
+        # persisted-IVF contract: an exact-copy query must return its
+        # own source id at cosine 1.0 (same nearest centroid => same list)
+        "ann_index_contract": r"""
+SELECT vec_id AS query_id, vec_id AS top1, CAST(1.0 AS DOUBLE) AS cos6
+FROM embeddings WHERE vec_id % 9 = 0
+""",
         # incremental-dedup store contract: accepted = distinct new
         # content per ingest (nulls fingerprint as '' in the engine)
         "dedup_incremental_documents": r"""

@@ -2326,6 +2326,55 @@ def histogram_equidepth_lineitem(sf_dir: str, n_buckets_hist: int = 8):
     )
 
 
+def ann_index_contract(sf_dir: str):
+    """Persisted-IVF-index round-trip gate (ORACLE-CHECKED): build the
+    partitioned index over the embeddings table
+    (``stages/annindex.py``), query it with EXACT COPIES of every 9th
+    corpus vector — an identical vector routes to its own list
+    (identical nearest centroid), so rank-0 MUST be the source id at
+    cosine 1.0 even at ``nprobe=1``; output ``(query_id, top1, cos6)``
+    is closed-form in SQL. Gates quantizer fit + partitioned write +
+    pruned read + scoring end-to-end."""
+    from fs_schema_validator_ray.stages.annindex import (
+        ann_index_build,
+        ann_index_query,
+    )
+    from fs_schema_validator_ray.stages.similarity import list_column_to_matrix
+
+    idx = tempfile.mkdtemp(prefix="fsvr_annidx_")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    ann_index_build(ds, idx, n_lists=8, iters=3)
+
+    qids, qvecs = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = np.asarray(b.column("vec_id"), np.int64)
+        sel = ids % 9 == 0
+        if sel.any():
+            qids.append(ids[sel])
+            qvecs.append(list_column_to_matrix(b.column("embedding"))[sel])
+    qids = np.concatenate(qids)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qvecs = np.concatenate(qvecs)[order]
+
+    out = ann_index_query(idx, qids, qvecs, k=1, nprobe=1)
+    top = out.filter(
+        pa.compute.equal(out.column("rank"), pa.scalar(0, pa.int32()))
+    )
+    return pa.table(
+        {
+            "query_id": top.column("query_id"),
+            "top1": top.column("id"),
+            "cos6": pa.array(
+                np.round(
+                    np.asarray(top.column("cos"), np.float64), 6
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def dedup_incremental_documents(sf_dir: str):
     """Incremental dedup against a persistent fingerprint store
     (ORACLE-CHECKED): the documents table ingests as two "days" (even
@@ -8080,6 +8129,7 @@ QUERIES = {
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
     "readability_by_source": readability_by_source,
+    "ann_index_contract": ann_index_contract,
     "dedup_incremental_documents": dedup_incremental_documents,
     "curation_e2e_documents": curation_e2e_documents,
     "histogram_equidepth_lineitem": histogram_equidepth_lineitem,
