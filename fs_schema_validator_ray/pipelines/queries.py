@@ -8131,7 +8131,6 @@ QUERIES = {
     "readability_by_source": readability_by_source,
     "ann_index_contract": ann_index_contract,
     "dedup_incremental_documents": dedup_incremental_documents,
-    "curation_e2e_documents": curation_e2e_documents,
     "histogram_equidepth_lineitem": histogram_equidepth_lineitem,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "dedup_report_documents": dedup_report_documents,
@@ -8157,6 +8156,7 @@ QUERIES = {
     "unnest_embeddings": unnest_embeddings,
     "limit_offset_orders": limit_offset_orders,
     "value_band_join_events": value_band_join_events,
+    "curation_e2e_documents": curation_e2e_documents,
     "mix_sources_documents": mix_sources_documents,
     "leakage_free_split_documents": leakage_free_split_documents,
     "asset_validate_corpus": asset_validate_corpus,
