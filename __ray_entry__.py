@@ -1853,6 +1853,20 @@ SELECT CAST(k AS INTEGER) AS bucket,
         WHERE cents <= b2.ub AND (b2.lb IS NULL OR cents > b2.lb)) AS cnt
 FROM b2
 """,
+        "vocab_spectrum_documents": r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       round_even(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr6
+FROM cnt
+""",
         # shared counting rule: words=[a-z0-9]+ runs on lower(text),
         # syllables=[aeiouy]+ runs, sentences=[.!?]+ runs floored at 1
         "readability_by_source": r"""

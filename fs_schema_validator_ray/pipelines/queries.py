@@ -2437,6 +2437,51 @@ def curation_e2e_documents(sf_dir: str):
     )
 
 
+def vocab_spectrum_documents(sf_dir: str):
+    """Corpus vocabulary spectrum: total tokens, vocabulary size, hapax
+    legomena (count-1 terms), dis legomena (count-2) and the type-token
+    ratio — the vocabulary-health panel of a text-curation run. One
+    token-bucketed combiner pass (``corpus_token_counts``) plus a tiny
+    count-of-counts roll-up; ``ttr6`` divides identical integers
+    (round-even 6)."""
+    from fs_schema_validator_ray.stages.textindex import corpus_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = corpus_token_counts(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cnt"), np.int64)
+        return pa.table(
+            {
+                "total": pa.array([int(c.sum())], pa.int64()),
+                "vocab": pa.array([len(c)], pa.int64()),
+                "hapax": pa.array([int((c == 1).sum())], pa.int64()),
+                "dis": pa.array([int((c == 2).sum())], pa.int64()),
+            }
+        )
+
+    total = vocab = hapax = dis = 0
+    for b in counts.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += int(np.asarray(b.column("total"), np.int64).sum())
+        vocab += int(np.asarray(b.column("vocab"), np.int64).sum())
+        hapax += int(np.asarray(b.column("hapax"), np.int64).sum())
+        dis += int(np.asarray(b.column("dis"), np.int64).sum())
+    return pa.table(
+        {
+            "n_tokens": pa.array([total], pa.int64()),
+            "vocab_size": pa.array([vocab], pa.int64()),
+            "hapax": pa.array([hapax], pa.int64()),
+            "dis": pa.array([dis], pa.int64()),
+            "ttr6": pa.array(
+                [round(float(vocab) / float(total), 6) if total else None],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease estimate — the readability gate of
     a text-curation pipeline. All three inputs are EXACT integers in
@@ -8128,6 +8173,7 @@ QUERIES = {
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
+    "vocab_spectrum_documents": vocab_spectrum_documents,
     "readability_by_source": readability_by_source,
     "ann_index_contract": ann_index_contract,
     "dedup_incremental_documents": dedup_incremental_documents,
