@@ -50,6 +50,7 @@ def connected_components(
     cluster_column: str = "cluster_id",
     max_rounds: int = 25,
     n_buckets: int | None = None,
+    doubling: bool = False,
 ):
     """Connected components of the undirected graph given by an edge
     Dataset → Dataset of ``(node_column, cluster_column)`` with one row
@@ -57,7 +58,13 @@ def connected_components(
     node id in the component (a deterministic representative). Node ids
     may be any orderable Arrow type (ints, strings). Raises
     ``RuntimeError`` if not converged within ``max_rounds`` (diameter
-    exceeded — not silently wrong)."""
+    exceeded — not silently wrong).
+
+    ``doubling=True`` switches to the hash-to-min scheme (the upgrade
+    path the module docstring names for pathological chain graphs):
+    each round also propagates along dynamic (v ↔ label(v)) star edges,
+    converging in O(log diameter) rounds — same labels, same
+    determinism, forced-parity pytest."""
     from fs_schema_validator_ray.stages.dedup import default_n_buckets
     from fs_schema_validator_ray.state.sketches import (
         hash64,
@@ -198,10 +205,33 @@ def connected_components(
         .materialize()
     )
 
+    def tag_label_edges(t: pa.Table) -> pa.Table:
+        """Hash-to-min DOUBLING edges: each round also propagates along
+        the DYNAMIC star edges (v ↔ label(v)), so label information
+        jumps to the current representative and back — path lengths
+        halve per round and chains converge in O(log diameter) rounds
+        instead of O(diameter) (Rastogi et al., public algorithm)."""
+        v = t.column(node_column).combine_chunks()
+        lb = t.column(cluster_column).combine_chunks()
+        src = pa.chunked_array([v, lb]).combine_chunks()
+        dst = pa.chunked_array([lb, v]).combine_chunks()
+        return pa.table(
+            {
+                "__bucket": bucket_of(src),
+                "__node": src,
+                "__lbl": dst,
+                "__side": pa.array(np.ones(len(src), np.int8)),
+            }
+        )
+
     for _ in range(max_rounds):
         tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(
             edges.map_batches(tag_edges, batch_format="pyarrow")
         )
+        if doubling:
+            tagged = tagged.union(
+                labels.map_batches(tag_label_edges, batch_format="pyarrow")
+            )
         new_labels = (
             tagged.groupby("__bucket")
             .map_groups(propagate, batch_format="pyarrow")
@@ -215,7 +245,9 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
-        "(component diameter too large — raise max_rounds)"
+        "(component diameter too large — "
+        + ("raise max_rounds" if doubling else "use doubling=True")
+        + ")"
     )
 
 

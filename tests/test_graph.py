@@ -430,3 +430,42 @@ def test_k_core_copartitioned_planted_clique(ray_session):
     }
     assert all(out[i] == 4 for i in range(5))
     assert out[10] == 1 and out[11] == 1 and out[12] == 1
+
+
+def test_connected_components_doubling_parity_and_chain(ray_session):
+    """doubling=True: identical labels on random graphs, and a long
+    chain converges within O(log n) rounds where the plain propagation
+    would exceed the same small round budget."""
+    import pandas as pd
+    import ray.data
+
+    from fs_schema_validator_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60, 150)
+    b = rng.integers(0, 60, 150)
+    ds = ray.data.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    plain = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(ds).take_all()
+    }
+    doubled = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(ds, doubling=True).take_all()
+    }
+    assert plain == doubled
+
+    # chain of 64 nodes: diameter 63 — far beyond a 4-round budget for
+    # the plain propagation, within reach of O(log d) doubling rounds
+    chain = ray.data.from_pandas(
+        pd.DataFrame({"a": list(range(63)), "b": list(range(1, 64))})
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="doubling"):
+        connected_components(chain, max_rounds=4)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(chain, max_rounds=10, doubling=True).take_all()
+    }
+    assert set(got.values()) == {0} and len(got) == 64
