@@ -18,8 +18,9 @@ expressed purely as Ray Data shuffles:
 
 Rounds needed = graph diameter. Duplicate clusters are near-cliques or
 stars (the LSH bucket overflow star-links members — `dedup.py`), so 2-4
-rounds is typical; `max_rounds` guards pathological chain graphs, where
-a hash-to-min doubling scheme would be the upgrade path.
+rounds is typical; `max_rounds` guards pathological chain graphs, and
+``doubling=True`` IS the hash-to-min upgrade path (O(log diameter)
+rounds via dynamic v ↔ label(v) star edges — forced-parity pytest).
 
 Scale notes: the edge set (near-dup pairs) is assumed ≪ corpus — it is
 ``materialize()``-d once and re-tagged per round instead of re-running
