@@ -274,7 +274,36 @@ def main() -> None:
              "efficiency converges to the hardware ceiling)",
     )
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument(
+        "--stats", metavar="QUERY",
+        help="run one named queries() entry and print its ray Dataset "
+             ".stats() — the per-stage wall/throughput introspection used "
+             "to verify a stage is compute-bound before banking numbers",
+    )
     args = ap.parse_args()
+
+    if args.stats:
+        import ray
+
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        from fs_schema_validator_ray.pipelines.queries import QUERIES
+
+        t0 = time.perf_counter()
+        res = QUERIES[args.stats](args.sf_dir)
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res = res.materialize()
+                print(res.stats())
+            else:
+                print(f"(driver-finished result: {type(res).__name__}, "
+                      "no Dataset stats)")
+        finally:
+            print(f"wall: {time.perf_counter() - t0:.2f}s")
+            ray.shutdown()
+        return
 
     if args.scaling:
         # explicit --rows wins; otherwise the (larger) scaling default
