@@ -161,6 +161,7 @@ def decode_png(data: bytes) -> np.ndarray:
 
     ihdr = None
     plte: np.ndarray | None = None
+    trns: bytes | None = None
     idat_parts: list[bytes] = []
     for ctype, payload in _iter_chunks(data):
         if ihdr is None:
@@ -173,6 +174,8 @@ def decode_png(data: bytes) -> np.ndarray:
             if len(payload) % 3 or not payload:
                 raise PngError("bad PLTE length")
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat_parts.append(payload)
     if ihdr is None:
@@ -195,7 +198,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngError("missing IDAT chunk")
 
     return _decode_pixels(
-        b"".join(idat_parts), w, h, depth, color_type, interlace, plte
+        b"".join(idat_parts), w, h, depth, color_type, interlace, plte, trns
     )[..., :3]
 
 
@@ -207,11 +210,13 @@ def _decode_pixels(
     color_type: int,
     interlace: int,
     plte: np.ndarray | None,
+    trns: bytes | None = None,
 ) -> np.ndarray:
     """Shared IDAT/fdAT pixel core: inflate → unfilter → unpack →
-    ``(h, w, 4)`` uint8 RGBA (alpha 255 for alpha-less color types;
-    palette tRNS not modelled — documented). Used by the still decoder
-    (which drops A) and the APNG frame decoder (which keeps it)."""
+    ``(h, w, 4)`` uint8 RGBA. ``trns`` (the tRNS chunk body) supplies
+    per-palette-entry alpha for color type 3 and the transparent-color
+    key for types 0/2 (spec §11.3.2). Used by the still decoder (which
+    drops A) and the APNG frame decoder (which keeps it)."""
     try:
         decomp = zlib.decompress(zdata)
     except zlib.error as exc:
@@ -252,8 +257,30 @@ def _decode_pixels(
         if int(idx.max(initial=0)) >= len(plte):
             raise PngError("palette index out of range")
         out[..., :3] = plte[idx]
-        out[..., 3] = 255
+        if trns is not None:
+            pal_alpha = np.full(len(plte), 255, np.uint8)
+            ta = np.frombuffer(trns, np.uint8)
+            if len(ta) > len(plte):
+                raise PngError("tRNS longer than palette")
+            pal_alpha[: len(ta)] = ta
+            out[..., 3] = pal_alpha[idx]
+        else:
+            out[..., 3] = 255
         return out
+    # color-key transparency compares RAW (pre-scaling) sample values
+    key_mask = None
+    if trns is not None and color_type == 0:
+        if len(trns) != 2:
+            raise PngError("bad tRNS length for grayscale")
+        key = struct.unpack(">H", trns)[0]
+        key_mask = img[..., 0] == key
+    elif trns is not None and color_type == 2:
+        if len(trns) != 6:
+            raise PngError("bad tRNS length for RGB")
+        kr, kg, kb = struct.unpack(">HHH", trns)
+        key_mask = (
+            (img[..., 0] == kr) & (img[..., 1] == kg) & (img[..., 2] == kb)
+        )
     if depth == 16:
         img = img >> 8
     elif depth < 8 and color_type == 0:
@@ -270,6 +297,8 @@ def _decode_pixels(
         out[..., 3] = img[..., 1]
     else:  # color_type == 6
         out[:] = img
+    if key_mask is not None:
+        out[key_mask, 3] = 0
     return out
 
 
@@ -432,6 +461,7 @@ def decode_apng(data: bytes) -> dict:
         raise PngError("bad png signature")
     ihdr = None
     plte: np.ndarray | None = None
+    trns: bytes | None = None
     actl = None
     default_idat: list[bytes] = []
     frames_raw: list[dict] = []  # per fcTL: {"seq", "hdr", "data": [bytes]}
@@ -447,6 +477,8 @@ def decode_apng(data: bytes) -> dict:
             if len(payload) % 3 or not payload:
                 raise PngError("bad PLTE length")
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"acTL":
             if len(payload) != 8:
                 raise PngError("bad acTL length")
@@ -517,7 +549,8 @@ def decode_apng(data: bytes) -> dict:
         if blend not in (0, 1) or dispose not in (0, 1, 2):
             raise PngError("bad fcTL blend/dispose op")
         rgba = _decode_pixels(
-            b"".join(fr["data"]), fw, fh, depth, color_type, interlace, plte
+            b"".join(fr["data"]), fw, fh, depth, color_type, interlace, plte,
+            trns,
         )
         if i == 0 and dispose == 2:
             dispose = 1  # spec: first-frame dispose PREVIOUS -> BACKGROUND

@@ -266,3 +266,62 @@ def test_tiff_roundtrip_and_real_fixture():
     if os.path.exists(ref):
         out = decode_tiff(open(ref, "rb").read())
         assert out.shape == (10, 10, 3)
+
+
+# --- tRNS transparency (round 5) ---------------------------------------------
+
+
+def test_trns_palette_alpha_via_apng():
+    """Palette tRNS: per-entry alpha rides into the RGBA core (observed
+    through an APNG whose frames are palette images)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.png import (
+        _SIGNATURE,
+        _chunk,
+        decode_png,
+        _decode_pixels,
+    )
+
+    # hand-build: 2x2 palette image, entry 0 transparent via tRNS
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    rgba = _decode_pixels(
+        zlib.compress(raw), 2, 2, 8, 3, 0, plte, trns=bytes([0])
+    )
+    assert tuple(rgba[0, 0]) == (255, 0, 0, 0)  # entry 0: alpha 0
+    assert tuple(rgba[0, 1]) == (0, 255, 0, 255)  # entry 1: opaque
+
+    # full-file path: decode_png still returns RGB (alpha dropped)
+    data = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"tRNS", bytes([0]))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data)[0, 0], [255, 0, 0])
+
+
+def test_trns_rgb_color_key():
+    import zlib
+
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.png import _decode_pixels
+
+    px = np.array(
+        [[[10, 20, 30], [1, 2, 3]], [[1, 2, 3], [9, 9, 9]]], np.uint8
+    )
+    raw = b"".join(b"\x00" + r.tobytes() for r in px)
+    rgba = _decode_pixels(
+        zlib.compress(raw), 2, 2, 8, 2, 0, None,
+        trns=(1).to_bytes(2, "big") + (2).to_bytes(2, "big") + (3).to_bytes(2, "big"),
+    )
+    assert rgba[0, 1, 3] == 0 and rgba[1, 0, 3] == 0
+    assert rgba[0, 0, 3] == 255 and rgba[1, 1, 3] == 255
