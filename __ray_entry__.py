@@ -1853,6 +1853,43 @@ SELECT CAST(k AS INTEGER) AS bucket,
         WHERE cents <= b2.ub AND (b2.lb IS NULL OR cents > b2.lb)) AS cnt
 FROM b2
 """,
+        "quantile_drift_lineitem": r"""
+WITH c AS (
+  SELECT CAST(l_orderkey % 2 AS INTEGER) AS half,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (SELECT half, quantile_disc(cents,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qs
+      FROM c GROUP BY 1),
+e AS (SELECT CAST(t.x AS INTEGER) AS octile,
+             MAX(CASE WHEN half = 0 THEN qs[CAST(t.x AS INTEGER)] END) AS h0,
+             MAX(CASE WHEN half = 1 THEN qs[CAST(t.x AS INTEGER)] END) AS h1
+      FROM b, generate_series(1, 8) t(x) GROUP BY 1)
+SELECT octile, CAST(h0 AS BIGINT) AS half0_cents,
+       CAST(h1 AS BIGINT) AS half1_cents,
+       CAST(ABS(h0 - h1) AS BIGINT) AS abs_shift_cents
+FROM e
+""",
+        "trend_events_by_type": r"""
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+              AS BIGINT) AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(day) AS BIGINT) AS sx,
+             CAST(SUM(c) AS BIGINT) AS sy,
+             CAST(SUM(day * day) AS BIGINT) AS sxx,
+             CAST(SUM(day * c) AS BIGINT) AS sxy
+      FROM d GROUP BY 1)
+SELECT event_type, n AS n_days,
+       round_even((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope6
+FROM s
+""",
         "vocab_spectrum_documents": r"""
 WITH tok AS (
   SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),

@@ -2437,6 +2437,97 @@ def curation_e2e_documents(sf_dir: str):
     )
 
 
+def quantile_drift_lineitem(sf_dir: str):
+    """Quantile drift between two dataset halves (orderkey parity — the
+    two-snapshot shape): exact discrete octiles of extended-price cents
+    per half (``grouped_quantile_disc``, ceil(q·n) rank rule) and the
+    per-octile absolute shift. The distribution-drift check a validation
+    run makes against the previous run's accepted data, in exact-integer
+    form (the sketch/t-digest path stays the streaming variant)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "half": pa.array(
+                    (np.asarray(t.column("l_orderkey"), np.int64) % 2).astype(
+                        np.int32
+                    )
+                ),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    qs = [k / 8 for k in range(1, 9)]
+    qt = grouped_quantile_disc(ds, "half", "cents", qs)
+    rows = {
+        int(r["half"]): r
+        for b in qt.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    names = [f"q_{int(round(q * 100))}" for q in qs]
+    h0 = [int(rows[0][n]) for n in names]
+    h1 = [int(rows[1][n]) for n in names]
+    return pa.table(
+        {
+            "octile": pa.array(np.arange(1, 9, dtype=np.int32)),
+            "half0_cents": pa.array(h0, pa.int64()),
+            "half1_cents": pa.array(h1, pa.int64()),
+            "abs_shift_cents": pa.array(
+                [abs(a - b) for a, b in zip(h0, h1)], pa.int64()
+            ),
+        }
+    )
+
+
+def trend_events_by_type(sf_dir: str):
+    """Per-event-type linear TREND of daily volume (is this event class
+    growing or decaying?): tumbling DAY counts from the combiner, then
+    OLS slope of count on day-index through the exact-integer moment
+    protocol (day indices and counts are identical integers in both
+    engines; the slope divides identical doubles, ROUND 6 — the
+    ``regr_slope`` convention)."""
+    from fs_schema_validator_ray.stages.agg import group_sum, tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    ds = tumbling_window(ds, "ts", "day")
+    daily = group_sum(ds, ["event_type", "window"], [])
+    acc: dict[str, list[tuple[int, int]]] = {}
+    for b in daily.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            day = int(np.datetime64(r["window"], "D").astype(np.int64))
+            acc.setdefault(r["event_type"], []).append((day, int(r["n"])))
+    types = sorted(acc)
+    out_n, out_slope = [], []
+    for t in types:
+        pts = acc[t]
+        n = len(pts)
+        sx = sum(d for d, _ in pts)
+        sy = sum(c for _, c in pts)
+        sxx = sum(d * d for d, _ in pts)
+        sxy = sum(d * c for d, c in pts)
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        out_n.append(n)
+        out_slope.append(
+            round((float(n) * float(sxy) - float(sx) * float(sy)) / den, 6)
+            if den
+            else None
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "slope6": pa.array(out_slope, pa.float64()),
+        }
+    )
+
+
 def vocab_spectrum_documents(sf_dir: str):
     """Corpus vocabulary spectrum: total tokens, vocabulary size, hapax
     legomena (count-1 terms), dis legomena (count-2) and the type-token
@@ -8173,6 +8264,8 @@ QUERIES = {
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
+    "quantile_drift_lineitem": quantile_drift_lineitem,
+    "trend_events_by_type": trend_events_by_type,
     "vocab_spectrum_documents": vocab_spectrum_documents,
     "readability_by_source": readability_by_source,
     "ann_index_contract": ann_index_contract,
