@@ -105,6 +105,9 @@ class UniqueRule(Rule):
 
     column: str = "clip_id"
     exact: bool = True
+    #: composite-key mode: when set, uniqueness is over the TUPLE of
+    #: these columns (YAML ``columns: [a, b]``); ``column`` is ignored
+    columns: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -441,7 +444,17 @@ def _build_rule(d: dict, index: int) -> Rule:
         )
 
     if t == "unique":
+        columns = d.pop("columns", None)
         column = d.pop("column", "clip_id")
+        if columns is not None:
+            columns = tuple(str(c) for c in columns)
+            rid = rule_id or ("unique_" + "_".join(columns))
+            return UniqueRule(
+                rule_id=rid,
+                column=columns[0],
+                exact=bool(d.pop("exact", True)),
+                columns=columns,
+            )
         rid = rule_id or f"unique_{column}"
         return UniqueRule(rule_id=rid, column=column, exact=bool(d.pop("exact", True)))
 

@@ -77,13 +77,36 @@ def uniqueness_violations(
     the per-bucket merge is one Arrow ``group_by`` call — no per-row
     Python anywhere.
     """
+    composite = getattr(rule, "columns", None)
     column = key_column or rule.column
     if n_buckets is None:
         from fs_schema_validator_ray.stages.dedup import default_n_buckets
 
         n_buckets = default_n_buckets(ds)
-    cols = [column] + ([PARTITION_COLUMN] if PARTITION_COLUMN in ds.schema().names else [])
-    keys = ds.select_columns(cols)
+    part_cols = [PARTITION_COLUMN] if PARTITION_COLUMN in ds.schema().names else []
+    if composite:
+        # composite-key mode: canonicalize the tuple to one string key
+        # (US-separator join; nulls spelled out so (None, "x") can never
+        # collide with ("None", "x")) and reuse the single-key machinery
+        keys = ds.select_columns([*composite, *part_cols])
+
+        def canonize(t: pa.Table) -> pa.Table:
+            cols_np = [
+                t.column(c).to_pylist() for c in composite
+            ]
+            joined = [
+                "\x1f".join("\x00null" if v is None else str(v) for v in row)
+                for row in zip(*cols_np)
+            ]
+            out = {"__ckey": pa.array(joined, pa.string())}
+            for c in part_cols:
+                out[c] = t.column(c)
+            return pa.table(out)
+
+        keys = keys.map_batches(canonize, batch_format="pyarrow")
+        column = "__ckey"
+    else:
+        keys = ds.select_columns([column, *part_cols])
     partials = keys.map_batches(
         lambda t: _partial_counts(t, column, n_buckets), batch_format="pyarrow"
     )

@@ -407,3 +407,50 @@ def test_resume_shrunk_corpus_purges_stale_state(ray_session, corpus, tmp_path):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+# --- composite-key uniqueness (round 5) --------------------------------------
+
+
+def test_composite_unique_rule(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.rules import RuleSet
+    from fs_schema_validator_ray.stages.unique import uniqueness_violations
+
+    rules = RuleSet.from_yaml(
+        """
+rules:
+  - type: unique
+    columns: [user_id, day]
+"""
+    )
+    (rule,) = rules.unique_rules()
+    assert rule.columns == ("user_id", "day")
+    assert rule.rule_id == "unique_user_id_day"
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2, 1, None], pa.int64()),
+            "day": ["a", "a", "a", "b", "b", "a"],
+        }
+    )
+    out = uniqueness_violations(
+        ray.data.from_arrow(t).repartition(3), rule, n_buckets=4
+    ).to_pandas()
+    # only (1, 'a') duplicates; (None, 'a') is a distinct key
+    assert len(out) == 1
+    assert "appears 2 times" in out["reason"].iloc[0]
+    assert out["key"].iloc[0] == "1\x1fa"
+    # null-vs-string cannot collide: planted ("None", x) vs (None, x)
+    t2 = pa.table(
+        {
+            "user_id": pa.array(["None", None], pa.string()),
+            "day": ["x", "x"],
+        }
+    )
+    out2 = uniqueness_violations(
+        ray.data.from_arrow(t2).repartition(2), rule, n_buckets=4
+    ).to_pandas()
+    assert len(out2) == 0
