@@ -1853,6 +1853,15 @@ SELECT CAST(k AS INTEGER) AS bucket,
         WHERE cents <= b2.ub AND (b2.lb IS NULL OR cents > b2.lb)) AS cnt
 FROM b2
 """,
+        # composite uniqueness: planted duplicates = event_id % 17 == 0;
+        # canonical tuple key = user_id || US || event_id
+        "composite_unique_contract_events": """
+SELECT CAST(user_id AS VARCHAR) || chr(31) || CAST(event_id AS VARCHAR)
+         AS "key",
+       'unique_user_id_event_id' AS rule_id,
+       'duplicate key (appears 2 times)' AS reason
+FROM events WHERE event_id % 17 = 0
+""",
         "quantile_drift_lineitem": r"""
 WITH c AS (
   SELECT CAST(l_orderkey % 2 AS INTEGER) AS half,

@@ -2437,6 +2437,40 @@ def curation_e2e_documents(sf_dir: str):
     )
 
 
+def composite_unique_contract_events(sf_dir: str):
+    """Composite-key uniqueness contract (ORACLE-CHECKED): rows with
+    ``event_id % 17 == 0`` are re-appended, so the (user_id, event_id)
+    TUPLE key duplicates exactly those — the violation stream must
+    report each planted pair once with the canonical tuple key and the
+    "appears 2 times" reason (``stages/unique.py`` composite mode,
+    ``rules.py`` ``columns:`` YAML)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.rules import RuleSet
+    from fs_schema_validator_ray.stages.unique import uniqueness_violations
+
+    rules = RuleSet.from_yaml(
+        "rules:\n  - type: unique\n    columns: [user_id, event_id]\n"
+    )
+    (rule,) = rules.unique_rules()
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        dup = t.filter(
+            pa.array(np.asarray(t.column("event_id"), np.int64) % 17 == 0)
+        )
+        return pa.concat_tables([t, dup])
+
+    out = uniqueness_violations(
+        ds.map_batches(plant, batch_format="pyarrow"), rule, n_buckets=32
+    )
+    return out.map_batches(
+        lambda t: t.select(["key", "rule_id", "reason"]),
+        batch_format="pyarrow",
+    )
+
+
 def quantile_drift_lineitem(sf_dir: str):
     """Quantile drift between two dataset halves (orderkey parity — the
     two-snapshot shape): exact discrete octiles of extended-price cents
@@ -8264,6 +8298,7 @@ QUERIES = {
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
+    "composite_unique_contract_events": composite_unique_contract_events,
     "quantile_drift_lineitem": quantile_drift_lineitem,
     "trend_events_by_type": trend_events_by_type,
     "vocab_spectrum_documents": vocab_spectrum_documents,
