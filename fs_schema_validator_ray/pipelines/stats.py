@@ -445,3 +445,125 @@ def psi_by_group(
         )
 
     return counts.groupby(group_column).map_groups(per_group, batch_format="pyarrow")
+
+
+# --- categorical drift (round 5) ---------------------------------------------
+
+
+class _CatDriftPartial:
+    """Per-batch per-partition CATEGORY counts for one categorical drift
+    rule (Arrow value_counts per partition — no per-row Python)."""
+
+    def __init__(self, rule: DriftRule) -> None:
+        self.rule = rule
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = self.rule
+        empty = pa.table(
+            {
+                "partition_id": pa.array([], pa.int32()),
+                "category": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if r.column not in batch.column_names:
+            return empty
+        cats = pc.cast(batch.column(r.column).combine_chunks(), pa.string())
+        cats = pc.fill_null(cats, "__null")
+        if PARTITION_COLUMN in batch.column_names:
+            parts = np.asarray(
+                batch.column(PARTITION_COLUMN).combine_chunks().cast(pa.int32())
+            )
+        else:
+            parts = np.full(len(cats), -1, np.int32)
+        tbl = pa.table(
+            {"partition_id": pa.array(parts), "category": cats}
+        )
+        g = pa.TableGroupBy(tbl, ["partition_id", "category"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "partition_id": g.column("partition_id"),
+                "category": g.column("category"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+
+def categorical_drift_self_check(
+    ds,
+    rule: DriftRule,
+    baseline: dict[str, int] | None = None,
+    return_sketches: bool = False,
+):
+    """Per-partition categorical PSI vs the baseline (default: the merge
+    of all partitions — single pass, same convention as
+    :func:`drift_self_check`). Categories beyond ``rule.top_k`` by
+    GLOBAL frequency lump into ``__other`` on BOTH sides (bounded state
+    at any cardinality); PSI uses the repo's eps=1e-6 floor. Returns
+    ``(violations_table, {pid: {"psi": ...}}, [sketches])`` where the
+    sketch blobs are the JSON category-count dicts the run manifest
+    checkpoints."""
+    import json as _json
+
+    parts = ds.map_batches(_CatDriftPartial(rule), batch_format="pyarrow").to_pandas()
+    per_pid: dict[int, dict[str, int]] = {}
+    for pid, cat, n in zip(
+        parts["partition_id"], parts["category"], parts["n"]
+    ):
+        per_pid.setdefault(int(pid), {})
+        per_pid[int(pid)][cat] = per_pid[int(pid)].get(cat, 0) + int(n)
+
+    if baseline is None:
+        base: dict[str, int] = {}
+        for d in per_pid.values():
+            for c, n in d.items():
+                base[c] = base.get(c, 0) + n
+    else:
+        base = dict(baseline)
+
+    # global top-k category space, everything else lumps into __other
+    keep = set(
+        sorted(base, key=lambda c: (-base[c], c))[: max(1, rule.top_k)]
+    )
+
+    def lump(d: dict[str, int]) -> np.ndarray:
+        cats = sorted(keep) + ["__other"]
+        out = np.zeros(len(cats), np.float64)
+        idx = {c: i for i, c in enumerate(cats)}
+        for c, n in d.items():
+            out[idx.get(c, len(cats) - 1)] += n
+        return out
+
+    base_v = lump(base)
+    base_p = np.maximum(base_v / max(base_v.sum(), 1.0), 1e-6)
+
+    v_parts, v_reasons = [], []
+    metrics: dict[int, dict] = {}
+    for pid, d in sorted(per_pid.items()):
+        v = lump(d)
+        p = np.maximum(v / max(v.sum(), 1.0), 1e-6)
+        psi_val = float(np.sum((p - base_p) * np.log(p / base_p)))
+        metrics[pid] = {"psi": round(psi_val, 6), "n": int(v.sum())}
+        if psi_val > rule.max_psi:
+            v_parts.append(pid)
+            v_reasons.append(
+                f"categorical drift: psi={psi_val:.4f} exceeds "
+                f"max_psi={rule.max_psi}"
+            )
+    viol = pa.Table.from_arrays(
+        [
+            pa.array(np.asarray(v_parts, np.int32)),
+            pa.array([None] * len(v_parts), pa.string()),
+            pa.array([rule.rule_id] * len(v_parts), pa.string()),
+            pa.array(v_reasons, pa.string()),
+        ],
+        schema=VIOLATION_SCHEMA,
+    )
+    if return_sketches:
+        sk = {
+            pid: _json.dumps(d, sort_keys=True).encode() for pid, d in per_pid.items()
+        }
+        return viol, metrics, sk
+    return viol, metrics

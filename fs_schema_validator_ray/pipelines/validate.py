@@ -600,9 +600,18 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
             groups, [rule.column], override_num_blocks=_cluster_cpus(),
             file_schema=unified_schema,
         )
-        dviol, dmetrics, dsketches = drift_self_check(
-            dds, rule, cfg.baselines.get(rule.rule_id), return_sketches=True
-        )
+        if getattr(rule, "categorical", False):
+            from fs_schema_validator_ray.pipelines.stats import (
+                categorical_drift_self_check,
+            )
+
+            dviol, dmetrics, dsketches = categorical_drift_self_check(
+                dds, rule, cfg.baselines.get(rule.rule_id), return_sketches=True
+            )
+        else:
+            dviol, dmetrics, dsketches = drift_self_check(
+                dds, rule, cfg.baselines.get(rule.rule_id), return_sketches=True
+            )
         drift_out = os.path.join(cfg.output_dir, "violations", doc_id)
         shutil.rmtree(drift_out, ignore_errors=True)
         if dviol.num_rows:

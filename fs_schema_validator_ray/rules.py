@@ -133,6 +133,13 @@ class DriftRule(Rule):
     bins: int = 64
     max_ks: float = 0.15
     max_psi: float = 0.25
+    #: categorical mode (YAML ``categorical: true``): the column is a
+    #: discrete label (codec, lang, source) — per-partition CATEGORY
+    #: frequencies vs the baseline, PSI-only gate (KS is meaningless
+    #: without an ordering); ``lo/hi/bins`` are ignored, ``top_k`` caps
+    #: the tracked categories (rest lump into __other — bounded state)
+    categorical: bool = False
+    top_k: int = 64
 
 
 @dataclass
@@ -481,6 +488,8 @@ def _build_rule(d: dict, index: int) -> Rule:
             bins=int(d.pop("bins", 64)),
             max_ks=float(d.pop("max_ks", 0.15)),
             max_psi=float(d.pop("max_psi", 0.25)),
+            categorical=bool(d.pop("categorical", False)),
+            top_k=int(d.pop("top_k", 64)),
         )
 
     raise RuleSetError(f"rule #{index}: unknown rule type `{t}`")

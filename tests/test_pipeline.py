@@ -454,3 +454,61 @@ rules:
         ray.data.from_arrow(t2).repartition(2), rule, n_buckets=4
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_categorical_drift_rule(ray_session):
+    """Categorical drift: a partition whose codec mix flips must gate
+    PSI; balanced partitions must not."""
+    import pyarrow as pa
+    import ray.data
+
+    from fs_schema_validator_ray.pipelines.stats import (
+        categorical_drift_self_check,
+    )
+    from fs_schema_validator_ray.rules import RuleSet
+    from fs_schema_validator_ray.stages.scalar import PARTITION_COLUMN
+
+    rules = RuleSet.from_yaml(
+        """
+rules:
+  - type: drift
+    column: codec
+    categorical: true
+    max_psi: 0.1
+"""
+    )
+    (rule,) = rules.drift_rules()
+    assert rule.categorical and rule.max_psi == 0.1
+
+    rows = []
+    for pid in range(4):
+        for i in range(300):
+            if pid == 3:
+                # partition 3: 90% pcm (mix flipped) — all categories
+                # still present (an ABSENT category inflates PSI through
+                # the eps floor by design; skew is the subtler case)
+                codec = "pcm" if i % 10 < 9 else ("ulaw", "alaw")[i % 2]
+            else:
+                codec = ("pcm", "ulaw", "alaw")[i % 3]
+            rows.append((pid, codec))
+    t = pa.table(
+        {
+            PARTITION_COLUMN: pa.array([r[0] for r in rows], pa.int32()),
+            "codec": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    viol, metrics, sketches = categorical_drift_self_check(
+        ray.data.from_arrow(t).repartition(4), rule, return_sketches=True
+    )
+    flagged = set(viol.column("partition_id").to_pylist())
+    assert flagged == {3}
+    assert metrics[0]["psi"] < 0.1 < metrics[3]["psi"]
+    # sketch blobs round-trip as the manifest JSON
+    import json
+
+    assert json.loads(sketches[3].decode())["pcm"] == 270
+    # deterministic
+    viol2, metrics2 = categorical_drift_self_check(
+        ray.data.from_arrow(t).repartition(4), rule
+    )
+    assert metrics2 == metrics
