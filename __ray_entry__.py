@@ -1853,6 +1853,31 @@ SELECT CAST(k AS INTEGER) AS bucket,
         WHERE cents <= b2.ub AND (b2.lb IS NULL OR cents > b2.lb)) AS cnt
 FROM b2
 """,
+        # categorical PSI per cohort vs global mix (eps floor 1e-6,
+        # same protocol as psi_nchars_by_source)
+        "catpsi_events_type_by_bucket": r"""
+WITH v AS (SELECT CAST(user_id % 8 AS INTEGER) AS bucket, event_type AS cat
+           FROM events),
+c AS (SELECT bucket, cat, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+tot AS (SELECT bucket, SUM(cnt) AS t FROM c GROUP BY 1),
+g AS (SELECT cat, SUM(cnt) AS gcnt FROM c GROUP BY 1),
+gt AS (SELECT SUM(gcnt) AS gt FROM g),
+grid AS (
+  SELECT b.bucket, k.cat
+  FROM (SELECT DISTINCT bucket FROM c) b
+  CROSS JOIN (SELECT DISTINCT cat FROM g) k),
+pq AS (
+  SELECT grid.bucket,
+         GREATEST(COALESCE(c.cnt, 0) / CAST(tot.t AS DOUBLE), 1e-6) AS p,
+         GREATEST(g.gcnt / CAST(gt.gt AS DOUBLE), 1e-6) AS q
+  FROM grid
+  LEFT JOIN c ON c.bucket = grid.bucket AND c.cat = grid.cat
+  JOIN tot ON tot.bucket = grid.bucket
+  JOIN g ON g.cat = grid.cat
+  CROSS JOIN gt)
+SELECT bucket, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi6
+FROM pq GROUP BY 1
+""",
         # composite uniqueness: planted duplicates = event_id % 17 == 0;
         # canonical tuple key = user_id || US || event_id
         "composite_unique_contract_events": """

@@ -2437,6 +2437,62 @@ def curation_e2e_documents(sf_dir: str):
     )
 
 
+def catpsi_events_type_by_bucket(sf_dir: str):
+    """CATEGORICAL PSI per user bucket: each ``user_id % 8`` cohort's
+    event-type mix vs the global mix — the oracle-checkable closed form
+    of the categorical drift gate
+    (``pipelines/stats.py::categorical_drift_self_check``; same eps=1e-6
+    floor, same ROUND(·,6) protocol as ``psi_nchars_by_source``; SUM
+    over ≤|types| doubles — the documented few-term residual)."""
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pa.array(
+                    (np.asarray(t.column("user_id"), np.int64) % 8).astype(
+                        np.int32
+                    )
+                ),
+                "cat": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    grid = group_sum(ds, ["bucket", "cat"], [])
+    counts: dict[tuple[int, str], int] = {}
+    for b in grid.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            counts[(int(r["bucket"]), r["cat"])] = int(r["n"])
+    cats = sorted({c for _, c in counts})
+    buckets = sorted({g for g, _ in counts})
+    gtot = sum(counts.values())
+    gq = {
+        c: max(
+            float(sum(v for (g2, c2), v in counts.items() if c2 == c))
+            / float(gtot),
+            1e-6,
+        )
+        for c in cats
+    }
+    out_b, out_psi = [], []
+    for g in buckets:
+        t = sum(v for (g2, _), v in counts.items() if g2 == g)
+        s = 0.0
+        for c in cats:  # ascending category order — matches the grid SQL
+            p = max(float(counts.get((g, c), 0)) / float(t), 1e-6)
+            q = gq[c]
+            s += (p - q) * np.log(p / q)
+        out_b.append(g)
+        out_psi.append(round(s, 6))
+    return pa.table(
+        {
+            "bucket": pa.array(out_b, pa.int32()),
+            "psi6": pa.array(out_psi, pa.float64()),
+        }
+    )
+
+
 def composite_unique_contract_events(sf_dir: str):
     """Composite-key uniqueness contract (ORACLE-CHECKED): rows with
     ``event_id % 17 == 0`` are re-appended, so the (user_id, event_id)
@@ -8298,6 +8354,7 @@ QUERIES = {
     "gif_anim_contract": gif_anim_contract,
     "gif_anim_frames_contract": gif_anim_frames_contract,
     "exif_contract": exif_contract,
+    "catpsi_events_type_by_bucket": catpsi_events_type_by_bucket,
     "composite_unique_contract_events": composite_unique_contract_events,
     "quantile_drift_lineitem": quantile_drift_lineitem,
     "trend_events_by_type": trend_events_by_type,
