@@ -1887,6 +1887,33 @@ SELECT CAST(user_id AS VARCHAR) || chr(31) || CAST(event_id AS VARCHAR)
        'duplicate key (appears 2 times)' AS reason
 FROM events WHERE event_id % 17 = 0
 """,
+        # exact 2-sample KS: max over values of |c1*n2 - c2*n1| (exact
+        # int cross-product), single division at the end
+        "ks_lineitem_halves": r"""
+WITH c AS (
+  SELECT CAST(l_orderkey % 2 AS INTEGER) AS half,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+g AS (SELECT half, cents, COUNT(*) AS n FROM c GROUP BY 1, 2),
+v AS (SELECT DISTINCT cents FROM g),
+cum AS (
+  SELECT v.cents,
+         (SELECT COALESCE(SUM(n), 0) FROM g
+          WHERE g.half = 0 AND g.cents <= v.cents) AS cum0,
+         (SELECT COALESCE(SUM(n), 0) FROM g
+          WHERE g.half = 1 AND g.cents <= v.cents) AS cum1
+  FROM v),
+tot AS (SELECT
+          (SELECT COALESCE(SUM(n), 0) FROM g WHERE half = 0) AS n0,
+          (SELECT COALESCE(SUM(n), 0) FROM g WHERE half = 1) AS n1)
+SELECT CAST(tot.n0 AS BIGINT) AS n_half0,
+       CAST(tot.n1 AS BIGINT) AS n_half1,
+       round_even(CAST(CAST(MAX(ABS(cum.cum0 * tot.n1 - cum.cum1 * tot.n0))
+                            AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(tot.n0 * tot.n1 AS BIGINT) AS DOUBLE),
+                  6) AS ks6
+FROM cum, tot GROUP BY tot.n0, tot.n1
+""",
         "quantile_drift_lineitem": r"""
 WITH c AS (
   SELECT CAST(l_orderkey % 2 AS INTEGER) AS half,

@@ -2527,6 +2527,61 @@ def composite_unique_contract_events(sf_dir: str):
     )
 
 
+def ks_lineitem_halves(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the two
+    orderkey-parity halves of the extended-price distribution — the
+    closed-form (non-sketch) sibling of the histogram KS drift gate.
+    Fully integer-exact: per distinct cents value, the CDF gap
+    ``|c1·n2 − c2·n1|`` is an exact int64 cross-product; the max is
+    order-independent; ONE division at the end (identical integers ⇒
+    identical double ⇒ identical round-even 6 in both engines)."""
+    import pyarrow.compute as pc
+
+    from fs_schema_validator_ray.stages.agg import group_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "half": pa.array(
+                    (np.asarray(t.column("l_orderkey"), np.int64) % 2).astype(
+                        np.int32
+                    )
+                ),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    grid = group_sum(ds, ["half", "cents"], [])
+    c0: dict[int, int] = {}
+    c1: dict[int, int] = {}
+    for b in grid.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            (c0 if int(r["half"]) == 0 else c1)[int(r["cents"])] = int(r["n"])
+    vals = sorted(set(c0) | set(c1))
+    n0 = sum(c0.values())
+    n1 = sum(c1.values())
+    best = 0
+    cum0 = cum1 = 0
+    for v in vals:
+        cum0 += c0.get(v, 0)
+        cum1 += c1.get(v, 0)
+        gap = abs(cum0 * n1 - cum1 * n0)  # exact int
+        if gap > best:
+            best = gap
+    ks = round(float(best) / float(n0 * n1), 6) if n0 and n1 else None
+    return pa.table(
+        {
+            "n_half0": pa.array([n0], pa.int64()),
+            "n_half1": pa.array([n1], pa.int64()),
+            "ks6": pa.array([ks], pa.float64()),
+        }
+    )
+
+
 def quantile_drift_lineitem(sf_dir: str):
     """Quantile drift between two dataset halves (orderkey parity — the
     two-snapshot shape): exact discrete octiles of extended-price cents
@@ -8356,6 +8411,7 @@ QUERIES = {
     "exif_contract": exif_contract,
     "catpsi_events_type_by_bucket": catpsi_events_type_by_bucket,
     "composite_unique_contract_events": composite_unique_contract_events,
+    "ks_lineitem_halves": ks_lineitem_halves,
     "quantile_drift_lineitem": quantile_drift_lineitem,
     "trend_events_by_type": trend_events_by_type,
     "vocab_spectrum_documents": vocab_spectrum_documents,
