@@ -556,8 +556,19 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
 
 
         for rule in rules.referential_rules():
-            mcol = cfg.manifest_key_column or rule.column
-            keys = pq.read_table(cfg.manifest_path, columns=[mcol]).column(mcol)
+            composite = getattr(rule, "columns", None)
+            if composite:
+                from fs_schema_validator_ray.stages.referential import (
+                    canonical_tuple_strings,
+                )
+
+                mt = pq.read_table(cfg.manifest_path, columns=list(composite))
+                keys = canonical_tuple_strings(mt, composite)
+            else:
+                mcol = cfg.manifest_key_column or rule.column
+                keys = pq.read_table(cfg.manifest_path, columns=[mcol]).column(
+                    mcol
+                )
             # pass the Arrow column: build_membership canonicalizes it the
             # same way the probe side does (dtype-stable under nulls)
             membership = build_membership(

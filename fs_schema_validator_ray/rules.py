@@ -120,6 +120,10 @@ class ReferentialRule(Rule):
     manifest: str = "manifest"  # logical name resolved by the pipeline config
     use_bloom: bool = False
     bloom_fpp: float = 1e-4
+    #: composite-key mode (YAML ``columns: [a, b]``): the TUPLE must
+    #: exist in the manifest (same canonical join as composite unique);
+    #: null components participate literally on both sides
+    columns: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -466,8 +470,20 @@ def _build_rule(d: dict, index: int) -> Rule:
         return UniqueRule(rule_id=rid, column=column, exact=bool(d.pop("exact", True)))
 
     if t == "referential":
+        columns = d.pop("columns", None)
         column = d.pop("column", "clip_id")
         manifest = d.pop("manifest", "manifest")
+        if columns is not None:
+            columns = tuple(str(c) for c in columns)
+            rid = rule_id or ("referential_" + "_".join(columns))
+            return ReferentialRule(
+                rule_id=rid,
+                column=columns[0],
+                manifest=manifest,
+                use_bloom=bool(d.pop("use_bloom", False)),
+                bloom_fpp=float(d.pop("bloom_fpp", 1e-4)),
+                columns=columns,
+            )
         rid = rule_id or f"referential_{column}"
         return ReferentialRule(
             rule_id=rid,

@@ -78,6 +78,19 @@ def _probe(membership, values: np.ndarray) -> np.ndarray:
     return membership[idx] == h
 
 
+def canonical_tuple_strings(batch: pa.Table, columns) -> np.ndarray:
+    """Canonical composite-key strings (US-separator join, nulls spelled
+    ``\x00null``) — the SAME form ``stages/unique.py`` composite mode
+    uses, so unique/referential tuple semantics agree."""
+    cols = [batch.column(c).to_pylist() for c in columns]
+    out = np.empty(batch.num_rows, dtype=object)
+    for i, row in enumerate(zip(*cols)):
+        out[i] = "\x1f".join(
+            "\x00null" if v is None else str(v) for v in row
+        )
+    return out
+
+
 class ReferentialStage:
     """``map_batches`` callable. Construct with the ``ray.ObjectRef`` of the
     membership structure (``ray.put`` once on the driver); each worker
@@ -100,11 +113,20 @@ class ReferentialStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rule = self.rule
         membership = self._resolve()
-        col = batch.column(rule.column).combine_chunks()
-        # canonical conversion (matches the membership build): a null in
-        # THIS batch must not change how the non-null keys hash
-        values = stable_key_array(col)
-        nulls = np.asarray(col.is_null()) if col.null_count else np.zeros(len(col), bool)
+        composite = getattr(rule, "columns", None)
+        if composite:
+            values = canonical_tuple_strings(batch, composite)
+            nulls = np.zeros(len(values), bool)  # tuples probe literally
+        else:
+            col = batch.column(rule.column).combine_chunks()
+            # canonical conversion (matches the membership build): a null
+            # in THIS batch must not change how the non-null keys hash
+            values = stable_key_array(col)
+            nulls = (
+                np.asarray(col.is_null())
+                if col.null_count
+                else np.zeros(len(col), bool)
+            )
         present = np.zeros(len(values), dtype=bool)
         if (~nulls).any():
             present[~nulls] = _probe(membership, values[~nulls])

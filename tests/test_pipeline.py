@@ -512,3 +512,51 @@ rules:
         ray.data.from_arrow(t).repartition(4), rule
     )
     assert metrics2 == metrics
+
+
+def test_composite_referential_rule(ray_session, tmp_path):
+    """Composite-key referential: (clip_id, codec) tuples must exist in
+    the manifest — a right key with the wrong codec is a violation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from fs_schema_validator_ray.rules import RuleSet
+    from fs_schema_validator_ray.stages.referential import (
+        ReferentialStage,
+        build_membership,
+        canonical_tuple_strings,
+    )
+
+    rules = RuleSet.from_yaml(
+        """
+rules:
+  - type: referential
+    columns: [clip_id, codec]
+"""
+    )
+    (rule,) = rules.referential_rules()
+    assert rule.columns == ("clip_id", "codec")
+
+    manifest = pa.table(
+        {
+            "clip_id": ["a", "b", "c"],
+            "codec": ["pcm", "ulaw", None],
+        }
+    )
+    membership = build_membership(
+        canonical_tuple_strings(manifest, rule.columns)
+    )
+    stage = ReferentialStage(rule, ray.put(membership))
+    batch = pa.table(
+        {
+            "clip_id": ["a", "a", "b", "c", "d"],
+            "codec": ["pcm", "ulaw", "ulaw", None, "pcm"],
+        }
+    )
+    out = stage(batch)
+    keys = sorted(out.column("key").to_pylist())
+    # ("a","ulaw") wrong codec; ("d","pcm") unknown clip; ("c", null)
+    # matches the manifest's null-codec row literally
+    assert keys == ["a\x1fulaw", "d\x1fpcm"]
