@@ -94,3 +94,37 @@ def test_gif_anim_fuzz_total():
         except Exception:  # noqa: BLE001
             crashes += 1
     assert crashes == 0
+
+
+def test_exif_fuzz_total():
+    """EXIF parser totality: corrupted APP1 payloads raise JpegError or
+    parse to a dict — never an untyped crash."""
+    import numpy as np
+
+    from fs_schema_validator_ray.functions.jpeg import (
+        JpegError,
+        build_exif_app1,
+        encode_jpeg,
+        insert_exif,
+        jpeg_exif,
+    )
+
+    j = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    good = insert_exif(
+        j,
+        build_exif_app1(
+            orientation=3, make="MAKER X", model="M", pixel_x=8, pixel_y=8
+        ),
+    )
+    rng = np.random.default_rng(7)
+    crashes = 0
+    for trial in range(400):
+        bad = _flip(good, rng, 1 + trial % 3)
+        try:
+            out = jpeg_exif(bad)
+            assert out is None or isinstance(out, dict)
+        except JpegError:
+            pass
+        except Exception:  # noqa: BLE001
+            crashes += 1
+    assert crashes == 0
