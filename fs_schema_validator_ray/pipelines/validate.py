@@ -526,8 +526,10 @@ def run_validation(cfg: ValidationRunConfig) -> RunResult:
         shutil.rmtree(out_dir, ignore_errors=True)
         all_v = []
         for rule in rules.unique_rules():
+            # composite rules need ALL their key columns in the pruned read
+            key_cols = list(getattr(rule, "columns", None) or [rule.column])
             key_ds = _read_partitions(
-                groups, [rule.column], override_num_blocks=_cluster_cpus(),
+                groups, key_cols, override_num_blocks=_cluster_cpus(),
                 file_schema=unified_schema,
             )
             v = uniqueness_violations(key_ds, rule)
