@@ -560,3 +560,49 @@ rules:
     # ("a","ulaw") wrong codec; ("d","pcm") unknown clip; ("c", null)
     # matches the manifest's null-codec row literally
     assert keys == ["a\x1fulaw", "d\x1fpcm"]
+
+
+def test_run_validation_with_composite_and_categorical(ray_session, tmp_path):
+    """Full run_validation with a composite unique + categorical drift
+    ruleset — covers the global-pass column pruning for multi-column
+    keys (regression: the pruned read must carry ALL key columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fs_schema_validator_ray.pipelines.validate import (
+        ValidationRunConfig,
+        run_validation,
+    )
+    from fs_schema_validator_ray.rules import RuleSet
+
+    clips_dir = tmp_path / "clips"
+    clips_dir.mkdir()
+    t = pa.table(
+        {
+            "clip_id": [f"c{i}" for i in range(40)] + ["c0"],  # dup (c0, pcm)
+            "codec": ["pcm"] * 41,
+        }
+    )
+    pq.write_table(t, str(clips_dir / "part-0.parquet"))
+    rules = RuleSet.from_yaml(
+        """
+rules:
+  - type: unique
+    columns: [clip_id, codec]
+  - type: drift
+    column: codec
+    categorical: true
+    max_psi: 0.5
+"""
+    )
+    res = run_validation(
+        ValidationRunConfig(
+            input_path=str(clips_dir),
+            rules=rules,
+            output_dir=str(tmp_path / "out"),
+            key_column="clip_id",
+        )
+    )
+    assert res.total_violations == 1  # the planted (c0, pcm) duplicate
+    v = res.violations_dataset().to_pandas()
+    assert v["key"].iloc[0] == "c0\x1fpcm"
