@@ -1887,6 +1887,15 @@ SELECT CAST(user_id AS VARCHAR) || chr(31) || CAST(event_id AS VARCHAR)
        'duplicate key (appears 2 times)' AS reason
 FROM events WHERE event_id % 17 = 0
 """,
+        # cume_dist = count(<= value)/n per partition — proportion-<=
+        # definition, identical integer division both sides
+        "cume_dist_orders": r"""
+SELECT o_orderkey,
+       round_even(CUME_DIST() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)), 6) AS cd6
+FROM orders
+""",
         # exact 2-sample KS: max over values of |c1*n2 - c2*n1| (exact
         # int cross-product), single division at the end
         "ks_lineitem_halves": r"""

@@ -2527,6 +2527,47 @@ def composite_unique_contract_events(sf_dir: str):
     )
 
 
+def cume_dist_orders(sf_dir: str):
+    """SQL ``CUME_DIST()`` per customer over order totals: fraction of
+    the customer's orders with total ≤ this one (ties share the value —
+    the proportion-≤ definition). One grouped exchange; each group's
+    pass is a vectorized sort + searchsorted; ``cd6`` divides identical
+    integers (round-even 6). Output keyed (o_orderkey) for the exact
+    row-level compare."""
+    import pyarrow.compute as pc
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        c = np.asarray(g.column("cents"), np.int64)
+        n = len(c)
+        s = np.sort(c)
+        le = np.searchsorted(s, c, side="right")  # count(values <= c)
+        cd = np.round(le.astype(np.float64) / float(n), 6)
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "cd6": pa.array(cd, pa.float64()),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(per_group, batch_format="pyarrow")
+
+
 def ks_lineitem_halves(sf_dir: str):
     """EXACT two-sample Kolmogorov–Smirnov statistic between the two
     orderkey-parity halves of the extended-price distribution — the
@@ -8411,6 +8452,7 @@ QUERIES = {
     "exif_contract": exif_contract,
     "catpsi_events_type_by_bucket": catpsi_events_type_by_bucket,
     "composite_unique_contract_events": composite_unique_contract_events,
+    "cume_dist_orders": cume_dist_orders,
     "ks_lineitem_halves": ks_lineitem_halves,
     "quantile_drift_lineitem": quantile_drift_lineitem,
     "trend_events_by_type": trend_events_by_type,
