@@ -969,6 +969,19 @@ WITH m AS (
 SELECT event_id, order_ts_ms FROM m
 WHERE ts_us - order_ts_us <= CAST(8500 AS BIGINT) * 24 * 3600 * 1000000
 """,
+        # nearest as-of: integer epoch_us distance argmin, backward
+        # preferred on ties (events ts are microsecond-unique per user)
+        "asof_nearest_events_orders": """
+SELECT o_orderkey, event_id FROM (
+  SELECT o.o_orderkey, e.event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                    CASE WHEN e.ts <= o.o_orderdate THEN 0 ELSE 1 END,
+                    e.event_id) AS rn
+  FROM orders o JOIN events e ON o.o_custkey = e.user_id)
+WHERE rn = 1
+""",
         "asof_forward_events_orders": """
 SELECT o.o_orderkey, e.event_id
 FROM orders o ASOF JOIN events e

@@ -6443,6 +6443,39 @@ def asof_events_orders(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def asof_nearest_events_orders(sf_dir: str):
+    """NEAREST as-of join: each order matched to the customer's event
+    CLOSEST in time on either side (tie → the backward match) —
+    ``direction="nearest"``, the last uncovered mode of the as-of
+    family. Oracle: integer |epoch_us| distance argmin with the
+    backward-preferred tie-break spelled out."""
+    from fs_schema_validator_ray.stages.joins import asof_join
+
+    left = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = asof_join(
+        left, right,
+        key_column="user_id", left_ts="o_orderdate", right_ts="ts",
+        left_value_columns=["o_orderkey"], right_value_columns=["event_id"],
+        direction="nearest",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_o_orderkey"),
+                "event_id": t.column("r_event_id"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def asof_forward_events_orders(sf_dir: str):
     """FORWARD as-of join: each order matched to the customer's FIRST
     event at-or-after order time (``direction="forward"``) —
@@ -8452,6 +8485,7 @@ QUERIES = {
     "exif_contract": exif_contract,
     "catpsi_events_type_by_bucket": catpsi_events_type_by_bucket,
     "composite_unique_contract_events": composite_unique_contract_events,
+    "asof_nearest_events_orders": asof_nearest_events_orders,
     "cume_dist_orders": cume_dist_orders,
     "ks_lineitem_halves": ks_lineitem_halves,
     "quantile_drift_lineitem": quantile_drift_lineitem,
