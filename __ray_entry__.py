@@ -1900,6 +1900,14 @@ SELECT CAST(user_id AS VARCHAR) || chr(31) || CAST(event_id AS VARCHAR)
        'duplicate key (appears 2 times)' AS reason
 FROM events WHERE event_id % 17 = 0
 """,
+        "dense_rank_orders": r"""
+SELECT o_orderkey,
+       CAST(DENSE_RANK() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS dr
+FROM orders
+""",
         # cume_dist = count(<= value)/n per partition — proportion-<=
         # definition, identical integer division both sides
         "cume_dist_orders": r"""

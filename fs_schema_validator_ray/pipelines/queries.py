@@ -2527,6 +2527,42 @@ def composite_unique_contract_events(sf_dir: str):
     )
 
 
+def dense_rank_orders(sf_dir: str):
+    """SQL ``DENSE_RANK()`` per customer over order totals (ascending,
+    gap-free ranks — ties share): one grouped exchange, per-group
+    vectorized ``np.unique`` inverse + searchsorted. Integer-exact."""
+    import pyarrow.compute as pc
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        c = np.asarray(g.column("cents"), np.int64)
+        uniq = np.unique(c)
+        dr = np.searchsorted(uniq, c) + 1
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "dr": pa.array(dr.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(per_group, batch_format="pyarrow")
+
+
 def cume_dist_orders(sf_dir: str):
     """SQL ``CUME_DIST()`` per customer over order totals: fraction of
     the customer's orders with total ≤ this one (ties share the value —
@@ -8486,6 +8522,7 @@ QUERIES = {
     "catpsi_events_type_by_bucket": catpsi_events_type_by_bucket,
     "composite_unique_contract_events": composite_unique_contract_events,
     "asof_nearest_events_orders": asof_nearest_events_orders,
+    "dense_rank_orders": dense_rank_orders,
     "cume_dist_orders": cume_dist_orders,
     "ks_lineitem_halves": ks_lineitem_halves,
     "quantile_drift_lineitem": quantile_drift_lineitem,
